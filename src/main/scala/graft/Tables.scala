@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Star-schema loaders for the driver-generated lake (see TESTDATA.md).
+  *
+  * All operators consume these instead of raw paths so the same code
+  * path serves `file://` test data and an `s3a://` 100 TB lake — only
+  * the directory URI changes.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def load(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame     = load("region")
+  def nation: DataFrame     = load("nation")
+  def customer: DataFrame   = load("customer")
+  def supplier: DataFrame   = load("supplier")
+  def part: DataFrame       = load("part")
+  def orders: DataFrame     = load("orders")
+  def lineitem: DataFrame   = load("lineitem")
+  def events: DataFrame     = load("events")
+  def documents: DataFrame  = load("documents")
+  def embeddings: DataFrame = load("embeddings")
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def byName(name: String): DataFrame = load(name)
+}
