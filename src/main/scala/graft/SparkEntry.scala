@@ -6,19 +6,21 @@ import graft.queries._
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
 
+  /** Every implemented operator, one QueryDef each (SURVEY.md §2). */
+  def allDefs: Seq[QueryDef] =
+    Relational.defs
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_pricing_summary" -> (Relational.q1PricingSummary _)
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allDefs.map(d => d.name -> d.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = Map(
-    "q1_pricing_summary" -> Relational.q1Sql
-  )
+  def oracleSql: Map[String, String] =
+    allDefs.flatMap(d => d.oracle.map(d.name -> _)).toMap
 }

@@ -19,7 +19,19 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = load("part")
   def orders: DataFrame     = load("orders")
   def lineitem: DataFrame   = load("lineitem")
-  def events: DataFrame     = load("events")
+
+  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's
+    * parquet reader rejects; with `spark.sql.legacy.parquet.nanosAsLong`
+    * (set in GraftSession/Verify/Bench) it arrives as a nanos long and
+    * is converted here. Integer division — nanos (~1.7e18) overflow
+    * double precision.
+    */
+  def events: DataFrame = {
+    val raw = load("events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
   def documents: DataFrame  = load("documents")
   def embeddings: DataFrame = load("embeddings")
 

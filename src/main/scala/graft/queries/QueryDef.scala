@@ -1,0 +1,19 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One correctness-gated query: a Spark plan + (when SQL-expressible)
+  * a DuckDB oracle over the same parquet tables. `oracle = None` means
+  * the driver records a weaker rows-only check (approximate ops).
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryDef {
+  def sql(name: String, fn: (SparkSession, String) => DataFrame, oracle: String): QueryDef =
+    QueryDef(name, fn, Some(oracle))
+  def rowsOnly(name: String, fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, None)
+}

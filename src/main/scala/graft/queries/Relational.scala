@@ -1,21 +1,24 @@
 package graft.queries
 
 import graft.Tables
+import graft.operators.{AsOfJoin, Sessionize, TopK}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational/analytic core (SURVEY.md §2.2).
   *
-  * Query shapes follow TPC-H (adapted to the driver schema, see
-  * reference capability table in SURVEY.md §1). Aggregate doubles are
-  * rounded to 4 decimals in both the Spark plan and the DuckDB oracle
-  * for float-parity hashing.
+  * Query shapes follow TPC-H (adapted to the driver schema). Parity
+  * rules with the DuckDB oracle: computed doubles rounded to 4
+  * decimals on both sides, identical column aliases, total orderings
+  * (tie-break columns) wherever a LIMIT exists, timestamps surfaced
+  * as epoch micros or formatted strings.
   */
 object Relational {
 
   /** TPC-H Q1 shape: map-side-combinable multi-aggregate over lineitem.
-    * Scale: single shuffle on (returnflag, linestatus) — 6 groups; the
-    * partial aggregation does all the work map-side at 100 TB.
+    * Scale: one shuffle to 6 groups; partial aggregation does all the
+    * work map-side at 100 TB.
     */
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -35,7 +38,7 @@ object Relational {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
-  val q1Sql: String =
+  private val q1Sql =
     """SELECT l_returnflag, l_linestatus,
       |  round(sum(l_quantity), 4) AS sum_qty,
       |  round(sum(l_extendedprice), 4) AS sum_base_price,
@@ -49,4 +52,475 @@ object Relational {
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3 shape: 3-way fact join + agg + top-k. Scale: customer
+    * filter first (pushed to scan), shuffle joins on keys, final
+    * top-10 via ordered limit (map-side partial top-k under AQE).
+    */
+  def q3TopOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val cust = t.customer.filter($"c_mktsegment" === "BUILDING").select("c_custkey")
+    val ord = t.orders.filter($"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val li = t.lineitem.filter($"l_shipdate" > lit("1997-01-01").cast("timestamp"))
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"))
+      .select($"l_orderkey", date_format($"o_orderdate", "yyyy-MM-dd").as("orderdate"), $"revenue")
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  private val q3Sql =
+    """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND l_shipdate > TIMESTAMP '1997-01-01'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 shape: star join through broadcast dims. Scale: region/
+    * nation/supplier broadcast (dims stay small at any SF); the two
+    * fact tables shuffle once on their join keys.
+    */
+  def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val dims = t.supplier
+      .join(broadcast(t.nation), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(t.region.filter($"r_name" === "ASIA")), $"n_regionkey" === $"r_regionkey")
+      .select($"s_suppkey", $"s_nationkey", $"n_name")
+    val ord = t.orders
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey")
+    t.lineitem.select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(t.customer.select($"c_custkey", $"c_nationkey"), $"o_custkey" === $"c_custkey")
+      .join(broadcast(dims), $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .groupBy($"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  private val q5Sql =
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Selective filter + 3-column projection: the scan-efficiency
+    * showcase — both predicate and projection must reach the parquet
+    * reader (asserted in RelationalSpec).
+    */
+  def qFilterPushdown(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).lineitem
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-02-01").cast("timestamp") &&
+        $"l_quantity" < 5.0)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  private val qFilterPushdownSql =
+    """SELECT l_orderkey, l_linenumber, l_quantity
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1996-02-01'
+      |  AND l_quantity < 5.0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Window rank: biggest order per customer (row_number, full
+    * tie-break). One shuffle on the partition key.
+    */
+  def qWindowRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables(spark, dir).orders
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_custkey")
+  }
+
+  private val qWindowRankSql =
+    """SELECT o_custkey, o_orderkey, o_totalprice
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        row_number() OVER (PARTITION BY o_custkey
+      |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |      FROM orders)
+      |WHERE rn = 1
+      |ORDER BY o_custkey""".stripMargin
+
+  /** Running-sum window over an ordered frame (Jan-1995 slice). The
+    * summation order is pinned by the window sort on both engines.
+    */
+  def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir).lineitem
+      .filter($"l_shipdate" >= lit("1995-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1995-02-01").cast("timestamp"))
+      .withColumn("running_qty", round(sum($"l_quantity").over(w), 4))
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"running_qty")
+  }
+
+  private val qWindowRunningSql =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_qty
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      |  AND l_shipdate < TIMESTAMP '1995-02-01'""".stripMargin
+
+  /** Generic per-group top-k operator: top 3 parts per brand. */
+  def qTopKPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    TopK(Tables(spark, dir).part,
+      Seq($"p_brand"), Seq($"p_retailprice".desc, $"p_partkey"), 3)
+      .select($"p_brand", $"p_partkey", $"p_retailprice", $"rk".cast("long").as("rk"))
+      .orderBy($"p_brand", $"rk")
+  }
+
+  private val qTopKPerGroupSql =
+    """SELECT p_brand, p_partkey, p_retailprice, rk
+      |FROM (SELECT p_brand, p_partkey, p_retailprice,
+      |        row_number() OVER (PARTITION BY p_brand
+      |          ORDER BY p_retailprice DESC, p_partkey) AS rk
+      |      FROM part)
+      |WHERE rk <= 3
+      |ORDER BY p_brand, rk""".stripMargin
+
+  /** Exact multi-distinct aggregation per segment. */
+  def qDistinctAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).customer
+      .groupBy($"c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        countDistinct($"c_nationkey").as("n_nations"),
+        round(sum($"c_acctbal"), 4).as("sum_acctbal"))
+      .orderBy($"c_mktsegment")
+  }
+
+  private val qDistinctAggSql =
+    """SELECT c_mktsegment, count(*) AS n_customers,
+      |  count(DISTINCT c_nationkey) AS n_nations,
+      |  round(sum(c_acctbal), 4) AS sum_acctbal
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** HLL++ approximate distinct — approximate by design, so rows-only
+    * oracle; RelationalSpec bounds the error vs the exact count.
+    */
+  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).lineitem
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey").as("approx_parts"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** ROLLUP hierarchy region → nation over customer balances. */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    t.customer
+      .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(t.region), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(
+        grouping($"r_name").as("__gr"), grouping($"n_name").as("__gn"),
+        count(lit(1)).as("n"), round(sum($"c_acctbal"), 4).as("sum_bal"))
+      .select(
+        when($"__gr" === 1, "ALL").otherwise($"r_name").as("region"),
+        when($"__gn" === 1, "ALL").otherwise($"n_name").as("nation"),
+        $"n", $"sum_bal")
+      .orderBy($"region", $"nation")
+  }
+
+  private val qRollupSql =
+    """SELECT
+      |  CASE WHEN GROUPING(r_name) = 1 THEN 'ALL' ELSE r_name END AS region,
+      |  CASE WHEN GROUPING(n_name) = 1 THEN 'ALL' ELSE n_name END AS nation,
+      |  count(*) AS n, round(sum(c_acctbal), 4) AS sum_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY region, nation""".stripMargin
+
+  /** CUBE over order status × priority. */
+  def qCube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).orders
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(
+        grouping($"o_orderstatus").as("__gs"), grouping($"o_orderpriority").as("__gp"),
+        count(lit(1)).as("n"), round(sum($"o_totalprice"), 4).as("sum_price"))
+      .select(
+        when($"__gs" === 1, "ALL").otherwise($"o_orderstatus").as("status"),
+        when($"__gp" === 1, "ALL").otherwise($"o_orderpriority").as("priority"),
+        $"n", $"sum_price")
+      .orderBy($"status", $"priority")
+  }
+
+  private val qCubeSql =
+    """SELECT
+      |  CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+      |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
+      |  count(*) AS n, round(sum(o_totalprice), 4) AS sum_price
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  /** Pivot order counts: status → columns. Fixed pivot values keep the
+    * schema static (required at scale — dynamic pivot needs a driver
+    * pass to enumerate values).
+    */
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).orders
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select($"o_orderpriority",
+        coalesce($"F", lit(0L)).as("F"),
+        coalesce($"O", lit(0L)).as("O"),
+        coalesce($"P", lit(0L)).as("P"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val qPivotSql =
+    """SELECT o_orderpriority,
+      |  count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+      |  count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+      |  count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Left-semi / left-anti joins (EXISTS / NOT EXISTS parity). */
+  def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val ordKeys = t.orders.select($"o_custkey")
+    val withOrders = t.customer.join(ordKeys, $"c_custkey" === $"o_custkey", "left_semi")
+      .agg(count(lit(1)).as("n")).select(lit("with_orders").as("kind"), $"n")
+    val withoutOrders = t.customer.join(ordKeys, $"c_custkey" === $"o_custkey", "left_anti")
+      .agg(count(lit(1)).as("n")).select(lit("without_orders").as("kind"), $"n")
+    withOrders.unionByName(withoutOrders).orderBy($"kind")
+  }
+
+  private val qSemiAntiSql =
+    """SELECT 'with_orders' AS kind, count(*) AS n FROM customer
+      |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |UNION ALL
+      |SELECT 'without_orders' AS kind, count(*) AS n FROM customer
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY kind""".stripMargin
+
+  /** UNION / INTERSECT / EXCEPT (distinct semantics) over nation-key
+    * sets of customers vs suppliers.
+    */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val c = t.customer.select($"c_nationkey".as("key"))
+    val s = t.supplier.select($"s_nationkey".as("key"))
+    val u = c.union(s).distinct().select(lit("union").as("op"), $"key")
+    val i = c.intersect(s).select(lit("intersect").as("op"), $"key")
+    val e = c.except(s).select(lit("except").as("op"), $"key")
+    u.unionByName(i).unionByName(e).orderBy($"op", $"key")
+  }
+
+  private val qSetOpsSql =
+    """WITH c AS (SELECT c_nationkey AS key FROM customer),
+      |     s AS (SELECT s_nationkey AS key FROM supplier)
+      |SELECT 'union' AS op, key FROM (SELECT key FROM c UNION SELECT key FROM s)
+      |UNION ALL
+      |SELECT 'intersect' AS op, key FROM (SELECT key FROM c INTERSECT SELECT key FROM s)
+      |UNION ALL
+      |SELECT 'except' AS op, key FROM (SELECT key FROM c EXCEPT SELECT key FROM s)
+      |ORDER BY op, key""".stripMargin
+
+  /** Exact interpolated percentiles per segment (DuckDB quantile_cont
+    * parity).
+    */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).customer
+      .groupBy($"c_mktsegment")
+      .agg(
+        round(percentile($"c_acctbal", lit(0.5)), 4).as("p50"),
+        round(percentile($"c_acctbal", lit(0.95)), 4).as("p95"))
+      .orderBy($"c_mktsegment")
+  }
+
+  private val qPercentilesSql =
+    """SELECT c_mktsegment,
+      |  round(quantile_cont(c_acctbal, 0.5), 4) AS p50,
+      |  round(quantile_cont(c_acctbal, 0.95), 4) AS p95
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** Conditional (FILTER-style) aggregation — compliance-report shape. */
+  def qConditionalAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).orders
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(when($"o_orderstatus" === "F", 1)).as("n_finished"),
+        count(when($"o_orderstatus" === "O", 1)).as("n_open"),
+        round(coalesce(sum(when($"o_orderstatus" === "F", $"o_totalprice")), lit(0.0)), 4)
+          .as("finished_value"),
+        round(coalesce(avg(when($"o_orderstatus" === "O", $"o_totalprice")), lit(0.0)), 4)
+          .as("avg_open_value"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val qConditionalAggSql =
+    """SELECT o_orderpriority,
+      |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+      |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+      |  round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0.0), 4) AS finished_value,
+      |  round(coalesce(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 0.0), 4) AS avg_open_value
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Ordered string aggregation per nation (DuckDB string_agg ORDER BY
+    * parity via sort_array + array_join).
+    */
+  def qGroupedStringAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    t.customer
+      .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
+      .filter($"c_acctbal" > 9000.0)
+      .groupBy($"n_name")
+      .agg(array_join(sort_array(collect_list($"c_name")), ",").as("vip_customers"))
+      .orderBy($"n_name")
+  }
+
+  private val qGroupedStringAggSql =
+    """SELECT n_name,
+      |  string_agg(c_name, ',' ORDER BY c_name) AS vip_customers
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE c_acctbal > 9000.0
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  /** As-of join: each 2024 event picks up the customer's latest order
+    * (orders pre-deduplicated to one row per (custkey, orderdate) via
+    * max_by for determinism). DuckDB ASOF JOIN oracle.
+    */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val ordDedup = t.orders
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max($"o_orderkey").as("o_orderkey"),
+        max_by($"o_totalprice", $"o_orderkey").as("o_totalprice"))
+      .withColumnRenamed("o_custkey", "key").withColumnRenamed("o_orderdate", "t")
+    val ev = t.events.select($"user_id".as("key"), $"ts".as("t"), $"event_id")
+    AsOfJoin(ev, ordDedup, "key", "t", Seq("o_orderkey", "o_totalprice"))
+      .select($"event_id", $"key".as("user_id"), unix_micros($"t").as("ts_us"),
+        $"o_orderkey", $"o_totalprice")
+      .orderBy($"event_id")
+  }
+
+  private val qAsofJoinSql =
+    """WITH ord AS (
+      |  SELECT o_custkey AS key, o_orderdate AS t,
+      |    max(o_orderkey) AS o_orderkey,
+      |    arg_max(o_totalprice, o_orderkey) AS o_totalprice
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+      |  ord.o_orderkey, ord.o_totalprice
+      |FROM events e
+      |ASOF LEFT JOIN ord ON e.user_id = ord.key AND e.ts >= ord.t
+      |ORDER BY e.event_id""".stripMargin
+
+  /** Gap-based sessionization of the event stream (30-min gap):
+    * per-session event counts and time bounds.
+    */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sessions = Sessionize(Tables(spark, dir).events,
+      "user_id", "ts", "event_id", gapMicros = 30L * 60 * 1000000)
+    sessions
+      .groupBy($"user_id", $"session_num")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(unix_micros($"ts")).as("start_us"),
+        max(unix_micros($"ts")).as("end_us"),
+        round(sum($"value"), 4).as("session_value"))
+      .orderBy($"user_id", $"session_num")
+  }
+
+  private val qSessionizeSql =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |numbered AS (
+      |  SELECT user_id, ts, value,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_num
+      |  FROM flagged)
+      |SELECT user_id, session_num, count(*) AS n_events,
+      |  min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+      |  round(sum(value), 4) AS session_value
+      |FROM numbered
+      |GROUP BY user_id, session_num
+      |ORDER BY user_id, session_num""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("q1_pricing_summary", q1PricingSummary _, q1Sql),
+    QueryDef.sql("q3_top_orders", q3TopOrders _, q3Sql),
+    QueryDef.sql("q5_region_revenue", q5RegionRevenue _, q5Sql),
+    QueryDef.sql("q_filter_pushdown", qFilterPushdown _, qFilterPushdownSql),
+    QueryDef.sql("q_window_rank", qWindowRank _, qWindowRankSql),
+    QueryDef.sql("q_window_running", qWindowRunning _, qWindowRunningSql),
+    QueryDef.sql("q_topk_per_group", qTopKPerGroup _, qTopKPerGroupSql),
+    QueryDef.sql("q_distinct_agg", qDistinctAgg _, qDistinctAggSql),
+    QueryDef.rowsOnly("q_approx_distinct", qApproxDistinct _),
+    QueryDef.sql("q_rollup", qRollup _, qRollupSql),
+    QueryDef.sql("q_cube", qCube _, qCubeSql),
+    QueryDef.sql("q_pivot", qPivot _, qPivotSql),
+    QueryDef.sql("q_semi_anti", qSemiAnti _, qSemiAntiSql),
+    QueryDef.sql("q_set_ops", qSetOps _, qSetOpsSql),
+    QueryDef.sql("q_percentiles", qPercentiles _, qPercentilesSql),
+    QueryDef.sql("q_conditional_agg", qConditionalAgg _, qConditionalAggSql),
+    QueryDef.sql("q_grouped_string_agg", qGroupedStringAgg _, qGroupedStringAggSql),
+    QueryDef.sql("q_asof_join", qAsofJoin _, qAsofJoinSql),
+    QueryDef.sql("q_sessionize", qSessionize _, qSessionizeSql))
 }

@@ -1,0 +1,40 @@
+package graft
+
+import graft.queries.Relational
+
+/** Scale-design assertions (SURVEY.md §5): the physical plans must
+  * push filters/projections into the parquet scan and broadcast the
+  * dimension sides — the properties that survive a 100 TB scale-up.
+  */
+class PlanSpec extends GraftSuite {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter+projection reach the parquet scan") {
+    val p = plan(Relational.qFilterPushdown(spark, sf001))
+    assert(p.contains("PushedFilters: [") && p.contains("IsNotNull"),
+      s"no pushed filters in:\n$p")
+    assert(p.contains("ReadSchema") &&
+      !p.contains("l_extendedprice"), "projection not pruned")
+  }
+
+  test("q5 star join broadcasts the dimension side") {
+    val p = plan(Relational.q5RegionRevenue(spark, sf001))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+  }
+
+  test("approx distinct stays within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val approx = Relational.qApproxDistinct(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables(spark, sf001).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e < 0.05, s"$k: approx $a vs exact $e")
+    }
+  }
+}

@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Local reproduction of the driver's DuckDB oracle compare (see .claude/skills/verify)."""
+import duckdb, json, glob, os, sys
+import pyarrow.parquet as pq
+
+out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
+sfdir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+fails = 0
+for name in sorted(os.listdir(out)):
+    if name == "oracle_sql.json": continue
+    files = glob.glob(f"{out}/{name}/*.parquet")
+    if not files:
+        print(f"EMPTY    {name}"); fails += 1; continue
+    spark_df = pq.read_table(files[0]).to_pandas()
+    if name not in oracle:
+        print(f"ROWSONLY {name}: rows={len(spark_df)}" + (" FAIL(0 rows)" if len(spark_df)==0 else ""))
+        fails += int(len(spark_df)==0); continue
+    try:
+        duck_df = con.execute(oracle[name]).df()
+    except Exception as e:
+        print("ORACLE-ERR", name, e); fails += 1; continue
+    s = spark_df[sorted(spark_df.columns)]
+    d = duck_df[sorted(duck_df.columns)]
+    ok_schema = list(s.columns) == list(d.columns)
+    ok_dtype = ok_schema and all(str(s.dtypes[c]) == str(d.dtypes[c]) for c in s.columns)
+    ok_rows = len(s) == len(d)
+    ok_vals = False
+    if ok_schema and ok_rows:
+        s2 = s.sort_values(list(s.columns)).reset_index(drop=True)
+        d2 = d.sort_values(list(d.columns)).reset_index(drop=True)
+        ok_vals = s2.equals(d2)
+        if not ok_vals:
+            loose = all((s2[c].astype(str) == d2[c].astype(str)).all() for c in s2.columns)
+            ok_vals = "loose" if loose else False
+    if ok_schema and ok_rows and ok_vals is True and ok_dtype:
+        print(f"OK       {name} ({len(s)} rows)")
+    else:
+        fails += 1
+        print(f"CHECK    {name} schema={ok_schema} dtype={ok_dtype} rows={ok_rows}({len(s)}/{len(d)}) vals={ok_vals}")
+        if not ok_schema:
+            print("   spark:", list(s.columns)); print("   duck: ", list(d.columns))
+        elif not ok_dtype:
+            for c in s.columns:
+                if str(s.dtypes[c]) != str(d.dtypes[c]):
+                    print("   dtype", c, s.dtypes[c], "vs", d.dtypes[c])
+        elif ok_rows and ok_vals is False:
+            s2 = s.sort_values(list(s.columns)).reset_index(drop=True)
+            d2 = d.sort_values(list(d.columns)).reset_index(drop=True)
+            for c in s2.columns:
+                neq = s2[c].astype(str) != d2[c].astype(str)
+                if neq.any():
+                    print("   col", c, "ndiff", int(neq.sum()))
+                    print(s2[neq][c].head(2).to_string(), "|", d2[neq][c].head(2).to_string())
+print("FAILS:", fails)
+sys.exit(1 if fails else 0)
