@@ -1,0 +1,140 @@
+package graft.queries
+
+import graft.Tables
+import graft.etl.{Manifest, Normalize, Validation}
+import graft.sources.SniffCsv
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Intake/ETL surface (SURVEY.md §2.1) wired into the correctness
+  * gate. Each query re-expresses a reference behavior over the lake
+  * tables so DuckDB can oracle it.
+  */
+object Etl {
+
+  /** End-to-end intake proof: emit `nation` as a `;`-delimited CSV,
+    * re-ingest through the sniffing reader (which must detect `;` and
+    * UTF-8), cast back, and match the identity oracle.
+    */
+  def etlCsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = s"/tmp/graft_csv/${dir.replaceAll("[^A-Za-z0-9]", "_")}/nation"
+    Tables(spark, dir).nation
+      .coalesce(1).write.mode("overwrite")
+      .option("header", "true").option("delimiter", ";")
+      .csv(tmp)
+    SniffCsv.read(spark, tmp)
+      .select($"n_nationkey".cast("int").as("n_nationkey"), $"n_name",
+        $"n_regionkey".cast("int").as("n_regionkey"))
+      .orderBy($"n_nationkey")
+  }
+
+  private val etlCsvRoundtripSql =
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+
+  /** Row-level rule engine over customer — distributed version of the
+    * reference's per-file discrepancy list.
+    */
+  def etlValidateRows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rules = Seq(
+      Validation.Rule("negative_balance", $"c_acctbal" < 0.0),
+      Validation.Rule("blank_name", trim($"c_name") === ""),
+      Validation.Rule("bad_nation", !$"c_nationkey".between(0, 24)),
+      Validation.Rule("bad_segment", !$"c_mktsegment".isin(
+        "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")))
+    Validation.annotate(Tables(spark, dir).customer, rules)
+      .select($"c_custkey", $"issues", $"acceptable")
+      .orderBy($"c_custkey")
+  }
+
+  private val etlValidateRowsSql =
+    """SELECT c_custkey,
+      |  concat_ws(',',
+      |    CASE WHEN c_acctbal < 0.0 THEN 'negative_balance' END,
+      |    CASE WHEN trim(c_name) = '' THEN 'blank_name' END,
+      |    CASE WHEN c_nationkey NOT BETWEEN 0 AND 24 THEN 'bad_nation' END,
+      |    CASE WHEN c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')
+      |      THEN 'bad_segment' END) AS issues,
+      |  concat_ws(',',
+      |    CASE WHEN c_acctbal < 0.0 THEN 'negative_balance' END,
+      |    CASE WHEN trim(c_name) = '' THEN 'blank_name' END,
+      |    CASE WHEN c_nationkey NOT BETWEEN 0 AND 24 THEN 'bad_nation' END,
+      |    CASE WHEN c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')
+      |      THEN 'bad_segment' END) = '' AS acceptable
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Table-level structural summaries (reference's file checks). */
+  def etlValidateFiles(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    Seq("customer", "orders", "documents")
+      .map(n => Validation.tableSummary(t.byName(n), n))
+      .reduce(_.unionByName(_))
+      .orderBy(col("table_name"))
+  }
+
+  private val etlValidateFilesSql =
+    """SELECT 'customer' AS table_name, count(*) AS n_rows, CAST(5 AS BIGINT) AS n_cols,
+      |       false AS blank_headers, false AS dup_headers FROM customer
+      |UNION ALL
+      |SELECT 'orders', count(*), 6, false, false FROM orders
+      |UNION ALL
+      |SELECT 'documents', count(*), 5, false, false FROM documents
+      |ORDER BY table_name""".stripMargin
+
+  /** Canonical all-string normalization (reference dtype=str + fillna). */
+  def etlNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Normalize.allString(Tables(spark, dir).nation)
+      .orderBy($"n_nationkey".cast("int"))
+  }
+
+  private val etlNormalizeSql =
+    """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey,
+      |  trim(CAST(n_name AS VARCHAR)) AS n_name,
+      |  CAST(n_regionkey AS VARCHAR) AS n_regionkey
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
+  /** Safe-name sanitization over part names (reference SAFE_CHAR_RE). */
+  def etlSanitize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).part
+      .select($"p_partkey", Normalize.sanitize($"p_name").as("safe_name"),
+        Normalize.sanitize($"p_type").as("safe_type"))
+      .orderBy($"p_partkey")
+  }
+
+  private val etlSanitizeSql =
+    """SELECT p_partkey,
+      |  regexp_replace(p_name, '[^A-Za-z0-9._-]', '_', 'g') AS safe_name,
+      |  regexp_replace(p_type, '[^A-Za-z0-9._-]', '_', 'g') AS safe_type
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Ingestion manifest across the whole lake (reference manifest.json). */
+  def etlManifest(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    Manifest.build(t, t.names)
+  }
+
+  private val etlManifestSql =
+    """SELECT 'customer' AS table_name, count(*) AS n_rows, CAST(5 AS BIGINT) AS n_cols FROM customer
+      |UNION ALL SELECT 'documents', count(*), 5 FROM documents
+      |UNION ALL SELECT 'embeddings', count(*), 3 FROM embeddings
+      |UNION ALL SELECT 'events', count(*), 6 FROM events
+      |UNION ALL SELECT 'lineitem', count(*), 11 FROM lineitem
+      |UNION ALL SELECT 'nation', count(*), 3 FROM nation
+      |UNION ALL SELECT 'orders', count(*), 6 FROM orders
+      |UNION ALL SELECT 'part', count(*), 6 FROM part
+      |UNION ALL SELECT 'region', count(*), 2 FROM region
+      |UNION ALL SELECT 'supplier', count(*), 4 FROM supplier
+      |ORDER BY table_name""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("etl_csv_roundtrip", etlCsvRoundtrip _, etlCsvRoundtripSql),
+    QueryDef.sql("etl_validate_rows", etlValidateRows _, etlValidateRowsSql),
+    QueryDef.sql("etl_validate_files", etlValidateFiles _, etlValidateFilesSql),
+    QueryDef.sql("etl_normalize", etlNormalize _, etlNormalizeSql),
+    QueryDef.sql("etl_sanitize", etlSanitize _, etlSanitizeSql),
+    QueryDef.sql("etl_manifest", etlManifest _, etlManifestSql))
+}

@@ -1,0 +1,33 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Format-dispatching intake (SURVEY.md §2.1) — the Spark face of the
+  * reference's upload handler (csv vs xlsx vs unsupported,
+  * streamlit_app.py:160-176).
+  */
+object Intake {
+  final case class UnsupportedFormat(msg: String) extends RuntimeException(msg)
+
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val lower = path.toLowerCase
+    if (lower.endsWith(".csv") || !lower.matches(".*\\.[a-z0-9]+$"))
+      SniffCsv.read(spark, path)
+    else if (lower.endsWith(".xlsx")) Xlsx.read(spark, path)
+    else throw UnsupportedFormat(s"Unsupported file type: $path. Use CSV or XLSX.")
+  }
+}
+
+/** XLSX source — STUB (SURVEY.md §2.1). No XLSX codec ships in this
+  * build (zero-egress sandbox, no POI); the format-registry plumbing
+  * is real and `Intake.read` dispatches here, but reading raises a
+  * typed error mirroring the reference's allow_xlsx=false path.
+  * A real implementation would register a `FileFormat`/DataSource V2
+  * that shreds sheets into row groups for parallel scan.
+  */
+object Xlsx {
+  def read(spark: SparkSession, path: String): DataFrame =
+    throw Intake.UnsupportedFormat(
+      s"XLSX decode unavailable in this build: $path — convert to CSV upstream " +
+        "or plug a DataSource V2 implementation (plumbing in place).")
+}

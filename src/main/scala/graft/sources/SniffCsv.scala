@@ -1,0 +1,96 @@
+package graft.sources
+
+import java.nio.charset.{CharacterCodingException, CodingErrorAction, StandardCharsets}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Delimiter/encoding-sniffing CSV source (SURVEY.md §2.1).
+  *
+  * Re-expresses the reference's `detect_csv_delimiter` (csv.Sniffer
+  * over a 4 KiB sample, streamlit_app.py:78) and `bytes_to_text`
+  * (utf-8-sig → latin-1 fallback, streamlit_app.py:86) Spark-first:
+  * the sniff reads a bounded sample on the driver (inherently a
+  * sample-sized operation), then the actual load is a distributed
+  * `spark.read.csv` with the detected dialect — so a 100 TB directory
+  * of uniform CSVs still scans fully parallel.
+  *
+  * Mirrors the reference's `dtype=str`: every column arrives as
+  * string; callers cast afterwards (schema-on-read).
+  */
+object SniffCsv {
+  val Candidates: Seq[Char] = Seq(',', ';', '\t', '|')
+  private val SampleBytes = 4096
+
+  final case class Dialect(delimiter: Char, charset: String)
+
+  /** Read the first file's head bytes for sniffing. */
+  private def sampleBytes(spark: SparkSession, path: String): Array[Byte] = {
+    val hPath = new Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val file =
+      if (fs.getFileStatus(hPath).isDirectory)
+        fs.listStatus(hPath).filter(s => s.isFile && s.getLen > 0)
+          .map(_.getPath).sortBy(_.getName)
+          .headOption.getOrElse(sys.error(s"no data files under $path"))
+      else hPath
+    val in = fs.open(file)
+    try {
+      val buf = new Array[Byte](SampleBytes)
+      var off = 0
+      var n = 0
+      while (off < buf.length && { n = in.read(buf, off, buf.length - off); n > 0 })
+        off += n
+      buf.take(off)
+    } finally in.close()
+  }
+
+  /** UTF-8 if the sample decodes cleanly, else latin-1 — the
+    * reference's fallback chain.
+    */
+  def sniffCharset(sample: Array[Byte]): String = {
+    val dec = StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPORT)
+      .onUnmappableCharacter(CodingErrorAction.REPORT)
+    try { dec.decode(java.nio.ByteBuffer.wrap(sample)); "UTF-8" }
+    catch { case _: CharacterCodingException => "ISO-8859-1" }
+  }
+
+  /** Pick the candidate whose per-line count is consistent and maximal
+    * across sample lines (csv.Sniffer's core heuristic).
+    */
+  def sniffDelimiter(sample: String): Char = {
+    val lines = sample.split("\r?\n").filter(_.nonEmpty).take(10)
+    if (lines.isEmpty) return ','
+    val scored = Candidates.map { d =>
+      val counts = lines.map(_.count(_ == d))
+      val consistent = counts.nonEmpty && counts.forall(_ == counts.head) && counts.head > 0
+      (d, consistent, counts.headOption.getOrElse(0))
+    }
+    scored.filter(_._2).sortBy(-_._3).headOption.map(_._1)
+      .getOrElse(scored.sortBy(-_._3).head._1)
+  }
+
+  def sniff(spark: SparkSession, path: String): Dialect = {
+    val bytes = sampleBytes(spark, path)
+    val charset = sniffCharset(bytes)
+    val text = new String(bytes, charset).stripPrefix("﻿")
+    Dialect(sniffDelimiter(text), charset)
+  }
+
+  /** Distributed all-string read with the sniffed dialect. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val d = sniff(spark, path)
+    val df = spark.read
+      .option("header", "true")
+      .option("delimiter", d.delimiter.toString)
+      .option("encoding", d.charset)
+      .option("inferSchema", "false")
+      .csv(path)
+    // strip a lingering BOM from the first header (utf-8-sig parity)
+    df.columns.headOption match {
+      case Some(first) if first.startsWith("﻿") =>
+        df.withColumnRenamed(first, first.stripPrefix("﻿"))
+      case _ => df
+    }
+  }
+}
