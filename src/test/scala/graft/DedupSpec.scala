@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Dedup
+import graft.functions.TextFns
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends GraftSuite {
+  import spark.implicits._
+
+  private lazy val docs = Tables(spark, sf0001).documents
+
+  test("exact dedup collapses true duplicates") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y")).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", md5($"text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("normalized dedup collapses case/punct/whitespace variants") {
+    val df = Seq((1L, "Hello,  World!"), (2L, "hello world"), (3L, "different")).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", md5(TextFns.normalized($"text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("minhash-LSH recall >= 0.9 and precision 1.0 vs exact jaccard pairs") {
+    val exact = docs.select($"doc_id".as("id"), TextFns.distinctToks($"text").as("toks"))
+    val truth = exact.as("a").crossJoin(exact.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .withColumn("inter", size(array_intersect(col("a.toks"), col("b.toks"))).cast("double"))
+      .withColumn("j", col("inter") / (size(col("a.toks")) + size(col("b.toks")) - col("inter")))
+      .filter(col("j") >= 0.9)
+      .select(col("a.id"), col("b.id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.minhashLshPairs(docs, "doc_id", "text", perms = 128, bands = 16, tau = 0.9)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(truth), "post-verify precision must be 1.0")
+    assert(truth.nonEmpty && got.size.toDouble / truth.size >= 0.9,
+      s"recall ${got.size}/${truth.size}")
+  }
+
+  test("simhash is deterministic and identical docs collide at hamming 0") {
+    val df = Seq((1L, "spark query engine"), (2L, "spark query engine"), (3L, "totally other words here"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhash(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxDist = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0L)))
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val rows = Dedup.embeddingPairs(Tables(spark, sf0001).embeddings,
+      "vec_id", "embedding", tau = 0.45).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.45)
+    }
+  }
+}
