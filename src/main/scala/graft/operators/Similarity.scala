@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.functions.VecFns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (SURVEY.md §2.4).
+  *
+  * Brute force is the exact baseline: queries broadcast, scoring is
+  * map-side over the (sharded) vector set, and only scored rows
+  * shuffle once on query id for the final top-k. The LSH and IVF
+  * variants bound the candidate set per query (O(n/buckets)) — the
+  * 100 TB path — and trade recall, which the specs measure against
+  * brute force.
+  */
+object Similarity {
+
+  /** Exact cosine top-k for each query vector (self excluded). */
+  def bruteForceTopK(vectors: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
+    val scored = v.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("q_id"))
+      .withColumn("cos", VecFns.cosine(col("v"), col("q_v")))
+    TopK(scored, Seq(col("q_id")), Seq(col("cos").desc, col("id")), k)
+      .select(col("q_id"), col("id").as("neighbor_id"),
+        round(col("cos"), 4).as("cosine"), col("rk").cast("long").as("rk"))
+  }
+
+  /** Deterministic pseudo-random hyperplane weight w(p, j) in [-1, 1]:
+    * derived from xxhash64 so executors agree without broadcasting
+    * plane matrices.
+    */
+  private def planeSig(vecCol: String, planes: Int, dim: Int): Column = expr(
+    s"""aggregate(sequence(0, ${planes - 1}), CAST(0 AS BIGINT), (acc, p) ->
+       |  acc + IF(
+       |    aggregate(sequence(1, $dim), CAST(0 AS DOUBLE), (s, j) ->
+       |      s + CAST(element_at($vecCol, j) AS DOUBLE) *
+       |          (CAST(pmod(xxhash64(p * $dim + j), 2001) - 1000 AS DOUBLE) / 1000.0)
+       |    ) > 0,
+       |    shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT)))""".stripMargin)
+
+  /** Random-hyperplane LSH top-k: vectors bucket by sign pattern;
+    * queries probe their own bucket plus all 1-bit-flip neighbors.
+    */
+  def lshTopK(vectors: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              planes: Int = 4, dim: Int = 64): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+      planeSig(vecCol, planes, dim).as("bucket"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"),
+      planeSig(vecCol, planes, dim).as("q_bucket"))
+      // probe set: own bucket + 1-bit flips
+      .withColumn("bucket", explode(expr(
+        s"array_union(array(q_bucket), transform(sequence(0, ${planes - 1}), p -> " +
+          "CAST(q_bucket AS BIGINT) ^ shiftleft(CAST(1 AS BIGINT), p)))")))
+      .select(col("q_id"), col("q_v"), col("bucket"))
+    val scored = v.join(broadcast(q), "bucket")
+      .filter(col("id") =!= col("q_id"))
+      .withColumn("cos", VecFns.cosine(col("v"), col("q_v")))
+    TopK(scored, Seq(col("q_id")), Seq(col("cos").desc, col("id")), k)
+      .select(col("q_id"), col("id").as("neighbor_id"),
+        round(col("cos"), 4).as("cosine"), col("rk").cast("long").as("rk"))
+  }
+
+  /** IVF-style coarse quantization: a deterministic seed set acts as
+    * the coarse centroids (production would run k-means; seeding keeps
+    * plans reproducible). Vectors join their nearest centroid's list;
+    * queries probe the `nprobe` nearest lists.
+    */
+  def ivfTopK(vectors: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              centroidEvery: Int = 50, nprobe: Int = 4): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val cents = vectors.filter(pmod(col(idCol), lit(centroidEvery)) === 0)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_v"))
+    // assign each vector to its nearest centroid (max cosine, tie by c_id)
+    val assigned = TopK(
+      v.crossJoin(broadcast(cents))
+        .withColumn("c_cos", VecFns.cosine(col("v"), col("c_v"))),
+      Seq(col("id")), Seq(col("c_cos").desc, col("c_id")), 1)
+      .select(col("id"), col("v"), col("c_id").as("cluster"))
+    // queries probe nprobe nearest clusters
+    val probes = TopK(
+      queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
+        .crossJoin(broadcast(cents))
+        .withColumn("c_cos", VecFns.cosine(col("q_v"), col("c_v"))),
+      Seq(col("q_id")), Seq(col("c_cos").desc, col("c_id")), nprobe)
+      .select(col("q_id"), col("q_v"), col("c_id").as("cluster"))
+    val scored = assigned.join(broadcast(probes), "cluster")
+      .filter(col("id") =!= col("q_id"))
+      .withColumn("cos", VecFns.cosine(col("v"), col("q_v")))
+    TopK(scored, Seq(col("q_id")), Seq(col("cos").desc, col("id")), k)
+      .select(col("q_id"), col("id").as("neighbor_id"),
+        round(col("cos"), 4).as("cosine"), col("rk").cast("long").as("rk"))
+  }
+}

@@ -1,0 +1,116 @@
+package graft.queries
+
+import graft.Tables
+import graft.multimodal.BinaryOps
+import graft.operators.Similarity
+import graft.streaming.EventStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search (§2.4), multimodal (§2.6) and streaming-shape
+  * (§2.7) queries.
+  */
+object SimilarityQ {
+
+  private def queriesOf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).embeddings.filter($"vec_id" < 10)
+  }
+
+  /** Exact cosine top-10 for 10 query vectors — DuckDB oracle. */
+  def annBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).embeddings
+    Similarity.bruteForceTopK(e, queriesOf(spark, dir), "vec_id", "embedding", k = 10)
+      .orderBy($"q_id", $"rk")
+  }
+
+  private val annBruteforceSql =
+    """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+      |           FROM embeddings WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q_id, e.vec_id AS neighbor_id,
+      |    list_dot_product(CAST(e.embedding AS DOUBLE[]), qv) /
+      |      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+      |       sqrt(list_dot_product(qv, qv))) AS cos
+      |  FROM q, embeddings e WHERE e.vec_id <> q_id),
+      |r AS (SELECT q_id, neighbor_id, cos,
+      |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rk
+      |      FROM scored)
+      |SELECT q_id, neighbor_id, round(cos, 4) AS cosine, rk
+      |FROM r WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
+
+  /** LSH-bucketed ANN (approximate — rows-only; SimilaritySpec
+    * measures recall vs brute force).
+    */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).embeddings
+    Similarity.lshTopK(e, queriesOf(spark, dir), "vec_id", "embedding", k = 10)
+      .orderBy($"q_id", $"rk")
+  }
+
+  /** IVF-bucketed ANN (approximate — rows-only; recall in spec). */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).embeddings
+    Similarity.ivfTopK(e, queriesOf(spark, dir), "vec_id", "embedding", k = 10)
+      .orderBy($"q_id", $"rk")
+  }
+
+  /** Binary payload stats: byte length + content digest of the packed
+    * media column (DuckDB encode() parity).
+    */
+  def mmBinaryStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    BinaryOps.pack(Tables(spark, dir).documents)
+      .select($"doc_id",
+        length($"payload").cast("long").as("byte_len"),
+        md5($"payload").as("content_md5"),
+        $"meta.media_type".as("media_type"))
+      .orderBy($"doc_id")
+  }
+
+  private val mmBinaryStatsSql =
+    """SELECT doc_id, octet_length(encode(text)) AS byte_len,
+      |  md5(text) AS content_md5, 'text/plain' AS media_type
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Batched stub featurization over the binary column — plumbing is
+    * real (schema/batching/partitioning), decode is the documented
+    * stub. Deterministic, but mapPartitions output is rows-only
+    * checked; MultimodalSpec pins the values.
+    */
+  def mmFeaturize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    BinaryOps.featurize(BinaryOps.pack(Tables(spark, dir).documents))
+      .toDF()
+      .select($"doc_id", $"n_bytes", round(element_at($"features", 1), 4).as("f0"),
+        round(element_at($"features", 8), 4).as("f7"))
+      .orderBy($"doc_id")
+  }
+
+  /** Tumbling 1-hour windows over the event stream — the identical
+    * plan StreamingSpec drives through readStream+watermark; DuckDB
+    * time_bucket oracle.
+    */
+  def streamWindowCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    EventStream.windowCounts(Tables(spark, dir).events)
+      .orderBy($"window_start_us", $"event_type")
+  }
+
+  private val streamWindowCountsSql =
+    """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
+      |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("ann_bruteforce_topk", annBruteforce _, annBruteforceSql),
+    QueryDef.rowsOnly("ann_lsh_topk", annLsh _),
+    QueryDef.rowsOnly("ann_ivf_topk", annIvf _),
+    QueryDef.sql("mm_binary_stats", mmBinaryStats _, mmBinaryStatsSql),
+    QueryDef.rowsOnly("mm_featurize", mmFeaturize _),
+    QueryDef.sql("stream_window_counts", streamWindowCounts _, streamWindowCountsSql))
+}

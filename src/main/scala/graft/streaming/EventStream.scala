@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming builders (SURVEY.md §2.7). Each transform is a
+  * plain DataFrame function so the SAME plan runs in batch mode (for
+  * the DuckDB oracle) and behind `readStream` (StreamingSpec drives it
+  * with a watermark and asserts parity).
+  */
+object EventStream {
+
+  /** Tumbling-window counts/sums per event type. In streaming mode the
+    * caller adds `withWatermark("ts", ...)` before this; state is then
+    * bounded by watermark horizon × event types.
+    */
+  def windowCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  final case class Ev(user_id: Long, ts_us: Long, event_id: Long)
+  final case class SessionAcc(start_us: Long, last_us: Long, n: Long)
+  final case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  /** Stateful streaming sessionizer: closes a session when a new event
+    * arrives more than `gapUs` after the last one. State per key is a
+    * single open-session accumulator (O(1)); production would add a
+    * GroupStateTimeout to flush idle sessions.
+    */
+  def sessionize(ds: Dataset[Ev], gapUs: Long): Dataset[SessionOut] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, events: Iterator[Ev], state: GroupState[SessionAcc]) =>
+          val sorted = events.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var acc = state.getOption.orNull
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          sorted.foreach { e =>
+            if (acc == null) acc = SessionAcc(e.ts_us, e.ts_us, 1)
+            else if (e.ts_us - acc.last_us > gapUs) {
+              closed += SessionOut(userId, acc.start_us, acc.last_us, acc.n)
+              acc = SessionAcc(e.ts_us, e.ts_us, 1)
+            } else acc = SessionAcc(acc.start_us, e.ts_us, acc.n + 1)
+          }
+          if (acc != null) state.update(acc)
+          closed.iterator
+      }
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class StreamingSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("windowCounts through readStream+watermark matches the batch plan") {
+    val batch = EventStream.windowCounts(Tables(spark, sf0001).events)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+
+    // file-source streaming over the same parquet (nanos ts arrives as long)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // the streaming file source needs a directory; stage the single file
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      stageDir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(schema)
+      .parquet(stageDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "10 minutes")
+    val q = EventStream.windowCounts(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_counts").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("win_counts")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("stateful sessionizer closes sessions across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.Ev]
+    val q = EventStream.sessionize(input.toDS(), gapUs = 1000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    try {
+      // batch 1: two events in one session, then a gap event
+      input.addData(EventStream.Ev(1L, 0L, 1L), EventStream.Ev(1L, 500L, 2L))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() == 0) // session still open
+      // batch 2: event far after -> closes first session
+      input.addData(EventStream.Ev(1L, 10000L, 3L))
+      q.processAllAvailable()
+      val closed = spark.table("sessions").as[EventStream.SessionOut].collect()
+      assert(closed.toSeq == Seq(EventStream.SessionOut(1L, 0L, 500L, 2L)))
+    } finally q.stop()
+  }
+}
