@@ -1,0 +1,152 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.util.hashing.MurmurHash3
+
+/** Native sketch aggregates (SURVEY.md §2.3).
+  *
+  * The composable formulation (transform(sequence(0,127)) + posexplode
+  * + groupBy-min) materializes docs × tokens × perms rows — a 25M-row
+  * shuffle at sf0.1 and catastrophic at 100 TB. These
+  * TypedImperativeAggregates keep the whole signature in a fixed
+  * Array[Long] buffer per group: the shuffle carries one 128-long
+  * buffer per doc instead, and the hashing runs as a tight JVM loop.
+  */
+object SketchAggs {
+
+  private[functions] def hash32(bytes: Array[Byte], seed: Int): Long =
+    MurmurHash3.bytesHash(bytes, seed).toLong & 0xffffffffL
+
+  private[functions] def hash64(bytes: Array[Byte]): Long =
+    (MurmurHash3.bytesHash(bytes, 0x9747b28c).toLong << 32) |
+      (MurmurHash3.bytesHash(bytes, 0x85ebca6b).toLong & 0xffffffffL)
+
+  private def longsToBytes(a: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(a.length * 8)
+    a.foreach(bb.putLong)
+    bb.array()
+  }
+
+  private def bytesToLongs(b: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(b)
+    Array.fill(b.length / 8)(bb.getLong)
+  }
+
+  /** MinHash signature: elementwise min over `perms` seeded 32-bit
+    * hashes of each input token. Output: array<bigint> of length
+    * `perms`.
+    */
+  case class MinHashAgg(
+      child: Expression, perms: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def createAggregationBuffer(): Array[Long] = Array.fill(perms)(Long.MaxValue)
+
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val bytes = v.asInstanceOf[UTF8String].getBytes
+        var p = 0
+        while (p < perms) {
+          val h = hash32(bytes, p)
+          if (h < buf(p)) buf(p) = h
+          p += 1
+        }
+      }
+      buf
+    }
+
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var p = 0
+      while (p < perms) { if (b2(p) < b1(p)) b1(p) = b2(p); p += 1 }
+      b1
+    }
+
+    override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+    override def serialize(buf: Array[Long]): Array[Byte] = longsToBytes(buf)
+    override def deserialize(b: Array[Byte]): Array[Long] = bytesToLongs(b)
+
+    override def withNewMutableAggBufferOffset(offset: Int): MinHashAgg =
+      copy(mutableAggBufferOffset = offset)
+    override def withNewInputAggBufferOffset(offset: Int): MinHashAgg =
+      copy(inputAggBufferOffset = offset)
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(child = c.head)
+  }
+
+  /** 64-bit SimHash: per (token, weight) input, each of the token
+    * hash's 64 bits votes ±weight; the signature takes each bit's
+    * vote sign. Buffer: 64 vote counters.
+    */
+  case class SimHashAgg(
+      tok: Expression, weight: Expression,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+    override def children: Seq[Expression] = Seq(tok, weight)
+    override def nullable: Boolean = false
+    override def dataType: DataType = LongType
+
+    override def createAggregationBuffer(): Array[Long] = new Array[Long](64)
+
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val t = tok.eval(input)
+      val w = weight.eval(input)
+      if (t != null && w != null) {
+        val h = hash64(t.asInstanceOf[UTF8String].getBytes)
+        val wv = w.asInstanceOf[Long]
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) buf(b) += wv else buf(b) -= wv
+          b += 1
+        }
+      }
+      buf
+    }
+
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var b = 0
+      while (b < 64) { b1(b) += b2(b); b += 1 }
+      b1
+    }
+
+    override def eval(buf: Array[Long]): Any = {
+      var sig = 0L
+      var b = 0
+      while (b < 64) { if (buf(b) > 0) sig |= (1L << b); b += 1 }
+      sig
+    }
+
+    override def serialize(buf: Array[Long]): Array[Byte] = longsToBytes(buf)
+    override def deserialize(b: Array[Byte]): Array[Long] = bytesToLongs(b)
+
+    override def withNewMutableAggBufferOffset(offset: Int): SimHashAgg =
+      copy(mutableAggBufferOffset = offset)
+    override def withNewInputAggBufferOffset(offset: Int): SimHashAgg =
+      copy(inputAggBufferOffset = offset)
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(tok = c(0), weight = c(1))
+  }
+
+  def minhash(tok: Column, perms: Int): Column =
+    GraftBridge.column(
+      MinHashAgg(GraftBridge.expression(tok), perms).toAggregateExpression())
+
+  def simhash(tok: Column, weight: Column): Column =
+    GraftBridge.column(
+      SimHashAgg(GraftBridge.expression(tok), GraftBridge.expression(weight))
+        .toAggregateExpression())
+}

@@ -22,14 +22,10 @@ object TextFns {
   def bpeCount(c: Column): Column = regexp_count(c, lit(BpePattern)).cast("long")
 
   /** Distinct word n-gram shingles; whole text as one shingle for
-    * docs shorter than n tokens.
+    * docs shorter than n tokens. Native loop via [[WordNgrams]].
     */
-  def shingles(c: Column, n: Int): Column = {
-    val t = toks(c)
-    val grams = transform(sequence(lit(0), size(t) - n), i =>
-      concat_ws(" ", (0 until n).map(k => element_at(t, i + lit(k + 1))): _*))
-    array_distinct(when(size(t) >= n, grams).otherwise(array(array_join(t, " "))))
-  }
+  def shingles(c: Column, n: Int): Column =
+    array_distinct(WordNgrams(toks(c), n))
 
   def distinctToks(c: Column): Column = array_distinct(toks(c))
 

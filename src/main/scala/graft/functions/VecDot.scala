@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Codegen'd dot product over Array[Float]/Array[Double] columns.
+  *
+  * The `zip_with`+`aggregate` composition is semantically identical
+  * but runs through interpreted higher-order lambdas (~20 µs per
+  * 64-dim pair); this expression compiles to a tight primitive loop
+  * inside whole-stage codegen — the difference between 39 s and
+  * sub-second on the 2M-pair sf0.1 near-dup self-join, and the
+  * difference between feasible and not at 100 TB.
+  *
+  * Accumulates in double with ascending-index order — bit-identical
+  * to the interpreted version and to the DuckDB oracle's
+  * `list_dot_product(CAST(.. AS DOUBLE[]))`.
+  */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"vec_dot requires array<float>/array<double>, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    val lf = isFloat(left); val rf = isFloat(right)
+    while (i < n) {
+      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xi * yi
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val getA = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getB = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $getA * $getB;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VecDot {
+  import org.apache.spark.sql.GraftBridge
+  def apply(a: Column, b: Column): Column =
+    GraftBridge.column(VecDot(GraftBridge.expression(a), GraftBridge.expression(b)))
+}

@@ -29,7 +29,9 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, tau: Double): DataFrame = {
+    // persisted: consumed three times (sizes + both join sides)
     val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+      .persist()
     val sizes = sh.groupBy($("id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"), "sh")
       .filter(col("a.id") < col("b.id"))
@@ -53,27 +55,30 @@ object Dedup {
                       perms: Int, bands: Int, tau: Double): DataFrame = {
     val rows = perms / bands
     val tok = df.select(col(idCol).as("id"), explode(distinctToks(col(textCol))).as("tok"))
-    // one row per (doc, perm): min over tokens of xxhash64(tok, perm)
-    val sig = tok
-      .select($("id"), posexplode(expr(
-        s"transform(sequence(0, ${perms - 1}), i -> xxhash64(tok, i))")).as(Seq("perm", "h")))
-      .groupBy($("id"), $("perm")).agg(min($("h")).as("mh"))
-    // band signature: hash of the ordered minhashes in the band
-    val bandSigs = sig
-      .withColumn("band", $("perm") % bands)
-      .groupBy($("id"), $("band"))
-      .agg(xxhash64(array_join(transform(array_sort(collect_list(struct($("perm"), $("mh")))),
-        x => x.getField("mh").cast("string")), ",")).as("bsig"))
+    // native aggregate: one 128-long buffer per doc; the shuffle
+    // carries docs, not docs × tokens × perms
+    val sig = tok.groupBy($("id"))
+      .agg(graft.functions.SketchAggs.minhash($("tok"), perms).as("sig"))
+    // band signature: hash of the band's slice of the signature.
+    // Persisted: the self-join would otherwise recompute the whole
+    // signature pipeline for each side.
+    val bandSigs = sig.select($("id"), posexplode(expr(
+      s"transform(sequence(0, ${bands - 1}), b -> " +
+        s"xxhash64(array_join(slice(sig, b * $rows + 1, $rows), ',')))")).as(Seq("band", "bsig")))
+      .persist()
     val candidates = bandSigs.as("a").join(bandSigs.as("b"), Seq("band", "bsig"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // exact verification on token sets
-    val sets = df.select(col(idCol).as("id"), distinctToks(col(textCol)).as("toks"))
+    // exact verification on pre-sorted token sets (codegen'd merge
+    // intersect — see SortedIntersectSize)
+    val sets = df.select(col(idCol).as("id"),
+      array_sort(distinctToks(col(textCol))).as("toks")).persist()
     candidates
       .join(sets.select($("id").as("id_a"), $("toks").as("toks_a")), "id_a")
       .join(sets.select($("id").as("id_b"), $("toks").as("toks_b")), "id_b")
-      .withColumn("inter", size(array_intersect($("toks_a"), $("toks_b"))).cast("double"))
+      .withColumn("inter",
+        graft.functions.SortedIntersectSize($("toks_a"), $("toks_b")).cast("double"))
       .withColumn("jaccard",
         $("inter") / (size($("toks_a")) + size($("toks_b")) - $("inter")))
       .filter($("jaccard") >= tau)
@@ -83,17 +88,11 @@ object Dedup {
   /** 64-bit SimHash per doc: each token hashes to 64 bits; bit b of
     * the signature is the sign of the count-weighted ±1 vote.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tokc = df.select(col(idCol).as("id"), explode(toks(col(textCol))).as("tok"))
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), explode(toks(col(textCol))).as("tok"))
       .groupBy($("id"), $("tok")).agg(count(lit(1)).as("w"))
-      .withColumn("h", xxhash64($("tok")))
-    tokc
-      .select($("id"), posexplode(expr(
-        "transform(sequence(0, 63), b -> IF(((h >> b) & 1) = 1, w, -w))")).as(Seq("bit", "v")))
-      .groupBy($("id"), $("bit")).agg(sum($("v")).as("s"))
       .groupBy($("id"))
-      .agg(sum(expr("IF(s > 0, shiftleft(CAST(1 AS BIGINT), bit), CAST(0 AS BIGINT))")).as("simhash"))
-  }
+      .agg(graft.functions.SketchAggs.simhash($("tok"), $("w")).as("simhash"))
 
   /** Near-dup pairs with Hamming distance <= maxDist via band
     * blocking: 4 bands of 16 bits; any pair with <= 3 differing bits
@@ -122,10 +121,13 @@ object Dedup {
     */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String, tau: Double): DataFrame = {
     import graft.functions.VecFns
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // norms once per vector (O(n)), not per pair (O(n^2))
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VecFns.norm(col(vecCol)).as("nrm"))
     v.as("a").crossJoin(v.as("b"))
       .filter(col("a.id") < col("b.id"))
-      .withColumn("cos", VecFns.cosine(col("a.v"), col("b.v")))
+      .withColumn("cos", VecFns.cosinePrenormed(
+        VecFns.dot(col("a.v"), col("b.v")), col("a.nrm"), col("b.nrm")))
       .filter($("cos") >= tau)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round($("cos"), 4).as("cosine"))

@@ -18,11 +18,14 @@ object Similarity {
   /** Exact cosine top-k for each query vector (self excluded). */
   def bruteForceTopK(vectors: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VecFns.norm(col(vecCol)).as("nrm"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"),
+      VecFns.norm(col(vecCol)).as("q_nrm"))
     val scored = v.crossJoin(broadcast(q))
       .filter(col("id") =!= col("q_id"))
-      .withColumn("cos", VecFns.cosine(col("v"), col("q_v")))
+      .withColumn("cos", VecFns.cosinePrenormed(
+        VecFns.dot(col("v"), col("q_v")), col("nrm"), col("q_nrm")))
     TopK(scored, Seq(col("q_id")), Seq(col("cos").desc, col("id")), k)
       .select(col("q_id"), col("id").as("neighbor_id"),
         round(col("cos"), 4).as("cosine"), col("rk").cast("long").as("rk"))
@@ -48,17 +51,20 @@ object Similarity {
               idCol: String, vecCol: String, k: Int,
               planes: Int = 4, dim: Int = 64): DataFrame = {
     val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VecFns.norm(col(vecCol)).as("nrm"),
       planeSig(vecCol, planes, dim).as("bucket"))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"),
+      VecFns.norm(col(vecCol)).as("q_nrm"),
       planeSig(vecCol, planes, dim).as("q_bucket"))
       // probe set: own bucket + 1-bit flips
       .withColumn("bucket", explode(expr(
         s"array_union(array(q_bucket), transform(sequence(0, ${planes - 1}), p -> " +
           "CAST(q_bucket AS BIGINT) ^ shiftleft(CAST(1 AS BIGINT), p)))")))
-      .select(col("q_id"), col("q_v"), col("bucket"))
+      .select(col("q_id"), col("q_v"), col("q_nrm"), col("bucket"))
     val scored = v.join(broadcast(q), "bucket")
       .filter(col("id") =!= col("q_id"))
-      .withColumn("cos", VecFns.cosine(col("v"), col("q_v")))
+      .withColumn("cos", VecFns.cosinePrenormed(
+        VecFns.dot(col("v"), col("q_v")), col("nrm"), col("q_nrm")))
     TopK(scored, Seq(col("q_id")), Seq(col("cos").desc, col("id")), k)
       .select(col("q_id"), col("id").as("neighbor_id"),
         round(col("cos"), 4).as("cosine"), col("rk").cast("long").as("rk"))
@@ -72,7 +78,8 @@ object Similarity {
   def ivfTopK(vectors: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               centroidEvery: Int = 50, nprobe: Int = 4): DataFrame = {
-    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VecFns.norm(col(vecCol)).as("nrm"))
     val cents = vectors.filter(pmod(col(idCol), lit(centroidEvery)) === 0)
       .select(col(idCol).as("c_id"), col(vecCol).as("c_v"))
     // assign each vector to its nearest centroid (max cosine, tie by c_id)
@@ -80,17 +87,19 @@ object Similarity {
       v.crossJoin(broadcast(cents))
         .withColumn("c_cos", VecFns.cosine(col("v"), col("c_v"))),
       Seq(col("id")), Seq(col("c_cos").desc, col("c_id")), 1)
-      .select(col("id"), col("v"), col("c_id").as("cluster"))
+      .select(col("id"), col("v"), col("nrm"), col("c_id").as("cluster"))
     // queries probe nprobe nearest clusters
     val probes = TopK(
-      queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
+      queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"),
+          VecFns.norm(col(vecCol)).as("q_nrm"))
         .crossJoin(broadcast(cents))
         .withColumn("c_cos", VecFns.cosine(col("q_v"), col("c_v"))),
       Seq(col("q_id")), Seq(col("c_cos").desc, col("c_id")), nprobe)
-      .select(col("q_id"), col("q_v"), col("c_id").as("cluster"))
+      .select(col("q_id"), col("q_v"), col("q_nrm"), col("c_id").as("cluster"))
     val scored = assigned.join(broadcast(probes), "cluster")
       .filter(col("id") =!= col("q_id"))
-      .withColumn("cos", VecFns.cosine(col("v"), col("q_v")))
+      .withColumn("cos", VecFns.cosinePrenormed(
+        VecFns.dot(col("v"), col("q_v")), col("nrm"), col("q_nrm")))
     TopK(scored, Seq(col("q_id")), Seq(col("cos").desc, col("id")), k)
       .select(col("q_id"), col("id").as("neighbor_id"),
         round(col("cos"), 4).as("cosine"), col("rk").cast("long").as("rk"))

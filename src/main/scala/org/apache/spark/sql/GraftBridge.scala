@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into the `private[sql]` Column ↔ Expression converters —
+  * the standard pattern for extension libraries that define custom
+  * Catalyst expressions (Spark 4 moved Column onto ColumnNode, so
+  * `new Column(expr)` no longer exists).
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
