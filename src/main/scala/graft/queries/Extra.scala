@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{ClusterDedup, Dedup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-1 coverage extensions: SQL interface, range join, JSON
+  * extraction, vocabulary, near-dup clustering (SURVEY.md §2.2/§2.3/
+  * §2.5).
+  */
+object Extra {
+
+  /** Correlated scalar subquery through the SQL interface (proves the
+    * engine's spark.sql face, not just the DataFrame DSL).
+    */
+  def qSqlCorrelated(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer.createOrReplaceTempView("customer")
+    t.orders.createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+        |FROM customer
+        |WHERE c_custkey <= 100
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  private val qSqlCorrelatedSql =
+    """SELECT c_custkey,
+      |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+      |FROM customer
+      |WHERE c_custkey <= 100
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Range (non-equi) join: events bucketed by value bands. Small
+    * band table broadcast → nested-loop stays map-side.
+    */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      (0.0, 25.0, "p00_25"), (25.0, 50.0, "p25_50"),
+      (50.0, 75.0, "p50_75"), (75.0, 1e9, "p75_up"))
+      .toDF("lo", "hi", "band")
+    Tables(spark, dir).events
+      .join(broadcast(bands), $"value" >= $"lo" && $"value" < $"hi")
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
+      .orderBy($"band")
+  }
+
+  private val qRangeJoinSql =
+    """SELECT band, count(*) AS n, round(sum(value), 4) AS sum_value
+      |FROM events
+      |JOIN (VALUES (0.0, 25.0, 'p00_25'), (25.0, 50.0, 'p25_50'),
+      |             (50.0, 75.0, 'p50_75'), (75.0, 1e9, 'p75_up')) AS bands(lo, hi, band)
+      |  ON value >= lo AND value < hi
+      |GROUP BY band ORDER BY band""".stripMargin
+
+  /** Semi-structured extraction: JSON props column → typed field. */
+  def etlJsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).events
+      .select($"event_id",
+        get_json_object($"props", "$.k").cast("int").as("k_val"))
+      .orderBy($"event_id")
+  }
+
+  private val etlJsonExtractSql =
+    """SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k_val
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Corpus vocabulary: top-50 tokens (map-side combine carries the
+    * load; one shuffle on token).
+    */
+  def textVocab(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select(explode(graft.functions.TextFns.toks($"text")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"token")
+      .limit(50)
+  }
+
+  private val textVocabSql =
+    """SELECT token, count(*) AS n
+      |FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents)
+      |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin
+
+  /** Near-dup clusters: connected components over the exact 3-gram
+    * Jaccard >= 0.6 pair graph; DuckDB recursive-CTE oracle.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Dedup.ngramJaccardPairs(
+      Tables(spark, dir).documents, "doc_id", "text", n = 3, tau = 0.6)
+    ClusterDedup.connectedComponents(pairs)
+      .groupBy($"cluster").agg(count(lit(1)).as("n_members"))
+      .orderBy($"cluster")
+  }
+
+  private val dedupClustersSql =
+    """WITH RECURSIVE
+      |s AS (SELECT doc_id, string_split_regex(lower(trim(text)),'\s+') AS t FROM documents),
+      |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+      |         THEN list_distinct([t[i]||' '||t[i+1]||' '||t[i+2] for i in range(1, len(t)-1)])
+      |         ELSE [array_to_string(t, ' ')] END AS toks FROM s),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+      |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.6),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+      |nodes AS (SELECT DISTINCT u AS id FROM edges),
+      |walk(id, lbl) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.u, w.lbl FROM walk w JOIN edges e ON e.v = w.id WHERE w.lbl < e.u),
+      |comp AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id)
+      |SELECT cluster, count(*) AS n_members FROM comp
+      |GROUP BY cluster ORDER BY cluster""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("q_sql_correlated", qSqlCorrelated _, qSqlCorrelatedSql),
+    QueryDef.sql("q_range_join", qRangeJoin _, qRangeJoinSql),
+    QueryDef.sql("etl_json_extract", etlJsonExtract _, etlJsonExtractSql),
+    QueryDef.sql("text_vocab", textVocab _, textVocabSql),
+    QueryDef.sql("dedup_clusters", dedupClusters _, dedupClustersSql))
+}
