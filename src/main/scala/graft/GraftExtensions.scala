@@ -1,0 +1,78 @@
+package graft
+
+import graft.functions.{SketchAggs, SortedIntersectSize, VecDot, WordNgrams}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions registration (SURVEY.md §2.8): exposes the
+  * native graft expressions to the SQL surface, so `spark.sql` users
+  * get the same codegen'd operators as the DataFrame API:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions)...
+  * // or: spark.sql.extensions=graft.GraftExtensions
+  * spark.sql("SELECT vec_dot(a.embedding, b.embedding) FROM ...")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (args: Seq[Expression]) => VecDot(args(0), args(1))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      (args: Seq[Expression]) => WordNgrams(args(0), intArg(args(1), "n"))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
+      (args: Seq[Expression]) => SortedIntersectSize(args(0), args(1))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[SketchAggs.MinHashAgg].getName, "minhash_sig"),
+      (args: Seq[Expression]) =>
+        SketchAggs.MinHashAgg(args(0), intArg(args(1), "perms")).toAggregateExpression()))
+
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SketchAggs.SimHashAgg].getName, "simhash64"),
+      (args: Seq[Expression]) =>
+        SketchAggs.SimHashAgg(args(0), args(1)).toAggregateExpression()))
+  }
+}
+
+object GraftExtensions {
+  /** Imperative registration for an existing session (tests, REPL). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg: FunctionRegistry = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("vec_dot",
+      args => VecDot(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction("word_ngrams",
+      args => WordNgrams(args(0), args(1) match {
+        case Literal(v: Int, _) => v
+        case o => throw new IllegalArgumentException(s"n must be a literal, got $o")
+      }), "built-in")
+    reg.createOrReplaceTempFunction("sorted_intersect_size",
+      args => SortedIntersectSize(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      args => SketchAggs.MinHashAgg(args(0), args(1) match {
+        case Literal(v: Int, _) => v
+        case o => throw new IllegalArgumentException(s"perms must be a literal, got $o")
+      }).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("simhash64",
+      args => SketchAggs.SimHashAgg(args(0), args(1)).toAggregateExpression(), "built-in")
+  }
+}

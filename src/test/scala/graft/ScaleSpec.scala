@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.SaltedJoin
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Scale-mechanism proofs (SURVEY.md §5): salting, partition pruning,
+  * bucketed co-located joins.
+  */
+class ScaleSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("salted join equals plain join on skewed data") {
+    val skewed = (1 to 10000).map(i => (if (i % 10 == 0) 1L else i.toLong, i))
+      .toDF("k", "v")
+    val dim = Seq((1L, "hot"), (2L, "cold"), (5L, "mild")).toDF("k", "name")
+    val plain = skewed.join(dim, "k").select($"k", $"v", $"name")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val salted = SaltedJoin.inner(skewed, dim, "k", saltFactor = 8)
+      .select($"k", $"v", $"name")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(salted == plain && plain.nonEmpty)
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val out = Files.createTempDirectory("graft_part").toString + "/events"
+    Tables(spark, sf0001).events
+      .write.partitionBy("event_type").parquet(out)
+    val back = spark.read.parquet(out).filter($"event_type" === "click")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("event_type"),
+      s"no partition pruning in:\n$plan")
+    val expected = Tables(spark, sf0001).events
+      .filter($"event_type" === "click").count()
+    assert(back.count() == expected)
+  }
+
+  test("bucketed tables join without a shuffle") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // a previous JVM's managed-table location survives the in-memory
+    // catalog; remove it or CTAS refuses to reuse the path
+    for (t <- Seq("b_orders", "b_lineitem")) {
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(dir).deleteRecursively()
+      }
+    }
+    Tables(spark, sf0001).orders
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    Tables(spark, sf0001).lineitem
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    // force the sort-merge path (broadcast would bypass bucketing on
+    // tables this small — at scale the fact-fact join is never
+    // broadcastable, which is the case bucketing exists for)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), $"l_orderkey" === $"o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"bucketing unused:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
