@@ -119,8 +119,21 @@ object Extra {
       |SELECT cluster, count(*) AS n_members FROM comp
       |GROUP BY cluster ORDER BY cluster""".stripMargin
 
+  /** Approximate per-group quantiles (Greenwald–Khanna sketch) — the
+    * mergeable-sketch path for 100 TB percentiles; rows-only oracle,
+    * spec bounds the error vs the exact percentile.
+    */
+  def qApproxQuantile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).lineitem
+      .groupBy($"l_returnflag")
+      .agg(percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("p50_approx"))
+      .orderBy($"l_returnflag")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q_sql_correlated", qSqlCorrelated _, qSqlCorrelatedSql),
+    QueryDef.rowsOnly("q_approx_quantile", qApproxQuantile _),
     QueryDef.sql("q_range_join", qRangeJoin _, qRangeJoinSql),
     QueryDef.sql("etl_json_extract", etlJsonExtract _, etlJsonExtractSql),
     QueryDef.sql("text_vocab", textVocab _, textVocabSql),
