@@ -1,0 +1,64 @@
+package graft
+
+import graft.etl.Bundle
+import graft.operators.{Dedup, Sessionize, TopK}
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Edge-case behavior: operators must degrade gracefully on empty or
+  * degenerate inputs (at 100 TB, some partition/table somewhere is
+  * always empty).
+  */
+class RobustnessSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("flagship entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("queries and oracleSql keys are consistent") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert(os.subsetOf(qs), s"oracle without query: ${os -- qs}")
+    assert(SparkEntry.allDefs.map(_.name).distinct.size == SparkEntry.allDefs.size,
+      "duplicate query names")
+  }
+
+  test("dedup operators handle an empty corpus") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    assert(Dedup.exact(empty, "doc_id", md5($"text")).count() == 0)
+    assert(Dedup.ngramJaccardPairs(empty, "doc_id", "text", 3, 0.6).count() == 0)
+    assert(Dedup.minhashLshPairs(empty, "doc_id", "text", 128, 16, 0.9).count() == 0)
+    assert(Dedup.simhashPairs(empty, "doc_id", "text", 6).count() == 0)
+  }
+
+  test("sessionize and topk handle empty input") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("user_id", LongType), StructField("ts", TimestampType),
+        StructField("event_id", LongType))))
+    assert(Sessionize(empty, "user_id", "ts", "event_id", 1000L).count() == 0)
+    assert(TopK(empty, Seq($"user_id"), Seq($"event_id".desc), 3).count() == 0)
+  }
+
+  test("single-doc corpus yields no pairs, one exact survivor") {
+    val one = Seq((7L, "only document here")).toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(one, "doc_id", "text", 3, 0.6).count() == 0)
+    val survivors = Dedup.exact(one, "doc_id", md5($"text")).collect()
+    assert(survivors.map(_.getLong(0)).toSeq == Seq(7L))
+  }
+
+  test("bundle export writes normalized CSVs + manifest for all tables") {
+    val out = Files.createTempDirectory("graft_bundle").toString + "/bundle"
+    val t = Tables(spark, sf0001)
+    Bundle.write(spark, t, Seq("region", "nation"), out)
+    val region = spark.read.option("header", "true").csv(s"$out/region")
+    assert(region.count() == 5)
+    val manifest = spark.read.json(s"$out/manifest")
+    assert(manifest.count() == 2 &&
+      manifest.columns.toSet == Set("table_name", "n_rows", "n_cols"))
+  }
+}
