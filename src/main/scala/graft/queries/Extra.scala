@@ -87,6 +87,85 @@ object Extra {
       |FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents)
       |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin
 
+  /** One-pass heavy-hitter vocabulary (Misra–Gries, capacity 200):
+    * approximate top tokens without shuffling the token stream —
+    * rows-only oracle; ApproxSpec asserts the exact top-10 is
+    * contained and ordered first.
+    */
+  def textHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select(explode(graft.functions.TextFns.toks($"text")).as("token"))
+      .agg(graft.functions.MisraGriesAgg.heavyHitters($"token", 200).as("hh"))
+      .select(explode($"hh").as(Seq("token", "est_count")))
+      .orderBy($"est_count".desc, $"token")
+      .limit(20)
+  }
+
+  /** TPC-H Q10 shape: returned-items revenue per customer, top 20. */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    t.lineitem.filter($"l_returnflag" === "R")
+      .join(t.orders.filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-01-01").cast("timestamp")),
+        $"l_orderkey" === $"o_orderkey")
+      .join(t.customer, $"o_custkey" === $"c_custkey")
+      .groupBy($"c_custkey", $"c_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
+  private val q10Sql =
+    """SELECT c_custkey, c_name,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY c_custkey, c_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q7 shape: bilateral trade volume between two nation pairs
+    * by ship year.
+    */
+  def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val n1 = t.nation.select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation"))
+    val n2 = t.nation.select($"n_nationkey".as("c_nk"), $"n_name".as("cust_nation"))
+    t.lineitem
+      .join(t.supplier.select($"s_suppkey", $"s_nationkey"), $"l_suppkey" === $"s_suppkey")
+      .join(t.orders.select($"o_orderkey", $"o_custkey"), $"l_orderkey" === $"o_orderkey")
+      .join(t.customer.select($"c_custkey", $"c_nationkey"), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n1), $"s_nationkey" === $"s_nk")
+      .join(broadcast(n2), $"c_nationkey" === $"c_nk")
+      .filter(($"supp_nation" === "NATION_9" && $"cust_nation" === "NATION_10") ||
+        ($"supp_nation" === "NATION_10" && $"cust_nation" === "NATION_9"))
+      .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").as("l_year"))
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("volume"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  private val q7Sql =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS volume
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+      |   OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9')
+      |GROUP BY 1, 2, 3
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
   /** Near-dup clusters: connected components over the exact 3-gram
     * Jaccard >= 0.6 pair graph; DuckDB recursive-CTE oracle.
     */
@@ -134,6 +213,9 @@ object Extra {
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q_sql_correlated", qSqlCorrelated _, qSqlCorrelatedSql),
     QueryDef.rowsOnly("q_approx_quantile", qApproxQuantile _),
+    QueryDef.rowsOnly("text_heavy_hitters", textHeavyHitters _),
+    QueryDef.sql("q10_returned_items", q10ReturnedItems _, q10Sql),
+    QueryDef.sql("q7_nation_volume", q7NationVolume _, q7Sql),
     QueryDef.sql("q_range_join", qRangeJoin _, qRangeJoinSql),
     QueryDef.sql("etl_json_extract", etlJsonExtract _, etlJsonExtractSql),
     QueryDef.sql("text_vocab", textVocab _, textVocabSql),
