@@ -15,6 +15,7 @@ object GraftSession {
   def builder(appName: String = "graft", master: String = s"local[$cores]"): SparkSession.Builder =
     SparkSession
       .builder()
+      .withExtensions(new GraftExtensions)
       .appName(appName)
       .master(master)
       .config("spark.sql.shuffle.partitions", cores.toString)

@@ -22,6 +22,17 @@ object Validation {
         concat_ws(",", rules.map(r => when(r.violation, lit(r.name))): _*))
       .withColumn("acceptable", col("issues") === lit(""))
 
+  /** The reference's max-file-size gate (streamlit_app.py:150-156):
+    * total byte size of a path (file or directory) against a cap.
+    * Metadata-only — no data scan.
+    */
+  def fileSizeOk(spark: org.apache.spark.sql.SparkSession, path: String, maxMb: Int): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    bytes <= maxMb.toLong * 1024 * 1024
+  }
+
   /** Table-level structural summary — the reference's per-file checks
     * (rows>0, cols>0, blank/duplicate headers) as a one-row aggregate.
     */

@@ -64,6 +64,12 @@ class EtlSpec extends GraftSuite {
     assert(Validation.tableSummary(blank, "t").collect().head.getAs[Boolean]("blank_headers"))
   }
 
+  test("fileSizeOk gates on byte size like the reference max_file_mb") {
+    val p = writeTemp("sized.csv", ("x," * 1000 + "\n").getBytes("UTF-8"))
+    assert(Validation.fileSizeOk(spark, p, maxMb = 1))
+    assert(!Validation.fileSizeOk(spark, p, maxMb = 0))
+  }
+
   test("Normalize.allString: nulls to empty, everything string, trimmed") {
     val df = Seq((Some(1), Some(" a ")), (None, None)).toDF("n", "s")
     val rows = Normalize.allString(df).collect()
