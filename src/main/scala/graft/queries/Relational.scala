@@ -503,7 +503,30 @@ object Relational {
       |GROUP BY user_id, session_num
       |ORDER BY user_id, session_num""".stripMargin
 
+  /** lead/lag window deltas: change in value between consecutive
+    * events per user.
+    */
+  def qWindowLag(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables(spark, dir).events
+      .withColumn("prev_value", lag($"value", 1).over(w))
+      .filter($"prev_value".isNotNull)
+      .select($"user_id", $"event_id",
+        round($"value" - $"prev_value", 4).as("delta"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  private val qWindowLagSql =
+    """SELECT user_id, event_id, round(value - prev_value, 4) AS delta
+      |FROM (SELECT user_id, event_id, value,
+      |        lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+      |      FROM events)
+      |WHERE prev_value IS NOT NULL
+      |ORDER BY user_id, event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("q_window_lag", qWindowLag _, qWindowLagSql),
     QueryDef.sql("q1_pricing_summary", q1PricingSummary _, q1Sql),
     QueryDef.sql("q3_top_orders", q3TopOrders _, q3Sql),
     QueryDef.sql("q5_region_revenue", q5RegionRevenue _, q5Sql),
