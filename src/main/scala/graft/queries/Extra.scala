@@ -166,6 +166,57 @@ object Extra {
       |GROUP BY 1, 2, 3
       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
 
+  /** Document chunking for training-data prep: fixed-size token
+    * windows (100 tokens, stride 80 → 20-token overlap). Emits chunk
+    * digests to keep the gate output compact; pure narrow ops — scales
+    * with the scan.
+    */
+  def textChunk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select($"doc_id", graft.functions.TextFns.toks($"text").as("t"))
+      .withColumn("nc",
+        greatest(lit(1), ceil((size($"t") - lit(20)) / lit(80.0))).cast("int"))
+      .select($"doc_id", $"t", explode(expr("sequence(0, nc - 1)")).as("chunk_id"))
+      .select($"doc_id", $"chunk_id".cast("long").as("chunk_id"),
+        size(expr("slice(t, chunk_id * 80 + 1, 100)")).cast("long").as("n_chunk_tokens"),
+        md5(expr("array_join(slice(t, chunk_id * 80 + 1, 100), ' ')")).as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  private val textChunkSql =
+    """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      |c AS (SELECT doc_id, t,
+      |        unnest(range(0, CAST(greatest(1, ceil((len(t) - 20) / 80.0)) AS BIGINT))) AS chunk_id
+      |      FROM d)
+      |SELECT doc_id, chunk_id,
+      |  len(list_slice(t, chunk_id * 80 + 1, chunk_id * 80 + 100)) AS n_chunk_tokens,
+      |  md5(array_to_string(list_slice(t, chunk_id * 80 + 1, chunk_id * 80 + 100), ' ')) AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Content-addressed train/val/test split (md5 bucket of the id —
+    * deterministic, engine-independent, stable under repartition; the
+    * only correct way to split at 100 TB).
+    */
+  def etlSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucket = (conv(substring(md5($"doc_id".cast("string")), 1, 2), 16, 10)
+      .cast("int") % 10).as("bucket")
+    Tables(spark, dir).documents
+      .select($"doc_id", bucket)
+      .withColumn("split",
+        when($"bucket" < 8, "train").when($"bucket" === 8, "val").otherwise("test"))
+      .orderBy($"doc_id")
+  }
+
+  private val etlSplitSql =
+    """SELECT doc_id,
+      |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) % 10 AS bucket,
+      |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) % 10 < 8 THEN 'train'
+      |       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) % 10 = 8 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Near-dup clusters: connected components over the exact 3-gram
     * Jaccard >= 0.6 pair graph; DuckDB recursive-CTE oracle.
     */
@@ -216,6 +267,8 @@ object Extra {
     QueryDef.rowsOnly("text_heavy_hitters", textHeavyHitters _),
     QueryDef.sql("q10_returned_items", q10ReturnedItems _, q10Sql),
     QueryDef.sql("q7_nation_volume", q7NationVolume _, q7Sql),
+    QueryDef.sql("text_chunk", textChunk _, textChunkSql),
+    QueryDef.sql("etl_split", etlSplit _, etlSplitSql),
     QueryDef.sql("q_range_join", qRangeJoin _, qRangeJoinSql),
     QueryDef.sql("etl_json_extract", etlJsonExtract _, etlJsonExtractSql),
     QueryDef.sql("text_vocab", textVocab _, textVocabSql),
