@@ -212,6 +212,19 @@ object Relational {
       |WHERE rk <= 3
       |ORDER BY p_brand, rk""".stripMargin
 
+  /** Same result through the custom GroupTopK LogicalPlan + Strategy +
+    * physical operator (bounded heap per group — no per-partition
+    * sort; see graft.plans.GroupTopK). Same oracle as the window
+    * formulation: the two plans must agree exactly.
+    */
+  def qTopKNative(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    TopK.native(Tables(spark, dir).part,
+      Seq($"p_brand"), Seq($"p_retailprice".desc, $"p_partkey"), 3)
+      .select($"p_brand", $"p_partkey", $"p_retailprice", $"rk".cast("long").as("rk"))
+      .orderBy($"p_brand", $"rk")
+  }
+
   /** Exact multi-distinct aggregation per segment. */
   def qDistinctAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -534,6 +547,7 @@ object Relational {
     QueryDef.sql("q_window_rank", qWindowRank _, qWindowRankSql),
     QueryDef.sql("q_window_running", qWindowRunning _, qWindowRunningSql),
     QueryDef.sql("q_topk_per_group", qTopKPerGroup _, qTopKPerGroupSql),
+    QueryDef.sql("q_topk_native", qTopKNative _, qTopKPerGroupSql),
     QueryDef.sql("q_distinct_agg", qDistinctAgg _, qDistinctAggSql),
     QueryDef.rowsOnly("q_approx_distinct", qApproxDistinct _),
     QueryDef.sql("q_rollup", qRollup _, qRollupSql),
