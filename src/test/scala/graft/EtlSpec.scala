@@ -84,6 +84,11 @@ class EtlSpec extends GraftSuite {
     assert(back.count() == 2 && back.columns.toSeq == Seq("id", "v"))
   }
 
+  test("session prefix matches the reference uploads/{ts}_{id8} shape") {
+    val p = graft.etl.Manifest.sessionPrefix("20260812_054512", "a1b2c3d4")
+    assert(p == "uploads/20260812_054512_a1b2c3d4")
+  }
+
   test("sanitize matches the reference charset rule") {
     val got = Seq("a b/c@d", "ok_name-1.txt").toDF("s")
       .select(Normalize.sanitize($"s")).as[String].collect()
