@@ -130,7 +130,29 @@ object Etl {
       |UNION ALL SELECT 'supplier', count(*), 4 FROM supplier
       |ORDER BY table_name""".stripMargin
 
+  /** Latest-wins upsert: apply a derived update set (every 10th
+    * customer gets +100 balance) over the base table; updates must
+    * override, everyone else unchanged. Oracle recomputes the merge
+    * relationally.
+    */
+  def etlUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables(spark, dir).customer
+    val updates = base.filter($"c_custkey" % 10 === 0)
+      .withColumn("c_acctbal", round($"c_acctbal" + 100.0, 4))
+    graft.etl.Upsert.latestWins(base, updates, Seq("c_custkey"), lit(0))
+      .select($"c_custkey", $"c_name", round($"c_acctbal", 4).as("c_acctbal"))
+      .orderBy($"c_custkey")
+  }
+
+  private val etlUpsertSql =
+    """SELECT c_custkey, c_name,
+      |  round(CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END, 4) AS c_acctbal
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("etl_upsert", etlUpsert _, etlUpsertSql),
     QueryDef.sql("etl_csv_roundtrip", etlCsvRoundtrip _, etlCsvRoundtripSql),
     QueryDef.sql("etl_validate_rows", etlValidateRows _, etlValidateRowsSql),
     QueryDef.sql("etl_validate_files", etlValidateFiles _, etlValidateFilesSql),

@@ -225,6 +225,50 @@ object Relational {
       .orderBy($"p_brand", $"rk")
   }
 
+  /** Left outer join with null-coalescing aggregate: every customer,
+    * including the orderless (null-producing join path).
+    */
+  def qOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders, $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(
+        count($"o_orderkey").as("n_orders"),
+        round(coalesce(sum($"o_totalprice"), lit(0.0)), 4).as("total_spent"))
+      .orderBy($"c_custkey")
+  }
+
+  private val qOuterJoinSql =
+    """SELECT c_custkey, count(o_orderkey) AS n_orders,
+      |  round(coalesce(sum(o_totalprice), 0.0), 4) AS total_spent
+      |FROM customer
+      |LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  /** HAVING-style post-aggregation filter: brands with many large
+    * parts.
+    */
+  def qHaving(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).part
+      .filter($"p_size" >= 25)
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_large"))
+      .filter($"n_large" > 20)
+      .orderBy($"p_brand")
+  }
+
+  private val qHavingSql =
+    """SELECT p_brand, count(*) AS n_large
+      |FROM part
+      |WHERE p_size >= 25
+      |GROUP BY p_brand
+      |HAVING count(*) > 20
+      |ORDER BY p_brand""".stripMargin
+
   /** Exact multi-distinct aggregation per segment. */
   def qDistinctAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -548,6 +592,8 @@ object Relational {
     QueryDef.sql("q_window_running", qWindowRunning _, qWindowRunningSql),
     QueryDef.sql("q_topk_per_group", qTopKPerGroup _, qTopKPerGroupSql),
     QueryDef.sql("q_topk_native", qTopKNative _, qTopKPerGroupSql),
+    QueryDef.sql("q_outer_join", qOuterJoin _, qOuterJoinSql),
+    QueryDef.sql("q_having", qHaving _, qHavingSql),
     QueryDef.sql("q_distinct_agg", qDistinctAgg _, qDistinctAggSql),
     QueryDef.rowsOnly("q_approx_distinct", qApproxDistinct _),
     QueryDef.sql("q_rollup", qRollup _, qRollupSql),

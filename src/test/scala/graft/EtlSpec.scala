@@ -84,6 +84,18 @@ class EtlSpec extends GraftSuite {
     assert(back.count() == 2 && back.columns.toSeq == Seq("id", "v"))
   }
 
+  test("latest-wins upsert: updates override, new keys insert, version wins") {
+    val base = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "ver")
+    val updates = Seq((2L, "b2", 2L), (3L, "c", 1L)).toDF("k", "v", "ver")
+    val merged = graft.etl.Upsert.latestWins(base, updates, Seq("k"), $"ver")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(merged == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+    // same version: the update side wins the tie
+    val tied = graft.etl.Upsert.latestWins(base, Seq((1L, "a9", 1L)).toDF("k", "v", "ver"),
+      Seq("k"), $"ver").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(tied(1L) == "a9")
+  }
+
   test("session prefix matches the reference uploads/{ts}_{id8} shape") {
     val p = graft.etl.Manifest.sessionPrefix("20260812_054512", "a1b2c3d4")
     assert(p == "uploads/20260812_054512_a1b2c3d4")
