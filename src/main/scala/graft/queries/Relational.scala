@@ -225,6 +225,61 @@ object Relational {
       .orderBy($"p_brand", $"rk")
   }
 
+  /** Distribution window functions: quartile, percent_rank, cume_dist
+    * per segment (all rational arithmetic over ranks — bit-exact
+    * across engines).
+    */
+  def qWindowRanks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal", $"c_custkey")
+    Tables(spark, dir).customer
+      .select($"c_mktsegment", $"c_custkey",
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy($"c_mktsegment", $"c_custkey")
+  }
+
+  private val qWindowRanksSql =
+    """SELECT c_mktsegment, c_custkey,
+      |  ntile(4) OVER w AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin
+
+  /** Funnel analysis over the event stream: users whose first
+    * purchase follows their first signup. Two min-aggregates and a
+    * comparison — one shuffle on user.
+    */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val firsts = Tables(spark, dir).events
+      .filter($"event_type".isin("signup", "purchase"))
+      .groupBy($"user_id")
+      .agg(
+        min(when($"event_type" === "signup", unix_micros($"ts"))).as("first_signup_us"),
+        min(when($"event_type" === "purchase", unix_micros($"ts"))).as("first_purchase_us"))
+    firsts.agg(
+      count(lit(1)).as("n_users"),
+      count($"first_signup_us").as("n_signed_up"),
+      count(when($"first_purchase_us" > $"first_signup_us", 1)).as("n_converted"))
+  }
+
+  private val qFunnelSql =
+    """WITH firsts AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS first_signup_us,
+      |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase_us
+      |  FROM events
+      |  WHERE event_type IN ('signup', 'purchase')
+      |  GROUP BY user_id)
+      |SELECT count(*) AS n_users,
+      |  count(first_signup_us) AS n_signed_up,
+      |  count(CASE WHEN first_purchase_us > first_signup_us THEN 1 END) AS n_converted
+      |FROM firsts""".stripMargin
+
   /** Left outer join with null-coalescing aggregate: every customer,
     * including the orderless (null-producing join path).
     */
@@ -592,6 +647,8 @@ object Relational {
     QueryDef.sql("q_window_running", qWindowRunning _, qWindowRunningSql),
     QueryDef.sql("q_topk_per_group", qTopKPerGroup _, qTopKPerGroupSql),
     QueryDef.sql("q_topk_native", qTopKNative _, qTopKPerGroupSql),
+    QueryDef.sql("q_window_ranks", qWindowRanks _, qWindowRanksSql),
+    QueryDef.sql("q_funnel", qFunnel _, qFunnelSql),
     QueryDef.sql("q_outer_join", qOuterJoin _, qOuterJoinSql),
     QueryDef.sql("q_having", qHaving _, qHavingSql),
     QueryDef.sql("q_distinct_agg", qDistinctAgg _, qDistinctAggSql),
