@@ -1,0 +1,73 @@
+package graft
+
+import graft.queries.Relational
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** 10× scale-up probe (SURVEY.md §5/§8): replicates the sf0.1 fact
+  * tables with shifted keys (≈6M lineitem rows) into /tmp and times
+  * the headline queries there. The point is the SCALING FACTOR, not
+  * the absolute time: a plan that survives 100 TB grows ~linearly in
+  * input size here (constant-factor overheads amortize, shuffles stay
+  * key-partitioned, broadcasts stay broadcasts).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.get("scale-probe")
+    import spark.implicits._
+    val base = "/root/testdata/sf0.1"
+    val out = "/tmp/graft_scale10"
+    val replicas = 10
+
+    val t = Tables(spark, base)
+    val maxOrder = t.orders.agg(max($"o_orderkey")).as[Long].head() + 1
+    val maxCust = t.customer.agg(max($"c_custkey")).as[Long].head() + 1
+
+    def replicate(df: org.apache.spark.sql.DataFrame, shifts: Map[String, Long]) = {
+      val rep = spark.range(replicas).toDF("__r")
+      df.crossJoin(rep).select(df.columns.map { c =>
+        shifts.get(c) match {
+          case Some(step) => (col(c) + col("__r") * step).as(c)
+          case None => col(c)
+        }
+      }: _*)
+    }
+
+    // orders/lineitem replicated with consistent orderkey shifts so
+    // joins keep the same per-key cardinality; customers reused (fan-in
+    // grows like a real lake where facts outgrow dims)
+    replicate(t.orders, Map("o_orderkey" -> maxOrder))
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    replicate(t.lineitem, Map("l_orderkey" -> maxOrder))
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    for (n <- Seq("region", "nation", "customer", "supplier", "part", "events",
+      "documents", "embeddings"))
+      t.byName(n).write.mode("overwrite").parquet(s"$out/$n.parquet")
+
+    val probes: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+      "q1_pricing_summary" -> (Relational.q1PricingSummary _),
+      "q3_top_orders" -> (Relational.q3TopOrders _),
+      "q5_region_revenue" -> (Relational.q5RegionRevenue _),
+      "q_outer_join" -> (Relational.qOuterJoin _),
+      "q_window_rank" -> (Relational.qWindowRank _),
+      "q_asof_join" -> (Relational.qAsofJoin _))
+
+    def time(dir: String, name: String,
+             fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // min-of-2: steady state, same methodology as Bench
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+
+    println("name,base_s,x10_s,scaling_factor")
+    probes.foreach { case (name, fn) =>
+      val b = time(base, name, fn)
+      val s = time(out, name, fn)
+      println(f"$name,$b%.2f,$s%.2f,${s / b}%.1f")
+    }
+    spark.stop()
+  }
+}
