@@ -22,10 +22,16 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          // a broken query must read as broken, not as a fast run
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          -1.0
+        }
       }
-      name -> times.min
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -21,7 +21,6 @@ object ScaleProbe {
 
     val t = Tables(spark, base)
     val maxOrder = t.orders.agg(max($"o_orderkey")).as[Long].head() + 1
-    val maxCust = t.customer.agg(max($"c_custkey")).as[Long].head() + 1
 
     def replicate(df: org.apache.spark.sql.DataFrame, shifts: Map[String, Long]) = {
       val rep = spark.range(replicas).toDF("__r")

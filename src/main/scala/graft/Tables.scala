@@ -39,5 +39,11 @@ final case class Tables(spark: SparkSession, dir: String) {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def byName(name: String): DataFrame = load(name)
+  /** Routed through the typed accessors so schema fixes (events'
+    * nanos conversion) apply to generic callers too.
+    */
+  def byName(name: String): DataFrame = name match {
+    case "events" => events
+    case other => load(other)
+  }
 }

@@ -49,9 +49,11 @@ object SketchAggs {
   case class MinHashAgg(
       child: Expression, perms: Int,
       mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Long]] {
+    extends TypedImperativeAggregate[Array[Long]]
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
     override def children: Seq[Expression] = Seq(child)
+    override def inputTypes = Seq(StringType)
     override def nullable: Boolean = false
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -102,9 +104,11 @@ object SketchAggs {
   case class SimHashAgg(
       tok: Expression, weight: Expression,
       mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Long]] {
+    extends TypedImperativeAggregate[Array[Long]]
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
     override def children: Seq[Expression] = Seq(tok, weight)
+    override def inputTypes = Seq(StringType, LongType)
     override def nullable: Boolean = false
     override def dataType: DataType = LongType
 

@@ -43,7 +43,10 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"vec_dot: dimension mismatch ${x.numElements()} vs ${y.numElements()}")
+    val n = x.numElements()
     var s = 0.0
     var i = 0
     val lf = isFloat(left); val rf = isFloat(right)
@@ -64,7 +67,11 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
       val getA = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getB = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "vec_dot: dimension mismatch " + $a.numElements() + " vs " + $b.numElements());
+         |}
+         |int $n = $a.numElements();
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += $getA * $getB;

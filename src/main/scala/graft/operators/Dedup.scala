@@ -53,6 +53,8 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       perms: Int, bands: Int, tau: Double): DataFrame = {
+    require(perms % bands == 0,
+      s"perms ($perms) must be divisible by bands ($bands) — trailing permutations would be paid for but never banded")
     val rows = perms / bands
     val tok = df.select(col(idCol).as("id"), explode(distinctToks(col(textCol))).as("tok"))
     // native aggregate: one 128-long buffer per doc; the shuffle
@@ -61,7 +63,10 @@ object Dedup {
       .agg(graft.functions.SketchAggs.minhash($("tok"), perms).as("sig"))
     // band signature: hash of the band's slice of the signature.
     // Persisted: the self-join would otherwise recompute the whole
-    // signature pipeline for each side.
+    // signature pipeline for each side. Deliberately not unpersisted —
+    // the operator returns a lazy plan, so release would have to be
+    // the caller's post-materialization call; Spark's ContextCleaner
+    // reclaims the blocks once the DataFrame is GC'd.
     val bandSigs = sig.select($("id"), posexplode(expr(
       s"transform(sequence(0, ${bands - 1}), b -> " +
         s"xxhash64(array_join(slice(sig, b * $rows + 1, $rows), ',')))")).as(Seq("band", "bsig")))

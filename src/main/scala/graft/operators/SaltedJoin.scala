@@ -21,8 +21,13 @@ import org.apache.spark.sql.functions._
 object SaltedJoin {
 
   def inner(skewed: DataFrame, other: DataFrame, key: String, saltFactor: Int): DataFrame = {
+    // salt from the row's own columns, NOT monotonically_increasing_id:
+    // a task retry or AQE re-plan recomputes the same salt for the same
+    // row, so the shuffle stays deterministic (the id-based variant can
+    // lose/duplicate rows when surviving map outputs mix with retried
+    // ones)
     val salted = skewed.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor.toLong)))
+      pmod(xxhash64(skewed.columns.map(col): _*), lit(saltFactor.toLong)))
     val replicated = other.withColumn("__salt",
       explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

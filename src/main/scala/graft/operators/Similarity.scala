@@ -104,10 +104,12 @@ object Similarity {
     */
   def ivfTopK(vectors: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              centroidEvery: Int = 50, nprobe: Int = 4): DataFrame = {
+              numCentroids: Int = 10, nprobe: Int = 4): DataFrame = {
     val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
       VecFns.norm(col(vecCol)).as("nrm"))
-    val cents = vectors.filter(pmod(col(idCol), lit(centroidEvery)) === 0)
+    // first-N-by-id seed set: non-empty for any id distribution
+    // (id % N == 0 selected nothing when ids are sparse/offset)
+    val cents = vectors.orderBy(col(idCol)).limit(numCentroids)
       .select(col(idCol).as("c_id"), col(vecCol).as("c_v"))
     // assign each vector to its nearest centroid (max cosine, tie by c_id)
     val assigned = TopK(

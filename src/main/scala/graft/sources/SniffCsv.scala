@@ -45,14 +45,19 @@ object SniffCsv {
   }
 
   /** UTF-8 if the sample decodes cleanly, else latin-1 — the
-    * reference's fallback chain.
+    * reference's fallback chain. Decodes with endOfInput=false so a
+    * multi-byte character truncated by the 4 KiB sample boundary
+    * reads as underflow, not as malformed input (otherwise any
+    * accented character near the boundary would misdetect the whole
+    * file as latin-1).
     */
   def sniffCharset(sample: Array[Byte]): String = {
     val dec = StandardCharsets.UTF_8.newDecoder()
       .onMalformedInput(CodingErrorAction.REPORT)
       .onUnmappableCharacter(CodingErrorAction.REPORT)
-    try { dec.decode(java.nio.ByteBuffer.wrap(sample)); "UTF-8" }
-    catch { case _: CharacterCodingException => "ISO-8859-1" }
+    val out = java.nio.CharBuffer.allocate(sample.length)
+    val res = dec.decode(java.nio.ByteBuffer.wrap(sample), out, false)
+    if (res.isError) "ISO-8859-1" else "UTF-8"
   }
 
   /** Pick the candidate whose per-line count is consistent and maximal

@@ -22,8 +22,9 @@ class ExtensionsSpec extends GraftSuite {
       .as[Seq[Long]].head()
     assert(sig.length == 16 && sig.forall(_ != Long.MaxValue))
 
+    // integer-literal weight: ImplicitCastInputTypes inserts the cast
     val sh = spark.sql(
-      "SELECT simhash64(t, CAST(1 AS BIGINT)) FROM (SELECT explode(array('x','y')) AS t)")
+      "SELECT simhash64(t, 1) FROM (SELECT explode(array('x','y')) AS t)")
       .as[Long].head()
     assert(sh != 0L)
   }
