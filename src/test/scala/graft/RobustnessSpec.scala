@@ -51,6 +51,26 @@ class RobustnessSpec extends GraftSuite {
     assert(survivors.map(_.getLong(0)).toSeq == Seq(7L))
   }
 
+  test("schema evolution: mergeSchema unions old and new file schemas") {
+    val dir = Files.createTempDirectory("graft_evolve").toString + "/t"
+    Seq((1L, "x")).toDF("id", "a").write.parquet(s"$dir/v=1")
+    Seq((2L, "y", 9.5)).toDF("id", "a", "b").write.parquet(s"$dir/v=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "a", "b", "v"))
+    val rows = merged.orderBy($"id").collect()
+    assert(rows.length == 2 && rows(0).isNullAt(rows(0).fieldIndex("b")))
+  }
+
+  test("compaction: sorted write produces the target file count, clustered") {
+    val dir = Files.createTempDirectory("graft_compact").toString + "/li"
+    graft.etl.Compact.sortedWrite(
+      Tables(spark, sf0001).lineitem, dir, numFiles = 2, $"l_shipdate")
+    val files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == 2)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == Tables(spark, sf0001).lineitem.count())
+  }
+
   test("bundle export writes normalized CSVs + manifest for all tables") {
     val out = Files.createTempDirectory("graft_bundle").toString + "/bundle"
     val t = Tables(spark, sf0001)
