@@ -67,6 +67,24 @@ object ScaleProbe {
       val s = time(out, name, fn)
       println(f"$name,$b%.2f,$s%.2f,${s / b}%.1f")
     }
+
+    // dedup path under corpus growth: 2× docs quadruples the true
+    // near-dup pair count (every replica pair matches) — measures the
+    // candidate-explosion behavior, not just scan growth
+    val docs2 = s"$out/docs2"
+    val d = t.documents
+    val maxDoc = d.agg(max($"doc_id")).as[Long].head() + 1
+    d.unionByName(d.withColumn("doc_id", $"doc_id" + maxDoc))
+      .write.mode("overwrite").parquet(s"$docs2/documents.parquet")
+    def timeMinhash(dir: String): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = graft.operators.Dedup.minhashLshPairs(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 128, 16, 0.9).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val (tb, nb) = timeMinhash(base)
+    val (t2, n2) = timeMinhash(docs2)
+    println(f"minhash_pairs,base=$tb%.2f s ($nb pairs),x2docs=$t2%.2f s ($n2 pairs),time_factor=${t2 / tb}%.1f,pair_factor=${n2.toDouble / nb}%.1f")
     spark.stop()
   }
 }

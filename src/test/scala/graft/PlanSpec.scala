@@ -24,6 +24,11 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
   }
 
+  test("q3 joins broadcast the filtered customer side") {
+    val p = plan(Relational.q3TopOrders(spark, sf001))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+  }
+
   test("approx distinct stays within 5% of exact") {
     import org.apache.spark.sql.functions._
     val approx = Relational.qApproxDistinct(spark, sf001).collect()
