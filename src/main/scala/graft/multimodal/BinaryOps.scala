@@ -39,6 +39,32 @@ object BinaryOps {
     h.take(8).map(b => (b & 0xff) / 255.0)
   }
 
+  final case class FrameSample(doc_id: Long, n_frames: Long, sampled: Array[Array[Byte]])
+
+  /** Frame sampling over an opaque "video" payload: treats the byte
+    * stream as fixed-size frames and keeps every `stride`-th one —
+    * the byte-window arithmetic is the real distributed logic; a
+    * codec build would decode each kept window instead of slicing it.
+    */
+  def frameSample(packed: DataFrame, frameBytes: Int, stride: Int): Dataset[FrameSample] = {
+    val spark = packed.sparkSession
+    import spark.implicits._
+    packed.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val frames = bytes.grouped(frameBytes).toArray
+        FrameSample(id, frames.length.toLong,
+          frames.zipWithIndex.collect { case (f, i) if i % stride == 0 => f })
+      }
+  }
+
+  /** Resize STUB: a real build would decode + rescale; here the
+    * contract (fixed output size, content-addressed determinism) is
+    * kept by sampling the payload bytes at a fixed rate.
+    */
+  def resizeStub(bytes: Array[Byte], outBytes: Int): Array[Byte] =
+    if (bytes.isEmpty) new Array[Byte](outBytes)
+    else Array.tabulate(outBytes)(i => bytes((i.toLong * bytes.length / outBytes).toInt))
+
   /** Batched feature extraction: executors process fixed-size batches
     * inside each partition (amortizes per-batch codec setup exactly
     * like mapInPandas batches do).

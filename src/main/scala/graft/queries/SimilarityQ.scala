@@ -90,6 +90,38 @@ object SimilarityQ {
       .orderBy($"doc_id")
   }
 
+  /** Rolling (Rabin–Karp) content hash per document — order-sensitive
+    * fingerprint complementing the token-sort one; DuckDB list_reduce
+    * oracle reproduces the exact fold.
+    */
+  def textRollingFp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select($"doc_id", graft.functions.TextFns.rollingHash($"text").as("rolling_fp"))
+      .orderBy($"doc_id")
+  }
+
+  private val textRollingFpSql =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(text, ''), x -> CAST(ascii(x) AS BIGINT))),
+      |    (acc, x) -> (acc * 257 + x) % 2147483647) AS rolling_fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Frame-sampling plumbing over "video"-shaped binary payloads:
+    * byte-window slicing is real, the codec is the documented stub.
+    * Rows-only; MultimodalSpec pins the arithmetic.
+    */
+  def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    BinaryOps.frameSample(BinaryOps.pack(Tables(spark, dir).documents),
+        frameBytes = 32, stride = 4)
+      .toDF()
+      .select($"doc_id", $"n_frames", size($"sampled").cast("long").as("n_sampled"))
+      .orderBy($"doc_id")
+  }
+
   /** Tumbling 1-hour windows over the event stream — the identical
     * plan StreamingSpec drives through readStream+watermark; DuckDB
     * time_bucket oracle.
@@ -112,5 +144,7 @@ object SimilarityQ {
     QueryDef.rowsOnly("ann_ivf_topk", annIvf _),
     QueryDef.sql("mm_binary_stats", mmBinaryStats _, mmBinaryStatsSql),
     QueryDef.rowsOnly("mm_featurize", mmFeaturize _),
+    QueryDef.rowsOnly("mm_frame_sample", mmFrameSample _),
+    QueryDef.sql("text_rolling_fp", textRollingFp _, textRollingFpSql),
     QueryDef.sql("stream_window_counts", streamWindowCounts _, streamWindowCountsSql))
 }

@@ -25,6 +25,28 @@ class MultimodalSpec extends GraftSuite {
     a.values.foreach(f => assert(f.length == 8 && f.forall(x => x >= 0 && x <= 1)))
   }
 
+  test("frameSample keeps every stride-th fixed-size byte window") {
+    val packed = Seq((1L, "a" * 100)).toDF("doc_id", "text")
+      .withColumn("payload", $"text".cast("binary"))
+    val r = BinaryOps.frameSample(packed, frameBytes = 32, stride = 2).collect().head
+    assert(r.n_frames == 4)             // 32+32+32+4
+    assert(r.sampled.length == 2)       // frames 0 and 2
+    assert(r.sampled(0).length == 32)
+  }
+
+  test("resizeStub is deterministic and hits the target size") {
+    val out = BinaryOps.resizeStub("hello world".getBytes, 4)
+    assert(out.length == 4)
+    assert(out.toSeq == BinaryOps.resizeStub("hello world".getBytes, 4).toSeq)
+    assert(BinaryOps.resizeStub(Array.emptyByteArray, 4).length == 4)
+  }
+
+  test("rollingHash matches the Rabin-Karp fold") {
+    import graft.functions.TextFns
+    val got = Seq("ab").toDF("t").select(TextFns.rollingHash($"t")).as[Long].head()
+    assert(got == 97L * 257 + 98)       // 25027
+  }
+
   test("fakeDecode stub is content-addressed (same bytes -> same features)") {
     val x = BinaryOps.fakeDecode("abc".getBytes)
     assert(x.toSeq == BinaryOps.fakeDecode("abc".getBytes).toSeq)
