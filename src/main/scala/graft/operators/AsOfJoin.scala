@@ -20,13 +20,17 @@ import org.apache.spark.sql.functions._
   * (key, time) for deterministic output.
   */
 object AsOfJoin {
+  /** @param toleranceMicros when >= 0, a match further than this
+    *                        before the left time is dropped (nulls) —
+    *                        the standard as-of lookback bound.
+    */
   def apply(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
-            rightPayload: Seq[String]): DataFrame = {
+            rightPayload: Seq[String], toleranceMicros: Long = -1L): DataFrame = {
     val leftPayload = left.columns.filterNot(c => c == keyCol || c == timeCol).toSeq
 
     val r = right.select(
       Seq(col(keyCol), col(timeCol), lit(0).as("__src"),
-        struct(rightPayload.map(col): _*).as("__asof_in")) ++
+        struct((col(timeCol).as("__t") +: rightPayload.map(col)): _*).as("__asof_in")) ++
         leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val l = left.select(
       Seq(col(keyCol), col(timeCol), lit(1).as("__src"),
@@ -35,10 +39,15 @@ object AsOfJoin {
 
     val w = Window.partitionBy(keyCol).orderBy(col(timeCol), col("__src"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r)
+    val matched = l.unionByName(r)
       .withColumn("__asof", last(col("__asof_in"), ignoreNulls = true).over(w))
       .filter(col("__src") === 1)
-      .select(Seq(col(keyCol), col(timeCol)) ++ leftPayload.map(col) ++
-        rightPayload.map(p => col("__asof").getField(p).as(p)): _*)
+    val bounded =
+      if (toleranceMicros < 0) matched
+      else matched.withColumn("__asof",
+        when(unix_micros(col(timeCol)) - unix_micros(col("__asof").getField("__t")) <=
+          toleranceMicros, col("__asof")))
+    bounded.select(Seq(col(keyCol), col(timeCol)) ++ leftPayload.map(col) ++
+      rightPayload.map(p => col("__asof").getField(p).as(p)): _*)
   }
 }

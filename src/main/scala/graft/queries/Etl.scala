@@ -32,6 +32,36 @@ object Etl {
   private val etlCsvRoundtripSql =
     "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
 
+  /** ORC sink/source round-trip (Spark-native columnar alternative —
+    * same identity oracle as the CSV path).
+    */
+  def etlOrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = s"/tmp/graft_orc/${dir.replaceAll("[^A-Za-z0-9]", "_")}/region"
+    Tables(spark, dir).region.write.mode("overwrite").orc(tmp)
+    spark.read.orc(tmp).orderBy($"r_regionkey")
+  }
+
+  private val etlOrcRoundtripSql =
+    "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+
+  /** JSON-lines sink/source round-trip with explicit schema-on-read
+    * (JSON loses int width without it).
+    */
+  def etlJsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = s"/tmp/graft_json/${dir.replaceAll("[^A-Za-z0-9]", "_")}/supplier"
+    val src = Tables(spark, dir).supplier
+    src.write.mode("overwrite").json(tmp)
+    spark.read.schema(src.schema).json(tmp)
+      .select($"s_suppkey", $"s_name", $"s_nationkey", round($"s_acctbal", 4).as("s_acctbal"))
+      .orderBy($"s_suppkey")
+  }
+
+  private val etlJsonRoundtripSql =
+    """SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 4) AS s_acctbal
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
   /** Row-level rule engine over customer — distributed version of the
     * reference's per-file discrepancy list.
     */
@@ -154,6 +184,8 @@ object Etl {
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("etl_upsert", etlUpsert _, etlUpsertSql),
     QueryDef.sql("etl_csv_roundtrip", etlCsvRoundtrip _, etlCsvRoundtripSql),
+    QueryDef.sql("etl_orc_roundtrip", etlOrcRoundtrip _, etlOrcRoundtripSql),
+    QueryDef.sql("etl_json_roundtrip", etlJsonRoundtrip _, etlJsonRoundtripSql),
     QueryDef.sql("etl_validate_rows", etlValidateRows _, etlValidateRowsSql),
     QueryDef.sql("etl_validate_files", etlValidateFiles _, etlValidateFilesSql),
     QueryDef.sql("etl_normalize", etlNormalize _, etlNormalizeSql),

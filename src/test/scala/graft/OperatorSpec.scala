@@ -21,6 +21,17 @@ class OperatorSpec extends GraftSuite {
     assert(got(103L) == null)  // unseen key
   }
 
+  test("AsOfJoin tolerance drops matches older than the lookback bound") {
+    val right = Seq((1L, 10L, "a")).toDF("key", "t", "tag")
+      .select($"key", timestamp_micros($"t").as("t"), $"tag")
+    val left = Seq((1L, 15L, 100L), (1L, 500L, 101L)).toDF("key", "t", "id")
+      .select($"key", timestamp_micros($"t").as("t"), $"id")
+    val got = AsOfJoin(left, right, "key", "t", Seq("tag"), toleranceMicros = 50L)
+      .select($"id", $"tag").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(100L) == "a")   // 15-10=5 <= 50
+    assert(got(101L) == null)  // 500-10=490 > 50 -> dropped
+  }
+
   test("Sessionize splits on gaps > threshold") {
     val df = Seq(
       (1L, 0L, 1L), (1L, 100L, 2L), (1L, 2000L, 3L), // gap 1900 > 1000 -> new session
