@@ -37,6 +37,26 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("stream-static join enriches the stream with a broadcast dim") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, Double)] // (user_id, value)
+    val dim = Tables(spark, sf0001).customer
+      .select($"c_custkey", $"c_mktsegment")
+    val enriched = input.toDS().toDF("user_id", "value")
+      .join(org.apache.spark.sql.functions.broadcast(dim),
+        $"user_id" === $"c_custkey")
+      .select($"user_id", $"c_mktsegment", $"value")
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("enriched").start()
+    try {
+      input.addData((1L, 5.0), (2L, 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+      assert(rows.length == 2 && rows.forall(!_.isNullAt(1)))
+    } finally q.stop()
+  }
+
   test("stateful sessionizer closes sessions across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStream.Ev]
