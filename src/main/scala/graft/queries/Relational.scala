@@ -225,6 +225,104 @@ object Relational {
       .orderBy($"p_brand", $"rk")
   }
 
+  /** TPC-H Q4 shape: priority counts for orders with at least one
+    * late-shipped line (EXISTS → left-semi join).
+    */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val late = t.lineitem.join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .filter($"l_shipdate" > $"o_orderdate").select($"l_orderkey").distinct()
+    t.orders
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1996-07-01").cast("timestamp"))
+      .join(late, $"o_orderkey" === late("l_orderkey"), "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val q4Sql =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q6 shape: forecast-revenue-change — the pure filter+agg
+    * scan query (everything pushes to the parquet reader).
+    */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).lineitem
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+        $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24.0)
+      .agg(round(sum($"l_extendedprice" * $"l_discount"), 4).as("revenue"))
+  }
+
+  private val q6Sql =
+    """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24.0""".stripMargin
+
+  /** TPC-H Q14 shape: promo revenue share (conditional agg over a
+    * fact↔dim join).
+    */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    t.lineitem
+      .filter($"l_shipdate" >= lit("1996-03-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+      .join(broadcast(t.part.select($"p_partkey", $"p_type")), $"l_partkey" === $"p_partkey")
+      .agg(round(
+        sum(when($"p_type" === "PROMO", $"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .otherwise(0.0)) * 100.0 /
+          sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("promo_pct"))
+  }
+
+  private val q14Sql =
+    """SELECT round(
+      |  sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+      |    * 100.0 / sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_pct
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin
+
+  /** TPC-H Q19 shape: disjunctive multi-predicate join filter (brand ×
+    * size × quantity bands OR'd together).
+    */
+  def q19DiscountedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(broadcast(t.part.select($"p_partkey", $"p_brand", $"p_size")),
+        $"l_partkey" === $"p_partkey")
+      .filter(
+        ($"p_brand" === "Brand#1" && $"p_size".between(1, 15) && $"l_quantity".between(1, 11)) ||
+        ($"p_brand" === "Brand#2" && $"p_size".between(1, 25) && $"l_quantity".between(10, 20)) ||
+        ($"p_brand" === "Brand#3" && $"p_size".between(1, 50) && $"l_quantity".between(20, 30)))
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  private val q19Sql =
+    """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
   /** Distribution window functions: quartile, percent_rank, cume_dist
     * per segment (all rational arithmetic over ranks — bit-exact
     * across engines).
@@ -641,7 +739,11 @@ object Relational {
     QueryDef.sql("q_window_lag", qWindowLag _, qWindowLagSql),
     QueryDef.sql("q1_pricing_summary", q1PricingSummary _, q1Sql),
     QueryDef.sql("q3_top_orders", q3TopOrders _, q3Sql),
+    QueryDef.sql("q4_order_priority", q4OrderPriority _, q4Sql),
     QueryDef.sql("q5_region_revenue", q5RegionRevenue _, q5Sql),
+    QueryDef.sql("q6_forecast_revenue", q6ForecastRevenue _, q6Sql),
+    QueryDef.sql("q14_promo_revenue", q14PromoRevenue _, q14Sql),
+    QueryDef.sql("q19_discounted_revenue", q19DiscountedRevenue _, q19Sql),
     QueryDef.sql("q_filter_pushdown", qFilterPushdown _, qFilterPushdownSql),
     QueryDef.sql("q_window_rank", qWindowRank _, qWindowRankSql),
     QueryDef.sql("q_window_running", qWindowRunning _, qWindowRunningSql),
