@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.GroupTopKStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteTopK)
 
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
