@@ -1,0 +1,69 @@
+package graft.etl
+
+import graft.sources.Intake
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The reference's whole intake workflow as one callable (SURVEY.md
+  * §2.1): enumerate uploads → per-file size + structural validation →
+  * canonical-CSV normalization into a session prefix → manifest
+  * (streamlit_app.py:215-330 end to end).
+  *
+  * File-level control flow runs on the driver (it is control flow —
+  * the reference iterates uploads the same way); each file's parse,
+  * validation and rewrite is a distributed Spark job, so a 100-file ×
+  * 1 TB-each drop ingests with full cluster parallelism per file.
+  */
+object Pipeline {
+
+  final case class FileResult(
+      file: String, dest: String, rows: Long, cols: Long,
+      issues: Seq[String], accepted: Boolean)
+
+  def ingest(spark: SparkSession, inDir: String, outDir: String,
+             maxFileMb: Int = 50): DataFrame = {
+    import spark.implicits._
+    val inPath = new Path(inDir)
+    val fs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(inPath).filter(_.isFile).map(_.getPath)
+      .filter(p => p.getName.toLowerCase.endsWith(".csv") ||
+        p.getName.toLowerCase.endsWith(".xlsx"))
+      .sortBy(_.getName)
+
+    val results = files.map { p =>
+      val issues = scala.collection.mutable.ArrayBuffer.empty[String]
+      if (!Validation.fileSizeOk(spark, p.toString, maxFileMb))
+        issues += s"File exceeds max size ($maxFileMb MB)."
+      val df =
+        try {
+          val d = Intake.read(spark, p.toString)
+          // raw header: Spark renames duplicate columns on read
+          val headers =
+            if (p.getName.toLowerCase.endsWith(".csv"))
+              graft.sources.SniffCsv.rawHeader(spark, p.toString)
+            else d.columns
+          if (headers.exists(_.trim.isEmpty)) issues += "One or more column headers are blank."
+          if (headers.distinct.length != headers.length) issues += "Duplicate column headers detected."
+          if (d.isEmpty) issues += "No data rows found."
+          Some(d)
+        } catch {
+          case e: Intake.UnsupportedFormat => issues += e.getMessage; None
+          case e: Exception => issues += s"Failed to parse file: ${e.getMessage}"; None
+        }
+      val stem = p.getName.replaceFirst("\\.[^.]+$", "")
+      val dest = s"$outDir/${stem.replaceAll("[^A-Za-z0-9._-]", "_")}"
+      val accepted = issues.isEmpty && df.isDefined
+      val (rows, cols) = df.map(d => (if (accepted) {
+        Normalize.writeCanonicalCsv(d, dest)
+        d.count()
+      } else d.count(), d.columns.length.toLong)).getOrElse((0L, 0L))
+      FileResult(p.getName, if (accepted) dest else "", rows, cols, issues.toSeq, accepted)
+    }
+
+    val manifest = results.toSeq.toDF()
+    Manifest.writeJson(
+      manifest.select($"file", $"dest", $"rows", $"cols", $"accepted"),
+      s"$outDir/manifest")
+    manifest
+  }
+}

@@ -82,6 +82,19 @@ object SniffCsv {
     Dialect(sniffDelimiter(text), charset)
   }
 
+  /** The header line exactly as written — Spark's reader renames
+    * duplicate columns on read, so structural header checks (blank /
+    * duplicate names, reference streamlit_app.py:185-189) must look at
+    * the raw bytes.
+    */
+  def rawHeader(spark: SparkSession, path: String): Array[String] = {
+    val bytes = sampleBytes(spark, path)
+    val charset = sniffCharset(bytes)
+    val text = new String(bytes, charset).stripPrefix("﻿")
+    val line = text.split("\r?\n").headOption.getOrElse("")
+    line.split(java.util.regex.Pattern.quote(sniffDelimiter(text).toString), -1)
+  }
+
   /** Distributed all-string read with the sniffed dialect. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val d = sniff(spark, path)
