@@ -29,6 +29,13 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
   }
 
+  test("q6 pushes every predicate to the parquet scan") {
+    val p = plan(Relational.q6ForecastRevenue(spark, sf001))
+    assert(p.contains("PushedFilters: ["), s"no pushed filters:\n$p")
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(p.contains(s"($c"), s"$c not pushed in:\n$p")
+  }
+
   test("approx distinct stays within 5% of exact") {
     import org.apache.spark.sql.functions._
     val approx = Relational.qApproxDistinct(spark, sf001).collect()
