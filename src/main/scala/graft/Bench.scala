@@ -23,7 +23,10 @@ object Bench {
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
+          // noop sink fully evaluates every output column — a bare
+          // count() lets Catalyst prune projection work (md5/regexp
+          // scans would be measured as near-free)
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         } catch { case e: Throwable =>
           // a broken query must read as broken, not as a fast run
@@ -35,7 +38,9 @@ object Bench {
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // failure sentinels must not shrink the headline number
+    val ok = results.values.filter(_ >= 0.0)
+    val total = if (results.values.exists(_ < 0.0)) -1.0 else ok.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

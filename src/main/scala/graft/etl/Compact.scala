@@ -16,7 +16,10 @@ import org.apache.spark.sql.{Column, DataFrame}
 object Compact {
 
   def sortedWrite(df: DataFrame, path: String, numFiles: Int, sortCols: Column*): Unit =
-    df.repartition(numFiles)
+    // range-partition (not round-robin) so output files cover DISJOINT
+    // key ranges — otherwise every file spans the full range and
+    // parquet min/max stats can never prune
+    df.repartitionByRange(numFiles, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .write.mode("overwrite").parquet(path)
 }

@@ -20,9 +20,26 @@ object Pipeline {
       file: String, dest: String, rows: Long, cols: Long,
       issues: Seq[String], accepted: Boolean)
 
+  /** `uploads/{YYYYMMDD_HHMMSS}_{uuid8}` — the reference's per-session
+    * object prefix (`new_session_prefix`, streamlit_app.py:92-94), so
+    * two ingest runs into the same `outDir` can never collide or
+    * overwrite each other. `ts`/`id` injectable for deterministic tests.
+    */
+  def sessionPrefix(outDir: String,
+                    ts: Option[String] = None, id: Option[String] = None): String = {
+    val t = ts.getOrElse(
+      java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")))
+    val u = id.getOrElse(java.util.UUID.randomUUID.toString.replace("-", "").take(8))
+    s"$outDir/uploads/${t}_$u"
+  }
+
   def ingest(spark: SparkSession, inDir: String, outDir: String,
-             maxFileMb: Int = 50): DataFrame = {
+             maxFileMb: Int = 50,
+             sessionTs: Option[String] = None,
+             sessionId: Option[String] = None): DataFrame = {
     import spark.implicits._
+    val session = sessionPrefix(outDir, sessionTs, sessionId)
     val inPath = new Path(inDir)
     val fs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(inPath).filter(_.isFile).map(_.getPath)
@@ -51,7 +68,7 @@ object Pipeline {
           case e: Exception => issues += s"Failed to parse file: ${e.getMessage}"; None
         }
       val stem = p.getName.replaceFirst("\\.[^.]+$", "")
-      val dest = s"$outDir/${stem.replaceAll("[^A-Za-z0-9._-]", "_")}"
+      val dest = s"$session/${stem.replaceAll("[^A-Za-z0-9._-]", "_")}"
       val accepted = issues.isEmpty && df.isDefined
       val (rows, cols) = df.map(d => (if (accepted) {
         Normalize.writeCanonicalCsv(d, dest)
@@ -63,7 +80,7 @@ object Pipeline {
     val manifest = results.toSeq.toDF()
     Manifest.writeJson(
       manifest.select($"file", $"dest", $"rows", $"cols", $"accepted"),
-      s"$outDir/manifest")
+      s"$session/manifest")
     manifest
   }
 }

@@ -24,10 +24,12 @@ import org.apache.spark.unsafe.types.UTF8String
 case class MisraGriesAgg(
     child: Expression, capacity: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[scala.collection.mutable.HashMap[String, Long]] {
+  extends TypedImperativeAggregate[scala.collection.mutable.HashMap[String, Long]]
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
   type Buf = scala.collection.mutable.HashMap[String, Long]
 
+  override def inputTypes = Seq(StringType)
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType =

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.types.IntegerType
 
@@ -37,8 +37,14 @@ case class GroupTopK(
 
 object GroupTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case GroupTopK(group, order, k, child, rankAttr) =>
+    case GroupTopK(group, order, k, child, rankAttr) if group.nonEmpty =>
       GroupTopKExec(group, order, k, rankAttr, planLater(child)) :: Nil
+    case GroupTopK(group, order, k, child, rankAttr) =>
+      // Global top-n (no PARTITION BY): a narrow partial pass caps each
+      // input partition at k rows, so the single-partition merge only
+      // ever shuffles partitions × k rows — never the full input.
+      GroupTopKExec(group, order, k, rankAttr,
+        GroupTopKExec(group, order, k, rankAttr, planLater(child), partial = true)) :: Nil
     case _ => Nil
   }
 }
@@ -48,18 +54,25 @@ case class GroupTopKExec(
     order: Seq[SortOrder],
     k: Int,
     rankAttr: Attribute,
-    child: SparkPlan)
+    child: SparkPlan,
+    partial: Boolean = false)
   extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def output: Seq[Attribute] =
+    if (partial) child.output else child.output :+ rankAttr
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
-    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr :: Nil)
+    if (partial) org.apache.spark.sql.catalyst.expressions.AttributeSet.empty
+    else org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr :: Nil)
 
   /** Co-locate each group on one task — the only shuffle this
-    * operator needs.
+    * operator needs. A `partial` pass runs narrow (any distribution);
+    * a global (group-less) final pass merges on a single task, fed
+    * only ≤ k rows per upstream partition by the partial pass.
     */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(group) :: Nil
+    if (partial) UnspecifiedDistribution :: Nil
+    else if (group.isEmpty) AllTuples :: Nil
+    else ClusteredDistribution(group) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val groupExprs = group
@@ -67,6 +80,7 @@ case class GroupTopKExec(
     val limit = k
     val childOutput = child.output
     val outputAttrs = output
+    val isPartial = partial
     child.execute().mapPartitions ({ it: Iterator[InternalRow] =>
       val keyProj = UnsafeProjection.create(groupExprs, childOutput)
       val rowOrd: Ordering[InternalRow] =
@@ -88,14 +102,20 @@ case class GroupTopKExec(
         heap.enqueue(row.asInstanceOf[UnsafeRow].copy())
         if (heap.size > limit) heap.dequeue()
       }
-      val resultProj = UnsafeProjection.create(outputAttrs, outputAttrs)
-      val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
-      val joined = new JoinedRow
-      heaps.iterator.flatMap { case (_, heap) =>
-        val bestFirst: Seq[UnsafeRow] = heap.dequeueAll.reverse
-        bestFirst.iterator.zipWithIndex.map { case (row, i) =>
-          rankRow.update(0, i + 1)
-          resultProj(joined(row, rankRow)): InternalRow
+      if (isPartial) {
+        // survivors only — rank is assigned by the final pass
+        heaps.iterator.flatMap { case (_, heap) => heap.dequeueAll.reverse.iterator }
+          .map(identity[InternalRow])
+      } else {
+        val resultProj = UnsafeProjection.create(outputAttrs, outputAttrs)
+        val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+        val joined = new JoinedRow
+        heaps.iterator.flatMap { case (_, heap) =>
+          val bestFirst: Seq[UnsafeRow] = heap.dequeueAll.reverse
+          bestFirst.iterator.zipWithIndex.map { case (row, i) =>
+            rankRow.update(0, i + 1)
+            resultProj(joined(row, rankRow)): InternalRow
+          }
         }
       }
     }, preservesPartitioning = true)

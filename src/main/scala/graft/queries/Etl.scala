@@ -32,6 +32,24 @@ object Etl {
   private val etlCsvRoundtripSql =
     "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
 
+  /** XLSX intake proof (reference pd.read_excel dtype=str,
+    * streamlit_app.py:172-174): emit `nation` as a real .xlsx (ZIP of
+    * XML, inline strings), re-ingest through the dependency-free StAX
+    * reader, cast back, and match the identity oracle.
+    */
+  def etlXlsxRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = s"/tmp/graft_xlsx/${dir.replaceAll("[^A-Za-z0-9]", "_")}/nation.xlsx"
+    graft.sources.Xlsx.writeTable(spark, Tables(spark, dir).nation, tmp)
+    graft.sources.Intake.read(spark, tmp)
+      .select($"n_nationkey".cast("int").as("n_nationkey"), $"n_name",
+        $"n_regionkey".cast("int").as("n_regionkey"))
+      .orderBy($"n_nationkey")
+  }
+
+  private val etlXlsxRoundtripSql =
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+
   /** ORC sink/source round-trip (Spark-native columnar alternative —
     * same identity oracle as the CSV path).
     */
@@ -184,6 +202,7 @@ object Etl {
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("etl_upsert", etlUpsert _, etlUpsertSql),
     QueryDef.sql("etl_csv_roundtrip", etlCsvRoundtrip _, etlCsvRoundtripSql),
+    QueryDef.sql("etl_xlsx_roundtrip", etlXlsxRoundtrip _, etlXlsxRoundtripSql),
     QueryDef.sql("etl_orc_roundtrip", etlOrcRoundtrip _, etlOrcRoundtripSql),
     QueryDef.sql("etl_json_roundtrip", etlJsonRoundtrip _, etlJsonRoundtripSql),
     QueryDef.sql("etl_validate_rows", etlValidateRows _, etlValidateRowsSql),

@@ -17,17 +17,3 @@ object Intake {
     else throw UnsupportedFormat(s"Unsupported file type: $path. Use CSV or XLSX.")
   }
 }
-
-/** XLSX source — STUB (SURVEY.md §2.1). No XLSX codec ships in this
-  * build (zero-egress sandbox, no POI); the format-registry plumbing
-  * is real and `Intake.read` dispatches here, but reading raises a
-  * typed error mirroring the reference's allow_xlsx=false path.
-  * A real implementation would register a `FileFormat`/DataSource V2
-  * that shreds sheets into row groups for parallel scan.
-  */
-object Xlsx {
-  def read(spark: SparkSession, path: String): DataFrame =
-    throw Intake.UnsupportedFormat(
-      s"XLSX decode unavailable in this build: $path — convert to CSV upstream " +
-        "or plug a DataSource V2 implementation (plumbing in place).")
-}

@@ -92,7 +92,35 @@ object SniffCsv {
     val charset = sniffCharset(bytes)
     val text = new String(bytes, charset).stripPrefix("﻿")
     val line = text.split("\r?\n").headOption.getOrElse("")
-    line.split(java.util.regex.Pattern.quote(sniffDelimiter(text).toString), -1)
+    splitQuoted(line, sniffDelimiter(text))
+  }
+
+  /** RFC-4180 single-line split: a quoted field may contain the
+    * delimiter (`"last, first"`), and a doubled quote inside a quoted
+    * field escapes one quote. A naive `split(delim)` mis-splits such
+    * headers into phantom blank/duplicate names.
+    */
+  private[graft] def splitQuoted(line: String, delim: Char): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQuote) {
+        if (c == '"') {
+          if (i + 1 < line.length && line.charAt(i + 1) == '"') { cur += '"'; i += 1 }
+          else inQuote = false
+        } else cur += c
+      } else {
+        if (c == '"' && cur.isEmpty) inQuote = true
+        else if (c == delim) { out += cur.toString; cur.clear() }
+        else cur += c
+      }
+      i += 1
+    }
+    out += cur.toString
+    out.toArray
   }
 
   /** Distributed all-string read with the sniffed dialect. */

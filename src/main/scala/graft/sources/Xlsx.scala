@@ -1,0 +1,329 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, InputStream, OutputStream}
+import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** XLSX source (SURVEY.md §2.1) — real, dependency-free implementation
+  * of the reference's `pd.read_excel(..., engine="openpyxl",
+  * dtype=str)` path (streamlit_app.py:172-174): an .xlsx file is a ZIP
+  * of XML parts, parsed here with the JDK's ZipInputStream + StAX
+  * (no POI, no new dependency).
+  *
+  * Mirrors the reference contract: first worksheet only, first row is
+  * the header, every value arrives as a string (numbers keep their
+  * stored lexical form; callers cast — schema-on-read like SniffCsv).
+  * Shared strings, inline strings, rich-text runs, sparse rows and
+  * out-of-order zip entries are all handled.
+  *
+  * Scale note: one .xlsx is not splittable (central-directory ZIP +
+  * row-major XML), and the intake size cap bounds it (reference
+  * max_file_mb, streamlit_app.py:150) — so a single file parses on the
+  * driver like the reference, while batch parallelism comes from
+  * `Pipeline.ingest`'s per-file distributed jobs; a directory input
+  * unions per-file parses.
+  */
+object Xlsx {
+
+  private val MainNs = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+
+  private def xmlFactory: XMLInputFactory = {
+    val f = XMLInputFactory.newInstance()
+    // never resolve external entities from untrusted uploads
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f
+  }
+
+  /** All relevant zip parts, buffered (entries may appear in any
+    * order; files are intake-size-capped).
+    */
+  private def zipParts(bytes: Array[Byte]): Map[String, Array[Byte]] = {
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+    val out = scala.collection.mutable.Map.empty[String, Array[Byte]]
+    var e: ZipEntry = zin.getNextEntry
+    while (e != null) {
+      val name = e.getName
+      if (name == "xl/workbook.xml" || name == "xl/_rels/workbook.xml.rels" ||
+          name == "xl/sharedStrings.xml" || name.startsWith("xl/worksheets/")) {
+        val bos = new ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = zin.read(buf)
+        while (n > 0) { bos.write(buf, 0, n); n = zin.read(buf) }
+        out(name) = bos.toByteArray
+      }
+      zin.closeEntry()
+      e = zin.getNextEntry
+    }
+    zin.close()
+    out.toMap
+  }
+
+  /** `<si>` entries; rich-text runs concatenate their `<t>` pieces. */
+  private[graft] def parseSharedStrings(in: InputStream): Vector[String] = {
+    val r = xmlFactory.createXMLStreamReader(in)
+    val out = Vector.newBuilder[String]
+    var cur: StringBuilder = null
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT if r.getLocalName == "si" =>
+          cur = new StringBuilder
+        case XMLStreamConstants.START_ELEMENT if r.getLocalName == "t" && cur != null =>
+          cur ++= r.getElementText
+        case XMLStreamConstants.END_ELEMENT if r.getLocalName == "si" =>
+          out += cur.toString; cur = null
+        case _ =>
+      }
+    }
+    r.close()
+    out.result()
+  }
+
+  /** "BC7" → 0-based column index 54. */
+  private[graft] def colIndex(ref: String): Int = {
+    var i = 0
+    var acc = 0
+    while (i < ref.length && ref.charAt(i).isLetter) {
+      acc = acc * 26 + (ref.charAt(i).toUpper - 'A' + 1)
+      i += 1
+    }
+    acc - 1
+  }
+
+  /** Stream `<sheetData>`: one Vector[String] per row, cells placed by
+    * their `r` reference (sparse rows keep their gaps as "").
+    */
+  private[graft] def parseSheet(in: InputStream, shared: Vector[String]): Vector[Vector[String]] = {
+    val r = xmlFactory.createXMLStreamReader(in)
+    val rows = Vector.newBuilder[Vector[String]]
+    var cells: scala.collection.mutable.ArrayBuffer[String] = null
+    var cellType: String = null
+    var cellCol = -1
+    var inlineStr: StringBuilder = null
+    var pending: String = null
+
+    def put(col: Int, v: String): Unit = {
+      while (cells.length <= col) cells += ""
+      cells(col) = v
+    }
+    def flushCell(): Unit = if (cellCol >= 0) {
+      val v =
+        if (inlineStr != null) inlineStr.toString
+        else if (pending == null) ""
+        else cellType match {
+          case "s" => shared.lift(pending.toInt).getOrElse("")
+          case "b" => if (pending == "1") "TRUE" else "FALSE"
+          case _ => pending // n / str / d keep the stored lexical form
+        }
+      put(cellCol, v)
+      cellCol = -1; cellType = null; inlineStr = null; pending = null
+    }
+
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "row" =>
+              cells = scala.collection.mutable.ArrayBuffer.empty[String]
+            case "c" if cells != null =>
+              flushCell()
+              val ref = r.getAttributeValue(null, "r")
+              cellCol = if (ref != null) colIndex(ref) else cells.length
+              cellType = r.getAttributeValue(null, "t")
+            case "v" if cellCol >= 0 =>
+              pending = r.getElementText
+            case "is" if cellCol >= 0 =>
+              inlineStr = new StringBuilder
+            case "t" if inlineStr != null =>
+              inlineStr ++= r.getElementText
+            case _ =>
+          }
+        case XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "row" =>
+              flushCell()
+              rows += cells.toVector
+              cells = null
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    r.close()
+    rows.result()
+  }
+
+  /** First worksheet part name by workbook sheet order (falls back to
+    * the lexicographically first `xl/worksheets/` entry).
+    */
+  private def firstSheetPart(parts: Map[String, Array[Byte]]): String = {
+    val viaWorkbook =
+      for {
+        wb <- parts.get("xl/workbook.xml")
+        rels <- parts.get("xl/_rels/workbook.xml.rels")
+        rid <- firstSheetRid(new ByteArrayInputStream(wb))
+        target <- relTarget(new ByteArrayInputStream(rels), rid)
+      } yield if (target.startsWith("/")) target.stripPrefix("/") else s"xl/$target"
+    viaWorkbook.filter(parts.contains).getOrElse(
+      parts.keys.filter(_.startsWith("xl/worksheets/")).toSeq.sorted.headOption
+        .getOrElse(sys.error("xlsx has no worksheet part")))
+  }
+
+  private def firstSheetRid(in: InputStream): Option[String] = {
+    val r = xmlFactory.createXMLStreamReader(in)
+    var rid: Option[String] = None
+    while (r.hasNext && rid.isEmpty) {
+      if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "sheet")
+        rid = Option(r.getAttributeValue(
+          "http://schemas.openxmlformats.org/officeDocument/2006/relationships", "id"))
+    }
+    r.close()
+    rid
+  }
+
+  private def relTarget(in: InputStream, rid: String): Option[String] = {
+    val r = xmlFactory.createXMLStreamReader(in)
+    var target: Option[String] = None
+    while (r.hasNext && target.isEmpty) {
+      if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "Relationship" &&
+          r.getAttributeValue(null, "Id") == rid)
+        target = Option(r.getAttributeValue(null, "Target"))
+    }
+    r.close()
+    target
+  }
+
+  /** header + data rows, padded/truncated to header width (pandas
+    * header=0 contract).
+    */
+  private[graft] def parse(bytes: Array[Byte]): (Vector[String], Vector[Vector[String]]) = {
+    val parts = zipParts(bytes)
+    val shared = parts.get("xl/sharedStrings.xml")
+      .map(b => parseSharedStrings(new ByteArrayInputStream(b)))
+      .getOrElse(Vector.empty)
+    val all = parseSheet(new ByteArrayInputStream(parts(firstSheetPart(parts))), shared)
+    if (all.isEmpty) (Vector.empty, Vector.empty)
+    else {
+      val header = all.head
+      val w = header.length
+      (header, all.tail.map(row => row.padTo(w, "").take(w)))
+    }
+  }
+
+  private def readFileBytes(spark: SparkSession, p: Path): Array[Byte] = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val len = fs.getFileStatus(p).getLen.toInt
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](len)
+      in.readFully(0, buf)
+      buf
+    } finally in.close()
+  }
+
+  /** All-string DataFrame from one .xlsx file or a directory of them
+    * (same header required across files, like a CSV directory).
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(s => s.isFile && s.getPath.getName.toLowerCase.endsWith(".xlsx"))
+          .map(_.getPath).sortBy(_.getName).toSeq
+      else Seq(p)
+    if (files.isEmpty) throw Intake.UnsupportedFormat(s"no .xlsx files under $path")
+    val parsed = files.map(f => parse(readFileBytes(spark, f)))
+    val header = parsed.head._1
+    val schema = StructType(header.map(StructField(_, StringType, nullable = true)))
+    val rows = parsed.flatMap(_._2).map(r => Row.fromSeq(r))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, rows.length / 50000 + 1)), schema)
+  }
+
+  // ---------------------------------------------------------------- writer
+
+  private def xmlEscape(s: String): String =
+    s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case '"' => "&quot;"
+      case c => c.toString
+    }
+
+  private def colName(idx: Int): String = {
+    var i = idx + 1
+    val sb = new StringBuilder
+    while (i > 0) {
+      val rem = (i - 1) % 26
+      sb.insert(0, ('A' + rem).toChar)
+      i = (i - 1) / 26
+    }
+    sb.toString
+  }
+
+  /** Minimal single-sheet xlsx with inlineStr cells — the intake-side
+    * fixture/export utility (drives the reader's spec + gate query);
+    * not a distributed sink (the format itself is single-file).
+    */
+  def write(header: Seq[String], rows: Seq[Seq[String]], out: OutputStream): Unit = {
+    val z = new ZipOutputStream(out)
+    def entry(name: String, content: String): Unit = {
+      z.putNextEntry(new ZipEntry(name))
+      z.write(content.getBytes("UTF-8"))
+      z.closeEntry()
+    }
+    entry("[Content_Types].xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+        |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+        |<Default Extension="xml" ContentType="application/xml"/>
+        |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+        |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+        |</Types>""".stripMargin)
+    entry("_rels/.rels",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+        |</Relationships>""".stripMargin)
+    entry("xl/workbook.xml",
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<workbook xmlns="$MainNs" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+         |<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>
+         |</workbook>""".stripMargin)
+    entry("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+        |</Relationships>""".stripMargin)
+    val sheet = new StringBuilder
+    sheet ++= s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n<worksheet xmlns="$MainNs"><sheetData>"""
+    (header +: rows.toSeq).zipWithIndex.foreach { case (row, ri) =>
+      sheet ++= s"""<row r="${ri + 1}">"""
+      row.zipWithIndex.foreach { case (v, ci) =>
+        if (v != null && v.nonEmpty)
+          sheet ++= s"""<c r="${colName(ci)}${ri + 1}" t="inlineStr"><is><t>${xmlEscape(v)}</t></is></c>"""
+      }
+      sheet ++= "</row>"
+    }
+    sheet ++= "</sheetData></worksheet>"
+    entry("xl/worksheets/sheet1.xml", sheet.toString)
+    z.finish()
+  }
+
+  /** Write to any Hadoop URI (collects — intake fixtures are
+    * size-capped by contract; see class note).
+    */
+  def writeTable(spark: SparkSession, df: DataFrame, path: String): Unit = {
+    val header = df.columns.toSeq
+    val rows = df.collect().toSeq.map(_.toSeq.map(v => if (v == null) "" else v.toString))
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try write(header, rows, out) finally out.close()
+  }
+}

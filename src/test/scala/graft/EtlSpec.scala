@@ -40,10 +40,13 @@ class EtlSpec extends GraftSuite {
     assert(df.columns.toSeq == Seq("h1", "h2"))
   }
 
-  test("Intake dispatches by extension; xlsx is a typed stub") {
+  test("Intake dispatches by extension; unknown formats are typed errors") {
     val p = writeTemp("a.csv", "x,y\n1,2\n".getBytes("UTF-8"))
     assert(Intake.read(spark, p).count() == 1)
-    intercept[Intake.UnsupportedFormat](Intake.read(spark, "/tmp/nope.xlsx"))
+    val bos = new java.io.ByteArrayOutputStream()
+    graft.sources.Xlsx.write(Seq("x", "y"), Seq(Seq("1", "2")), bos)
+    val x = writeTemp("a.xlsx", bos.toByteArray)
+    assert(Intake.read(spark, x).count() == 1)
     intercept[Intake.UnsupportedFormat](Intake.read(spark, "/tmp/nope.pdf"))
   }
 

@@ -4,7 +4,8 @@ import graft.etl.Pipeline
 import java.nio.file.Files
 
 /** End-to-end reference-workflow parity: mixed-quality upload batch →
-  * validated, normalized outputs + manifest.
+  * validated, normalized outputs + manifest under an isolated session
+  * prefix (reference `new_session_prefix`, streamlit_app.py:92-94).
   */
 class PipelineSpec extends GraftSuite {
   import spark.implicits._
@@ -18,9 +19,11 @@ class PipelineSpec extends GraftSuite {
     put("good_comma.csv", "a,b\n1,2\n3,4\n")
     put("good semi.csv", "x;y;z\n5;6;7\n")
     put("dup_headers.csv", "h,h\n1,2\n")
+    put("quoted header.csv", "\"last, first\",age\nsmith,1\n")
     put("sheet.xlsx", "not really xlsx")
 
-    val manifest = Pipeline.ingest(spark, in.getAbsolutePath, out)
+    val manifest = Pipeline.ingest(spark, in.getAbsolutePath, out,
+      sessionTs = Some("20260101_000000"), sessionId = Some("abcd1234"))
       .collect().map(r => r.getAs[String]("file") ->
         (r.getAs[Boolean]("accepted"), r.getAs[Long]("rows"), r.getAs[Seq[String]]("issues")))
       .toMap
@@ -29,13 +32,35 @@ class PipelineSpec extends GraftSuite {
     assert(manifest("good semi.csv")._1 && manifest("good semi.csv")._2 == 1)
     assert(!manifest("dup_headers.csv")._1 &&
       manifest("dup_headers.csv")._3.exists(_.contains("Duplicate")))
+    // quote-aware raw-header parsing: "last, first" is ONE header, not
+    // a blank/duplicate pair
+    assert(manifest("quoted header.csv")._1,
+      s"quoted header rejected: ${manifest("quoted header.csv")._3}")
     assert(!manifest("sheet.xlsx")._1)
 
-    // accepted files landed as canonical CSV under sanitized names
-    val back = spark.read.option("header", "true").csv(s"$out/good_comma")
+    // accepted files landed as canonical CSV under the session prefix
+    val session = s"$out/uploads/20260101_000000_abcd1234"
+    val back = spark.read.option("header", "true").csv(s"$session/good_comma")
     assert(back.count() == 2 && back.columns.toSeq == Seq("a", "b"))
-    assert(new java.io.File(s"$out/good_semi").exists())
-    // manifest written as JSON
-    assert(spark.read.json(s"$out/manifest").count() == 4)
+    assert(new java.io.File(s"$session/good_semi").exists())
+    // manifest written as JSON inside the session prefix
+    assert(spark.read.json(s"$session/manifest").count() == 5)
+  }
+
+  test("two ingest runs into the same outDir never collide") {
+    val in = Files.createTempDirectory("graft_in2").toFile
+    val out = Files.createTempDirectory("graft_out2").toString + "/session"
+    Files.write(new java.io.File(in, "t.csv").toPath, "a,b\n1,2\n".getBytes("UTF-8"))
+
+    Pipeline.ingest(spark, in.getAbsolutePath, out,
+      sessionTs = Some("20260101_000000"), sessionId = Some("aaaaaaaa"))
+    Pipeline.ingest(spark, in.getAbsolutePath, out,
+      sessionTs = Some("20260101_000000"), sessionId = Some("bbbbbbbb"))
+
+    val a = s"$out/uploads/20260101_000000_aaaaaaaa/t"
+    val b = s"$out/uploads/20260101_000000_bbbbbbbb/t"
+    assert(new java.io.File(a).exists() && new java.io.File(b).exists())
+    assert(spark.read.option("header", "true").csv(a).count() == 1)
+    assert(spark.read.option("header", "true").csv(b).count() == 1)
   }
 }

@@ -35,6 +35,26 @@ class RewriteTopKSpec extends GraftSuite {
     assert(got == expected)
   }
 
+  test("global top-n (no PARTITION BY) rewrites to partial+final GroupTopK") {
+    // regression: this shape used to crash at planning time with
+    // ClusteredDistribution(Nil) once GraftExtensions was injected
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"p_retailprice".desc, $"p_partkey")
+    val df = Tables(spark, sf0001).part
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GroupTopK"), s"global rewrite did not fire:\n$plan")
+    assert(!plan.contains("Window"), s"Window survived the global rewrite:\n$plan")
+    val got = df.select($"p_partkey", $"rn").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._2).toSeq
+    val expected = Tables(spark, sf0001).part
+      .select($"p_partkey", $"p_retailprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy(r => (-r._2, r._1)).take(5).zipWithIndex
+      .map { case ((pk, _), i) => (pk, i + 1) }.toSeq
+    assert(got == expected)
+  }
+
   test("non-matching shapes keep the Window plan (conservative rewrite)") {
     // rank() instead of row_number: must NOT rewrite
     val w = org.apache.spark.sql.expressions.Window
