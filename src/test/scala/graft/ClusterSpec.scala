@@ -19,4 +19,16 @@ class ClusterSpec extends GraftSuite {
     val got = ClusterDedup.connectedComponents(chain, maxIter = 3).collect()
     assert(got.nonEmpty) // bounded, returns possibly-unconverged labels
   }
+
+  test("50-node chain converges within the default budget (pointer jumping + checkpoint)") {
+    // worst-case diameter graph: plain min-propagation needs ~50
+    // rounds (> default maxIter); pointer jumping halves label depth
+    // per round, and periodic localCheckpoint keeps the plan shallow
+    val chain = (1L to 50L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("id_a", "id_b")
+    val got = ClusterDedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 50 && got.values.forall(_ == 1L),
+      s"unconverged labels: ${got.filter(_._2 != 1L).take(5)}")
+  }
 }

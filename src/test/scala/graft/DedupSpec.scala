@@ -50,6 +50,41 @@ class DedupSpec extends GraftSuite {
     assert(pairs.toSeq == Seq((1L, 2L, 0L)))
   }
 
+  test("LSH embedding pairs: precision 1.0, recall >= 0.95 vs the exact O(n^2) variant") {
+    val emb = Tables(spark, sf001).embeddings
+    val exact = Dedup.embeddingPairs(emb, "vec_id", "embedding", tau = 0.45)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingPairsLsh(emb, "vec_id", "embedding", tau = 0.45)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "exact-cosine verify must make precision 1.0")
+    assert(exact.nonEmpty && lsh.size.toDouble / exact.size >= 0.95,
+      s"recall ${lsh.size}/${exact.size}")
+  }
+
+  test("shingle DF cap prunes boilerplate candidates without losing real pairs") {
+    // 200 docs all sharing one hot boilerplate line, in 100 true
+    // near-dup pairs distinguished by their tails
+    val hot = "subscribe to our newsletter terms of service apply all rights reserved"
+    val docs = (0 until 200).map { i =>
+      val pairTag = i / 2 // docs 2k and 2k+1 are near-dups
+      (i.toLong, s"$hot unique tail $pairTag ${"filler " * 3}common run ${i % 2}")
+    }.toDF("doc_id", "text")
+    val sets = docs.select($"doc_id".as("id"),
+      array_sort(TextFns.shingles($"text", 3)).as("shs")).persist()
+    // uncapped: the hot shingles alone pair every doc with every other
+    val uncapped = Dedup.ngramCandidates(sets, maxShingleDf = Long.MaxValue).count()
+    val capped = Dedup.ngramCandidates(sets, maxShingleDf = 50).count()
+    assert(uncapped == 200L * 199 / 2, s"fixture should all-pair uncapped, got $uncapped")
+    assert(capped < uncapped / 10, s"cap failed to prune: $capped vs $uncapped")
+    // capped pipeline still finds every true near-dup pair exactly
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.6,
+        maxShingleDf = 50)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truePairs = (0 until 100).map(k => (2L * k, 2L * k + 1)).toSet
+    assert(truePairs.subsetOf(pairs), s"missing ${(truePairs -- pairs).take(5)}")
+    sets.unpersist()
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val rows = Dedup.embeddingPairs(Tables(spark, sf0001).embeddings,
       "vec_id", "embedding", tau = 0.45).collect()
