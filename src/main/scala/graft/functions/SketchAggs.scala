@@ -29,6 +29,23 @@ object SketchAggs {
     (MurmurHash3.bytesHash(bytes, 0x9747b28c).toLong << 32) |
       (MurmurHash3.bytesHash(bytes, 0x85ebca6b).toLong & 0xffffffffL)
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 bytes of the MD5 digest, big-endian. SimHash uses this
+    * instead of murmur so the signature is reproducible in ANY engine
+    * with an md5() function (the DuckDB oracle recomputes it bit for
+    * bit); MinHash keeps the cheaper murmur — its output is verified
+    * by exact-Jaccard, not by signature parity.
+    */
+  private[functions] def md5Hash64(bytes: Array[Byte]): Long = {
+    val md = md5Local.get()
+    md.reset()
+    java.nio.ByteBuffer.wrap(md.digest(bytes)).getLong
+  }
+
   private def longsToBytes(a: Array[Long]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(a.length * 8)
     a.foreach(bb.putLong)
@@ -118,7 +135,7 @@ object SketchAggs {
       val t = tok.eval(input)
       val w = weight.eval(input)
       if (t != null && w != null) {
-        val h = hash64(t.asInstanceOf[UTF8String].getBytes)
+        val h = md5Hash64(t.asInstanceOf[UTF8String].getBytes)
         val wv = w.asInstanceOf[Long]
         var b = 0
         while (b < 64) {

@@ -67,13 +67,47 @@ object DedupQ {
   }
 
   /** SimHash-64 near-dup pairs (Hamming <= 6) via 4×16-bit band
-    * blocking. Rows-only oracle; DedupSpec pins the signature
-    * determinism and fixture behavior.
+    * blocking. Fully deterministic — the token hash is the first 8
+    * bytes of md5, so the DuckDB oracle recomputes the whole
+    * signature (64 weighted bit votes), the band-blocking predicate
+    * AND the Hamming filter bit for bit.
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Dedup.simhashPairs(Tables(spark, dir).documents, "doc_id", "text", maxDist = 6)
       .orderBy($"id_a", $"id_b")
+  }
+
+  private val dedupSimhashSql: String = {
+    // one vote column per bit: sum of ±w by whether md5-bit b is set
+    val votes = (0 until 64).map(b =>
+      s"SUM(CASE WHEN (h64 >> $b) & 1 = 1 THEN w ELSE -w END) AS v$b").mkString(",\n    ")
+    // signed 64-bit assembly: bits 0..62 positive terms, bit 63 is the sign bit
+    val low = (0 until 63).map(b =>
+      s"(CASE WHEN v$b > 0 THEN CAST(1 AS BIGINT) ELSE 0 END << $b)").mkString(" +\n    ")
+    val bands = (0 until 4).map(b =>
+      s"((xor(a.simhash, b.simhash) >> ${b * 16}) & 65535) = 0").mkString(" OR ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS w FROM (
+       |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |    FROM documents)
+       |  GROUP BY doc_id, tok),
+       |h AS (SELECT doc_id, w, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h64 FROM tk),
+       |votes AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM h GROUP BY doc_id),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $low +
+       |    (CASE WHEN v63 > 0 THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END) AS simhash
+       |  FROM votes)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE ($bands)
+       |  AND bit_count(xor(a.simhash, b.simhash)) <= 6
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   /** Embedding-cosine near-dup pairs (>= 0.45 — sits in a measured
@@ -113,7 +147,7 @@ object DedupQ {
     QueryDef.sql("dedup_exact_norm", dedupExactNorm _, dedupExactNormSql),
     QueryDef.sql("dedup_ngram_jaccard", dedupNgramJaccard _, dedupNgramJaccardSql),
     QueryDef.rowsOnly("dedup_minhash_lsh", dedupMinhashLsh _),
-    QueryDef.rowsOnly("dedup_simhash", dedupSimhash _),
+    QueryDef.sql("dedup_simhash", dedupSimhash _, dedupSimhashSql),
     QueryDef.sql("dedup_embedding", dedupEmbedding _, dedupEmbeddingSql),
     QueryDef.rowsOnly("dedup_embedding_lsh", dedupEmbeddingLsh _))
 }

@@ -88,9 +88,12 @@ object Extra {
       |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin
 
   /** One-pass heavy-hitter vocabulary (Misra–Gries, capacity 200):
-    * approximate top tokens without shuffling the token stream —
-    * rows-only oracle; ApproxSpec asserts the exact top-10 is
-    * contained and ordered first.
+    * approximate top tokens without shuffling the token stream.
+    * Oracle-exact: when the distinct-token count stays within
+    * capacity, MG never decrements and its estimates ARE the exact
+    * counts (the classic guarantee) — true of this corpus at every
+    * SF, so DuckDB recomputes the same top-20; the approximate
+    * (over-capacity) regime is pinned separately in ApproxSpec.
     */
   def textHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -101,6 +104,11 @@ object Extra {
       .orderBy($"est_count".desc, $"token")
       .limit(20)
   }
+
+  private val textHeavyHittersSql =
+    """SELECT token, CAST(count(*) AS BIGINT) AS est_count
+      |FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents)
+      |GROUP BY token ORDER BY est_count DESC, token LIMIT 20""".stripMargin
 
   /** TPC-H Q10 shape: returned-items revenue per customer, top 20. */
   def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
@@ -264,7 +272,7 @@ object Extra {
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q_sql_correlated", qSqlCorrelated _, qSqlCorrelatedSql),
     QueryDef.rowsOnly("q_approx_quantile", qApproxQuantile _),
-    QueryDef.rowsOnly("text_heavy_hitters", textHeavyHitters _),
+    QueryDef.sql("text_heavy_hitters", textHeavyHitters _, textHeavyHittersSql),
     QueryDef.sql("q10_returned_items", q10ReturnedItems _, q10Sql),
     QueryDef.sql("q7_nation_volume", q7NationVolume _, q7Sql),
     QueryDef.sql("text_chunk", textChunk _, textChunkSql),

@@ -78,8 +78,8 @@ object SimilarityQ {
 
   /** Batched stub featurization over the binary column — plumbing is
     * real (schema/batching/partitioning), decode is the documented
-    * stub. Deterministic, but mapPartitions output is rows-only
-    * checked; MultimodalSpec pins the values.
+    * stub. The stub is md5-seeded, so the DuckDB oracle recomputes
+    * the fake features exactly (digest byte i / 255).
     */
   def mmFeaturize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -89,6 +89,12 @@ object SimilarityQ {
         round(element_at($"features", 8), 4).as("f7"))
       .orderBy($"doc_id")
   }
+
+  private val mmFeaturizeSql =
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  round(CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) / 255.0, 4) AS f0,
+      |  round(CAST(('0x' || substr(md5(text), 15, 2)) AS INTEGER) / 255.0, 4) AS f7
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Rolling (Rabin–Karp) content hash per document — order-sensitive
     * fingerprint complementing the token-sort one; DuckDB list_reduce
@@ -111,7 +117,8 @@ object SimilarityQ {
 
   /** Frame-sampling plumbing over "video"-shaped binary payloads:
     * byte-window slicing is real, the codec is the documented stub.
-    * Rows-only; MultimodalSpec pins the arithmetic.
+    * The window arithmetic is pure byte math, so the DuckDB oracle
+    * recomputes frame and sample counts exactly.
     */
   def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -121,6 +128,12 @@ object SimilarityQ {
       .select($"doc_id", $"n_frames", size($"sampled").cast("long").as("n_sampled"))
       .orderBy($"doc_id")
   }
+
+  private val mmFrameSampleSql =
+    """SELECT doc_id,
+      |  CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT) AS n_frames,
+      |  CAST(ceil(ceil(octet_length(encode(text)) / 32.0) / 4.0) AS BIGINT) AS n_sampled
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Tumbling 1-hour windows over the event stream — the identical
     * plan StreamingSpec drives through readStream+watermark; DuckDB
@@ -143,8 +156,8 @@ object SimilarityQ {
     QueryDef.rowsOnly("ann_lsh_topk", annLsh _),
     QueryDef.rowsOnly("ann_ivf_topk", annIvf _),
     QueryDef.sql("mm_binary_stats", mmBinaryStats _, mmBinaryStatsSql),
-    QueryDef.rowsOnly("mm_featurize", mmFeaturize _),
-    QueryDef.rowsOnly("mm_frame_sample", mmFrameSample _),
+    QueryDef.sql("mm_featurize", mmFeaturize _, mmFeaturizeSql),
+    QueryDef.sql("mm_frame_sample", mmFrameSample _, mmFrameSampleSql),
     QueryDef.sql("text_rolling_fp", textRollingFp _, textRollingFpSql),
     QueryDef.sql("stream_window_counts", streamWindowCounts _, streamWindowCountsSql))
 }
