@@ -19,7 +19,12 @@ object Bench {
     // codegen/JIT compilation that a long-lived 100 TB job amortizes
     // away; min-of-N reports the steady-state cost.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated subset for iterating on one operator
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         try {

@@ -37,9 +37,22 @@ object Pipeline {
   def ingest(spark: SparkSession, inDir: String, outDir: String,
              maxFileMb: Int = 50,
              sessionTs: Option[String] = None,
-             sessionId: Option[String] = None): DataFrame = {
+             sessionId: Option[String] = None): DataFrame =
+    ingestWith(spark, inDir, GraftConfig(Some(outDir), maxFileMb), sessionTs, sessionId)
+
+  /** Config-driven intake. OFFLINE mode (no sink configured) still
+    * runs every size/structural validation and returns the manifest —
+    * the reference's validate-even-when-S3-is-unavailable contract
+    * (load_cfg + offline ZIP, streamlit_app.py:37-50,333) — it just
+    * writes nothing; `allowXlsx=false` rejects .xlsx uploads with a
+    * typed issue like the reference's feature gate.
+    */
+  def ingestWith(spark: SparkSession, inDir: String, cfg: GraftConfig,
+                 sessionTs: Option[String] = None,
+                 sessionId: Option[String] = None): DataFrame = {
     import spark.implicits._
-    val session = sessionPrefix(outDir, sessionTs, sessionId)
+    val session = cfg.sinkUri.map(out => sessionPrefix(out, sessionTs, sessionId))
+    val maxFileMb = cfg.maxFileMb
     val inPath = new Path(inDir)
     val fs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(inPath).filter(_.isFile).map(_.getPath)
@@ -49,10 +62,13 @@ object Pipeline {
 
     val results = files.map { p =>
       val issues = scala.collection.mutable.ArrayBuffer.empty[String]
+      if (!cfg.allowXlsx && p.getName.toLowerCase.endsWith(".xlsx"))
+        issues += "XLSX uploads are disabled."
       if (!Validation.fileSizeOk(spark, p.toString, maxFileMb))
         issues += s"File exceeds max size ($maxFileMb MB)."
       val df =
-        try {
+        if (issues.nonEmpty) None
+        else try {
           val d = Intake.read(spark, p.toString)
           // raw header: Spark renames duplicate columns on read
           val headers =
@@ -68,19 +84,22 @@ object Pipeline {
           case e: Exception => issues += s"Failed to parse file: ${e.getMessage}"; None
         }
       val stem = p.getName.replaceFirst("\\.[^.]+$", "")
-      val dest = s"$session/${stem.replaceAll("[^A-Za-z0-9._-]", "_")}"
+      val dest = session.map(s => s"$s/${stem.replaceAll("[^A-Za-z0-9._-]", "_")}")
       val accepted = issues.isEmpty && df.isDefined
-      val (rows, cols) = df.map(d => (if (accepted) {
-        Normalize.writeCanonicalCsv(d, dest)
-        d.count()
-      } else d.count(), d.columns.length.toLong)).getOrElse((0L, 0L))
-      FileResult(p.getName, if (accepted) dest else "", rows, cols, issues.toSeq, accepted)
+      val (rows, cols) = df.map { d =>
+        if (accepted) dest.foreach(Normalize.writeCanonicalCsv(d, _))
+        (d.count(), d.columns.length.toLong)
+      }.getOrElse((0L, 0L))
+      FileResult(p.getName, if (accepted) dest.getOrElse("") else "",
+        rows, cols, issues.toSeq, accepted)
     }
 
     val manifest = results.toSeq.toDF()
-    Manifest.writeJson(
-      manifest.select($"file", $"dest", $"rows", $"cols", $"accepted"),
-      s"$session/manifest")
+    session.foreach { s =>
+      Manifest.writeJson(
+        manifest.select($"file", $"dest", $"rows", $"cols", $"accepted"),
+        s"$s/manifest")
+    }
     manifest
   }
 }

@@ -46,23 +46,40 @@ object Dedup {
   }
 
   /** Exact n-gram (word shingle) Jaccard pairs >= tau via inverted
-    * shingle index: candidates from a DF-capped shingle equi-join,
-    * then exact Jaccard on the full sorted shingle sets (codegen'd
-    * merge intersect). Exact — suitable as its own DuckDB oracle
-    * target.
+    * shingle index with the DF cap. The intersection count splits
+    * exactly in two: shared RARE shingles are counted directly inside
+    * the capped equi-join (scalar groupBy count — no arrays move),
+    * and shared HOT shingles come from per-doc hot-shingle sets,
+    * which are tiny by construction (only df>cap boilerplate ever
+    * enters them; at the default cap most corpora have none at all).
+    * inter = inter_rare + inter_hot is the true |A∩B| for every
+    * candidate pair, so the result is exact — suitable as its own
+    * DuckDB oracle target.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, tau: Double, maxShingleDf: Long = 10000): DataFrame = {
-    // persisted: consumed by candidate generation and both verify sides
-    val sets = df.select(col(idCol).as("id"),
-      array_sort(shingles(col(textCol), n)).as("shs")).persist()
-    ngramCandidates(sets, maxShingleDf)
-      .join(sets.select($("id").as("id_a"), $("shs").as("shs_a")), "id_a")
-      .join(sets.select($("id").as("id_b"), $("shs").as("shs_b")), "id_b")
+    import graft.functions.SortedIntersectSize
+    val sets = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("shs"))
+    // persisted: feeds the df-count, the self-join sides and the hot sets
+    val sh = sets.select($("id"), size($("shs")).as("sz"), explode($("shs")).as("sh"))
+      .persist()
+    val hot = sh.groupBy($("sh")).agg(count(lit(1)).as("df_"))
+      .filter($("df_") > maxShingleDf).select($("sh"))
+    val rare = sh.join(hot, Seq("sh"), "left_anti")
+    val interRare = rare.as("a").join(rare.as("b"), "sh")
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter_rare"),
+        first(col("a.sz")).as("sz_a"), first(col("b.sz")).as("sz_b"))
+    val hotPerDoc = sh.join(hot, Seq("sh")).groupBy($("id"))
+      .agg(sort_array(collect_set($("sh"))).as("hot_shs"))
+    interRare
+      .join(hotPerDoc.select($("id").as("id_a"), $("hot_shs").as("hot_a")), Seq("id_a"), "left")
+      .join(hotPerDoc.select($("id").as("id_b"), $("hot_shs").as("hot_b")), Seq("id_b"), "left")
       .withColumn("inter",
-        graft.functions.SortedIntersectSize($("shs_a"), $("shs_b")).cast("double"))
-      .withColumn("jaccard",
-        col("inter") / (size($("shs_a")) + size($("shs_b")) - col("inter")))
+        (col("inter_rare") + when(col("hot_a").isNull || col("hot_b").isNull, lit(0))
+          .otherwise(SortedIntersectSize(col("hot_a"), col("hot_b"))).cast("long")).cast("double"))
+      .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }

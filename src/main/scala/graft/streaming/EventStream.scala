@@ -28,29 +28,47 @@ object EventStream {
   final case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
 
   /** Stateful streaming sessionizer: closes a session when a new event
-    * arrives more than `gapUs` after the last one. State per key is a
-    * single open-session accumulator (O(1)); production would add a
-    * GroupStateTimeout to flush idle sessions.
+    * arrives more than `gapUs` after the last one, AND flushes idle
+    * sessions via an event-time timeout once the watermark passes
+    * `last + gap` — so a user who disappears still gets their open
+    * session emitted and their state removed (without the TTL, state
+    * for every idle key would accumulate forever at 100 TB). Streaming
+    * callers must set `withWatermark` on the event-time column before
+    * this; in batch mode timeouts are inert and the final open
+    * sessions simply stay in (dropped) state, same as before.
     */
   def sessionize(ds: Dataset[Ev], gapUs: Long): Dataset[SessionOut] = {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionAcc, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, events: Iterator[Ev], state: GroupState[SessionAcc]) =>
-          val sorted = events.toSeq.sortBy(e => (e.ts_us, e.event_id))
-          var acc = state.getOption.orNull
-          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          sorted.foreach { e =>
-            if (acc == null) acc = SessionAcc(e.ts_us, e.ts_us, 1)
-            else if (e.ts_us - acc.last_us > gapUs) {
-              closed += SessionOut(userId, acc.start_us, acc.last_us, acc.n)
-              acc = SessionAcc(e.ts_us, e.ts_us, 1)
-            } else acc = SessionAcc(acc.start_us, e.ts_us, acc.n + 1)
+          if (state.hasTimedOut) {
+            // idle past the gap: flush the open accumulator
+            val acc = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, acc.start_us, acc.last_us, acc.n))
+          } else {
+            val sorted = events.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            var acc = state.getOption.orNull
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            sorted.foreach { e =>
+              if (acc == null) acc = SessionAcc(e.ts_us, e.ts_us, 1)
+              else if (e.ts_us - acc.last_us > gapUs) {
+                closed += SessionOut(userId, acc.start_us, acc.last_us, acc.n)
+                acc = SessionAcc(e.ts_us, e.ts_us, 1)
+              } else acc = SessionAcc(acc.start_us, e.ts_us, acc.n + 1)
+            }
+            if (acc != null) {
+              state.update(acc)
+              // fire once the watermark passes the session gap; clamp
+              // above the current watermark so late keys can't throw
+              val target = acc.last_us / 1000 + gapUs / 1000
+              state.setTimeoutTimestamp(math.max(target, state.getCurrentWatermarkMs + 1))
+            }
+            closed.iterator
           }
-          if (acc != null) state.update(acc)
-          closed.iterator
       }
   }
 }

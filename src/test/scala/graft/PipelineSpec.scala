@@ -47,6 +47,43 @@ class PipelineSpec extends GraftSuite {
     assert(spark.read.json(s"$session/manifest").count() == 5)
   }
 
+  test("tolerant config: offline mode validates without writing; allowXlsx gates uploads") {
+    import graft.etl.GraftConfig
+    // missing / blank / malformed settings degrade, never throw
+    assert(GraftConfig.load(Map.empty) == GraftConfig(None, 50, allowXlsx = true))
+    assert(GraftConfig.load(Map(
+      GraftConfig.SinkKey -> "  ", GraftConfig.MaxFileMbKey -> "not-a-number",
+      GraftConfig.AllowXlsxKey -> "false")) == GraftConfig(None, 50, allowXlsx = false))
+
+    val in = Files.createTempDirectory("graft_in3").toFile
+    val out = Files.createTempDirectory("graft_out3").toString + "/never_created"
+    Files.write(new java.io.File(in, "good.csv").toPath, "a,b\n1,2\n".getBytes("UTF-8"))
+    Files.write(new java.io.File(in, "bad.csv").toPath, "h,h\n1,2\n".getBytes("UTF-8"))
+    val bos = new java.io.ByteArrayOutputStream()
+    graft.sources.Xlsx.write(Seq("x"), Seq(Seq("1")), bos)
+    Files.write(new java.io.File(in, "sheet.xlsx").toPath, bos.toByteArray)
+
+    // offline + xlsx disabled: full validation, zero writes
+    val manifest = Pipeline.ingestWith(spark, in.getAbsolutePath,
+      GraftConfig(sinkUri = None, allowXlsx = false))
+      .collect().map(r => r.getAs[String]("file") ->
+        (r.getAs[Boolean]("accepted"), r.getAs[String]("dest"), r.getAs[Seq[String]]("issues")))
+      .toMap
+    assert(manifest("good.csv")._1 && manifest("good.csv")._2 == "")
+    assert(!manifest("bad.csv")._1 && manifest("bad.csv")._3.exists(_.contains("Duplicate")))
+    assert(!manifest("sheet.xlsx")._1 &&
+      manifest("sheet.xlsx")._3.exists(_.contains("disabled")))
+    assert(!new java.io.File(out).exists(), "offline mode must not write anywhere")
+
+    // same batch with a sink configured: the xlsx is accepted again
+    val online = Pipeline.ingestWith(spark, in.getAbsolutePath,
+      GraftConfig(sinkUri = Some(out)),
+      sessionTs = Some("20260101_000000"), sessionId = Some("cafe0123"))
+      .collect().map(r => r.getAs[String]("file") -> r.getAs[Boolean]("accepted")).toMap
+    assert(online("good.csv") && online("sheet.xlsx") && !online("bad.csv"))
+    assert(new java.io.File(s"$out/uploads/20260101_000000_cafe0123/good").exists())
+  }
+
   test("two ingest runs into the same outDir never collide") {
     val in = Files.createTempDirectory("graft_in2").toFile
     val out = Files.createTempDirectory("graft_out2").toString + "/session"

@@ -60,19 +60,52 @@ class StreamingSpec extends GraftSuite {
   test("stateful sessionizer closes sessions across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStream.Ev]
-    val q = EventStream.sessionize(input.toDS(), gapUs = 1000L)
+    val watermarked = input.toDS()
+      .withColumn("ts", expr("timestamp_micros(ts_us)"))
+      .withWatermark("ts", "0 seconds")
+      .as[EventStream.Ev]
+    val q = EventStream.sessionize(watermarked, gapUs = 1000L)
       .writeStream.outputMode("append")
       .format("memory").queryName("sessions").start()
     try {
-      // batch 1: two events in one session, then a gap event
-      input.addData(EventStream.Ev(1L, 0L, 1L), EventStream.Ev(1L, 500L, 2L))
+      // batch 1: two events in one session, then a gap event (times
+      // sit above t=0 so the initial watermark can't drop them as late)
+      input.addData(EventStream.Ev(1L, 1_000_000L, 1L), EventStream.Ev(1L, 1_000_500L, 2L))
       q.processAllAvailable()
       assert(spark.table("sessions").count() == 0) // session still open
       // batch 2: event far after -> closes first session
-      input.addData(EventStream.Ev(1L, 10000L, 3L))
+      input.addData(EventStream.Ev(1L, 1_010_000L, 3L))
       q.processAllAvailable()
       val closed = spark.table("sessions").as[EventStream.SessionOut].collect()
-      assert(closed.toSeq == Seq(EventStream.SessionOut(1L, 0L, 500L, 2L)))
+      assert(closed.toSeq == Seq(EventStream.SessionOut(1L, 1_000_000L, 1_000_500L, 2L)))
+    } finally q.stop()
+  }
+
+  test("idle sessions flush via the event-time TTL without another event from that user") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.Ev]
+    val watermarked = input.toDS()
+      .withColumn("ts", expr("timestamp_micros(ts_us)"))
+      .withWatermark("ts", "0 seconds")
+      .as[EventStream.Ev]
+    val q = EventStream.sessionize(watermarked, gapUs = 1000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("idle_sessions").start()
+    try {
+      // user 1 opens a session, then goes silent forever
+      input.addData(EventStream.Ev(1L, 1_000_000L, 1L), EventStream.Ev(1L, 1_000_500L, 2L))
+      q.processAllAvailable()
+      assert(spark.table("idle_sessions").count() == 0)
+      // OTHER traffic advances the watermark far past user 1's gap
+      input.addData(EventStream.Ev(2L, 6_000_000L, 3L))
+      q.processAllAvailable()
+      // one more batch so the new watermark is applied to timeouts
+      input.addData(EventStream.Ev(2L, 7_000_000L, 4L))
+      q.processAllAvailable()
+      val flushed = spark.table("idle_sessions").as[EventStream.SessionOut].collect()
+        .filter(_.user_id == 1L)
+      assert(flushed.toSeq == Seq(EventStream.SessionOut(1L, 1_000_000L, 1_000_500L, 2L)),
+        s"idle session not flushed: ${flushed.toSeq}")
     } finally q.stop()
   }
 }
