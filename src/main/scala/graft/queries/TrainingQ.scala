@@ -1,0 +1,81 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFns
+import graft.operators.{SaltedJoin, Sample}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data assembly queries (SURVEY.md §2 extensions): mixture
+  * sampling, sequence packing, and the skew-safe join — each with an
+  * exact DuckDB oracle.
+  */
+object TrainingQ {
+
+  /** Deterministic mixture sampling over `documents` by source:
+    * different keep-rates per stratum, md5-content-addressed so the
+    * oracle reproduces the exact row set.
+    */
+  def etlStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Sample.stratified(Tables(spark, dir).documents, "doc_id", "source",
+        rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), defaultRate = 0.1)
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+
+  private val etlStratifiedSampleSql =
+    """SELECT doc_id, source FROM (
+      |  SELECT doc_id, source,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS bucket,
+      |    CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.25
+      |         ELSE 0.1 END AS rate
+      |  FROM documents)
+      |WHERE bucket < CAST(rate * 1000000.0 AS BIGINT)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Greedy per-source sequence packing into 512-token budgets —
+    * window running-sum, fully SQL-expressible.
+    */
+  def textPack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Sample.packByGroup(Tables(spark, dir).documents, "doc_id", "source",
+        TextFns.tokenCount($"text"), budget = 512)
+      .orderBy($"doc_id")
+  }
+
+  private val textPackSql =
+    """SELECT doc_id, source,
+      |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens,
+      |  CAST(floor(coalesce(SUM(len(string_split_regex(lower(trim(text)), '\s+')))
+      |    OVER (PARTITION BY source ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT) AS seq_id
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Skew-safe salted join, gated on result parity: events (user_id is
+    * the potentially-hot key) joined to customer through
+    * [[SaltedJoin.inner]], aggregated per segment — the oracle is the
+    * PLAIN join, which the salted plan must reproduce exactly.
+    */
+  def qSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    SaltedJoin.inner(
+        t.events.select($"user_id".as("c_custkey"), $"value"),
+        t.customer.select($"c_custkey", $"c_mktsegment"),
+        "c_custkey", saltFactor = 8)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
+      .orderBy($"c_mktsegment")
+  }
+
+  private val qSaltedJoinSql =
+    """SELECT c_mktsegment, count(*) AS n, round(sum(value), 4) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("etl_stratified_sample", etlStratifiedSample _, etlStratifiedSampleSql),
+    QueryDef.sql("text_pack", textPack _, textPackSql),
+    QueryDef.sql("q_salted_join", qSaltedJoin _, qSaltedJoinSql))
+}

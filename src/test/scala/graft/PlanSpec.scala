@@ -36,6 +36,20 @@ class PlanSpec extends GraftSuite {
       assert(p.contains(s"($c"), s"$c not pushed in:\n$p")
   }
 
+  test("LSH embedding near-dup plans with no quadratic operator") {
+    val p = plan(graft.operators.Dedup.embeddingPairsLsh(
+      Tables(spark, sf001).embeddings, "vec_id", "embedding", tau = 0.45))
+    assert(!p.contains("CartesianProduct"), s"cartesian product in LSH plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in LSH plan:\n$p")
+  }
+
+  test("capped shingle join plans with no quadratic operator") {
+    val p = plan(graft.operators.Dedup.ngramJaccardPairs(
+      Tables(spark, sf001).documents, "doc_id", "text", n = 3, tau = 0.6))
+    assert(!p.contains("CartesianProduct"), s"cartesian product in shingle plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in shingle plan:\n$p")
+  }
+
   test("approx distinct stays within 5% of exact") {
     import org.apache.spark.sql.functions._
     val approx = Relational.qApproxDistinct(spark, sf001).collect()
