@@ -39,6 +39,10 @@ object Bench {
           -1.0
         }
       }
+      // release this query's persisted intermediates AFTER all its
+      // iterations (iteration 2 deliberately measures the cache-hit
+      // steady state), so queries don't memory-pressure each other
+      spark.catalog.clearCache()
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{SketchAggs, SortedIntersectSize, VecDot, WordNgrams}
+import graft.functions.{HyperplaneBands, SketchAggs, SortedIntersectSize, VecDot, WordNgrams}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
@@ -44,6 +44,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => SortedIntersectSize(args(0), args(1))))
 
     ext.injectFunction((
+      new FunctionIdentifier("hyperplane_bands"),
+      new ExpressionInfo(classOf[HyperplaneBands].getName, "hyperplane_bands"),
+      (args: Seq[Expression]) => HyperplaneBands(args(0),
+        intArg(args(1), "bands"), intArg(args(2), "rowsPerBand"))))
+
+    ext.injectFunction((
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[SketchAggs.MinHashAgg].getName, "minhash_sig"),
       (args: Seq[Expression]) =>
@@ -70,6 +76,14 @@ object GraftExtensions {
       }), "built-in")
     reg.createOrReplaceTempFunction("sorted_intersect_size",
       args => SortedIntersectSize(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction("hyperplane_bands",
+      args => HyperplaneBands(args(0), args(1) match {
+        case Literal(v: Int, _) => v
+        case o => throw new IllegalArgumentException(s"bands must be a literal, got $o")
+      }, args(2) match {
+        case Literal(v: Int, _) => v
+        case o => throw new IllegalArgumentException(s"rowsPerBand must be a literal, got $o")
+      }), "built-in")
     reg.createOrReplaceTempFunction("minhash_sig",
       args => SketchAggs.MinHashAgg(args(0), args(1) match {
         case Literal(v: Int, _) => v

@@ -85,6 +85,27 @@ object ScaleProbe {
     val (tb, nb) = timeMinhash(base)
     val (t2, n2) = timeMinhash(docs2)
     println(f"minhash_pairs,base=$tb%.2f s ($nb pairs),x2docs=$t2%.2f s ($n2 pairs),time_factor=${t2 / tb}%.1f,pair_factor=${n2.toDouble / nb}%.1f")
+
+    // embedding near-dup under corpus growth: duplicate the vector set
+    // with shifted ids — every replica pair is an exact dup (cosine 1),
+    // so the true pair count grows by n (one per original) plus the
+    // doubled original pairs; what must NOT grow quadratically is the
+    // LSH candidate/scoring work relative to output
+    val emb2 = s"$out/emb2"
+    val e = t.embeddings
+    val maxVec = e.agg(max($"vec_id")).as[Long].head() + 1
+    e.unionByName(e.withColumn("vec_id", $"vec_id" + maxVec))
+      .write.mode("overwrite").parquet(s"$emb2/embeddings.parquet")
+    def timeEmbLsh(path: String): (Double, Long) = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val n = graft.operators.Dedup.embeddingPairsLsh(
+        spark.read.parquet(path), "vec_id", "embedding", 0.45).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val (eb, enb) = timeEmbLsh(s"$base/embeddings.parquet")
+    val (e2, en2) = timeEmbLsh(s"$emb2/embeddings.parquet")
+    println(f"embedding_lsh_pairs,base=$eb%.2f s ($enb pairs),x2vecs=$e2%.2f s ($en2 pairs),time_factor=${e2 / eb}%.1f")
     spark.stop()
   }
 }

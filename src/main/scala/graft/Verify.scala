@@ -24,6 +24,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release each operator's persisted sketch/index tables — a
+      // long-lived session would otherwise accumulate every query's
+      // cached blocks (the operators deliberately return lazy plans
+      // and cannot unpersist their own intermediates)
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

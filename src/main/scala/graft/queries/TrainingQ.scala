@@ -74,8 +74,53 @@ object TrainingQ {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** The whole training-corpus assembly as ONE composed Catalyst
+    * plan — exact dedup (keep min id per content hash) → quality
+    * floor (≥ 30 tokens) → deterministic mixture sampling → per-source
+    * sequence packing. Every stage is individually oracled elsewhere;
+    * this gate proves the COMPOSITION stays exact end to end (and
+    * that the optimizer handles the stacked windows/aggregations —
+    * one content-hash shuffle, one pack window per source, narrow
+    * everything else).
+    */
+  def pipelineCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    val survivors = docs.groupBy(md5($"text").as("__h"))
+      .agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    val kept = docs.join(survivors, "doc_id")
+      .withColumn("n_tokens", TextFns.tokenCount($"text"))
+      .filter($"n_tokens" >= 30)
+    val sampled = Sample.stratified(kept, "doc_id", "source",
+      rates = Map("src0" -> 1.0, "src1" -> 0.5), defaultRate = 0.8)
+    Sample.packByGroup(sampled, "doc_id", "source", $"n_tokens", budget = 512)
+      .orderBy($"doc_id")
+  }
+
+  private val pipelineCorpusSql =
+    """WITH survivors AS (
+      |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      |kept AS (
+      |  SELECT d.doc_id, d.source,
+      |    CAST(len(string_split_regex(lower(trim(d.text)), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents d JOIN survivors s ON d.doc_id = s.doc_id
+      |  WHERE len(string_split_regex(lower(trim(d.text)), '\s+')) >= 30),
+      |sampled AS (
+      |  SELECT doc_id, source, n_tokens FROM (
+      |    SELECT *,
+      |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS bucket,
+      |      CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5 ELSE 0.8 END AS rate
+      |    FROM kept)
+      |  WHERE bucket < CAST(rate * 1000000.0 AS BIGINT))
+      |SELECT doc_id, source, n_tokens,
+      |  CAST(floor(coalesce(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT) AS seq_id
+      |FROM sampled ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("etl_stratified_sample", etlStratifiedSample _, etlStratifiedSampleSql),
     QueryDef.sql("text_pack", textPack _, textPackSql),
-    QueryDef.sql("q_salted_join", qSaltedJoin _, qSaltedJoinSql))
+    QueryDef.sql("q_salted_join", qSaltedJoin _, qSaltedJoinSql),
+    QueryDef.sql("pipeline_corpus", pipelineCorpus _, pipelineCorpusSql))
 }

@@ -27,6 +27,11 @@ class ExtensionsSpec extends GraftSuite {
       "SELECT simhash64(t, 1) FROM (SELECT explode(array('x','y')) AS t)")
       .as[Long].head()
     assert(sh != 0L)
+
+    val bands = spark.sql(
+      "SELECT hyperplane_bands(array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT)), 4, 8) ")
+      .as[Seq[Long]].head()
+    assert(bands.length == 4 && bands.forall(b => b >= 0 && b < 256))
   }
 
   test("extensions class wires into a fresh session builder") {
