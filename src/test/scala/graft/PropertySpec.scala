@@ -68,6 +68,34 @@ class PropertySpec extends GraftSuite {
     }
   }
 
+  test("HyperplaneBands: deterministic, band-count/width contract, split-invariance") {
+    forAll(vecGen) { a =>
+      whenever(a.length >= 2) {
+        val df = Seq(Tuple1(a), Tuple1(a)).toDF("v")
+        val sigs = df.select(graft.functions.HyperplaneBands($"v", 6, 8))
+          .as[Seq[Long]].collect()
+        // same vector -> same signature, every band within 8 bits
+        assert(sigs(0) == sigs(1))
+        assert(sigs(0).length == 6 && sigs(0).forall(b => b >= 0 && b < 256))
+        // bands are independent slices: changing the probe count only
+        // truncates/extends, never reshuffles earlier bands
+        val fewer = df.select(graft.functions.HyperplaneBands($"v", 3, 8))
+          .as[Seq[Long]].head()
+        assert(sigs(0).take(3) == fewer)
+      }
+    }
+  }
+
+  test("splitQuoted parses RFC-4180 headers a naive split would break") {
+    import graft.sources.SniffCsv.splitQuoted
+    assert(splitQuoted("a,b,c", ',').toSeq == Seq("a", "b", "c"))
+    assert(splitQuoted("\"last, first\",age", ',').toSeq == Seq("last, first", "age"))
+    assert(splitQuoted("\"she said \"\"hi\"\"\",x", ',').toSeq == Seq("she said \"hi\"", "x"))
+    assert(splitQuoted("a;;c", ';').toSeq == Seq("a", "", "c"))
+    assert(splitQuoted("", ',').toSeq == Seq(""))
+    assert(splitQuoted("\"unterminated, field", ',').toSeq == Seq("unterminated, field"))
+  }
+
   test("native GroupTopK equals window top-k on arbitrary grouped data") {
     val rowsGen = Gen.listOfN(60,
       Gen.zip(Gen.oneOf("g1", "g2", "g3"), Gen.choose(0, 20)))

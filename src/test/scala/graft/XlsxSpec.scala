@@ -79,6 +79,28 @@ class XlsxSpec extends GraftSuite {
     assert(header == Vector("first"))
   }
 
+  test("degenerate sheets: header-only, fully empty, and cells without refs") {
+    // header-only: zero data rows, header intact
+    val headerOnly =
+      s"""<?xml version="1.0"?><worksheet xmlns="$ns"><sheetData>
+         |<row r="1"><c r="A1" t="inlineStr"><is><t>only</t></is></c></row>
+         |</sheetData></worksheet>""".stripMargin
+    val (h1, r1) = Xlsx.parse(zipOf("xl/worksheets/sheet1.xml" -> headerOnly))
+    assert(h1 == Vector("only") && r1.isEmpty)
+    // empty sheetData
+    val empty = s"""<?xml version="1.0"?><worksheet xmlns="$ns"><sheetData/></worksheet>"""
+    val (h2, r2) = Xlsx.parse(zipOf("xl/worksheets/sheet1.xml" -> empty))
+    assert(h2.isEmpty && r2.isEmpty)
+    // cells missing the r attribute place sequentially
+    val noRefs =
+      s"""<?xml version="1.0"?><worksheet xmlns="$ns"><sheetData>
+         |<row><c t="inlineStr"><is><t>a</t></is></c><c t="inlineStr"><is><t>b</t></is></c></row>
+         |<row><c><v>1</v></c><c><v>2</v></c></row>
+         |</sheetData></worksheet>""".stripMargin
+    val (h3, r3) = Xlsx.parse(zipOf("xl/worksheets/sheet1.xml" -> noRefs))
+    assert(h3 == Vector("a", "b") && r3 == Vector(Vector("1", "2")))
+  }
+
   test("colIndex handles multi-letter references") {
     assert(Xlsx.colIndex("A1") == 0)
     assert(Xlsx.colIndex("Z9") == 25)
