@@ -157,10 +157,117 @@ object Text {
       |SELECT bigram, count(*) AS n FROM bi
       |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
 
+  /** PII redaction (emails / phone fragments / IPv4) — the scrubbing
+    * pass every published-corpus pipeline runs. Pure codegen'd
+    * regexp_replace chain, so it scales with the scan. The corpus has
+    * no organic PII, so deterministic synthetic PII derived from
+    * doc_id is appended first — redaction then has real work on every
+    * row and the oracle rebuilds the identical input.
+    */
+  def textRedactPii(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val withPii = Tables(spark, dir).documents
+      .select($"doc_id", concat($"text",
+        lit(" contact user"), $"doc_id", lit("@example.com or 555-01"),
+        $"doc_id" % 100, lit(" at 10.0."), $"doc_id" % 256, lit(".7")).as("text"))
+    withPii.select($"doc_id",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace($"text",
+              lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit("<EMAIL>")),
+            lit("\\b\\d{3}-\\d{2,4}\\b"), lit("<PHONE>")),
+          lit("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"), lit("<IP>"))
+          .as("redacted"))
+      .orderBy($"doc_id")
+  }
+
+  private val textRedactPiiSql =
+    """SELECT doc_id,
+      |  regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(
+      |        text || ' contact user' || doc_id || '@example.com or 555-01' || (doc_id % 100)
+      |             || ' at 10.0.' || (doc_id % 256) || '.7',
+      |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\b\d{3}-\d{2,4}\b', '<PHONE>', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Benchmark decontamination: flag any document sharing a 13-gram
+    * with the benchmark set (here: every 20th doc) — the standard
+    * eval-leakage guard. Candidate generation is an equi-join of the
+    * corpus shingle stream against the (much smaller) benchmark
+    * shingle index — never all-pairs, so it scales like the dedup
+    * family.
+    */
+  def textDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    val sh = docs.select($"doc_id", explode(shingles($"text", 13)).as("sh"))
+    val bench = sh.filter($"doc_id" % 20 === 0)
+      .select($"sh", $"doc_id".as("bench_id"))
+    val hits = sh.join(bench, "sh")
+      .filter($"doc_id" =!= $"bench_id")
+      .select($"doc_id").distinct()
+      .withColumn("contaminated", lit(true))
+    docs.select($"doc_id").join(hits, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"contaminated", lit(false)).as("contaminated"))
+      .orderBy($"doc_id")
+  }
+
+  private val textDecontaminateSql = {
+    val gram13 = (0 until 13).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"""WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+       |sh AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 13
+       |         THEN list_distinct([$gram13 for i in range(1, len(t) - 11)])
+       |         ELSE [array_to_string(t, ' ')] END) AS sh FROM tok),
+       |hits AS (SELECT DISTINCT a.doc_id
+       |  FROM sh a JOIN sh b ON a.sh = b.sh
+       |  WHERE b.doc_id % 20 = 0 AND a.doc_id <> b.doc_id)
+       |SELECT d.doc_id, h.doc_id IS NOT NULL AS contaminated
+       |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Within-document repetition (the Gopher-style quality rule):
+    * fraction of duplicate 3-grams. Narrow projection — [[WordNgrams]]
+    * keeps duplicates, so total vs distinct counts give the ratio
+    * without any shuffle.
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = graft.functions.WordNgrams(toks($"text"), 3)
+    Tables(spark, dir).documents
+      .select($"doc_id",
+        size(grams).cast("long").as("n_ngrams"),
+        size(array_distinct(grams)).cast("long").as("n_distinct"))
+      .withColumn("dup_ratio",
+        round(lit(1.0) - $"n_distinct" / $"n_ngrams", 4))
+      .withColumn("repetitive", $"dup_ratio" > 0.2)
+      .orderBy($"doc_id")
+  }
+
+  private val textRepetitionSql = {
+    val gram3 = "t[i] || ' ' || t[i+1] || ' ' || t[i+2]"
+    s"""WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+       |g AS (SELECT doc_id, CASE WHEN len(t) >= 3
+       |        THEN [$gram3 for i in range(1, len(t) - 1)]
+       |        ELSE [array_to_string(t, ' ')] END AS grams FROM tok)
+       |SELECT doc_id,
+       |  CAST(len(grams) AS BIGINT) AS n_ngrams,
+       |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+       |  round(1.0 - len(list_distinct(grams)) * 1.0 / len(grams), 4) AS dup_ratio,
+       |  (1.0 - len(list_distinct(grams)) * 1.0 / len(grams)) > 0.2 AS repetitive
+       |FROM g ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("text_stats", textStats _, textStatsSql),
     QueryDef.sql("text_quality", textQuality _, textQualitySql),
     QueryDef.sql("text_langid", textLangid _, textLangidSql),
     QueryDef.sql("text_fingerprint", textFingerprint _, textFingerprintSql),
-    QueryDef.sql("text_ngrams", textNgrams _, textNgramsSql))
+    QueryDef.sql("text_ngrams", textNgrams _, textNgramsSql),
+    QueryDef.sql("text_redact_pii", textRedactPii _, textRedactPiiSql),
+    QueryDef.sql("text_decontaminate", textDecontaminate _, textDecontaminateSql),
+    QueryDef.sql("text_repetition", textRepetition _, textRepetitionSql))
 }

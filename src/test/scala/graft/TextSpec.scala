@@ -46,4 +46,46 @@ class TextSpec extends GraftSuite {
     val scores = Text.textQuality(spark, sf0001).select($"quality_score").as[Double].collect()
     assert(scores.nonEmpty && scores.forall(s => s >= 0.0 && s <= 1.0))
   }
+
+  test("repetition ratio flags loops and passes varied prose") {
+    val grams = graft.functions.WordNgrams(TextFns.toks($"text"), 3)
+    val df = Seq(
+      (1L, "buy now " * 30),                       // one 3-gram repeated
+      (2L, (1 to 60).map(i => s"tok$i").mkString(" "))) // all distinct
+      .toDF("doc_id", "text")
+      .select($"doc_id", size(grams).cast("long").as("n"),
+        size(array_distinct(grams)).cast("long").as("d"))
+      .withColumn("dup_ratio", lit(1.0) - $"d" / $"n")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(df(1L) > 0.9, s"loop not flagged: ${df(1L)}")
+    assert(df(2L) == 0.0, s"varied prose flagged: ${df(2L)}")
+  }
+
+  test("PII redaction scrubs emails, phones and IPs but not prose") {
+    val redact = (c: org.apache.spark.sql.Column) =>
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(c,
+            lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit("<EMAIL>")),
+          lit("\\b\\d{3}-\\d{2,4}\\b"), lit("<PHONE>")),
+        lit("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"), lit("<IP>"))
+    val out = Seq("mail bob.smith+x@corp.co.uk now 555-0199 from 192.168.1.1 ok plain 12 text")
+      .toDF("text").select(redact($"text")).as[String].head()
+    assert(out == "mail <EMAIL> now <PHONE> from <IP> ok plain 12 text", out)
+  }
+
+  test("decontamination flags exact benchmark copies and nothing else") {
+    val bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val df = Seq(
+      (0L, bench),                                    // benchmark member (id % 20 == 0)
+      (1L, bench),                                    // full copy -> contaminated
+      (2L, "totally unrelated words that share no thirteen gram with anything here at all"))
+      .toDF("doc_id", "text")
+    val sh = df.select($"doc_id",
+      explode(TextFns.shingles($"text", 13)).as("sh"))
+    val benchSh = sh.filter($"doc_id" % 20 === 0).select($"sh", $"doc_id".as("b"))
+    val flagged = sh.join(benchSh, "sh").filter($"doc_id" =!= $"b")
+      .select($"doc_id").distinct().as[Long].collect().toSet
+    assert(flagged == Set(1L))
+  }
 }
