@@ -50,6 +50,17 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in shingle plan:\n$p")
   }
 
+  test("composed corpus pipeline keeps exchanges bounded (no quadratic operator)") {
+    val p = plan(graft.queries.TrainingQ.pipelineCorpus(spark, sf001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"quadratic operator in pipeline plan:\n$p")
+    // dedup shuffle + survivor join + pack window: the exchange count
+    // must stay small and constant, independent of data size
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length +
+      "Exchange rangepartitioning".r.findAllIn(p).length
+    assert(exchanges <= 6, s"unexpected exchange growth ($exchanges):\n$p")
+  }
+
   test("approx distinct stays within 5% of exact") {
     import org.apache.spark.sql.functions._
     val approx = Relational.qApproxDistinct(spark, sf001).collect()
