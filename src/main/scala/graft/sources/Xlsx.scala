@@ -38,12 +38,20 @@ object Xlsx {
     f
   }
 
+  /** Decompressed-size ceiling across the parts we read: the intake
+    * cap bounds the COMPRESSED upload, but XML compresses ~100:1, so
+    * a crafted archive (zip bomb) could still exhaust driver memory
+    * without this guard.
+    */
+  private val MaxInflatedBytes = 256L * 1024 * 1024
+
   /** All relevant zip parts, buffered (entries may appear in any
     * order; files are intake-size-capped).
     */
   private def zipParts(bytes: Array[Byte]): Map[String, Array[Byte]] = {
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     val out = scala.collection.mutable.Map.empty[String, Array[Byte]]
+    var inflated = 0L
     var e: ZipEntry = zin.getNextEntry
     while (e != null) {
       val name = e.getName
@@ -52,7 +60,14 @@ object Xlsx {
         val bos = new ByteArrayOutputStream()
         val buf = new Array[Byte](8192)
         var n = zin.read(buf)
-        while (n > 0) { bos.write(buf, 0, n); n = zin.read(buf) }
+        while (n > 0) {
+          inflated += n
+          if (inflated > MaxInflatedBytes)
+            throw Intake.UnsupportedFormat(
+              s"xlsx inflates past ${MaxInflatedBytes >> 20} MB — refusing (zip bomb guard)")
+          bos.write(buf, 0, n)
+          n = zin.read(buf)
+        }
         out(name) = bos.toByteArray
       }
       zin.closeEntry()
@@ -239,7 +254,10 @@ object Xlsx {
     val parsed = files.map(f => parse(readFileBytes(spark, f)))
     val header = parsed.head._1
     val schema = StructType(header.map(StructField(_, StringType, nullable = true)))
-    val rows = parsed.flatMap(_._2).map(r => Row.fromSeq(r))
+    // later files conform to the first file's width (CSV-directory
+    // semantics) — a wider/narrower sheet must not crash the encoder
+    val w = header.length
+    val rows = parsed.flatMap(_._2).map(r => Row.fromSeq(r.padTo(w, "").take(w)))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, math.max(1, rows.length / 50000 + 1)), schema)
   }
