@@ -18,11 +18,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def intArg(e: Expression, name: String): Int = e match {
-    case Literal(v: Int, _) => v
-    case other => throw new IllegalArgumentException(
-      s"$name must be an integer literal, got $other")
-  }
+  import GraftExtensions.intArg
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.GroupTopKStrategy)
@@ -64,31 +60,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
   /** Imperative registration for an existing session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg: FunctionRegistry = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("vec_dot",
       args => VecDot(args(0), args(1)), "built-in")
     reg.createOrReplaceTempFunction("word_ngrams",
-      args => WordNgrams(args(0), args(1) match {
-        case Literal(v: Int, _) => v
-        case o => throw new IllegalArgumentException(s"n must be a literal, got $o")
-      }), "built-in")
+      args => WordNgrams(args(0), intArg(args(1), "n")), "built-in")
     reg.createOrReplaceTempFunction("sorted_intersect_size",
       args => SortedIntersectSize(args(0), args(1)), "built-in")
     reg.createOrReplaceTempFunction("hyperplane_bands",
-      args => HyperplaneBands(args(0), args(1) match {
-        case Literal(v: Int, _) => v
-        case o => throw new IllegalArgumentException(s"bands must be a literal, got $o")
-      }, args(2) match {
-        case Literal(v: Int, _) => v
-        case o => throw new IllegalArgumentException(s"rowsPerBand must be a literal, got $o")
-      }), "built-in")
+      args => HyperplaneBands(args(0),
+        intArg(args(1), "bands"), intArg(args(2), "rowsPerBand")), "built-in")
     reg.createOrReplaceTempFunction("minhash_sig",
-      args => SketchAggs.MinHashAgg(args(0), args(1) match {
-        case Literal(v: Int, _) => v
-        case o => throw new IllegalArgumentException(s"perms must be a literal, got $o")
-      }).toAggregateExpression(), "built-in")
+      args => SketchAggs.MinHashAgg(args(0), intArg(args(1), "perms"))
+        .toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       args => SketchAggs.SimHashAgg(args(0), args(1)).toAggregateExpression(), "built-in")
   }

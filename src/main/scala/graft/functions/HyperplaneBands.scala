@@ -75,23 +75,37 @@ object HyperplaneBands {
     ((h >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
   }
 
+  /** Weights depend only on (plane, coordinate) — constants across
+    * every row — so derive the matrix once per (planes, dim) shape
+    * instead of re-hashing planes × dim times per vector (that
+    * re-derivation was ~half the hot-loop cost).
+    */
+  private val weightCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  private def weights(planes: Int, dim: Int): Array[Array[Double]] =
+    weightCache.computeIfAbsent((planes, dim), { key =>
+      Array.tabulate(key._1, key._2)((p, j) => weight(p, j))
+    })
+
   /** Called from both interpreted eval and generated code (one
     * implementation, still inside the codegen span).
     */
   def compute(v: ArrayData, bands: Int, rowsPerBand: Int, isFloat: Boolean): ArrayData = {
     val dim = v.numElements()
+    val w = weights(bands * rowsPerBand, dim)
     val out = new Array[Long](bands)
     var t = 0
     while (t < bands) {
       var sig = 0L
       var r = 0
       while (r < rowsPerBand) {
-        val p = t * rowsPerBand + r
+        val wp = w(t * rowsPerBand + r)
         var s = 0.0
         var j = 0
         while (j < dim) {
           val x = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
-          s += x * weight(p, j)
+          s += x * wp(j)
           j += 1
         }
         if (s > 0) sig |= (1L << r)

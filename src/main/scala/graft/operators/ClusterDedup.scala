@@ -34,6 +34,7 @@ object ClusterDedup {
       .persist()
     var iter = 0
     var converged = false
+    var labelsCheckpointed = false
     while (!converged && iter < maxIter) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "v2"), col("v") === col("v2"))
@@ -48,13 +49,18 @@ object ClusterDedup {
           col("x.lbl") === col("y.p_id"), "left")
         .select(col("x.id").as("id"),
           least(col("x.lbl"), coalesce(col("p_lbl"), col("x.lbl"))).as("lbl"))
+      val checkpointThisRound = iter % 3 == 2
       val next =
-        if (iter % 3 == 2) jumped.localCheckpoint()
+        if (checkpointThisRound) jumped.localCheckpoint()
         else jumped.persist()
       val changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
         .filter(col("lbl") =!= col("old")).limit(1).count()
-      labels.unpersist()
+      // a checkpointed generation's blocks ARE its lineage — explicit
+      // unpersist would delete them while later rounds still depend on
+      // them for recovery; leave those to the ContextCleaner
+      if (!labelsCheckpointed) labels.unpersist()
       labels = next
+      labelsCheckpointed = checkpointThisRound
       converged = changed == 0
       iter += 1
     }

@@ -29,9 +29,17 @@ object Dedup {
     * the cap drops shingles with df > maxShingleDf from candidate
     * GENERATION only (verification still scores full shingle sets,
     * so any pair sharing at least one sub-cap shingle stays exact).
-    * A pair ALL of whose shared shingles are boilerplate-hot cannot
-    * reach a high Jaccard against full documents; the recall effect
-    * is measured in DedupSpec's skew fixture.
+    * The cap's one recall gap: a pair whose EVERY shared shingle is
+    * hot generates no candidate — this includes giant clusters of
+    * near-identical templated docs whose shingles all cross the cap
+    * together. Those clusters are exactly what [[exact]] /
+    * [[exact_norm]] dedup catches for one shuffle, and MinHash+LSH
+    * (whose banding keys don't have this failure mode) covers the
+    * near-identical remainder — tune `maxShingleDf` above the largest
+    * expected duplicate-cluster size when this operator must catch
+    * them alone. At the gate corpora's scale no shingle approaches
+    * the default cap, so the all-pairs DuckDB oracle matches exactly;
+    * the recall effect is measured in DedupSpec's skew fixture.
     */
   private[graft] def ngramCandidates(sets: DataFrame, maxShingleDf: Long): DataFrame = {
     val sh = sets.select($("id"), explode($("shs")).as("sh"))

@@ -27,10 +27,16 @@ object Sample {
     */
   def stratified(df: DataFrame, idCol: String, strataCol: String,
                  rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
-    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
-      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    // thresholds become exact integers BEFORE they reach either
+    // engine: rate*1e6 in floating point lands below the integer for
+    // rates like 0.3 (299999.99…), and Spark's cast truncates while
+    // SQL CAST rounds — pre-rounding in one place removes the
+    // cross-engine divergence class entirely
+    def threshold(r: Double): Long = math.round(r * 1000000.0)
+    val cutoff = rates.foldLeft(lit(threshold(defaultRate))) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(threshold(v))).otherwise(acc)
     }
-    df.filter(md5Bucket(col(idCol)) < (rate * 1000000.0).cast("long"))
+    df.filter(md5Bucket(col(idCol)) < cutoff)
   }
 
   /** Greedy contiguous sequence packing: within each `groupCol`

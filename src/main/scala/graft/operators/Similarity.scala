@@ -17,11 +17,16 @@ object Similarity {
 
   /** Exact cosine top-k for each query vector (self excluded).
     *
-    * Queries broadcast, scoring is map-side; the TopK call plans
-    * through the native GroupTopK tier, whose partial pass keeps a
-    * bounded heap per (scan partition, query) — so only
+    * Queries broadcast, scoring is map-side. Under the library's
+    * session contract (GraftSession / `withExtensions(new
+    * GraftExtensions)` — how Verify, Bench and every spec run), the
+    * TopK call rewrites to the native GroupTopK tier, whose partial
+    * pass keeps a bounded heap per (scan partition, query) — so only
     * partitions × queries × k candidate rows shuffle for the final
-    * merge; the full N×Q scored set never moves.
+    * merge and the full N×Q scored set never moves. On a session
+    * WITHOUT the extensions it degrades to the window plan, which
+    * shuffles the full scored set — attach the extensions for ANN at
+    * scale.
     */
   def bruteForceTopK(vectors: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {

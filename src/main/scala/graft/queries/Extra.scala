@@ -91,15 +91,18 @@ object Extra {
     * approximate top tokens without shuffling the token stream.
     * Oracle-exact: when the distinct-token count stays within
     * capacity, MG never decrements and its estimates ARE the exact
-    * counts (the classic guarantee) — true of this corpus at every
-    * SF, so DuckDB recomputes the same top-20; the approximate
+    * counts (the classic guarantee). The gate uses capacity 10000 —
+    * a 300× margin over this corpus's fixed 31-token vocabulary (MG
+    * memory is bounded by min(capacity, observed vocab), so the
+    * summary stays tiny) — ensuring the exact-regime precondition
+    * can't silently erode at a larger SF; the approximate
     * (over-capacity) regime is pinned separately in ApproxSpec.
     */
   def textHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables(spark, dir).documents
       .select(explode(graft.functions.TextFns.toks($"text")).as("token"))
-      .agg(graft.functions.MisraGriesAgg.heavyHitters($"token", 200).as("hh"))
+      .agg(graft.functions.MisraGriesAgg.heavyHitters($"token", 10000).as("hh"))
       .select(explode($"hh").as(Seq("token", "est_count")))
       .orderBy($"est_count".desc, $"token")
       .limit(20)

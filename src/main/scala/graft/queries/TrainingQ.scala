@@ -28,10 +28,10 @@ object TrainingQ {
     """SELECT doc_id, source FROM (
       |  SELECT doc_id, source,
       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS bucket,
-      |    CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.25
-      |         ELSE 0.1 END AS rate
+      |    CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 500000 WHEN 'src2' THEN 250000
+      |         ELSE 100000 END AS cutoff
       |  FROM documents)
-      |WHERE bucket < CAST(rate * 1000000.0 AS BIGINT)
+      |WHERE bucket < cutoff
       |ORDER BY doc_id""".stripMargin
 
   /** Greedy per-source sequence packing into 512-token budgets —
@@ -110,9 +110,9 @@ object TrainingQ {
       |  SELECT doc_id, source, n_tokens FROM (
       |    SELECT *,
       |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS bucket,
-      |      CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5 ELSE 0.8 END AS rate
+      |      CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 500000 ELSE 800000 END AS cutoff
       |    FROM kept)
-      |  WHERE bucket < CAST(rate * 1000000.0 AS BIGINT))
+      |  WHERE bucket < cutoff)
       |SELECT doc_id, source, n_tokens,
       |  CAST(floor(coalesce(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT) AS seq_id

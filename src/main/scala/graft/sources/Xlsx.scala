@@ -97,12 +97,20 @@ object Xlsx {
     out.result()
   }
 
-  /** "BC7" → 0-based column index 54. */
+  /** Excel's own column ceiling (XFD). A crafted ref like "ZZZZZZ1"
+    * would otherwise make the sparse-row padder allocate a ~26⁶-slot
+    * buffer per row — bypassing the inflation guard entirely.
+    */
+  private val MaxCols = 16384
+
+  /** "BC7" → 0-based column index 54; refs beyond XFD are rejected. */
   private[graft] def colIndex(ref: String): Int = {
     var i = 0
     var acc = 0
     while (i < ref.length && ref.charAt(i).isLetter) {
       acc = acc * 26 + (ref.charAt(i).toUpper - 'A' + 1)
+      if (acc > MaxCols)
+        throw Intake.UnsupportedFormat(s"cell reference $ref exceeds the $MaxCols-column limit")
       i += 1
     }
     acc - 1
@@ -253,9 +261,14 @@ object Xlsx {
     if (files.isEmpty) throw Intake.UnsupportedFormat(s"no .xlsx files under $path")
     val parsed = files.map(f => parse(readFileBytes(spark, f)))
     val header = parsed.head._1
+    // CSV-directory semantics require ONE header — silently mapping a
+    // reordered sheet's columns by position would corrupt data
+    parsed.zip(files).drop(1).foreach { case ((h, _), f) =>
+      if (h != header)
+        throw Intake.UnsupportedFormat(
+          s"$f header ${h.mkString(",")} differs from ${files.head}'s ${header.mkString(",")}")
+    }
     val schema = StructType(header.map(StructField(_, StringType, nullable = true)))
-    // later files conform to the first file's width (CSV-directory
-    // semantics) — a wider/narrower sheet must not crash the encoder
     val w = header.length
     val rows = parsed.flatMap(_._2).map(r => Row.fromSeq(r.padTo(w, "").take(w)))
     spark.createDataFrame(

@@ -63,9 +63,17 @@ object EventStream {
             if (acc != null) {
               state.update(acc)
               // fire once the watermark passes the session gap; clamp
-              // above the current watermark so late keys can't throw
-              val target = acc.last_us / 1000 + gapUs / 1000
-              state.setTimeoutTimestamp(math.max(target, state.getCurrentWatermarkMs + 1))
+              // above the current watermark so late keys can't throw.
+              // Batch mode strips the watermark node entirely and
+              // getCurrentWatermarkMs throws — timeouts are inert
+              // there, so skip scheduling one.
+              val watermark =
+                try Some(state.getCurrentWatermarkMs)
+                catch { case _: UnsupportedOperationException => None }
+              watermark.foreach { wm =>
+                val target = acc.last_us / 1000 + gapUs / 1000
+                state.setTimeoutTimestamp(math.max(target, wm + 1))
+              }
             }
             closed.iterator
           }

@@ -81,6 +81,17 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("sessionize still runs in BATCH mode (timeouts inert, no watermark to read)") {
+    // regression: the TTL change must not crash non-streaming callers —
+    // getCurrentWatermarkMs throws in batch because the watermark node
+    // is eliminated there
+    val batch = Seq(
+      EventStream.Ev(1L, 1_000_000L, 1L), EventStream.Ev(1L, 1_000_500L, 2L),
+      EventStream.Ev(1L, 1_010_000L, 3L)).toDS()
+    val closed = EventStream.sessionize(batch, gapUs = 1000L).collect()
+    assert(closed.toSeq == Seq(EventStream.SessionOut(1L, 1_000_000L, 1_000_500L, 2L)))
+  }
+
   test("idle sessions flush via the event-time TTL without another event from that user") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStream.Ev]

@@ -101,11 +101,26 @@ class XlsxSpec extends GraftSuite {
     assert(h3 == Vector("a", "b") && r3 == Vector(Vector("1", "2")))
   }
 
-  test("colIndex handles multi-letter references") {
+  test("colIndex handles multi-letter references and rejects absurd ones") {
     assert(Xlsx.colIndex("A1") == 0)
     assert(Xlsx.colIndex("Z9") == 25)
     assert(Xlsx.colIndex("AA3") == 26)
     assert(Xlsx.colIndex("BC7") == 54)
+    assert(Xlsx.colIndex("XFD1") == 16383) // Excel's last column
+    // a crafted ref must not allocate a quarter-billion-slot row
+    intercept[graft.sources.Intake.UnsupportedFormat](Xlsx.colIndex("ZZZZZZ1"))
+  }
+
+  test("directory reads reject mismatched headers instead of misaligning columns") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_mix").toFile
+    def put(name: String, header: Seq[String]): Unit = {
+      val out = new java.io.FileOutputStream(new java.io.File(dir, name))
+      Xlsx.write(header, Seq(Seq("1", "2")), out); out.close()
+    }
+    put("a.xlsx", Seq("x", "y"))
+    put("b.xlsx", Seq("y", "x")) // same width, reordered -> positional mapping would corrupt
+    intercept[graft.sources.Intake.UnsupportedFormat](
+      Xlsx.read(spark, dir.getAbsolutePath))
   }
 
   test("read() produces an all-string DataFrame via Intake dispatch") {
