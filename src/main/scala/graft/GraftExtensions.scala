@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{HyperplaneBands, SketchAggs, SortedIntersectSize, VecDot, WordNgrams}
+import graft.functions.{HyperplaneBands, RollingHash, SketchAggs, SortedIntersectSize, VecDot, WordNgrams}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
@@ -40,6 +40,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => SortedIntersectSize(args(0), args(1))))
 
     ext.injectFunction((
+      new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (args: Seq[Expression]) => RollingHash(args(0))))
+
+    ext.injectFunction((
       new FunctionIdentifier("hyperplane_bands"),
       new ExpressionInfo(classOf[HyperplaneBands].getName, "hyperplane_bands"),
       (args: Seq[Expression]) => HyperplaneBands(args(0),
@@ -76,6 +81,8 @@ object GraftExtensions {
       args => WordNgrams(args(0), intArg(args(1), "n")), "built-in")
     reg.createOrReplaceTempFunction("sorted_intersect_size",
       args => SortedIntersectSize(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction("rolling_hash",
+      args => RollingHash(args(0)), "built-in")
     reg.createOrReplaceTempFunction("hyperplane_bands",
       args => HyperplaneBands(args(0),
         intArg(args(1), "bands"), intArg(args(2), "rowsPerBand")), "built-in")

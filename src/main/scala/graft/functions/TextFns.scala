@@ -46,18 +46,12 @@ object TextFns {
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), "\\s+", " "))
 
   /** Rabin–Karp-style polynomial rolling hash of the whole document
-    * (base 257 mod 2^61-1), computed as a single aggregate fold over
-    * the char codes — the incremental-window form reuses the same
-    * recurrence. Content-addressed and order-sensitive, unlike the
-    * token-sort [[fingerprint]].
+    * (base 257 mod 2^31−1) — content-addressed and order-sensitive,
+    * unlike the token-sort [[fingerprint]]. Backed by the codegen'd
+    * [[RollingHash]] expression; the equivalent
+    * `aggregate(transform(split(...)))` composition runs an
+    * interpreted lambda per character (PropertySpec pins equality
+    * between the two).
     */
-  def rollingHash(c: Column): Column = {
-    // Mersenne prime 2^31-1 keeps acc*257+x inside a long (a 2^61
-    // modulus would overflow the multiply)
-    val prime = 2147483647L
-    aggregate(
-      transform(split(c, ""), ch => ascii(ch).cast("long")),
-      lit(0L),
-      (acc, x) => pmod(acc * lit(257L) + x, lit(prime)))
-  }
+  def rollingHash(c: Column): Column = RollingHash(c)
 }

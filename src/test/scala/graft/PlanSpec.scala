@@ -50,6 +50,17 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in shingle plan:\n$p")
   }
 
+  test("top-k plans two-phase: partial heaps before the exchange, rank after") {
+    val p = plan(graft.operators.TopK.native(
+      Tables(spark, sf001).part,
+      Seq(org.apache.spark.sql.functions.col("p_brand")),
+      Seq(org.apache.spark.sql.functions.col("p_retailprice").desc), 3))
+    // partial pass (no rank output) below the exchange, final above —
+    // the map-side combine that bounds the shuffle to groups x k rows
+    assert("GroupTopK".r.findAllIn(p).length >= 2, s"missing partial pass:\n$p")
+    assert(p.contains("Exchange"), s"no exchange between phases:\n$p")
+  }
+
   test("composed corpus pipeline keeps exchanges bounded (no quadratic operator)") {
     val p = plan(graft.queries.TrainingQ.pipelineCorpus(spark, sf001))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

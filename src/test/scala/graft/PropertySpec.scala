@@ -86,6 +86,20 @@ class PropertySpec extends GraftSuite {
     }
   }
 
+  test("RollingHash equals the interpreted HOF fold on arbitrary strings") {
+    val strGen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(' ', '.', ',', 'é', 'ß', '中'))).map(_.mkString)
+    forAll(strGen) { s =>
+      val df = Seq(Tuple1(s)).toDF("t")
+      val native = df.select(graft.functions.RollingHash($"t")).as[Long].head()
+      val hof = df.select(aggregate(
+        transform(split($"t", ""), ch => ascii(ch).cast("long")),
+        lit(0L),
+        (acc, x) => pmod(acc * lit(257L) + x, lit(2147483647L)))).as[Long].head()
+      assert(native == hof, s"mismatch on ${s.take(40)}")
+    }
+  }
+
   test("splitQuoted parses RFC-4180 headers a naive split would break") {
     import graft.sources.SniffCsv.splitQuoted
     assert(splitQuoted("a,b,c", ',').toSeq == Seq("a", "b", "c"))
