@@ -51,7 +51,9 @@ object ClusterDedup {
           least(col("x.lbl"), coalesce(col("p_lbl"), col("x.lbl"))).as("lbl"))
       val checkpointThisRound = iter % 3 == 2
       val next =
-        if (checkpointThisRound) jumped.localCheckpoint()
+        // lazy checkpoint: the convergence count below materializes it,
+        // so truncation costs no extra pass over the data
+        if (checkpointThisRound) jumped.localCheckpoint(eager = false)
         else jumped.persist()
       val changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
         .filter(col("lbl") =!= col("old")).limit(1).count()
