@@ -78,15 +78,27 @@ object HyperplaneBands {
   /** Weights depend only on (plane, coordinate) — constants across
     * every row — so derive the matrix once per (planes, dim) shape
     * instead of re-hashing planes × dim times per vector (that
-    * re-derivation was ~half the hot-loop cost).
+    * re-derivation was ~half the hot-loop cost). The cache is
+    * BOUNDED: a normal corpus has one embedding shape, but ragged/
+    * corrupt dims are data-dependent, and an unbounded per-shape
+    * cache would be executor-memory growth an adversarial input
+    * controls — past the bound we fall back to uncached derivation.
     */
+  private val MaxCachedShapes = 8
   private val weightCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
 
-  private def weights(planes: Int, dim: Int): Array[Array[Double]] =
-    weightCache.computeIfAbsent((planes, dim), { key =>
-      Array.tabulate(key._1, key._2)((p, j) => weight(p, j))
-    })
+  private def deriveWeights(planes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(planes, dim)((p, j) => weight(p, j))
+
+  private def weights(planes: Int, dim: Int): Array[Array[Double]] = {
+    val key = (planes, dim)
+    val cached = weightCache.get(key)
+    if (cached != null) cached
+    else if (weightCache.size < MaxCachedShapes)
+      weightCache.computeIfAbsent(key, k => deriveWeights(k._1, k._2))
+    else deriveWeights(planes, dim)
+  }
 
   /** Called from both interpreted eval and generated code (one
     * implementation, still inside the codegen span).

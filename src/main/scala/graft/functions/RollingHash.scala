@@ -10,10 +10,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * 2^31−1) — replaces the `aggregate(transform(split(text,'')))`
   * composition, which runs an interpreted lambda per CHARACTER
   * (~n_chars × closure dispatch per row; the worst of the
-  * interpreted-HOF hot paths). One pass over code points in compiled
-  * code, bit-identical to the fold and to the DuckDB
-  * `list_reduce(ascii(...))` oracle (ascii() yields the code point,
-  * so iteration is per code point, not per byte).
+  * interpreted-HOF hot paths).
+  *
+  * Semantics: one fold step per Unicode CODE POINT — exactly what the
+  * DuckDB oracle's `list_reduce(ascii(split(text,'')))` computes
+  * (measured: '😀' contributes 128512 in both engines). Note this is
+  * deliberately NOT identical to the old HOF form on astral chars:
+  * Spark's `split(c, "")` breaks a surrogate pair into two lone
+  * surrogates that re-encode as '?', so the HOF hashed corrupted
+  * input there and diverged from the oracle; the BMP range (where the
+  * HOF is lossless) is property-tested equal.
   */
 case class RollingHash(child: Expression) extends UnaryExpression
   with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {

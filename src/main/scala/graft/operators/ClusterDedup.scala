@@ -35,6 +35,9 @@ object ClusterDedup {
     var iter = 0
     var converged = false
     var labelsCheckpointed = false
+    // the previous checkpoint generation: releasable only once the NEXT
+    // checkpoint has truncated lineage past it
+    var prevCheckpoint: DataFrame = null
     while (!converged && iter < maxIter) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "v2"), col("v") === col("v2"))
@@ -57,10 +60,15 @@ object ClusterDedup {
         else jumped.persist()
       val changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
         .filter(col("lbl") =!= col("old")).limit(1).count()
-      // a checkpointed generation's blocks ARE its lineage — explicit
-      // unpersist would delete them while later rounds still depend on
-      // them for recovery; leave those to the ContextCleaner
+      // a checkpointed generation's blocks ARE its lineage — they can
+      // only be released after the NEXT checkpoint materializes (just
+      // happened via the count above), never while later rounds might
+      // still replay through them
       if (!labelsCheckpointed) labels.unpersist()
+      if (checkpointThisRound) {
+        if (prevCheckpoint != null) prevCheckpoint.unpersist()
+        prevCheckpoint = next
+      }
       labels = next
       labelsCheckpointed = checkpointThisRound
       converged = changed == 0

@@ -259,14 +259,20 @@ object Xlsx {
           .map(_.getPath).sortBy(_.getName).toSeq
       else Seq(p)
     if (files.isEmpty) throw Intake.UnsupportedFormat(s"no .xlsx files under $path")
-    val parsed = files.map(f => parse(readFileBytes(spark, f)))
-    val header = parsed.head._1
-    // CSV-directory semantics require ONE header — silently mapping a
-    // reordered sheet's columns by position would corrupt data
-    parsed.zip(files).drop(1).foreach { case ((h, _), f) =>
+    val parsedAll = files.map(f => f -> parse(readFileBytes(spark, f)))
+    // empty sheets contribute nothing (CSV-directory tolerance) …
+    val nonEmpty = parsedAll.filter(_._2._1.nonEmpty)
+    if (nonEmpty.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], StructType(Nil))
+    val header = nonEmpty.head._2._1
+    val parsed = nonEmpty.map(_._2)
+    // … but non-empty sheets must agree on ONE header — silently
+    // mapping a reordered sheet's columns by position would corrupt data
+    nonEmpty.drop(1).foreach { case (f, (h, _)) =>
       if (h != header)
         throw Intake.UnsupportedFormat(
-          s"$f header ${h.mkString(",")} differs from ${files.head}'s ${header.mkString(",")}")
+          s"$f header ${h.mkString(",")} differs from ${nonEmpty.head._1}'s ${header.mkString(",")}")
     }
     val schema = StructType(header.map(StructField(_, StringType, nullable = true)))
     val w = header.length

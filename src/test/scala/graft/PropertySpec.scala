@@ -86,7 +86,7 @@ class PropertySpec extends GraftSuite {
     }
   }
 
-  test("RollingHash equals the interpreted HOF fold on arbitrary strings") {
+  test("RollingHash equals the interpreted HOF fold on BMP strings") {
     val strGen = Gen.listOf(Gen.oneOf(
       Gen.alphaNumChar, Gen.oneOf(' ', '.', ',', 'é', 'ß', '中'))).map(_.mkString)
     forAll(strGen) { s =>
@@ -98,6 +98,15 @@ class PropertySpec extends GraftSuite {
         (acc, x) => pmod(acc * lit(257L) + x, lit(2147483647L)))).as[Long].head()
       assert(native == hof, s"mismatch on ${s.take(40)}")
     }
+  }
+
+  test("RollingHash folds astral chars per code point (DuckDB ascii() semantics)") {
+    // the OLD HOF split surrogate pairs into lone halves that re-encode
+    // as '?' — corrupted input; the expression matches the oracle
+    // instead (DuckDB: ascii('😀') = 128512)
+    val native = Seq(Tuple1("😀")).toDF("t")
+      .select(graft.functions.RollingHash($"t")).as[Long].head()
+    assert(native == 128512L, s"astral fold wrong: $native")
   }
 
   test("splitQuoted parses RFC-4180 headers a naive split would break") {

@@ -123,6 +123,17 @@ class XlsxSpec extends GraftSuite {
       Xlsx.read(spark, dir.getAbsolutePath))
   }
 
+  test("directory reads tolerate empty member sheets (CSV-directory semantics)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_empty").toFile
+    val out = new java.io.FileOutputStream(new java.io.File(dir, "b_data.xlsx"))
+    Xlsx.write(Seq("x", "y"), Seq(Seq("1", "2")), out); out.close()
+    // sorts FIRST, so the non-empty file must still define the schema
+    val e = new java.io.FileOutputStream(new java.io.File(dir, "a_empty.xlsx"))
+    Xlsx.write(Seq(), Seq(), e); e.close()
+    val df = Xlsx.read(spark, dir.getAbsolutePath)
+    assert(df.columns.toSeq == Seq("x", "y") && df.count() == 1)
+  }
+
   test("read() produces an all-string DataFrame via Intake dispatch") {
     val dir = java.nio.file.Files.createTempDirectory("graft_xlsx").toFile
     val f = new java.io.File(dir, "t.xlsx")
