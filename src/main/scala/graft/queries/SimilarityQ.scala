@@ -151,6 +151,24 @@ object SimilarityQ {
       |FROM events
       |GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin
 
+  /** Sliding 2-hour windows every 1 hour — each event lands in two
+    * windows; the oracle replicates rows per containing window.
+    */
+  def streamSlidingCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    EventStream.slidingCounts(Tables(spark, dir).events)
+      .orderBy($"window_start_us", $"event_type")
+  }
+
+  private val streamSlidingCountsSql =
+    """SELECT epoch_us(ws) AS window_start_us, event_type,
+      |  count(*) AS n, round(sum(value), 4) AS sum_value
+      |FROM (
+      |  SELECT ts, event_type, value,
+      |    time_bucket(INTERVAL '1 hour', ts) - to_hours(i) AS ws
+      |  FROM events, range(0, 2) t(i))
+      |GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("ann_bruteforce_topk", annBruteforce _, annBruteforceSql),
     QueryDef.rowsOnly("ann_lsh_topk", annLsh _),
@@ -159,5 +177,6 @@ object SimilarityQ {
     QueryDef.sql("mm_featurize", mmFeaturize _, mmFeaturizeSql),
     QueryDef.sql("mm_frame_sample", mmFrameSample _, mmFrameSampleSql),
     QueryDef.sql("text_rolling_fp", textRollingFp _, textRollingFpSql),
-    QueryDef.sql("stream_window_counts", streamWindowCounts _, streamWindowCountsSql))
+    QueryDef.sql("stream_window_counts", streamWindowCounts _, streamWindowCountsSql),
+    QueryDef.sql("stream_sliding_counts", streamSlidingCounts _, streamSlidingCountsSql))
 }

@@ -23,6 +23,18 @@ object EventStream {
         unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Sliding-window counts/sums per event type (2 h windows sliding
+    * every 1 h — each event contributes to width/slide windows). Same
+    * batch/stream duality as [[windowCounts]].
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+
   final case class Ev(user_id: Long, ts_us: Long, event_id: Long)
   final case class SessionAcc(start_us: Long, last_us: Long, n: Long)
   final case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)

@@ -81,6 +81,60 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("sliding-window counts through readStream match the batch plan") {
+    val batch = EventStream.slidingCounts(Tables(spark, sf0001).events)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_stream_slide")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      stageDir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(schema)
+      .parquet(stageDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "10 minutes")
+    val q = EventStream.slidingCounts(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("slide_counts").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("slide_counts")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join matches events within the time bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long)]  // (user_id, ts_us)
+    val buys = MemoryStream[(Long, Long)]
+    val cdf = clicks.toDS().toDF("user_id", "c_us")
+      .withColumn("c_ts", expr("timestamp_micros(c_us)"))
+      .withWatermark("c_ts", "0 seconds")
+    val bdf = buys.toDS().toDF("b_user", "b_us")
+      .withColumn("b_ts", expr("timestamp_micros(b_us)"))
+      .withWatermark("b_ts", "0 seconds")
+    // purchase attributed to a click up to 1h before it — the
+    // event-time bound is what lets Spark expire join state
+    val joined = cdf.join(bdf,
+      expr("user_id = b_user AND b_ts >= c_ts AND b_ts <= c_ts + INTERVAL 1 HOUR"))
+      .select($"user_id", $"c_us", $"b_us")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attrib").start()
+    try {
+      clicks.addData((1L, 3_600_000_000L), (2L, 3_600_000_000L))
+      buys.addData((1L, 5_400_000_000L))   // 30 min later -> attributed
+      buys.addData((2L, 9_000_000_000L))   // 90 min later -> outside bound
+      q.processAllAvailable()
+      val rows = spark.table("attrib").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set((1L, 3_600_000_000L, 5_400_000_000L)), rows.toString)
+    } finally q.stop()
+  }
+
   test("sessionize still runs in BATCH mode (timeouts inert, no watermark to read)") {
     // regression: the TTL change must not crash non-streaming callers —
     // getCurrentWatermarkMs throws in batch because the watermark node
