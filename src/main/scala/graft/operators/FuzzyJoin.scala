@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Edit-distance (fuzzy) self-join for record linkage (SURVEY.md
+  * §2.2 extension): find string pairs with Levenshtein distance
+  * ≤ maxDist without an all-pairs comparison.
+  *
+  * Candidate generation is the q-gram trick: strings within k edits
+  * share a character trigram once they're long enough (k edits destroy
+  * at most 3k of the L−2 trigrams), so an equi-join on trigrams —
+  * document-frequency-capped like the shingle index, since a gram
+  * shared by m strings emits m²/2 rows — bounds the verify set, and
+  * Spark's codegen'd levenshtein() scores only candidates. Recall
+  * contract: pairs sharing no sub-cap trigram are not emitted (short
+  * strings / hot-gram-only overlap); the gate's oracle replicates the
+  * blocking, so the result is exact BY CONSTRUCTION for the published
+  * algorithm, and the spec pins known-typo fixtures.
+  */
+object FuzzyJoin {
+
+  /** Distinct character trigrams, positions 1..L−2 (strings shorter
+    * than 3 produce none and never match — mirrored by the oracle).
+    */
+  private def trigrams(strCol: String): Column =
+    array_distinct(expr(
+      s"transform(sequence(1, length($strCol) - 2), i -> substring($strCol, i, 3))"))
+
+  def pairs(df: DataFrame, idCol: String, strCol: String,
+            maxDist: Int, maxGramDf: Long = 200): DataFrame = {
+    // persisted: df-count + both self-join sides
+    val g = df.select(col(idCol).as("id"), col(strCol).as("s"),
+      explode(trigrams(strCol)).as("gram")).persist()
+    val rare = g.join(
+      g.groupBy(col("gram")).agg(count(lit(1)).as("df_"))
+        .filter(col("df_") <= maxGramDf).select(col("gram")),
+      "gram")
+    val candidates = rare.as("a").join(rare.as("b"), "gram")
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("a.s").as("s_a"),
+        col("b.id").as("id_b"), col("b.s").as("s_b"))
+      .distinct()
+    candidates
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+}

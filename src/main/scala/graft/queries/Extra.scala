@@ -260,6 +260,32 @@ object Extra {
       |SELECT cluster, count(*) AS n_members FROM comp
       |GROUP BY cluster ORDER BY cluster""".stripMargin
 
+  /** Fuzzy (edit-distance ≤ 2) part-name self-join via DF-capped
+    * trigram blocking + codegen'd levenshtein verify — record linkage
+    * without all-pairs. The oracle replicates the blocking, so the
+    * published algorithm is exact on both engines.
+    */
+  def qFuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.FuzzyJoin.pairs(Tables(spark, dir).part, "p_partkey", "p_name",
+        maxDist = 2, maxGramDf = 200)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  private val qFuzzyJoinSql =
+    """WITH g AS (
+      |  SELECT p_partkey, p_name,
+      |    unnest(list_distinct([substr(p_name, i, 3) for i in range(1, length(p_name) - 1)])) AS gram
+      |  FROM part),
+      |dfc AS (SELECT gram, count(*) AS d FROM g GROUP BY gram),
+      |rare AS (SELECT g.p_partkey, g.p_name, g.gram FROM g JOIN dfc USING (gram) WHERE d <= 200),
+      |cand AS (
+      |  SELECT DISTINCT a.p_partkey AS id_a, a.p_name AS na, b.p_partkey AS id_b, b.p_name AS nb
+      |  FROM rare a JOIN rare b ON a.gram = b.gram AND a.p_partkey < b.p_partkey)
+      |SELECT id_a, id_b, CAST(levenshtein(na, nb) AS BIGINT) AS dist
+      |FROM cand WHERE levenshtein(na, nb) <= 2
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Approximate per-group quantiles (Greenwald–Khanna sketch) — the
     * mergeable-sketch path for 100 TB percentiles; rows-only oracle,
     * spec bounds the error vs the exact percentile.
@@ -283,5 +309,6 @@ object Extra {
     QueryDef.sql("q_range_join", qRangeJoin _, qRangeJoinSql),
     QueryDef.sql("etl_json_extract", etlJsonExtract _, etlJsonExtractSql),
     QueryDef.sql("text_vocab", textVocab _, textVocabSql),
-    QueryDef.sql("dedup_clusters", dedupClusters _, dedupClustersSql))
+    QueryDef.sql("dedup_clusters", dedupClusters _, dedupClustersSql),
+    QueryDef.sql("q_fuzzy_join", qFuzzyJoin _, qFuzzyJoinSql))
 }
