@@ -286,6 +286,34 @@ object Extra {
       |FROM cand WHERE levenshtein(na, nb) <= 2
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Typed cogroup (`KeyValueGroupedDataset.cogroup`) — the Dataset
+    * API's per-key two-sided merge, for logic a join+agg can't
+    * express (here it CAN, so DuckDB recomputes it — proving the
+    * typed path agrees with the relational one). One shuffle per
+    * side on the key, like the join it generalizes.
+    */
+  def qTypedCogroup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val customers = t.customer.select($"c_custkey", $"c_name").as[(Long, String)]
+    val orders = t.orders.select($"o_custkey", $"o_totalprice").as[(Long, Double)]
+    customers.groupByKey(_._1).cogroup(orders.groupByKey(_._1)) { (k, cs, os) =>
+      cs.toSeq.headOption.iterator.map { case (_, name) =>
+        val prices = os.map(_._2).toSeq
+        (k, name, prices.length.toLong, prices.sum)
+      }
+    }.toDF("c_custkey", "c_name", "n_orders", "total_spend")
+      .withColumn("total_spend", round($"total_spend", 4))
+      .orderBy($"c_custkey")
+  }
+
+  private val qTypedCogroupSql =
+    """SELECT c_custkey, c_name,
+      |  count(o_custkey) AS n_orders,
+      |  round(coalesce(sum(o_totalprice), 0), 4) AS total_spend
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin
+
   /** Approximate per-group quantiles (Greenwald–Khanna sketch) — the
     * mergeable-sketch path for 100 TB percentiles; rows-only oracle,
     * spec bounds the error vs the exact percentile.
@@ -310,5 +338,6 @@ object Extra {
     QueryDef.sql("etl_json_extract", etlJsonExtract _, etlJsonExtractSql),
     QueryDef.sql("text_vocab", textVocab _, textVocabSql),
     QueryDef.sql("dedup_clusters", dedupClusters _, dedupClustersSql),
-    QueryDef.sql("q_fuzzy_join", qFuzzyJoin _, qFuzzyJoinSql))
+    QueryDef.sql("q_fuzzy_join", qFuzzyJoin _, qFuzzyJoinSql),
+    QueryDef.sql("q_typed_cogroup", qTypedCogroup _, qTypedCogroupSql))
 }
