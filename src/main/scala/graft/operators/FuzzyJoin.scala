@@ -20,18 +20,23 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
-  /** Distinct character trigrams, positions 1..L−2 (strings shorter
-    * than 3 produce none and never match — mirrored by the oracle).
+  /** Distinct character trigrams, positions 1..L−2. Strings shorter
+    * than 3 produce NONE and never match (mirrored by the oracle's
+    * `range(1, L-1)`) — the length guard is load-bearing: Spark's
+    * `sequence(1, stop)` counts DOWN when stop < 1, so without it an
+    * empty string emits a "" gram and every empty pair would match at
+    * distance 0.
     */
-  private def trigrams(strCol: String): Column =
-    array_distinct(expr(
-      s"transform(sequence(1, length($strCol) - 2), i -> substring($strCol, i, 3))"))
+  private def trigrams(c: Column): Column =
+    when(length(c) >= 3,
+      array_distinct(transform(sequence(lit(1), length(c) - 2), i => c.substr(i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
 
   def pairs(df: DataFrame, idCol: String, strCol: String,
             maxDist: Int, maxGramDf: Long = 200): DataFrame = {
     // persisted: df-count + both self-join sides
     val g = df.select(col(idCol).as("id"), col(strCol).as("s"),
-      explode(trigrams(strCol)).as("gram")).persist()
+      explode(trigrams(col(strCol))).as("gram")).persist()
     val rare = g.join(
       g.groupBy(col("gram")).agg(count(lit(1)).as("df_"))
         .filter(col("df_") <= maxGramDf).select(col("gram")),

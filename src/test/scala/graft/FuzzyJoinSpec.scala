@@ -19,6 +19,14 @@ class FuzzyJoinSpec extends GraftSuite {
     assert(got == Set((1L, 2L, 1L), (3L, 4L, 1L)), got.toString)
   }
 
+  test("strings shorter than 3 chars emit no grams and never match") {
+    // regression: sequence(1, L-2) DESCENDS for L<3, which used to
+    // give "" a gram of "" — pairing all empty strings at distance 0
+    val df = Seq((1L, "ab"), (2L, "ab"), (3L, "a"), (4L, ""), (5L, ""))
+      .toDF("id", "name")
+    assert(FuzzyJoin.pairs(df, "id", "name", maxDist = 2).count() == 0)
+  }
+
   test("the gram DF cap prunes a hot prefix without breaking rare-gram matches") {
     // every name shares the hot "customer#" prefix; the discriminative
     // tail grams still pair the true typo
