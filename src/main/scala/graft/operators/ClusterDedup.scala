@@ -54,12 +54,20 @@ object ClusterDedup {
           least(col("x.lbl"), coalesce(col("p_lbl"), col("x.lbl"))).as("lbl"))
       val checkpointThisRound = iter % 3 == 2
       val next =
-        // lazy checkpoint: the convergence count below materializes it,
+        // lazy checkpoint: the next convergence count materializes it,
         // so truncation costs no extra pass over the data
         if (checkpointThisRound) jumped.localCheckpoint(eager = false)
         else jumped.persist()
-      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-        .filter(col("lbl") =!= col("old")).limit(1).count()
+      // convergence check every SECOND round: with pointer jumping the
+      // loop is a handful of rounds of tiny shuffles, so driver-side
+      // job count — not data — dominates; skipping alternate checks
+      // costs at most one extra (cheap) round after convergence
+      val shouldCheck = iter % 2 == 1 || iter == maxIter - 1
+      val changed =
+        if (shouldCheck)
+          next.join(labels.withColumnRenamed("lbl", "old"), "id")
+            .filter(col("lbl") =!= col("old")).limit(1).count()
+        else 1L
       // a checkpointed generation's blocks ARE its lineage — they can
       // only be released after the NEXT checkpoint materializes (just
       // happened via the count above), never while later rounds might
