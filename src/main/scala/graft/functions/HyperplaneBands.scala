@@ -14,13 +14,27 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * P(candidate) = 1-(1-(1-θ/π)^r)^b — tunable recall/pruning without
   * any all-pairs step.
   *
-  * Plane weights are derived from splitmix64(plane, dim-index), so
-  * every executor agrees on the planes without broadcasting a matrix
-  * (same trick as Similarity.planeSig, but compiled: the interpreted
-  * HOF formulation costs ~20 µs per 64-dim row per plane — hundreds of
-  * planes would be minutes per million rows; this runs the
-  * bands × rows × dim FMA loop as one static call inside whole-stage
-  * codegen).
+  * The arithmetic is deliberately EXACT-REPLAYABLE in any engine with
+  * an md5() function, which is what lets the DuckDB oracle recompute
+  * the banding keys bit for bit (upgrading the LSH gates from
+  * rows-only to hash-match):
+  *  - plane weights are integers in [-1000, 1000] derived from
+  *    md5("hp:plane:coord") — no platform RNG, no broadcast matrix;
+  *  - coordinates are quantized to floor(x · 2^20) (float→double is
+  *    exact and ×2^20 only shifts the exponent, so the quantization
+  *    itself has NO floating-point rounding);
+  *  - the projection sign test runs on the integer sum Σ qx·w
+  *    (|Σ| < 2^43 for dim ≤ 4096), which is order-independent —
+  *    immune to the FP-summation-order divergence that a double dot
+  *    product would have between engines.
+  * The ~2^-20 relative quantization error perturbs each hyperplane
+  * angle by < 10^-4 rad — far below the LSH family's own variance;
+  * recall is measured in DedupSpec/SimilaritySpec either way.
+  *
+  * Compiled: the interpreted HOF formulation costs ~20 µs per 64-dim
+  * row per plane — hundreds of planes would be minutes per million
+  * rows; this runs the bands × rows × dim multiply loop as one static
+  * call inside whole-stage codegen.
   */
 case class HyperplaneBands(child: Expression, bands: Int, rowsPerBand: Int)
   extends UnaryExpression {
@@ -60,38 +74,37 @@ object HyperplaneBands {
   def apply(c: Column, bands: Int, rowsPerBand: Int): Column =
     GraftBridge.column(HyperplaneBands(GraftBridge.expression(c), bands, rowsPerBand))
 
-  private def splitmix64(seed: Long): Long = {
-    var z = seed + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
+  /** floor(x · 2^20): the exact-replayable coordinate quantizer. */
+  val QuantScale: Double = 1048576.0
 
-  /** Deterministic pseudo-random weight of plane `p`, coordinate `j`
-    * in [-1, 1].
+  /** Deterministic integer weight of plane `p`, coordinate `j` in
+    * [-1000, 1000]: unsigned md5_64("hp:p:j") mod 2001, shifted.
+    * DuckDB replay: CAST(('0x'||substr(md5('hp:'||p||':'||j),1,16))
+    * AS UBIGINT) % 2001 - 1000.
     */
-  def weight(p: Int, j: Int): Double = {
-    val h = splitmix64((p.toLong << 32) ^ j.toLong)
-    ((h >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+  def weight(p: Int, j: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s"hp:$p:$j".getBytes("UTF-8"))
+    val h = java.nio.ByteBuffer.wrap(d).getLong
+    java.lang.Long.remainderUnsigned(h, 2001L) - 1000L
   }
 
   /** Weights depend only on (plane, coordinate) — constants across
     * every row — so derive the matrix once per (planes, dim) shape
-    * instead of re-hashing planes × dim times per vector (that
-    * re-derivation was ~half the hot-loop cost). The cache is
-    * BOUNDED: a normal corpus has one embedding shape, but ragged/
+    * instead of re-hashing planes × dim times per vector. The cache
+    * is BOUNDED: a normal corpus has one embedding shape, but ragged/
     * corrupt dims are data-dependent, and an unbounded per-shape
     * cache would be executor-memory growth an adversarial input
     * controls — past the bound we fall back to uncached derivation.
     */
   private val MaxCachedShapes = 8
   private val weightCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Long]]]()
 
-  private def deriveWeights(planes: Int, dim: Int): Array[Array[Double]] =
+  private def deriveWeights(planes: Int, dim: Int): Array[Array[Long]] =
     Array.tabulate(planes, dim)((p, j) => weight(p, j))
 
-  private def weights(planes: Int, dim: Int): Array[Array[Double]] = {
+  private def weights(planes: Int, dim: Int): Array[Array[Long]] = {
     val key = (planes, dim)
     val cached = weightCache.get(key)
     if (cached != null) cached
@@ -106,6 +119,14 @@ object HyperplaneBands {
   def compute(v: ArrayData, bands: Int, rowsPerBand: Int, isFloat: Boolean): ArrayData = {
     val dim = v.numElements()
     val w = weights(bands * rowsPerBand, dim)
+    // quantize once per vector, not once per plane
+    val qx = new Array[Long](dim)
+    var j = 0
+    while (j < dim) {
+      val x = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
+      qx(j) = math.floor(x * QuantScale).toLong
+      j += 1
+    }
     val out = new Array[Long](bands)
     var t = 0
     while (t < bands) {
@@ -113,12 +134,11 @@ object HyperplaneBands {
       var r = 0
       while (r < rowsPerBand) {
         val wp = w(t * rowsPerBand + r)
-        var s = 0.0
-        var j = 0
-        while (j < dim) {
-          val x = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
-          s += x * wp(j)
-          j += 1
+        var s = 0L
+        var i = 0
+        while (i < dim) {
+          s += qx(i) * wp(i)
+          i += 1
         }
         if (s > 0) sig |= (1L << r)
         r += 1

@@ -9,7 +9,6 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import scala.util.hashing.MurmurHash3
 
 /** Native sketch aggregates (SURVEY.md §2.3).
   *
@@ -22,23 +21,17 @@ import scala.util.hashing.MurmurHash3
   */
 object SketchAggs {
 
-  private[functions] def hash32(bytes: Array[Byte], seed: Int): Long =
-    MurmurHash3.bytesHash(bytes, seed).toLong & 0xffffffffL
-
-  private[functions] def hash64(bytes: Array[Byte]): Long =
-    (MurmurHash3.bytesHash(bytes, 0x9747b28c).toLong << 32) |
-      (MurmurHash3.bytesHash(bytes, 0x85ebca6b).toLong & 0xffffffffL)
-
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** First 8 bytes of the MD5 digest, big-endian. SimHash uses this
-    * instead of murmur so the signature is reproducible in ANY engine
-    * with an md5() function (the DuckDB oracle recomputes it bit for
-    * bit); MinHash keeps the cheaper murmur — its output is verified
-    * by exact-Jaccard, not by signature parity.
+  /** First 8 bytes of the MD5 digest, big-endian. SimHash AND MinHash
+    * use this instead of murmur so the signature is reproducible in
+    * ANY engine with an md5() function: the DuckDB oracle recomputes
+    * token hashes, permutations, banding and verification bit for
+    * bit, which is what upgrades the LSH gates from rows-only to
+    * exact hash-match.
     */
   private[functions] def md5Hash64(bytes: Array[Byte]): Long = {
     val md = md5Local.get()
@@ -59,9 +52,13 @@ object SketchAggs {
 
   /** MinHash signature: elementwise min over `perms` permutations of
     * each token's base hash. Uses the standard multiply-add
-    * permutation family h_p(x) = (a_p·hash64(x) + b_p) masked to
-    * 63 bits — one murmur per token instead of `perms` (≈10× less
-    * hashing on a 100 TB token stream). Output: array<bigint>.
+    * permutation family h_p(x) = (a_p·md5_64(x) + b_p) masked to
+    * 63 bits — one md5 per token instead of `perms` hashes (≈100×
+    * less hashing on a 100 TB token stream). Base hash and the
+    * (a_p, b_p) constants all derive from md5, so any engine with an
+    * md5() can replay the signature exactly (the DuckDB oracle does
+    * the wrapping 64-bit multiply via 32-bit split in HUGEINT).
+    * Output: array<bigint>.
     */
   case class MinHashAgg(
       child: Expression, perms: Int,
@@ -74,18 +71,19 @@ object SketchAggs {
     override def nullable: Boolean = false
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-    // deterministic odd multipliers / offsets per permutation
+    // deterministic odd multipliers / offsets per permutation,
+    // md5-derived (a | 1 forces the multiplier odd = invertible mod 2^64)
     @transient private lazy val coefA: Array[Long] =
-      Array.tabulate(perms)(p => (hash64(BigInt(p).toByteArray) << 1) | 1L)
+      Array.tabulate(perms)(p => md5Hash64(s"minhash:a:$p".getBytes("UTF-8")) | 1L)
     @transient private lazy val coefB: Array[Long] =
-      Array.tabulate(perms)(p => hash64(BigInt(p + perms).toByteArray))
+      Array.tabulate(perms)(p => md5Hash64(s"minhash:b:$p".getBytes("UTF-8")))
 
     override def createAggregationBuffer(): Array[Long] = Array.fill(perms)(Long.MaxValue)
 
     override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
       val v = child.eval(input)
       if (v != null) {
-        val base = hash64(v.asInstanceOf[UTF8String].getBytes)
+        val base = md5Hash64(v.asInstanceOf[UTF8String].getBytes)
         var p = 0
         while (p < perms) {
           val h = (coefA(p) * base + coefB(p)) & Long.MaxValue

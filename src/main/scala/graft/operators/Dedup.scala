@@ -108,15 +108,19 @@ object Dedup {
     // carries docs, not docs × tokens × perms
     val sig = tok.groupBy($("id"))
       .agg(graft.functions.SketchAggs.minhash($("tok"), perms).as("sig"))
-    // band signature: hash of the band's slice of the signature.
-    // Persisted: the self-join would otherwise recompute the whole
-    // signature pipeline for each side. Deliberately not unpersisted —
-    // the operator returns a lazy plan, so release would have to be
-    // the caller's post-materialization call; Spark's ContextCleaner
-    // reclaims the blocks once the DataFrame is GC'd.
+    // band signature: md5 prefix of the band's slice of the signature
+    // (not xxhash64 — md5 exists in every engine, so the DuckDB
+    // oracle recomputes the banding keys exactly; 16 hex chars keep
+    // the shuffle narrow). Persisted: the self-join would otherwise
+    // recompute the whole signature pipeline for each side.
+    // Deliberately not unpersisted — the operator returns a lazy
+    // plan, so release would have to be the caller's
+    // post-materialization call; Spark's ContextCleaner reclaims the
+    // blocks once the DataFrame is GC'd.
     val bandSigs = sig.select($("id"), posexplode(expr(
       s"transform(sequence(0, ${bands - 1}), b -> " +
-        s"xxhash64(array_join(slice(sig, b * $rows + 1, $rows), ',')))")).as(Seq("band", "bsig")))
+        s"substr(md5(array_join(transform(slice(sig, b * $rows + 1, $rows), " +
+        s"x -> cast(x as string)), ',')), 1, 16))")).as(Seq("band", "bsig")))
       .persist()
     val candidates = bandSigs.as("a").join(bandSigs.as("b"), Seq("band", "bsig"))
       .filter(col("a.id") < col("b.id"))

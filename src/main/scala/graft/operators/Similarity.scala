@@ -44,31 +44,28 @@ object Similarity {
         round(col("cos"), 4).as("cosine"), col("rk").cast("long").as("rk"))
   }
 
-  /** Deterministic pseudo-random hyperplane weight w(p, j) in [-1, 1]:
-    * derived from xxhash64 so executors agree without broadcasting
-    * plane matrices.
+  /** Hyperplane sign bucket: one signature of `planes` bits from the
+    * compiled [[graft.functions.HyperplaneBands]] expression (a
+    * single band) — the interpreted HOF this replaced cost
+    * planes × dim lambda invocations per row; this is one static
+    * call inside whole-stage codegen, and its md5-derived integer
+    * arithmetic is exactly replayable by the DuckDB oracle.
     */
-  private def planeSig(vecCol: String, planes: Int, dim: Int): Column = expr(
-    s"""aggregate(sequence(0, ${planes - 1}), CAST(0 AS BIGINT), (acc, p) ->
-       |  acc + IF(
-       |    aggregate(sequence(1, $dim), CAST(0 AS DOUBLE), (s, j) ->
-       |      s + CAST(element_at($vecCol, j) AS DOUBLE) *
-       |          (CAST(pmod(xxhash64(p * $dim + j), 2001) - 1000 AS DOUBLE) / 1000.0)
-       |    ) > 0,
-       |    shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT)))""".stripMargin)
+  private def planeSig(vecCol: String, planes: Int): Column =
+    element_at(graft.functions.HyperplaneBands(col(vecCol), 1, planes), 1)
 
   /** Random-hyperplane LSH top-k: vectors bucket by sign pattern;
     * queries probe their own bucket plus all 1-bit-flip neighbors.
     */
   def lshTopK(vectors: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              planes: Int = 4, dim: Int = 64): DataFrame = {
+              planes: Int = 4): DataFrame = {
     val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
       VecFns.norm(col(vecCol)).as("nrm"),
-      planeSig(vecCol, planes, dim).as("bucket"))
+      planeSig(vecCol, planes).as("bucket"))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"),
       VecFns.norm(col(vecCol)).as("q_nrm"),
-      planeSig(vecCol, planes, dim).as("q_bucket"))
+      planeSig(vecCol, planes).as("q_bucket"))
       // probe set: own bucket + 1-bit flips
       .withColumn("bucket", explode(expr(
         s"array_union(array(q_bucket), transform(sequence(0, ${planes - 1}), p -> " +

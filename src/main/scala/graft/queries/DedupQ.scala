@@ -56,8 +56,13 @@ object DedupQ {
       |FROM j WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin
 
   /** MinHash(128) + LSH(16 bands × 8 rows) candidates, verified by
-    * exact token-set Jaccard >= 0.9. Probabilistic recall — rows-only
-    * oracle; DedupSpec measures recall vs the exact pair set.
+    * exact token-set Jaccard >= 0.9. The signature arithmetic is
+    * md5-derived end to end (token base hash, multiply-add constants,
+    * band keys — see [[graft.functions.SketchAggs.MinHashAgg]]), so
+    * the DuckDB oracle replays signatures, banding AND verification
+    * bit for bit: the gate is an exact hash-match even though the
+    * operator's recall stays probabilistic by design (DedupSpec still
+    * measures recall vs the exact pair set).
     */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -65,6 +70,52 @@ object DedupQ {
         perms = 128, bands = 16, tau = 0.9)
       .orderBy($"id_a", $"id_b")
   }
+
+  /** DuckDB replay of the full MinHash+LSH pipeline. The wrapping
+    * 64-bit multiply-add h_p(x) = (a_p·md5_64(x) + b_p) mod 2^63 is
+    * done via 32-bit split in HUGEINT (DuckDB raises on BIGINT
+    * overflow instead of wrapping):
+    * a·x mod 2^64 = al·xl + ((al·xh + ah·xl) mod 2^32)·2^32 (mod 2^64),
+    * and mod 2^63 of that sum equals Java's `& Long.MaxValue`.
+    */
+  private val dedupMinhashLshSql =
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS tok
+      |  FROM documents),
+      |th AS (
+      |  SELECT doc_id, CAST(CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS HUGEINT) AS base
+      |  FROM tk),
+      |pc AS (
+      |  SELECT p, CAST(au + (1 - au % 2) AS HUGEINT) AS a,
+      |    CAST(CAST(('0x' || substr(md5('minhash:b:' || p), 1, 16)) AS UBIGINT) AS HUGEINT) AS b
+      |  FROM (SELECT p, CAST(('0x' || substr(md5('minhash:a:' || p), 1, 16)) AS UBIGINT) AS au
+      |        FROM range(0, 128) t(p))),
+      |hh AS (
+      |  SELECT doc_id, p,
+      |    CAST(( (a % 4294967296) * (base % 4294967296)
+      |         + (((a % 4294967296) * (base // 4294967296)
+      |            + (a // 4294967296) * (base % 4294967296)) % 4294967296) * 4294967296
+      |         + b ) % 9223372036854775808 AS BIGINT) AS h
+      |  FROM th, pc),
+      |sig AS (
+      |  SELECT doc_id, list(mh ORDER BY p) AS sig
+      |  FROM (SELECT doc_id, p, min(h) AS mh FROM hh GROUP BY doc_id, p)
+      |  GROUP BY doc_id),
+      |bs AS (
+      |  SELECT doc_id, t AS band,
+      |    substr(md5(array_to_string(sig[CAST(t*8+1 AS INTEGER):CAST(t*8+8 AS INTEGER)], ',')), 1, 16) AS bsig
+      |  FROM sig, range(0, 16) r(t)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bs a JOIN bs b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+      |ts AS (SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks FROM documents),
+      |j AS (
+      |  SELECT id_a, id_b,
+      |    len(list_intersect(a.toks, b.toks)) * 1.0 /
+      |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+      |  FROM cand JOIN ts a ON a.doc_id = id_a JOIN ts b ON b.doc_id = id_b)
+      |SELECT id_a, id_b, round(jaccard, 4) AS jaccard
+      |FROM j WHERE jaccard >= 0.9 ORDER BY id_a, id_b""".stripMargin
 
   /** SimHash-64 near-dup pairs (Hamming <= 6) via 4×16-bit band
     * blocking. Fully deterministic — the token hash is the first 8
@@ -134,7 +185,9 @@ object DedupQ {
   /** LSH-banded embedding near-dup — the scale path ([[Dedup
     * .embeddingPairsLsh]]): no all-pairs step; exact-cosine verify
     * makes precision 1.0, recall measured ≥0.95 in DedupSpec against
-    * the exact variant. Rows-only oracle (probabilistic recall).
+    * the exact variant. [[graft.functions.HyperplaneBands]]'s
+    * integer-quantized md5 arithmetic lets the DuckDB oracle replay
+    * the banding exactly, so this gate too is a full hash-match.
     */
   def dedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -142,12 +195,40 @@ object DedupQ {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** DuckDB replay of the banded hyperplane LSH (112 bands × 8 rows,
+    * dim 64): integer plane weights from md5, coordinates quantized
+    * by floor(x·2^20) (both exact — see HyperplaneBands scaladoc),
+    * sign sums exact in doubles (|Σ| < 2^36 « 2^53), then the same
+    * exact-cosine verify as dedup_embedding.
+    */
+  private val dedupEmbeddingLshSql =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * 1048576.0)) AS qx,
+      |         CAST(embedding AS DOUBLE[]) AS e
+      |  FROM embeddings),
+      |w AS (
+      |  SELECT p, list(CAST(CAST(CAST(('0x'||substr(md5('hp:'||p||':'||j),1,16)) AS UBIGINT) % 2001 AS BIGINT) - 1000 AS DOUBLE) ORDER BY j) AS wv
+      |  FROM range(0, 896) t(p), range(0, 64) d(j) GROUP BY p),
+      |sig AS (
+      |  SELECT vec_id, CAST(p // 8 AS BIGINT) AS band,
+      |    SUM(CASE WHEN list_dot_product(qx, wv) > 0 THEN CAST(1 AS BIGINT) << CAST(p % 8 AS INTEGER) ELSE 0 END) AS bsig
+      |  FROM v, w GROUP BY vec_id, p // 8),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM sig a JOIN sig b ON a.band = b.band AND a.bsig = b.bsig AND a.vec_id < b.vec_id),
+      |j AS (
+      |  SELECT id_a, id_b,
+      |    list_dot_product(a.e, b.e) /
+      |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS c
+      |  FROM cand JOIN v a ON a.vec_id = id_a JOIN v b ON b.vec_id = id_b)
+      |SELECT id_a, id_b, round(c, 4) AS cosine FROM j WHERE c >= 0.45 ORDER BY id_a, id_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("dedup_exact", dedupExact _, dedupExactSql),
     QueryDef.sql("dedup_exact_norm", dedupExactNorm _, dedupExactNormSql),
     QueryDef.sql("dedup_ngram_jaccard", dedupNgramJaccard _, dedupNgramJaccardSql),
-    QueryDef.rowsOnly("dedup_minhash_lsh", dedupMinhashLsh _),
+    QueryDef.sql("dedup_minhash_lsh", dedupMinhashLsh _, dedupMinhashLshSql),
     QueryDef.sql("dedup_simhash", dedupSimhash _, dedupSimhashSql),
     QueryDef.sql("dedup_embedding", dedupEmbedding _, dedupEmbeddingSql),
-    QueryDef.rowsOnly("dedup_embedding_lsh", dedupEmbeddingLsh _))
+    QueryDef.sql("dedup_embedding_lsh", dedupEmbeddingLsh _, dedupEmbeddingLshSql))
 }

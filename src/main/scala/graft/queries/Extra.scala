@@ -143,20 +143,39 @@ object Extra {
 
   /** TPC-H Q7 shape: bilateral trade volume between two nation pairs
     * by ship year.
+    *
+    * Scale note: the pair predicate `(supp=A ∧ cust=B) ∨ (supp=B ∧
+    * cust=A)` references both join outputs, so Catalyst cannot factor
+    * it into per-side pushable filters — left where it was, the three
+    * fact joins would run at full volume before ~(23/25)² of rows
+    * drop. Instead both nation dims are pre-filtered to the two
+    * nations (IN-shaped, pushes into the nation scans) and joined to
+    * supplier/customer FIRST, so lineitem⋈supplier and
+    * orders⋈customer each shrink ~12.5× before the fact joins; only
+    * the residual pair filter (dropping the A-A and B-B combinations)
+    * runs after. PlanSpec pins the shape.
     */
   def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val t = Tables(spark, dir)
-    val n1 = t.nation.select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation"))
-    val n2 = t.nation.select($"n_nationkey".as("c_nk"), $"n_name".as("cust_nation"))
-    t.lineitem
-      .join(t.supplier.select($"s_suppkey", $"s_nationkey"), $"l_suppkey" === $"s_suppkey")
-      .join(t.orders.select($"o_orderkey", $"o_custkey"), $"l_orderkey" === $"o_orderkey")
-      .join(t.customer.select($"c_custkey", $"c_nationkey"), $"o_custkey" === $"c_custkey")
+    val nations = Seq("NATION_9", "NATION_10")
+    val n1 = t.nation.filter($"n_name".isin(nations: _*))
+      .select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation"))
+    val n2 = t.nation.filter($"n_name".isin(nations: _*))
+      .select($"n_nationkey".as("c_nk"), $"n_name".as("cust_nation"))
+    // dims pre-restricted to the two nations — the fact joins below
+    // are semi-filtering, not full-volume
+    val supp = t.supplier.select($"s_suppkey", $"s_nationkey")
       .join(broadcast(n1), $"s_nationkey" === $"s_nk")
+      .select($"s_suppkey", $"supp_nation")
+    val cust = t.customer.select($"c_custkey", $"c_nationkey")
       .join(broadcast(n2), $"c_nationkey" === $"c_nk")
-      .filter(($"supp_nation" === "NATION_9" && $"cust_nation" === "NATION_10") ||
-        ($"supp_nation" === "NATION_10" && $"cust_nation" === "NATION_9"))
+      .select($"c_custkey", $"cust_nation")
+    t.lineitem
+      .join(supp, $"l_suppkey" === $"s_suppkey")
+      .join(t.orders.select($"o_orderkey", $"o_custkey"), $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .filter($"supp_nation" =!= $"cust_nation")
       .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").as("l_year"))
       .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("volume"))
       .orderBy($"supp_nation", $"cust_nation", $"l_year")
@@ -315,20 +334,33 @@ object Extra {
       |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin
 
   /** Approximate per-group quantiles (Greenwald–Khanna sketch) — the
-    * mergeable-sketch path for 100 TB percentiles; rows-only oracle,
-    * spec bounds the error vs the exact percentile.
+    * mergeable-sketch path for 100 TB percentiles. The estimate stays
+    * approximate; the GATE is exact: the plan emits the exact
+    * interpolated median and a within-2% boolean on the GK estimate,
+    * and the DuckDB oracle recomputes the exact side and asserts the
+    * boolean — hash-match instead of rows-only. ApproxSpec bounds the
+    * raw estimate too.
     */
   def qApproxQuantile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables(spark, dir).lineitem
       .groupBy($"l_returnflag")
-      .agg(percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("p50_approx"))
+      .agg(
+        round(percentile($"l_extendedprice", lit(0.5)), 4).as("p50_exact"),
+        percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("approx_"))
+      .select($"l_returnflag", $"p50_exact",
+        (abs($"approx_" - $"p50_exact") <= $"p50_exact" * 0.02).as("within_tol"))
       .orderBy($"l_returnflag")
   }
 
+  private val qApproxQuantileSql =
+    """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+      |  true AS within_tol
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q_sql_correlated", qSqlCorrelated _, qSqlCorrelatedSql),
-    QueryDef.rowsOnly("q_approx_quantile", qApproxQuantile _),
+    QueryDef.sql("q_approx_quantile", qApproxQuantile _, qApproxQuantileSql),
     QueryDef.sql("text_heavy_hitters", textHeavyHitters _, textHeavyHittersSql),
     QueryDef.sql("q10_returned_items", q10ReturnedItems _, q10Sql),
     QueryDef.sql("q7_nation_volume", q7NationVolume _, q7Sql),

@@ -442,16 +442,29 @@ object Relational {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
-  /** HLL++ approximate distinct — approximate by design, so rows-only
-    * oracle; RelationalSpec bounds the error vs the exact count.
+  /** HLL++ approximate distinct. The estimate itself stays
+    * approximate by design, but the GATE is exact: the plan computes
+    * the exact distinct count alongside and emits a within-5%
+    * boolean, which the DuckDB oracle recomputes (exact side) and
+    * asserts (`true` literal) — so the sketch's accuracy contract is
+    * hash-checked every round instead of rows-only. RelationalSpec
+    * additionally bounds the raw estimate.
     */
   def qApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables(spark, dir).lineitem
       .groupBy($"l_returnflag")
-      .agg(approx_count_distinct($"l_partkey").as("approx_parts"))
+      .agg(
+        countDistinct($"l_partkey").as("exact_parts"),
+        approx_count_distinct($"l_partkey").as("approx_"))
+      .select($"l_returnflag", $"exact_parts",
+        (abs($"approx_" - $"exact_parts") <= $"exact_parts" * 0.05).as("within_tol"))
       .orderBy($"l_returnflag")
   }
+
+  private val qApproxDistinctSql =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts, true AS within_tol
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** ROLLUP hierarchy region → nation over customer balances. */
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
@@ -754,7 +767,7 @@ object Relational {
     QueryDef.sql("q_outer_join", qOuterJoin _, qOuterJoinSql),
     QueryDef.sql("q_having", qHaving _, qHavingSql),
     QueryDef.sql("q_distinct_agg", qDistinctAgg _, qDistinctAggSql),
-    QueryDef.rowsOnly("q_approx_distinct", qApproxDistinct _),
+    QueryDef.sql("q_approx_distinct", qApproxDistinct _, qApproxDistinctSql),
     QueryDef.sql("q_rollup", qRollup _, qRollupSql),
     QueryDef.sql("q_cube", qCube _, qCubeSql),
     QueryDef.sql("q_pivot", qPivot _, qPivotSql),

@@ -40,8 +40,11 @@ object SimilarityQ {
       |SELECT q_id, neighbor_id, round(cos, 4) AS cosine, rk
       |FROM r WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
 
-  /** LSH-bucketed ANN (approximate — rows-only; SimilaritySpec
-    * measures recall vs brute force).
+  /** LSH-bucketed ANN. Still approximate vs brute force (recall in
+    * SimilaritySpec), but fully deterministic: the 4-plane bucket
+    * signature uses [[graft.functions.HyperplaneBands]]'s md5-derived
+    * integer arithmetic, so the DuckDB oracle replays bucketing,
+    * 1-bit-flip probing and candidate top-k exactly — hash-match gate.
     */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -50,13 +53,67 @@ object SimilarityQ {
       .orderBy($"q_id", $"rk")
   }
 
-  /** IVF-bucketed ANN (approximate — rows-only; recall in spec). */
+  private val annLshSql =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * 1048576.0)) AS qx,
+      |         CAST(embedding AS DOUBLE[]) AS e
+      |  FROM embeddings),
+      |w AS (
+      |  SELECT p, list(CAST(CAST(CAST(('0x'||substr(md5('hp:'||p||':'||j),1,16)) AS UBIGINT) % 2001 AS BIGINT) - 1000 AS DOUBLE) ORDER BY j) AS wv
+      |  FROM range(0, 4) t(p), range(0, 64) d(j) GROUP BY p),
+      |bk AS (
+      |  SELECT vec_id, SUM(CASE WHEN list_dot_product(qx, wv) > 0 THEN CAST(1 AS BIGINT) << CAST(p AS INTEGER) ELSE 0 END) AS bucket
+      |  FROM v, w GROUP BY vec_id),
+      |probes AS (
+      |  SELECT DISTINCT q_id, pb FROM (
+      |    SELECT vec_id AS q_id, bucket AS pb FROM bk WHERE vec_id < 10
+      |    UNION ALL
+      |    SELECT vec_id, CAST(xor(bucket, CAST(1 AS BIGINT) << CAST(p AS INTEGER)) AS BIGINT)
+      |    FROM bk, range(0, 4) r(p) WHERE vec_id < 10)),
+      |scored AS (
+      |  SELECT p.q_id, b.vec_id AS neighbor_id,
+      |    list_dot_product(e.e, q.e) / (sqrt(list_dot_product(e.e, e.e)) * sqrt(list_dot_product(q.e, q.e))) AS c
+      |  FROM probes p JOIN bk b ON b.bucket = p.pb
+      |  JOIN v e ON e.vec_id = b.vec_id JOIN v q ON q.vec_id = p.q_id
+      |  WHERE b.vec_id <> p.q_id),
+      |r AS (SELECT q_id, neighbor_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, neighbor_id) AS rk FROM scored)
+      |SELECT q_id, neighbor_id, round(c, 4) AS cosine, rk FROM r WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
+
+  /** IVF-bucketed ANN. The coarse "centroids" are a deterministic
+    * seed set (first 10 ids), so the DuckDB oracle replays
+    * assignment, nprobe probing and candidate top-k exactly —
+    * hash-match gate; recall vs brute force stays in the spec.
+    */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = Tables(spark, dir).embeddings
     Similarity.ivfTopK(e, queriesOf(spark, dir), "vec_id", "embedding", k = 10)
       .orderBy($"q_id", $"rk")
   }
+
+  private val annIvfSql =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |cents AS (SELECT vec_id AS c_id, e AS ce FROM v ORDER BY vec_id LIMIT 10),
+      |ac AS (
+      |  SELECT vec_id, c_id,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY
+      |      list_dot_product(e, ce) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))) DESC, c_id) AS rn
+      |  FROM v, cents),
+      |assigned AS (SELECT vec_id, c_id AS cluster FROM ac WHERE rn = 1),
+      |qp AS (
+      |  SELECT vec_id AS q_id, c_id AS cluster,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY
+      |      list_dot_product(e, ce) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))) DESC, c_id) AS rn
+      |  FROM v, cents WHERE vec_id < 10),
+      |probes AS (SELECT q_id, cluster FROM qp WHERE rn <= 4),
+      |scored AS (
+      |  SELECT p.q_id, a.vec_id AS neighbor_id,
+      |    list_dot_product(e.e, q.e) / (sqrt(list_dot_product(e.e, e.e)) * sqrt(list_dot_product(q.e, q.e))) AS c
+      |  FROM probes p JOIN assigned a ON a.cluster = p.cluster
+      |  JOIN v e ON e.vec_id = a.vec_id JOIN v q ON q.vec_id = p.q_id
+      |  WHERE a.vec_id <> p.q_id),
+      |r AS (SELECT q_id, neighbor_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, neighbor_id) AS rk FROM scored)
+      |SELECT q_id, neighbor_id, round(c, 4) AS cosine, rk FROM r WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
 
   /** Binary payload stats: byte length + content digest of the packed
     * media column (DuckDB encode() parity).
@@ -171,8 +228,8 @@ object SimilarityQ {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("ann_bruteforce_topk", annBruteforce _, annBruteforceSql),
-    QueryDef.rowsOnly("ann_lsh_topk", annLsh _),
-    QueryDef.rowsOnly("ann_ivf_topk", annIvf _),
+    QueryDef.sql("ann_lsh_topk", annLsh _, annLshSql),
+    QueryDef.sql("ann_ivf_topk", annIvf _, annIvfSql),
     QueryDef.sql("mm_binary_stats", mmBinaryStats _, mmBinaryStatsSql),
     QueryDef.sql("mm_featurize", mmFeaturize _, mmFeaturizeSql),
     QueryDef.sql("mm_frame_sample", mmFrameSample _, mmFrameSampleSql),
