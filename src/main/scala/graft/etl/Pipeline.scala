@@ -18,7 +18,46 @@ object Pipeline {
 
   final case class FileResult(
       file: String, dest: String, rows: Long, cols: Long,
-      issues: Seq[String], accepted: Boolean)
+      issues: Seq[String], accepted: Boolean, uploaded_at_utc: String)
+
+  /** Typed sink reachability: ok or an actionable reason. */
+  final case class SinkCheck(ok: Boolean, detail: String)
+
+  /** Preflight the configured sink — the reference's "test S3
+    * connection" action with `explain_boto_error`'s
+    * provider-error → actionable-message mapping
+    * (streamlit_app.py:119-130, 220-228). Writes, reads back and
+    * deletes a marker object under the prefix, so every failure a
+    * real ingest would hit mid-write (bad URI, unreachable endpoint,
+    * no permission) surfaces up front as a typed message instead of
+    * a raw Hadoop stack trace.
+    */
+  def checkSink(spark: SparkSession, cfg: GraftConfig): SinkCheck =
+    cfg.sinkUri match {
+      case None => SinkCheck(ok = false, "No sink configured (offline mode) — validation runs, nothing is written.")
+      case Some(uri) =>
+        val marker = new Path(s"$uri/.graft_preflight")
+        try {
+          val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val out = fs.create(marker, true)
+          try out.write("graft".getBytes("UTF-8")) finally out.close()
+          val in = fs.open(marker)
+          val ok = try { val b = new Array[Byte](5); in.readFully(b); new String(b, "UTF-8") == "graft" }
+          finally in.close()
+          fs.delete(marker, false)
+          if (ok) SinkCheck(ok = true, s"Sink reachable and writable: $uri")
+          else SinkCheck(ok = false, s"Sink readback mismatch at $uri — storage may be corrupting writes.")
+        } catch {
+          case e: java.net.UnknownHostException =>
+            SinkCheck(ok = false, s"Sink endpoint unreachable (${e.getMessage}) — check the URI host/region.")
+          case e: org.apache.hadoop.security.AccessControlException =>
+            SinkCheck(ok = false, s"Access denied to $uri (${e.getMessage}) — check credentials/policy.")
+          case _: java.io.FileNotFoundException | _: IllegalArgumentException =>
+            SinkCheck(ok = false, s"Sink URI invalid or bucket/path missing: $uri.")
+          case e: java.io.IOException =>
+            SinkCheck(ok = false, s"Sink I/O failed for $uri: ${e.getMessage}.")
+        }
+    }
 
   /** `uploads/{YYYYMMDD_HHMMSS}_{uuid8}` — the reference's per-session
     * object prefix (`new_session_prefix`, streamlit_app.py:92-94), so
@@ -49,7 +88,8 @@ object Pipeline {
     */
   def ingestWith(spark: SparkSession, inDir: String, cfg: GraftConfig,
                  sessionTs: Option[String] = None,
-                 sessionId: Option[String] = None): DataFrame = {
+                 sessionId: Option[String] = None,
+                 clock: () => String = () => java.time.Instant.now().toString): DataFrame = {
     import spark.implicits._
     val session = cfg.sinkUri.map(out => sessionPrefix(out, sessionTs, sessionId))
     val maxFileMb = cfg.maxFileMb
@@ -77,8 +117,18 @@ object Pipeline {
             else d.columns
           if (headers.exists(_.trim.isEmpty)) issues += "One or more column headers are blank."
           if (headers.distinct.length != headers.length) issues += "Duplicate column headers detected."
-          if (d.isEmpty) issues += "No data rows found."
-          Some(d)
+          // full-file parse INSIDE the rejection scope: the CSV read
+          // is FAILFAST (reference on_bad_lines="error"), but both a
+          // limit-1 emptiness probe and a plain count() let the
+          // parser skip column materialization (CSV column pruning),
+          // silently passing ragged rows. The RDD hop forces every
+          // record through the full-width parser — intake is the one
+          // place that cost is the point (the reference parses the
+          // whole upload too), and it must happen even in offline
+          // mode where no write would otherwise touch the rows.
+          val rows = d.rdd.count()
+          if (rows == 0L) issues += "No data rows found."
+          Some((d, rows))
         } catch {
           case e: Intake.UnsupportedFormat => issues += e.getMessage; None
           case e: Exception => issues += s"Failed to parse file: ${e.getMessage}"; None
@@ -86,18 +136,20 @@ object Pipeline {
       val stem = p.getName.replaceFirst("\\.[^.]+$", "")
       val dest = session.map(s => s"$s/${stem.replaceAll("[^A-Za-z0-9._-]", "_")}")
       val accepted = issues.isEmpty && df.isDefined
-      val (rows, cols) = df.map { d =>
+      val (rows, cols) = df.map { case (d, r) =>
         if (accepted) dest.foreach(Normalize.writeCanonicalCsv(d, _))
-        (d.count(), d.columns.length.toLong)
+        (r, d.columns.length.toLong)
       }.getOrElse((0L, 0L))
+      // per-file upload timestamp (reference uploaded_at_utc,
+      // streamlit_app.py:308) — clock injectable for deterministic tests
       FileResult(p.getName, if (accepted) dest.getOrElse("") else "",
-        rows, cols, issues.toSeq, accepted)
+        rows, cols, issues.toSeq, accepted, clock())
     }
 
     val manifest = results.toSeq.toDF()
     session.foreach { s =>
       Manifest.writeJson(
-        manifest.select($"file", $"dest", $"rows", $"cols", $"accepted"),
+        manifest.select($"file", $"dest", $"rows", $"cols", $"accepted", $"uploaded_at_utc"),
         s"$s/manifest")
     }
     manifest

@@ -123,7 +123,17 @@ object SniffCsv {
     out.toArray
   }
 
-  /** Distributed all-string read with the sniffed dialect. */
+  /** Distributed all-string read with the sniffed dialect.
+    *
+    * FAILFAST, not Spark's default PERMISSIVE: the reference reads
+    * with `on_bad_lines="error"` (streamlit_app.py:169), so a single
+    * ragged row rejects the whole file. PERMISSIVE would silently
+    * null-pad/truncate malformed rows and accept a file the
+    * reference refuses — a fidelity divergence, and at 100 TB a
+    * silent data-corruption vector. The throw surfaces at first
+    * action; `Pipeline.ingestWith` maps it to the reference's
+    * "Failed to parse file" issue.
+    */
   def read(spark: SparkSession, path: String): DataFrame = {
     val d = sniff(spark, path)
     val df = spark.read
@@ -131,6 +141,7 @@ object SniffCsv {
       .option("delimiter", d.delimiter.toString)
       .option("encoding", d.charset)
       .option("inferSchema", "false")
+      .option("mode", "FAILFAST")
       .csv(path)
     // strip a lingering BOM from the first header (utf-8-sig parity)
     df.columns.headOption match {

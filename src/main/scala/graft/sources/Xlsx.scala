@@ -303,11 +303,25 @@ object Xlsx {
     sb.toString
   }
 
+  /** Thrown when an xlsx export exceeds the row cap — the format
+    * itself tops out at 2^20 rows per sheet, and the writer is
+    * driver-streamed by design; large tables belong in the
+    * parquet/CSV sinks.
+    */
+  final case class SizeExceeded(maxRows: Long) extends RuntimeException(
+    s"xlsx export exceeds $maxRows rows; xlsx is a driver-sized interchange format — " +
+      "use the parquet/CSV sinks for large tables")
+
+  def write(header: Seq[String], rows: Seq[Seq[String]], out: OutputStream): Unit =
+    write(header, rows.iterator, out)
+
   /** Minimal single-sheet xlsx with inlineStr cells — the intake-side
     * fixture/export utility (drives the reader's spec + gate query);
-    * not a distributed sink (the format itself is single-file).
+    * not a distributed sink (the format itself is single-file). Rows
+    * stream straight into the zip entry, so memory is one row, not
+    * the sheet.
     */
-  def write(header: Seq[String], rows: Seq[Seq[String]], out: OutputStream): Unit = {
+  def write(header: Seq[String], rows: Iterator[Seq[String]], out: OutputStream): Unit = {
     val z = new ZipOutputStream(out)
     def entry(name: String, content: String): Unit = {
       z.putNextEntry(new ZipEntry(name))
@@ -337,30 +351,48 @@ object Xlsx {
         |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
         |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
         |</Relationships>""".stripMargin)
-    val sheet = new StringBuilder
-    sheet ++= s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n<worksheet xmlns="$MainNs"><sheetData>"""
-    (header +: rows.toSeq).zipWithIndex.foreach { case (row, ri) =>
-      sheet ++= s"""<row r="${ri + 1}">"""
+    z.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
+    def emit(s: String): Unit = z.write(s.getBytes("UTF-8"))
+    emit(s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n<worksheet xmlns="$MainNs"><sheetData>""")
+    var ri = 0
+    (Iterator.single(header) ++ rows).foreach { row =>
+      val sb = new StringBuilder
+      sb ++= s"""<row r="${ri + 1}">"""
       row.zipWithIndex.foreach { case (v, ci) =>
         if (v != null && v.nonEmpty)
-          sheet ++= s"""<c r="${colName(ci)}${ri + 1}" t="inlineStr"><is><t>${xmlEscape(v)}</t></is></c>"""
+          sb ++= s"""<c r="${colName(ci)}${ri + 1}" t="inlineStr"><is><t>${xmlEscape(v)}</t></is></c>"""
       }
-      sheet ++= "</row>"
+      sb ++= "</row>"
+      emit(sb.toString)
+      ri += 1
     }
-    sheet ++= "</sheetData></worksheet>"
-    entry("xl/worksheets/sheet1.xml", sheet.toString)
+    emit("</sheetData></worksheet>")
+    z.closeEntry()
     z.finish()
   }
 
-  /** Write to any Hadoop URI (collects — intake fixtures are
-    * size-capped by contract; see class note).
+  /** Write to any Hadoop URI. Streams partition by partition through
+    * `toLocalIterator` — the driver holds one partition, never the
+    * table — and a hard row guard throws [[SizeExceeded]] (deleting
+    * the partial file) instead of letting a caller point this at
+    * `lineitem` and OOM the driver. Default cap = the sheet format's
+    * own 2^20-row limit.
     */
-  def writeTable(spark: SparkSession, df: DataFrame, path: String): Unit = {
+  def writeTable(spark: SparkSession, df: DataFrame, path: String,
+                 maxRows: Long = 1048575): Unit = {
+    import scala.jdk.CollectionConverters._
     val header = df.columns.toSeq
-    val rows = df.collect().toSeq.map(_.toSeq.map(v => if (v == null) "" else v.toString))
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    try write(header, rows, out) finally out.close()
+    var n = 0L
+    val guarded = df.toLocalIterator().asScala.map { r =>
+      n += 1
+      if (n > maxRows) throw SizeExceeded(maxRows)
+      r.toSeq.map(v => if (v == null) "" else v.toString)
+    }
+    try write(header, guarded, out)
+    catch { case e: Throwable => out.close(); fs.delete(p, false); throw e }
+    finally out.close()
   }
 }

