@@ -62,10 +62,29 @@ object Bench {
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // contention self-diagnosis: re-time the 5 slowest queries ALONE
+    // after the whole suite. In the main pass a query shares the JVM
+    // with its neighbors' GC/codegen debris, and a busy driver box
+    // inflates everything 2-6× (round-2 postmortem: the driver's bench
+    // read as a regression until an idle re-run) — isolated-vs-main
+    // deltas make that inflation visible inside the JSON itself.
+    val slow = results.toSeq.filter(_._2 >= 0.0).sortBy(-_._2).take(5).map(_._1)
+    val isolated = slow.map { name =>
+      val fn = SparkEntry.queries(name)
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      spark.catalog.clearCache()
+      name -> times.min
+    }
+    val iso = isolated.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     // failure sentinels must not shrink the headline number
     val ok = results.values.filter(_ >= 0.0)
     val total = if (results.values.exists(_ < 0.0)) -1.0 else ok.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"warmup":"$warmDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$iso,"sf":"$sfDir","iters":$iters,"warmup":"$warmDir"}""")
     spark.stop()
   }
 }

@@ -106,6 +106,47 @@ object ScaleProbe {
     val (eb, enb) = timeEmbLsh(s"$base/embeddings.parquet")
     val (e2, en2) = timeEmbLsh(s"$emb2/embeddings.parquet")
     println(f"embedding_lsh_pairs,base=$eb%.2f s ($enb pairs),x2vecs=$e2%.2f s ($en2 pairs),time_factor=${e2 / eb}%.1f")
+
+    // ---- round-2 operator families under the same 2× methodology ----
+
+    // generic 2×-corpus probe: time + output rows at base and doubled
+    // input; compute tracks OUTPUT on a scale-safe plan, input² on a
+    // broken one
+    def probeGrowth(label: String, baseDir: String, bigDir: String,
+                    run: String => org.apache.spark.sql.DataFrame): Unit = {
+      def one(dir: String): (Double, Long) = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val n = run(dir).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val (b1, n1) = one(baseDir)
+      val (b2, n2x) = one(bigDir)
+      println(f"$label,base=$b1%.2f s ($n1 rows),x2=$b2%.2f s ($n2x rows)," +
+        f"time_factor=${b2 / b1}%.1f,row_factor=${n2x.toDouble / math.max(1, n1)}%.1f")
+    }
+
+    // fuzzy join: replicated part names make every replica pair an
+    // edit-distance-0 match — candidate blocking is what's stressed
+    val part2 = s"$out/part2"
+    val pt = t.part
+    val maxPart = pt.agg(max($"p_partkey")).as[Long].head() + 1
+    pt.unionByName(pt.withColumn("p_partkey", $"p_partkey" + maxPart))
+      .write.mode("overwrite").parquet(s"$part2/part.parquet")
+    probeGrowth("fuzzy_join", base, part2,
+      dir => graft.operators.FuzzyJoin.pairs(
+        spark.read.parquet(s"$dir/part.parquet"), "p_partkey", "p_name",
+        maxDist = 2, maxGramDf = 200))
+
+    // decontamination: corpus-shingles ⋈ small benchmark index — time
+    // must track the corpus scan, never corpus × benchmark
+    probeGrowth("decontaminate", base, docs2,
+      dir => graft.queries.Text.textDecontaminate(spark, dir))
+
+    // the composed corpus pipeline end to end (dedup→quality→sample→
+    // pack as ONE plan)
+    probeGrowth("pipeline_corpus", base, docs2,
+      dir => graft.queries.TrainingQ.pipelineCorpus(spark, dir))
     spark.stop()
   }
 }

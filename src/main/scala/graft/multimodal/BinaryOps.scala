@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
   * extraction over `mapPartitions` (the Scala analogue of
   * mapInPandas-style batched UDF execution).
   *
-  * The decode step is a STUB — no image/audio codecs ship in this
-  * sandbox — replaced by a deterministic md5-seeded fake, so the
-  * Spark-side contract (schema, batching, partition parallelism) is
-  * real and tested while the codec is pluggable.
+  * Decode dispatch: PNG payloads go through the REAL dependency-free
+  * decoder ([[Png]] — zlib inflate + scanline unfilter, all five
+  * filters) and yield real pixel statistics; every other media type
+  * (no codec ships in this sandbox) falls back to the declared
+  * deterministic md5-seeded stub, so the Spark-side contract
+  * (schema, batching, partition parallelism) is identical either way
+  * and the codec surface stays pluggable per format.
   */
 object BinaryOps {
 
@@ -30,14 +33,28 @@ object BinaryOps {
         col("source"),
         col("n_chars")).as("meta"))
 
-  /** STUB decoder: deterministic 8-dim feature vector seeded from the
-    * content md5. A real build swaps `fakeDecode` for a codec call —
-    * the batching/partitioning stays identical.
+  /** STUB decoder for formats without a shipped codec: deterministic
+    * 8-dim feature vector seeded from the content md5. The PNG path
+    * below does the real work; a full build swaps this for the other
+    * codecs — the batching/partitioning stays identical.
     */
   private[graft] def fakeDecode(bytes: Array[Byte]): Array[Double] = {
     val h = java.security.MessageDigest.getInstance("MD5").digest(bytes)
     h.take(8).map(b => (b & 0xff) / 255.0)
   }
+
+  /** Per-payload decode dispatch: real PNG pixels when the payload IS
+    * a PNG, stub features otherwise. A corrupt or out-of-scope PNG
+    * (16-bit, interlaced, truncated) degrades to the stub rather than
+    * failing the batch — at 100 TB a single bad file must never kill
+    * the job (the quality columns still mark it: real features carry
+    * width ≥ 1 in f0, stub features sit in [0, 1]).
+    */
+  private[graft] def decodeFeatures(bytes: Array[Byte]): Array[Double] =
+    if (Png.isPng(bytes))
+      try Png.features(Png.decode(bytes))
+      catch { case _: Png.Unsupported => fakeDecode(bytes) }
+    else fakeDecode(bytes)
 
   final case class FrameSample(doc_id: Long, n_frames: Long, sampled: Array[Array[Byte]])
 
@@ -75,9 +92,9 @@ object BinaryOps {
     packed.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
-          // per-batch setup would open the codec once here
+          // per-batch setup would open further codecs once here
           batch.iterator.map { case (id, bytes) =>
-            MediaFeatures(id, bytes.length.toLong, fakeDecode(bytes))
+            MediaFeatures(id, bytes.length.toLong, decodeFeatures(bytes))
           }
         }
       }

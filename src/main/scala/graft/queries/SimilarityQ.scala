@@ -226,6 +226,28 @@ object SimilarityQ {
       |  FROM events, range(0, 2) t(i))
       |GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin
 
+  /** Batch face of the stream-stream interval join ([[EventStream
+    * .intervalJoin]]): click→purchase attribution within 1 hour, per
+    * user — the classic bounded-state stream join, oracled in SQL.
+    */
+  def qIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).events
+    EventStream.intervalJoin(
+        e.filter($"event_type" === "click"),
+        e.filter($"event_type" === "purchase"))
+      .orderBy($"user_id", $"click_id", $"purchase_id")
+  }
+
+  private val qIntervalJoinSql =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      |  epoch_us(c.ts) AS c_us, epoch_us(p.ts) AS p_us,
+      |  round(p.value, 4) AS purchase_value
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("ann_bruteforce_topk", annBruteforce _, annBruteforceSql),
     QueryDef.sql("ann_lsh_topk", annLsh _, annLshSql),
@@ -235,5 +257,6 @@ object SimilarityQ {
     QueryDef.sql("mm_frame_sample", mmFrameSample _, mmFrameSampleSql),
     QueryDef.sql("text_rolling_fp", textRollingFp _, textRollingFpSql),
     QueryDef.sql("stream_window_counts", streamWindowCounts _, streamWindowCountsSql),
-    QueryDef.sql("stream_sliding_counts", streamSlidingCounts _, streamSlidingCountsSql))
+    QueryDef.sql("stream_sliding_counts", streamSlidingCounts _, streamSlidingCountsSql),
+    QueryDef.sql("q_interval_join", qIntervalJoin _, qIntervalJoinSql))
 }

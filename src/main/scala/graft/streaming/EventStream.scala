@@ -35,6 +35,26 @@ object EventStream {
         unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-stream interval join: purchases attributed to a click by
+    * the same user within the following hour. The event-time bound is
+    * what lets Spark expire join state in streaming mode (callers add
+    * `withWatermark` on each side's `ts` first); the SAME plan runs
+    * in batch for the DuckDB oracle gate (`q_interval_join`), and
+    * StreamingSpec asserts the stream side agrees.
+    *
+    * Both inputs: (user_id, ts, event_id[, value]).
+    */
+  def intervalJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("user_id"), col("ts").as("c_ts"),
+      col("event_id").as("click_id"))
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+      col("event_id").as("purchase_id"), col("value"))
+    c.join(p, expr("user_id = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        unix_micros(col("c_ts")).as("c_us"), unix_micros(col("p_ts")).as("p_us"),
+        round(col("value"), 4).as("purchase_value"))
+  }
+
   final case class Ev(user_id: Long, ts_us: Long, event_id: Long)
   final case class SessionAcc(start_us: Long, last_us: Long, n: Long)
   final case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)

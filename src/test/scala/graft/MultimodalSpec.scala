@@ -52,4 +52,87 @@ class MultimodalSpec extends GraftSuite {
     assert(x.toSeq == BinaryOps.fakeDecode("abc".getBytes).toSeq)
     assert(x.toSeq != BinaryOps.fakeDecode("abd".getBytes).toSeq)
   }
+
+  // ------------------------------------------------------------- real PNG
+
+  import graft.multimodal.Png
+
+  /** Deterministic RGB gradient: every channel value exercised. */
+  private def gradient(w: Int, h: Int, ch: Int): Png.Image =
+    Png.Image(w, h, ch,
+      Array.tabulate(w * h * ch)(i => ((i * 7 + i / 3) % 256).toByte))
+
+  test("PNG round-trips through every scanline filter and color type") {
+    for (ch <- Seq(1, 2, 3, 4)) {
+      val img = gradient(13, 11, ch) // odd sizes: no alignment luck
+      // cycle filters 0..4 across rows so Sub/Up/Average/Paeth all run
+      val back = Png.decode(Png.encode(img, filterOf = y => y % 5))
+      assert(back.width == 13 && back.height == 11 && back.channels == ch)
+      assert(back.pixels.toSeq == img.pixels.toSeq, s"pixel mismatch at $ch channels")
+    }
+  }
+
+  test("palette PNG expands through PLTE to RGB") {
+    // hand-build a 2x2 color-type-3 image: indices 0..3 into a 4-color palette
+    val pal = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+    val rgb = Png.decode(palettePng(2, 2, Array[Byte](0, 1, 2, 3), pal))
+    assert(rgb.channels == 3)
+    assert(rgb.pixels.toSeq == Seq[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120))
+  }
+
+  private def palettePng(w: Int, h: Int, idx: Array[Byte], pal: Array[Byte]): Array[Byte] = {
+    // encode as greyscale (same 1-byte-per-pixel layout), then rewrite
+    // IHDR's color type to 3 and splice a PLTE chunk before IDAT
+    val grey = Png.encode(Png.Image(w, h, 1, idx))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(grey, 0, 8 + 8 + 13 + 4) // signature + IHDR chunk
+    val bytes = out.toByteArray
+    bytes(8 + 8 + 9) = 3 // IHDR color type offset
+    // recompute IHDR CRC
+    val crc = new java.util.zip.CRC32()
+    crc.update(bytes, 8 + 4, 4 + 13)
+    val c = crc.getValue.toInt
+    for (i <- 0 until 4) bytes(8 + 8 + 13 + i) = (c >>> (24 - 8 * i)).toByte
+    val res = new java.io.ByteArrayOutputStream()
+    res.write(bytes)
+    // PLTE chunk
+    val len = pal.length
+    res.write(Array[Byte]((len >>> 24).toByte, (len >>> 16).toByte, (len >>> 8).toByte, len.toByte))
+    val t = "PLTE".getBytes("US-ASCII")
+    res.write(t); res.write(pal)
+    val pc = new java.util.zip.CRC32(); pc.update(t); pc.update(pal)
+    val pcv = pc.getValue.toInt
+    res.write(Array[Byte]((pcv >>> 24).toByte, (pcv >>> 16).toByte, (pcv >>> 8).toByte, pcv.toByte))
+    // rest of the greyscale stream (IDAT + IEND)
+    res.write(grey, 8 + 8 + 13 + 4, grey.length - (8 + 8 + 13 + 4))
+    res.toByteArray
+  }
+
+  test("featurize computes REAL pixel stats for PNG payloads, stub for the rest") {
+    // 4x1 greyscale with known values -> known mean/std/min/max/gradient
+    val img = Png.Image(4, 1, 1, Array[Byte](0, 100.toByte, 200.toByte, 0))
+    val png = Png.encode(img)
+    val packed = Seq((1L, png), (2L, "not an image".getBytes)).toDF("doc_id", "payload")
+    val f = BinaryOps.featurize(packed).collect().map(m => m.doc_id -> m.features).toMap
+    val real = f(1L)
+    assert(real(0) == 4.0 && real(1) == 1.0 && real(2) == 1.0)
+    assert(math.abs(real(3) - 75.0 / 255.0) < 1e-12)            // mean
+    assert(math.abs(real(5) - 0.0) < 1e-12 && math.abs(real(6) - 200.0 / 255.0) < 1e-12)
+    assert(math.abs(real(7) - (100 + 100 + 200) / 3.0 / 255.0) < 1e-12) // mean |dx|
+    // non-PNG payload: md5 stub, all dims in [0,1]
+    assert(f(2L).toSeq == BinaryOps.fakeDecode("not an image".getBytes).toSeq)
+  }
+
+  test("out-of-scope PNGs degrade to the stub instead of failing the batch") {
+    val img = gradient(4, 4, 1)
+    val png = Png.encode(img)
+    // corrupt: claim 16-bit depth (offset 8+8+8 = bit depth field)
+    val deep = png.clone(); deep(8 + 8 + 8) = 16
+    assert(intercept[Png.Unsupported](Png.decode(deep)).getMessage.contains("bit depth"))
+    assert(BinaryOps.decodeFeatures(deep).toSeq ==
+      BinaryOps.fakeDecode(deep).toSeq, "fallback must be the stub")
+    // truncated IDAT
+    val cut = png.take(png.length - 20)
+    assert(BinaryOps.decodeFeatures(cut).length == 8)
+  }
 }

@@ -109,29 +109,27 @@ class StreamingSpec extends GraftSuite {
 
   test("stream-stream interval join matches events within the time bound") {
     implicit val sqlCtx = spark.sqlContext
-    val clicks = MemoryStream[(Long, Long)]  // (user_id, ts_us)
-    val buys = MemoryStream[(Long, Long)]
-    val cdf = clicks.toDS().toDF("user_id", "c_us")
-      .withColumn("c_ts", expr("timestamp_micros(c_us)"))
-      .withWatermark("c_ts", "0 seconds")
-    val bdf = buys.toDS().toDF("b_user", "b_us")
-      .withColumn("b_ts", expr("timestamp_micros(b_us)"))
-      .withWatermark("b_ts", "0 seconds")
-    // purchase attributed to a click up to 1h before it — the
+    // the SAME builder the q_interval_join batch gate runs — the
     // event-time bound is what lets Spark expire join state
-    val joined = cdf.join(bdf,
-      expr("user_id = b_user AND b_ts >= c_ts AND b_ts <= c_ts + INTERVAL 1 HOUR"))
-      .select($"user_id", $"c_us", $"b_us")
+    val clicks = MemoryStream[(Long, Long, Long)]  // (user_id, ts_us, event_id)
+    val buys = MemoryStream[(Long, Long, Long, Double)]
+    val cdf = clicks.toDS().toDF("user_id", "ts_us", "event_id")
+      .withColumn("ts", expr("timestamp_micros(ts_us)"))
+      .withWatermark("ts", "0 seconds")
+    val bdf = buys.toDS().toDF("user_id", "ts_us", "event_id", "value")
+      .withColumn("ts", expr("timestamp_micros(ts_us)"))
+      .withWatermark("ts", "0 seconds")
+    val joined = graft.streaming.EventStream.intervalJoin(cdf, bdf)
     val q = joined.writeStream.outputMode("append")
       .format("memory").queryName("attrib").start()
     try {
-      clicks.addData((1L, 3_600_000_000L), (2L, 3_600_000_000L))
-      buys.addData((1L, 5_400_000_000L))   // 30 min later -> attributed
-      buys.addData((2L, 9_000_000_000L))   // 90 min later -> outside bound
+      clicks.addData((1L, 3_600_000_000L, 101L), (2L, 3_600_000_000L, 102L))
+      buys.addData((1L, 5_400_000_000L, 201L, 9.5))  // 30 min later -> attributed
+      buys.addData((2L, 9_000_000_000L, 202L, 1.0))  // 90 min later -> outside bound
       q.processAllAvailable()
       val rows = spark.table("attrib").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-      assert(rows == Set((1L, 3_600_000_000L, 5_400_000_000L)), rows.toString)
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5))).toSet
+      assert(rows == Set((1L, 101L, 201L, 9.5)), rows.toString)
     } finally q.stop()
   }
 
