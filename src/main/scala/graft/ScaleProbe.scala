@@ -126,17 +126,21 @@ object ScaleProbe {
         f"time_factor=${b2 / b1}%.1f,row_factor=${n2x.toDouble / math.max(1, n1)}%.1f")
     }
 
-    // fuzzy join: replicated part names make every replica pair an
-    // edit-distance-0 match — candidate blocking is what's stressed
-    val part2 = s"$out/part2"
-    val pt = t.part
-    val maxPart = pt.agg(max($"p_partkey")).as[Long].head() + 1
-    pt.unionByName(pt.withColumn("p_partkey", $"p_partkey" + maxPart))
-      .write.mode("overwrite").parquet(s"$part2/part.parquet")
-    probeGrowth("fuzzy_join", base, part2,
+    // fuzzy join: customer names are unique ("Customer#000012345") so
+    // their digit trigrams stay under the DF cap (part's 64 names
+    // shared by 20k rows blow every gram past it — that fixture only
+    // demonstrates the recall contract); replica names make every
+    // replica pair an edit-distance-0 match, so output should ~4× while
+    // candidate blocking keeps time near-linear
+    val cust2 = s"$out/cust2"
+    val ct = t.customer
+    val maxCust = ct.agg(max($"c_custkey")).as[Long].head() + 1
+    ct.unionByName(ct.withColumn("c_custkey", $"c_custkey" + maxCust))
+      .write.mode("overwrite").parquet(s"$cust2/customer.parquet")
+    probeGrowth("fuzzy_join", base, cust2,
       dir => graft.operators.FuzzyJoin.pairs(
-        spark.read.parquet(s"$dir/part.parquet"), "p_partkey", "p_name",
-        maxDist = 2, maxGramDf = 200))
+        spark.read.parquet(s"$dir/customer.parquet"), "c_custkey", "c_name",
+        maxDist = 1, maxGramDf = 200))
 
     // decontamination: corpus-shingles ⋈ small benchmark index — time
     // must track the corpus scan, never corpus × benchmark

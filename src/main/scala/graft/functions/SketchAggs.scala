@@ -168,9 +168,72 @@ object SketchAggs {
       copy(tok = c(0), weight = c(1))
   }
 
+  /** Count-Min sketch: `depth` rows × `width` counters in one flat
+    * fixed-size buffer per group — the mergeable frequency sketch for
+    * token streams too wide for an exact groupBy (shuffle carries
+    * depth×width longs per partition instead of the vocabulary).
+    * Estimate for a token = min over rows of its bucket counter
+    * (overestimates only, never under). Bucket row d of a token is the
+    * first 4 md5 bytes of "token#d" mod width — pure md5 arithmetic,
+    * so any engine replays bucketing AND the estimates exactly
+    * (`text_countmin`'s DuckDB oracle recomputes the bucket sums in
+    * SQL; collisions don't break the gate because the oracle takes the
+    * same mins over the same collided sums).
+    * Output: array<bigint> of length depth×width.
+    */
+  case class CountMinAgg(
+      child: Expression, depth: Int, width: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]]
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+    override def children: Seq[Expression] = Seq(child)
+    override def inputTypes = Seq(StringType)
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
+
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val tok = v.asInstanceOf[UTF8String].toString
+        var d = 0
+        while (d < depth) {
+          // first 4 md5 bytes as unsigned — matches conv(substr(md5,1,8),16,10)
+          val h32 = md5Hash64(s"$tok#$d".getBytes("UTF-8")) >>> 32
+          buf(d * width + (h32 % width).toInt) += 1L
+          d += 1
+        }
+      }
+      buf
+    }
+
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < b1.length) { b1(i) += b2(i); i += 1 }
+      b1
+    }
+
+    override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+    override def serialize(buf: Array[Long]): Array[Byte] = longsToBytes(buf)
+    override def deserialize(b: Array[Byte]): Array[Long] = bytesToLongs(b)
+
+    override def withNewMutableAggBufferOffset(offset: Int): CountMinAgg =
+      copy(mutableAggBufferOffset = offset)
+    override def withNewInputAggBufferOffset(offset: Int): CountMinAgg =
+      copy(inputAggBufferOffset = offset)
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(child = c.head)
+  }
+
   def minhash(tok: Column, perms: Int): Column =
     GraftBridge.column(
       MinHashAgg(GraftBridge.expression(tok), perms).toAggregateExpression())
+
+  def countmin(tok: Column, depth: Int, width: Int): Column =
+    GraftBridge.column(
+      CountMinAgg(GraftBridge.expression(tok), depth, width).toAggregateExpression())
 
   def simhash(tok: Column, weight: Column): Column =
     GraftBridge.column(

@@ -223,7 +223,52 @@ object DedupQ {
       |  FROM cand JOIN v a ON a.vec_id = id_a JOIN v b ON b.vec_id = id_b)
       |SELECT id_a, id_b, round(c, 4) AS cosine FROM j WHERE c >= 0.45 ORDER BY id_a, id_b""".stripMargin
 
+  /** Sub-document (chunk-level) dedup — the RefinedWeb-style pass that
+    * removes REPEATED SPANS across the corpus, not just whole-doc
+    * copies: the same 100-token / stride-80 chunking as `text_chunk`,
+    * then the first (doc_id, chunk_id) occurrence of each chunk digest
+    * survives and later ones are flagged, folded to a per-doc
+    * duplication profile. Scale: one shuffle on `chunk_md5` for the
+    * occurrence window (digest cardinality ≈ corpus size — no hot
+    * keys), one map-side-combinable aggregate back to doc_id.
+    */
+  def dedupChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val chunks = Tables(spark, dir).documents
+      .select($"doc_id", TextFns.toks($"text").as("t"))
+      .withColumn("nc",
+        greatest(lit(1), ceil((size($"t") - lit(20)) / lit(80.0))).cast("int"))
+      .select($"doc_id", $"t", explode(expr("sequence(0, nc - 1)")).as("chunk_id"))
+      .select($"doc_id", $"chunk_id".cast("long").as("chunk_id"),
+        md5(expr("array_join(slice(t, chunk_id * 80 + 1, 100), ' ')")).as("chunk_md5"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"chunk_md5").orderBy($"doc_id", $"chunk_id")
+    chunks.withColumn("dup", row_number().over(w) > 1)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"dup", 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_ratio", round($"n_dup_chunks" / $"n_chunks", 4))
+      .orderBy($"doc_id")
+  }
+
+  private val dedupChunksSql =
+    """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      |c AS (SELECT doc_id, t,
+      |        unnest(range(0, CAST(greatest(1, ceil((len(t) - 20) / 80.0)) AS BIGINT))) AS chunk_id
+      |      FROM d),
+      |ch AS (SELECT doc_id, chunk_id,
+      |         md5(array_to_string(list_slice(t, chunk_id * 80 + 1, chunk_id * 80 + 100), ' ')) AS chunk_md5
+      |       FROM c),
+      |r AS (SELECT doc_id, chunk_id,
+      |        row_number() OVER (PARTITION BY chunk_md5 ORDER BY doc_id, chunk_id) > 1 AS dup
+      |      FROM ch)
+      |SELECT doc_id, count(*) AS n_chunks,
+      |  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+      |  round(sum(CASE WHEN dup THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS dup_ratio
+      |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("dedup_chunks", dedupChunks _, dedupChunksSql),
     QueryDef.sql("dedup_exact", dedupExact _, dedupExactSql),
     QueryDef.sql("dedup_exact_norm", dedupExactNorm _, dedupExactNormSql),
     QueryDef.sql("dedup_ngram_jaccard", dedupNgramJaccard _, dedupNgramJaccardSql),

@@ -199,7 +199,42 @@ object Etl {
       |FROM customer
       |ORDER BY c_custkey""".stripMargin
 
+  /** SCD-2 history over a synthetic customer change stream: v1 = every
+    * customer, v2 = a third get a balance bump, v3 = a ninth get
+    * another — [[graft.etl.Scd2.history]] turns the stream into
+    * validity intervals. Oracle: the identical lead() window in SQL.
+    */
+  def etlScd2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables(spark, dir).customer.select($"c_custkey", $"c_acctbal")
+      .withColumn("version", lit(1L))
+    val v2 = base.filter($"c_custkey" % 3 === 0)
+      .withColumn("c_acctbal", $"c_acctbal" + 50.0).withColumn("version", lit(2L))
+    val v3 = base.filter($"c_custkey" % 9 === 0)
+      .withColumn("c_acctbal", $"c_acctbal" + 75.0).withColumn("version", lit(3L))
+    graft.etl.Scd2.history(base.unionByName(v2).unionByName(v3), Seq("c_custkey"), "version")
+      .select($"c_custkey", $"version", round($"c_acctbal", 4).as("acctbal"),
+        $"valid_from", $"valid_to", $"is_current")
+      .orderBy($"c_custkey", $"version")
+  }
+
+  private val etlScd2Sql =
+    """WITH changes AS (
+      |  SELECT c_custkey, c_acctbal, CAST(1 AS BIGINT) AS version FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, c_acctbal + 50.0, CAST(2 AS BIGINT) FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_acctbal + 75.0, CAST(3 AS BIGINT) FROM customer WHERE c_custkey % 9 = 0)
+      |SELECT c_custkey, version, round(c_acctbal, 4) AS acctbal,
+      |  version AS valid_from,
+      |  lead(version) OVER w AS valid_to,
+      |  lead(version) OVER w IS NULL AS is_current
+      |FROM changes
+      |WINDOW w AS (PARTITION BY c_custkey ORDER BY version)
+      |ORDER BY c_custkey, version""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("etl_scd2", etlScd2 _, etlScd2Sql),
     QueryDef.sql("etl_upsert", etlUpsert _, etlUpsertSql),
     QueryDef.sql("etl_csv_roundtrip", etlCsvRoundtrip _, etlCsvRoundtripSql),
     QueryDef.sql("etl_xlsx_roundtrip", etlXlsxRoundtrip _, etlXlsxRoundtripSql),

@@ -358,7 +358,100 @@ object Extra {
       |  true AS within_tol
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** TPC-H Q13 shape: per-customer order counts (left join keeps
+    * order-less customers at 0) folded into a count-of-counts
+    * histogram. Scale: the first aggregate shuffles on `c_custkey`
+    * (map-side combinable); the histogram aggregate shuffles the tiny
+    * (count → customers) pairs only.
+    */
+  def q13OrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders.filter($"o_orderpriority" =!= "1-URGENT"),
+        $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  private val q13Sql =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      |      FROM customer LEFT JOIN orders
+      |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |      GROUP BY c_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q18 shape: large-volume orders (sum of line quantities over
+    * a threshold) with their customers, top-100 by price. Scale: the
+    * quantity aggregate shuffles on `l_orderkey` with full map-side
+    * partial aggregation, the orders join reuses that key, and the
+    * top-100 plans as TakeOrderedAndProject (per-partition heaps — no
+    * global sort).
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val big = t.lineitem.groupBy($"l_orderkey")
+      .agg(sum($"l_quantity").as("qty"))
+      .filter($"qty" > 300.0)
+    t.orders.join(big, $"o_orderkey" === $"l_orderkey")
+      .join(t.customer, $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"c_custkey", $"o_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("orderdate"),
+        round($"o_totalprice", 4).as("o_totalprice"),
+        round($"qty", 4).as("sum_qty"))
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(100)
+  }
+
+  private val q18Sql =
+    """SELECT c_name, c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      |  round(o_totalprice, 4) AS o_totalprice, round(qty, 4) AS sum_qty
+      |FROM (SELECT l_orderkey, sum(l_quantity) AS qty
+      |      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300.0) b
+      |JOIN orders ON o_orderkey = b.l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q22 shape: high-balance customers with no urgent order —
+    * a global scalar aggregate (broadcast as a 1-row join, never a
+    * driver collect) gating a left-anti join. (The classic "no orders
+    * at all" predicate is empty at small SFs in this lake — every
+    * customer orders — so the anti-join side is the urgent subset.)
+    */
+  def q22IdleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val avgBal = t.customer.filter($"c_acctbal" > 0.0)
+      .agg(avg($"c_acctbal").as("avg_bal"))
+    t.customer.crossJoin(broadcast(avgBal))
+      .filter($"c_acctbal" > $"avg_bal")
+      .join(t.orders.filter($"o_orderpriority" === "1-URGENT"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("numcust"), round(sum($"c_acctbal"), 4).as("totacctbal"))
+      .orderBy($"c_nationkey")
+  }
+
+  private val q22Sql =
+    """SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 4) AS totacctbal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("q13_order_distribution", q13OrderDistribution _, q13Sql),
+    QueryDef.sql("q18_large_orders", q18LargeOrders _, q18Sql),
+    QueryDef.sql("q22_idle_customers", q22IdleCustomers _, q22Sql),
     QueryDef.sql("q_sql_correlated", qSqlCorrelated _, qSqlCorrelatedSql),
     QueryDef.sql("q_approx_quantile", qApproxQuantile _, qApproxQuantileSql),
     QueryDef.sql("text_heavy_hitters", textHeavyHitters _, textHeavyHittersSql),

@@ -261,7 +261,81 @@ object Text {
        |FROM g ORDER BY doc_id""".stripMargin
   }
 
+  /** Hashed-feature linear quality classifier — the fasttext-style
+    * model-inference shape every corpus pipeline runs at scale: each
+    * token hashes to a weight (here md5-derived so the gate is
+    * engine-replayable; a trained model ships a weight table instead),
+    * mean-pooled and squashed to a score. All inside whole-stage
+    * codegen: the fold runs in the `aggregate` HOF over the token
+    * array — no explode, no shuffle, scales with the scan exactly
+    * like `text_quality`.
+    */
+  def textQualityModel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select($"doc_id", toks($"text").as("t"))
+      .select($"doc_id",
+        (aggregate(
+          transform($"t", tk =>
+            (conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % 2001 - 1000) / 1000.0),
+          lit(0.0), (acc, x) => acc + x) / size($"t")).as("raw"))
+      .select($"doc_id",
+        round(lit(1.0) / (lit(1.0) + exp($"raw" * -8.0)), 4).as("score"),
+        ($"raw" > 0.0).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  private val textQualityModelSql =
+    """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      |r AS (SELECT doc_id,
+      |        list_reduce(
+      |          list_prepend(CAST(0.0 AS DOUBLE), list_transform(t, tk ->
+      |            ((('0x' || substr(md5(tk), 1, 8))::BIGINT % 2001 - 1000) / 1000.0))),
+      |          (acc, x) -> acc + x) / len(t) AS raw
+      |      FROM d)
+      |SELECT doc_id, round(1.0 / (1.0 + exp(raw * -8.0)), 4) AS score, raw > 0.0 AS keep
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  /** Corpus token frequencies through a Count-Min sketch
+    * ([[graft.functions.SketchAggs.CountMinAgg]], depth 4 × width
+    * 256): the sketch aggregates in one fixed-size buffer (map-side
+    * combinable — the shuffle carries 1024 longs per partition, not
+    * the vocabulary), then each distinct token reads its estimate
+    * back from the broadcast single-row sketch with the same md5
+    * bucket arithmetic. Estimates are exact-replayable (not just
+    * bounded): the DuckDB oracle recomputes bucket sums and mins,
+    * collisions and all.
+    */
+  def textCountmin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toksDf = Tables(spark, dir).documents
+      .select(explode(toks($"text")).as("token"))
+    val sketch = toksDf.agg(graft.functions.SketchAggs.countmin($"token", 4, 256).as("sk"))
+    def bucket(d: Int) =
+      (conv(substring(md5(concat($"token", lit(s"#$d"))), 1, 8), 16, 10)
+        .cast("long") % 256 + d * 256 + 1).cast("int")
+    toksDf.distinct()
+      .crossJoin(broadcast(sketch))
+      .select($"token",
+        least((0 until 4).map(d => element_at($"sk", bucket(d))): _*).as("est_count"))
+      .orderBy($"token")
+  }
+
+  private val textCountminSql =
+    """WITH tok AS (
+      |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents),
+      |tc AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY token),
+      |bk AS (SELECT token, d, ('0x' || substr(md5(token || '#' || d), 1, 8))::BIGINT % 256 AS b
+      |       FROM tc, range(0, 4) t(d)),
+      |bs AS (SELECT d, b, CAST(sum(c) AS BIGINT) AS s
+      |       FROM bk JOIN tc USING (token) GROUP BY d, b)
+      |SELECT token, min(s) AS est_count
+      |FROM bk JOIN bs USING (d, b)
+      |GROUP BY token ORDER BY token""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("text_quality_model", textQualityModel _, textQualityModelSql),
+    QueryDef.sql("text_countmin", textCountmin _, textCountminSql),
     QueryDef.sql("text_stats", textStats _, textStatsSql),
     QueryDef.sql("text_quality", textQuality _, textQualitySql),
     QueryDef.sql("text_langid", textLangid _, textLangidSql),

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-3 operator batch: SCD-2 history, chunk-level
+  * dedup, the hashed-feature quality classifier, and the Count-Min
+  * sketch aggregate.
+  */
+class Round3Spec extends GraftSuite {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- SCD-2
+
+  test("scd2 builds chained validity intervals with one current row per key") {
+    val changes = Seq(
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"), // 3 versions
+      (2L, 15L, "x")                                  // single version
+    ).toDF("id", "version", "attr")
+    val h = graft.etl.Scd2.history(changes, Seq("id"), "version")
+      .select($"id", $"version", $"valid_from", $"valid_to", $"is_current")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toSet
+    assert(h == Set(
+      (1L, 10L, 10L, 20L, false),
+      (1L, 20L, 20L, 30L, false),
+      (1L, 30L, 30L, -1L, true),
+      (2L, 15L, 15L, -1L, true)))
+  }
+
+  test("scd2 intervals tile each key's history with no gaps or overlaps") {
+    val h = graft.queries.Etl.etlScd2(spark, sf0001)
+    // every key has exactly one current row
+    val currents = h.filter($"is_current").groupBy($"c_custkey").count()
+      .filter($"count" =!= 1).count()
+    assert(currents == 0)
+    // each non-current row's valid_to equals the next row's valid_from
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"c_custkey").orderBy($"valid_from")
+    val broken = h.withColumn("next_from", lead($"valid_from", 1).over(w))
+      .filter($"valid_to".isNotNull && $"valid_to" =!= $"next_from").count()
+    assert(broken == 0)
+  }
+
+  // ------------------------------------------------------- chunk dedup
+
+  test("dedup_chunks flags later occurrences of a repeated chunk, not the first") {
+    // doc 1 and doc 2 share their (single-chunk) text; doc 3 is unique
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("spec_docs")
+    val out = graft.queries.DedupQ.dedupChunks(spark, sf0001) // smoke on real data
+    assert(out.columns.toSeq == Seq("doc_id", "n_chunks", "n_dup_chunks", "dup_ratio"))
+    // direct fixture check through the same chunk+window logic
+    val chunks = docs
+      .select($"doc_id", graft.functions.TextFns.toks($"text").as("t"))
+      .select($"doc_id", md5(expr("array_join(t, ' ')")).as("chunk_md5"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"chunk_md5").orderBy($"doc_id")
+    val dups = chunks.withColumn("dup", row_number().over(w) > 1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(dups == Map(1L -> false, 2L -> true, 3L -> false))
+  }
+
+  // -------------------------------------------------- quality classifier
+
+  test("quality-model scores are deterministic, bounded, and sign-consistent") {
+    val out = graft.queries.Text.textQualityModel(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, score, keep) =>
+      assert(score >= 0.0 && score <= 1.0)
+      // keep is computed from raw > 0, which is equivalent to score > 0.5
+      assert(keep == (score > 0.5) || math.abs(score - 0.5) < 1e-9)
+    }
+    val again = graft.queries.Text.textQualityModel(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(out.toSeq == again.toSeq)
+  }
+
+  // ------------------------------------------------------ count-min sketch
+
+  test("count-min estimates never underestimate and match exact counts sans collisions") {
+    val exact = Tables(spark, sf0001).documents
+      .select(explode(graft.functions.TextFns.toks($"text")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = graft.queries.Text.textCountmin(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    // CMS guarantee: estimate >= true count, always
+    est.foreach { case (t, e) => assert(e >= exact(t), s"underestimate for $t") }
+    // 31 tokens into 4 rows of 256 buckets: expect most rows collision-free
+    val exactHits = est.count { case (t, e) => e == exact(t) }
+    assert(exactHits >= est.size / 2, s"only $exactHits/${est.size} exact")
+  }
+
+  test("count-min sketch is merge-correct: estimates invariant to partitioning") {
+    val toks = Tables(spark, sf0001).documents
+      .select(explode(graft.functions.TextFns.toks($"text")).as("token"))
+    def sketchOf(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.agg(graft.functions.SketchAggs.countmin($"token", 4, 256).as("sk"))
+        .collect().head.getSeq[Long](0)
+    assert(sketchOf(toks.repartition(1)) == sketchOf(toks.repartition(13)))
+  }
+
+  // ---------------------------------------------------- relational trio
+
+  test("q18 result is bounded by its limit and ordered by price desc") {
+    val rows = graft.queries.Extra.q18LargeOrders(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    val prices = rows.map(_.getDouble(4))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q22 counts only high-balance customers without urgent orders") {
+    val t = Tables(spark, sf0001)
+    val total = graft.queries.Extra.q22IdleCustomers(spark, sf0001)
+      .agg(sum($"numcust")).collect().head.getLong(0)
+    assert(total > 0 && total < t.customer.count())
+  }
+}
