@@ -748,7 +748,62 @@ object Relational {
       |WHERE prev_value IS NOT NULL
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** Event-time rolling window: per-customer revenue over the
+    * trailing 7 days, via a RANGE frame on epoch seconds (Spark's
+    * rangeBetween needs a numeric order key; RANGE includes ties on
+    * both engines, so epoch-seconds and timestamp-interval frames
+    * agree exactly). One shuffle on the partition key; the frame scan
+    * is per-partition and incremental.
+    */
+  def qWindowRolling(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"ts_s")
+      .rangeBetween(-7L * 86400, 0)
+    Tables(spark, dir).orders
+      .withColumn("ts_s", unix_seconds($"o_orderdate".cast("timestamp")))
+      .withColumn("rolling_rev", round(sum($"o_totalprice").over(w), 4))
+      .select($"o_custkey", $"o_orderkey", $"ts_s", $"rolling_rev")
+      .orderBy($"o_custkey", $"ts_s", $"o_orderkey")
+  }
+
+  private val qWindowRollingSql =
+    """SELECT o_custkey, o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS ts_s,
+      |  round(sum(o_totalprice) OVER (
+      |    PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+      |    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 4) AS rolling_rev
+      |FROM orders
+      |ORDER BY o_custkey, ts_s, o_orderkey""".stripMargin
+
+  /** Explicit GROUPING SETS through the SQL face — the general form
+    * behind rollup/cube, with grouping() flags disambiguating the
+    * aggregate rows. Same scale shape as any groupBy: one shuffle,
+    * expand-side rows = sets × input.
+    */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem.createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT
+        |  CASE WHEN grouping(l_returnflag) = 0 THEN l_returnflag ELSE 'ALL' END AS rf,
+        |  CASE WHEN grouping(l_linestatus) = 0 THEN l_linestatus ELSE 'ALL' END AS ls,
+        |  round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin)
+  }
+
+  private val qGroupingSetsSql =
+    """SELECT
+      |  CASE WHEN grouping(l_returnflag) = 0 THEN l_returnflag ELSE 'ALL' END AS rf,
+      |  CASE WHEN grouping(l_linestatus) = 0 THEN l_linestatus ELSE 'ALL' END AS ls,
+      |  round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY rf, ls""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("q_window_rolling", qWindowRolling _, qWindowRollingSql),
+    QueryDef.sql("q_grouping_sets", qGroupingSets _, qGroupingSetsSql),
     QueryDef.sql("q_window_lag", qWindowLag _, qWindowLagSql),
     QueryDef.sql("q1_pricing_summary", q1PricingSummary _, q1Sql),
     QueryDef.sql("q3_top_orders", q3TopOrders _, q3Sql),

@@ -333,7 +333,50 @@ object Text {
       |FROM bk JOIN bs USING (d, b)
       |GROUP BY token ORDER BY token""".stripMargin
 
+  /** TF-IDF top terms per document — the classic two-pass weighting:
+    * per-(doc, token) term counts, a corpus document-frequency table
+    * (tiny — vocabulary-sized) joined back BROADCAST, smooth idf
+    * ln((N+1)/(df+1))+1, top-5 terms per doc by score. Scale: the big
+    * shuffle is the (doc, token) count — the df side aggregates to
+    * vocabulary cardinality and broadcasts, so the join adds no
+    * shuffle; the per-doc top-5 rides the RewriteTopK native heap.
+    */
+  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs.select($"doc_id", explode(toks($"text")).as("token"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "token").crossJoin(broadcast(n))
+      .withColumn("score",
+        round($"tf" * (log(($"n_docs" + 1.0) / ($"df" + 1.0)) + 1.0), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"score".desc, $"token")
+    scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+      .select($"doc_id", $"rk".cast("long").as("rk"), $"token", $"score")
+      .orderBy($"doc_id", $"rk")
+  }
+
+  private val textTfidfSql =
+    """WITH tf AS (
+      |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      |        FROM documents)
+      |  GROUP BY doc_id, token),
+      |dfx AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, token, round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 4) AS score
+      |  FROM tf JOIN dfx USING (token), n),
+      |r AS (SELECT doc_id, token, score,
+      |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rk
+      |      FROM scored)
+      |SELECT doc_id, rk, token, score FROM r WHERE rk <= 5
+      |ORDER BY doc_id, rk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("text_tfidf", textTfidf _, textTfidfSql),
     QueryDef.sql("text_quality_model", textQualityModel _, textQualityModelSql),
     QueryDef.sql("text_countmin", textCountmin _, textCountminSql),
     QueryDef.sql("text_stats", textStats _, textStatsSql),

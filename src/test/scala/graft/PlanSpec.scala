@@ -80,6 +80,32 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("Or(And("), s"post-join OR pair filter still present in:\n$p")
   }
 
+  test("q18 plans its top-100 as ordered take, not a global sort") {
+    val p = plan(graft.queries.Extra.q18LargeOrders(spark, sf001))
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject in:\n$p")
+  }
+
+  test("q22's scalar aggregate joins as a broadcast, not a collect") {
+    val p = plan(graft.queries.Extra.q22IdleCustomers(spark, sf001))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"global-average side not broadcast in:\n$p")
+  }
+
+  test("chunk dedup plans a single shuffle pair: digest window then doc fold") {
+    val p = plan(graft.queries.DedupQ.dedupChunks(spark, sf001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"quadratic operator in chunk-dedup plan:\n$p")
+  }
+
+  test("quality model scores in one narrow pass: no explode, no pre-agg shuffle") {
+    val p = plan(graft.queries.Text.textQualityModel(spark, sf001))
+    // the whole fold happens in projections over the scan; the only
+    // exchange allowed is the final orderBy's range partitioning
+    assert(!p.contains("Generate"), s"explode in quality-model plan:\n$p")
+    assert(!p.contains("hashpartitioning"), s"aggregation shuffle in plan:\n$p")
+    assert(p.split("Exchange").length - 1 == 1, s"more than one exchange in:\n$p")
+  }
+
   test("approx distinct stays within 5% of exact") {
     import org.apache.spark.sql.functions._
     // the gate emits the tolerance check in-plan; assert it holds, and

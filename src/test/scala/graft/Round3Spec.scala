@@ -104,6 +104,38 @@ class Round3Spec extends GraftSuite {
     assert(sketchOf(toks.repartition(1)) == sketchOf(toks.repartition(13)))
   }
 
+  // ----------------------------------------------------------- tf-idf
+
+  test("tfidf ranks rare terms above common ones at equal term frequency") {
+    val out = graft.queries.Text.textTfidf(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    // per doc: exactly ranks 1..k (k<=5), scores non-increasing in rank
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1L to byRank.length).toSeq)
+      val scores = byRank.map(_._4)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  // ---------------------------------------------- rolling event-time window
+
+  test("rolling 7-day window sums exactly the in-range orders") {
+    val day = 86400L
+    val orders = Seq(
+      (1L, 100L, 0L, 10.0),        // t=0
+      (1L, 101L, 3 * day, 20.0),   // within 7d of both
+      (1L, 102L, 8 * day, 40.0),   // 100 fell out (8d > 7d), 101 in
+      (2L, 200L, 0L, 5.0))
+      .toDF("cust", "ord", "ts_s", "rev")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cust").orderBy($"ts_s").rangeBetween(-7 * day, 0)
+    val got = orders.withColumn("roll", sum($"rev").over(w))
+      .collect().map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    assert(got == Map(100L -> 10.0, 101L -> 30.0, 102L -> 60.0, 200L -> 5.0))
+  }
+
   // ---------------------------------------------------- relational trio
 
   test("q18 result is bounded by its limit and ordered by price desc") {
