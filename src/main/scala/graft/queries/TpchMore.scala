@@ -1,0 +1,346 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-3 relational completion: the remaining classic TPC-H shapes
+  * this lake can express. The lake has no `partsupp` table and
+  * lineitem carries no commit/receipt dates (TESTDATA.md), so Q2, Q9,
+  * Q11, Q16, Q20 and Q21 are re-expressed over the lineitem bridge
+  * (supplier↔part relationships observed from shipped lines) and an
+  * order-date lateness rule — the PLAN SHAPES (correlated minima,
+  * global-fraction thresholds, multi-existence tests, ratio
+  * aggregates) are the point, and each has an exact DuckDB oracle.
+  */
+object TpchMore {
+
+  /** TPC-H Q8 shape: a nation's market share inside one region =
+    * conditional-sum ratio over a two-role star join (customer nation
+    * restricted to the region, supplier nation feeding the numerator
+    * flag). Scale: part is filtered before the fact join; all five
+    * dimension joins broadcast; the single shuffle is the per-year
+    * aggregate.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val asiaNations = t.nation
+      .join(broadcast(t.region.filter($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey".as("cn_key"))
+    val suppNation = t.nation
+      .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))
+    t.lineitem
+      .join(broadcast(t.part.filter($"p_type" === "PROMO")),
+        $"l_partkey" === $"p_partkey")
+      .join(t.orders.filter(
+        $"o_orderdate" >= "1996-01-01" && $"o_orderdate" <= "1997-12-31"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(t.customer, $"o_custkey" === $"c_custkey")
+      .join(broadcast(asiaNations), $"c_nationkey" === $"cn_key")
+      .join(broadcast(t.supplier), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(suppNation), $"s_nationkey" === $"sn_key")
+      .select(year($"o_orderdate").cast("long").as("o_year"),
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("volume"),
+        $"supp_nation")
+      .groupBy($"o_year")
+      .agg(round(
+        sum(when($"supp_nation" === "NATION_7", $"volume").otherwise(0.0)) /
+          sum($"volume"), 4).as("mkt_share"))
+      .orderBy($"o_year")
+  }
+
+  private val q8Sql =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  round(sum(CASE WHEN n2.n_name = 'NATION_7'
+      |                 THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+      |        / sum(l_extendedprice * (1.0 - l_discount)), 4) AS mkt_share
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+      |JOIN orders ON l_orderkey = o_orderkey
+      |  AND o_orderdate BETWEEN '1996-01-01' AND '1997-12-31'
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** TPC-H Q9 shape (adapted: no partsupp, so line cost is modeled
+    * from the part's retail price): profit per supplier-nation per
+    * year over parts whose name matches a token. Scale: part filter
+    * broadcasts into the fact scan; orders joins on the fact key;
+    * the aggregate is the only wide shuffle.
+    */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(broadcast(t.part.filter($"p_name".contains("red"))),
+        $"l_partkey" === $"p_partkey")
+      .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(t.supplier), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(t.nation), $"s_nationkey" === $"n_nationkey")
+      .select($"n_name".as("nation"),
+        year($"o_orderdate").cast("long").as("o_year"),
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount") -
+          lit(0.6) * $"p_retailprice" * $"l_quantity").as("amount"))
+      .groupBy($"nation", $"o_year")
+      .agg(round(sum($"amount"), 4).as("sum_profit"))
+      .orderBy($"nation", $"o_year".desc)
+  }
+
+  private val q9Sql =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)
+      |            - 0.6 * p_retailprice * l_quantity), 4) AS sum_profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
+
+  /** TPC-H Q15 shape: the supplier(s) achieving MAX quarterly revenue.
+    * Revenue is accumulated in integer cents (a long), so the
+    * max-equality join is exact — no floating-point tie hazard between
+    * engines. The scalar max broadcasts as a 1-row join, never a
+    * driver collect.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val revenue = t.lineitem
+      .filter($"l_shipdate" >= "1996-01-01" && $"l_shipdate" < "1996-04-01")
+      .groupBy($"l_suppkey")
+      .agg(sum(round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100)
+        .cast("long")).as("rev_cents"))
+    val top = revenue.agg(max($"rev_cents").as("max_cents"))
+    revenue.crossJoin(broadcast(top))
+      .filter($"rev_cents" === $"max_cents")
+      .join(broadcast(t.supplier), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name",
+        round($"rev_cents" / 100.0, 2).as("total_rev"))
+      .orderBy($"s_suppkey")
+  }
+
+  private val q15Sql =
+    """WITH revenue AS (
+      |  SELECT l_suppkey,
+      |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_cents
+      |  FROM lineitem
+      |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, round(rev_cents / 100.0, 2) AS total_rev
+      |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE rev_cents = (SELECT max(rev_cents) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q17 shape: revenue that would be lost by refusing
+    * small-quantity lines — a per-part correlated average (here a
+    * pre-aggregated join, not a rescan) gating the sum. Scale: the
+    * part filter broadcasts into BOTH the fact scan and the average,
+    * so only the brand's lines are read twice; the avg table is
+    * part-cardinality and broadcasts back.
+    */
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val parts = t.part.filter($"p_brand" === "Brand#23").select($"p_partkey")
+    val lines = t.lineitem.join(broadcast(parts), $"l_partkey" === $"p_partkey")
+    val avgQty = lines.groupBy($"l_partkey".as("a_partkey"))
+      .agg((avg($"l_quantity") * 0.2).as("q_lim"))
+    lines.join(broadcast(avgQty), $"l_partkey" === $"a_partkey")
+      .filter($"l_quantity" < $"q_lim")
+      .agg(round(sum($"l_extendedprice") / 7.0, 4).as("avg_yearly"))
+  }
+
+  private val q17Sql =
+    """SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand = 'Brand#23'
+      |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem
+      |                    WHERE l_partkey = p_partkey)""".stripMargin
+
+  /** TPC-H Q21 shape (adapted lateness: shipped >60 days after the
+    * order date, since the lake has no commit/receipt dates): suppliers
+    * in one region who were the SOLE late supplier on a multi-supplier
+    * finalized order. The two correlated existence tests collapse into
+    * one per-order aggregate — distinct suppliers and distinct late
+    * suppliers — joined back on the order key, so the whole query is
+    * two shuffles on `l_orderkey` plus broadcast dimensions; the
+    * oracle states the same query as EXISTS / NOT EXISTS, pinning the
+    * reformulation's equivalence.
+    */
+  def q21WaitingOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val lines = t.lineitem
+      .join(t.orders.filter($"o_orderstatus" === "F"),
+        $"l_orderkey" === $"o_orderkey")
+      .withColumn("late",
+        $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+    val perOrder = lines.groupBy($"l_orderkey".as("ok")).agg(
+      countDistinct($"l_suppkey").as("nsupp"),
+      countDistinct(when($"late", $"l_suppkey")).as("nlate"))
+    val euroSupp = t.supplier
+      .join(broadcast(t.nation
+        .join(broadcast(t.region.filter($"r_name" === "EUROPE")),
+          $"n_regionkey" === $"r_regionkey")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_name")
+    lines.filter($"late")
+      .join(perOrder.filter($"nsupp" > 1 && $"nlate" === 1),
+        $"l_orderkey" === $"ok")
+      .join(broadcast(euroSupp), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"s_name")
+      .limit(20)
+  }
+
+  private val q21Sql =
+    """SELECT s_name, count(*) AS numwait
+      |FROM lineitem l1
+      |JOIN orders ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+      |JOIN supplier ON l1.l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+      |WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q2 shape (adapted: the min-cost supplier per part is read
+    * off the lineitem bridge — min observed unit price — instead of
+    * partsupp.ps_supplycost): a per-group correlated minimum resolved
+    * by a deterministic rank (unit cost, then supplier key), then
+    * dimension joins for the winner. Scale: the filtered part set
+    * broadcasts into the fact scan; the rank is a window over the
+    * small (part × supplier) aggregate, not the fact table.
+    */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val parts = t.part.filter($"p_size" === 15 && $"p_type" === "SMALL")
+      .select($"p_partkey")
+    val unitCosts = t.lineitem
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(min($"l_extendedprice" / $"l_quantity").as("unit_cost"))
+    val w = Window.partitionBy($"l_partkey")
+      .orderBy($"unit_cost", $"l_suppkey")
+    unitCosts.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+      .join(broadcast(t.supplier), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(t.nation), $"s_nationkey" === $"n_nationkey")
+      .select($"l_partkey".as("p_partkey"), $"s_name", $"n_name".as("nation"),
+        round($"unit_cost", 4).as("unit_cost"))
+      .orderBy($"p_partkey")
+  }
+
+  private val q2Sql =
+    """WITH costs AS (
+      |  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_size = 15 AND p_type = 'SMALL'
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY l_partkey
+      |                               ORDER BY unit_cost, l_suppkey) AS rk
+      |  FROM costs)
+      |SELECT l_partkey AS p_partkey, s_name, n_name AS nation,
+      |  round(unit_cost, 4) AS unit_cost
+      |FROM ranked JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE rk = 1 ORDER BY p_partkey""".stripMargin
+
+  /** TPC-H Q11 shape (adapted: "stock value" is shipped-line value for
+    * one region's suppliers): groups whose value exceeds a fraction of
+    * the GLOBAL value — the global-scalar-threshold pattern. The
+    * scalar reuses the same aggregate lineage and broadcasts as a
+    * 1-row join; nothing collects to the driver.
+    */
+  def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val africaSupp = t.supplier
+      .join(broadcast(t.nation
+        .join(broadcast(t.region.filter($"r_name" === "AFRICA")),
+          $"n_regionkey" === $"r_regionkey")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey")
+    val partValue = t.lineitem
+      .join(broadcast(africaSupp), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"l_partkey")
+      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("value"))
+    val threshold = partValue.agg((sum($"value") * 0.001).as("lim"))
+    partValue.crossJoin(broadcast(threshold))
+      .filter($"value" > $"lim")
+      .select($"l_partkey", round($"value", 4).as("value"))
+      .orderBy($"value".desc, $"l_partkey")
+  }
+
+  private val q11Sql =
+    """WITH pv AS (
+      |  SELECT l_partkey, sum(l_extendedprice * (1.0 - l_discount)) AS value
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'AFRICA'
+      |  GROUP BY 1)
+      |SELECT l_partkey, round(value, 4) AS value
+      |FROM pv
+      |WHERE value > (SELECT sum(value) * 0.001 FROM pv)
+      |ORDER BY value DESC, l_partkey""".stripMargin
+
+  /** TPC-H Q16 shape (adapted: part↔supplier pairs observed from
+    * shipped lines; "complaint" suppliers are those in deficit):
+    * distinct-supplier counts per part attribute triple, minus an
+    * anti-joined exclusion set. Scale: the exclusion set is tiny and
+    * broadcast-anti; the distinct count shuffles once on the triple.
+    */
+  def q16SupplierCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val complaints = t.supplier.filter($"s_acctbal" < 0.0).select($"s_suppkey")
+    t.lineitem
+      .join(broadcast(t.part.filter(
+        $"p_brand" =!= "Brand#5" && $"p_type" =!= "PROMO" &&
+          $"p_size".isin(1, 5, 9, 14, 19, 23, 36, 45))),
+        $"l_partkey" === $"p_partkey")
+      .join(broadcast(complaints), $"l_suppkey" === $"s_suppkey", "left_anti")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+  }
+
+  private val q16Sql =
+    """SELECT p_brand, p_type, p_size,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("q2_min_cost_supplier", q2MinCostSupplier _, q2Sql),
+    QueryDef.sql("q8_market_share", q8MarketShare _, q8Sql),
+    QueryDef.sql("q9_product_profit", q9ProductProfit _, q9Sql),
+    QueryDef.sql("q11_important_parts", q11ImportantParts _, q11Sql),
+    QueryDef.sql("q15_top_supplier", q15TopSupplier _, q15Sql),
+    QueryDef.sql("q16_supplier_count", q16SupplierCount _, q16Sql),
+    QueryDef.sql("q17_small_quantity", q17SmallQuantity _, q17Sql),
+    QueryDef.sql("q21_waiting_orders", q21WaitingOrders _, q21Sql))
+}

@@ -106,6 +106,23 @@ class PlanSpec extends GraftSuite {
     assert(p.split("Exchange").length - 1 == 1, s"more than one exchange in:\n$p")
   }
 
+  test("q8's five dimension joins all broadcast; one aggregate shuffle") {
+    val p = plan(graft.queries.TpchMore.q8MarketShare(spark, sf001))
+    assert(!p.contains("SortMergeJoin"), s"dimension join shuffled in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+  }
+
+  test("q15's max-revenue scalar joins as a broadcast, not a collect") {
+    val p = plan(graft.queries.TpchMore.q15TopSupplier(spark, sf001))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"scalar max not broadcast in:\n$p")
+  }
+
+  test("q21 plans no quadratic operator for its existence tests") {
+    val p = plan(graft.queries.TpchMore.q21WaitingOrders(spark, sf001))
+    assert(!p.contains("CartesianProduct"), s"cartesian in q21 plan:\n$p")
+  }
+
   test("approx distinct stays within 5% of exact") {
     import org.apache.spark.sql.functions._
     // the gate emits the tolerance check in-plan; assert it holds, and

@@ -151,4 +151,49 @@ class Round3Spec extends GraftSuite {
       .agg(sum($"numcust")).collect().head.getLong(0)
     assert(total > 0 && total < t.customer.count())
   }
+
+  // ----------------------------------------------- tpch completion wave
+
+  test("q15 returns only suppliers tied at the exact max revenue") {
+    val rows = graft.queries.TpchMore.q15TopSupplier(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getDouble(2)).distinct
+    assert(revs.length == 1, s"winners disagree on revenue: ${revs.toSeq}")
+  }
+
+  test("q2 picks exactly one supplier per part, deterministically") {
+    val rows = graft.queries.TpchMore.q2MinCostSupplier(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val parts = rows.map(_.getLong(0))
+    assert(parts.distinct.length == parts.length, "duplicate part in winners")
+  }
+
+  test("q21 numwait is positive, sorted desc, and bounded by its limit") {
+    val rows = graft.queries.TpchMore.q21WaitingOrders(spark, sf001).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val waits = rows.map(_.getLong(1))
+    assert(waits.forall(_ > 0))
+    assert(waits.zip(waits.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q8 market share is a proper fraction each year") {
+    val rows = graft.queries.TpchMore.q8MarketShare(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getDouble(1)).forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("q11 keeps only groups above the global fraction threshold") {
+    val out = graft.queries.TpchMore.q11ImportantParts(spark, sf001)
+    val kept = out.agg(sum($"value")).collect().head.getDouble(0)
+    val t = Tables(spark, sf001)
+    // kept values must be a subset of total restricted value
+    val total = t.lineitem
+      .join(t.supplier.join(t.nation, $"s_nationkey" === $"n_nationkey")
+        .join(t.region.filter($"r_name" === "AFRICA"),
+          $"n_regionkey" === $"r_regionkey").select($"s_suppkey"),
+        $"l_suppkey" === $"s_suppkey")
+      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+      .collect().head.getDouble(0)
+    assert(kept > 0 && kept <= total)
+  }
 }
