@@ -227,6 +227,76 @@ object SketchAggs {
       copy(child = c.head)
   }
 
+  /** Bloom filter over the string form of the key: an m-bit bitmap as
+    * array<bigint> (m/64 words), mergeable by OR — the build side of
+    * broadcast semi-join pruning. Positions use Kirsch–Mitzenmacher
+    * double hashing over the two 60-bit halves of the key's md5, so
+    * any engine with md5() replays the exact bit set (the DuckDB
+    * oracle checks membership against the same position set):
+    *   h1 = md5[0:15) hex, step = md5[16:31) hex % (m-1) + 1,
+    *   pos_i = (h1 % m + i·step) % m,  i < k.
+    * The shuffle carries one m/64-word buffer per partition, never
+    * the keys.
+    */
+  case class BloomAgg(
+      child: Expression, bits: Int, k: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]]
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+    require(bits % 64 == 0 && bits > 64, s"bits ($bits) must be a positive multiple of 64")
+    require(k >= 1, s"k ($k) must be >= 1")
+
+    override def children: Seq[Expression] = Seq(child)
+    override def inputTypes = Seq(StringType)
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def createAggregationBuffer(): Array[Long] = new Array[Long](bits / 64)
+
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val md = md5Local.get(); md.reset()
+        val d = java.nio.ByteBuffer.wrap(md.digest(v.asInstanceOf[UTF8String].getBytes))
+        // top 60 bits of each 8-byte half = the value of the first /
+        // second 15 hex chars, matching conv(substr(md5(x),...),16,10)
+        val h1 = d.getLong(0) >>> 4
+        val h2 = d.getLong(8) >>> 4
+        val base = h1 % bits
+        val step = h2 % (bits - 1) + 1
+        var i = 0
+        while (i < k) {
+          val pos = ((base + i * step) % bits).toInt
+          buf(pos >>> 6) |= 1L << (pos & 63)
+          i += 1
+        }
+      }
+      buf
+    }
+
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var w = 0
+      while (w < b1.length) { b1(w) |= b2(w); w += 1 }
+      b1
+    }
+
+    override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+    override def serialize(buf: Array[Long]): Array[Byte] = longsToBytes(buf)
+    override def deserialize(b: Array[Byte]): Array[Long] = bytesToLongs(b)
+
+    override def withNewMutableAggBufferOffset(offset: Int): BloomAgg =
+      copy(mutableAggBufferOffset = offset)
+    override def withNewInputAggBufferOffset(offset: Int): BloomAgg =
+      copy(inputAggBufferOffset = offset)
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(child = c.head)
+  }
+
+  def bloom(key: Column, bits: Int, k: Int): Column =
+    GraftBridge.column(
+      BloomAgg(GraftBridge.expression(key), bits, k).toAggregateExpression())
+
   def minhash(tok: Column, perms: Int): Column =
     GraftBridge.column(
       MinHashAgg(GraftBridge.expression(tok), perms).toAggregateExpression())

@@ -1,0 +1,196 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.BloomJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-3 analytics/pipeline additions: Bloom-pruned joins, CDC
+  * snapshot diff, fixed-width histograms, grouped correlation
+  * statistics, and per-label embedding feature scaling — each with an
+  * exact DuckDB oracle (the Bloom gate replays the md5 double-hash
+  * position set in SQL).
+  */
+object Analytics {
+
+  private val BloomBits = 1 << 16
+  private val BloomK = 3
+
+  /** Bloom-pruned join: orders filtered by a broadcast 64 Kbit bitmap
+    * of one market segment's customer keys, then exactly joined —
+    * reporting per priority how many rows passed the bitmap vs how
+    * many truly match. false negatives are impossible, so
+    * bloom_pass >= true_match always; the gap IS the false-positive
+    * set, deterministic on both engines because positions derive from
+    * md5. Scale: the probe side is filtered during its scan — no
+    * shuffle until after pruning.
+    */
+  def qBloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val building = t.customer.filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    val passed = BloomJoin.prune(t.orders, building,
+      "o_custkey", "c_custkey", BloomBits, BloomK)
+    passed
+      .join(broadcast(building.select($"c_custkey".as("ck"))),
+        $"o_custkey" === $"ck", "left")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("bloom_pass"), count($"ck").as("true_match"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val qBloomJoinSql =
+    s"""WITH bkeys AS (
+       |  SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS ks
+       |  FROM customer WHERE c_mktsegment = 'BUILDING'),
+       |bh AS (
+       |  SELECT CAST(('0x' || substr(md5(ks), 1, 15))::UBIGINT % $BloomBits AS BIGINT) AS h1,
+       |         CAST(('0x' || substr(md5(ks), 17, 15))::UBIGINT % ${BloomBits - 1} + 1 AS BIGINT) AS step
+       |  FROM bkeys),
+       |bits AS (SELECT DISTINCT (h1 + i * step) % $BloomBits AS pos
+       |         FROM bh, range(0, $BloomK) t(i)),
+       |oh AS (
+       |  SELECT o_orderkey, o_custkey, o_orderpriority,
+       |    CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::UBIGINT % $BloomBits AS BIGINT) AS h1,
+       |    CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 17, 15))::UBIGINT % ${BloomBits - 1} + 1 AS BIGINT) AS step
+       |  FROM orders),
+       |opos AS (SELECT o_orderkey, o_custkey, o_orderpriority,
+       |           (h1 + i * step) % $BloomBits AS pos
+       |         FROM oh, range(0, $BloomK) t(i)),
+       |pass AS (SELECT o_orderkey, any_value(o_custkey) AS o_custkey,
+       |           any_value(o_orderpriority) AS o_orderpriority
+       |         FROM opos JOIN bits USING (pos)
+       |         GROUP BY o_orderkey HAVING count(*) = $BloomK)
+       |SELECT o_orderpriority, count(*) AS bloom_pass,
+       |  CAST(count(c.c_custkey) AS BIGINT) AS true_match
+       |FROM pass LEFT JOIN (SELECT c_custkey FROM customer
+       |                     WHERE c_mktsegment = 'BUILDING') c
+       |  ON pass.o_custkey = c.c_custkey
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
+  /** CDC snapshot diff: the current snapshot is a deterministic
+    * mutation of the base (keys ≡0 mod 97 deleted, balances ≡0 mod 7
+    * bumped, keys ≡0 mod 13 re-inserted shifted), and the diff is ONE
+    * full-outer join on (key, row digest) — the join carries 40-byte
+    * rows however wide the table is. Gate returns the non-unchanged
+    * rows.
+    */
+  def etlSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables(spark, dir).customer
+    val mutated = base
+      .filter($"c_custkey" % 97 =!= 0)
+      .withColumn("c_acctbal",
+        when($"c_custkey" % 7 === 0, $"c_acctbal" + 100.0).otherwise($"c_acctbal"))
+    val inserted = base.filter($"c_custkey" % 13 === 0)
+      .withColumn("c_custkey", $"c_custkey" + 10000000L)
+    val current = mutated.unionByName(inserted)
+    graft.etl.SnapshotDiff.diff(base, current, "c_custkey",
+      Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+      .filter($"status" =!= "unchanged")
+      .orderBy($"status", $"c_custkey")
+  }
+
+  private val etlSnapshotDiffSql =
+    """WITH cur AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + CASE WHEN c_custkey % 7 = 0 THEN 100.0 ELSE 0.0 END AS c_acctbal, c_mktsegment
+      |  FROM customer WHERE c_custkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |  FROM customer WHERE c_custkey % 13 = 0),
+      |d AS (
+      |  SELECT coalesce(b.c_custkey, cur.c_custkey) AS c_custkey,
+      |    CASE WHEN b.c_custkey IS NULL THEN 'inserted'
+      |         WHEN cur.c_custkey IS NULL THEN 'deleted'
+      |         WHEN (b.c_name IS DISTINCT FROM cur.c_name)
+      |           OR (b.c_nationkey IS DISTINCT FROM cur.c_nationkey)
+      |           OR (b.c_acctbal IS DISTINCT FROM cur.c_acctbal)
+      |           OR (b.c_mktsegment IS DISTINCT FROM cur.c_mktsegment)
+      |           THEN 'changed'
+      |         ELSE 'unchanged' END AS status
+      |  FROM customer b FULL OUTER JOIN cur ON b.c_custkey = cur.c_custkey)
+      |SELECT c_custkey, status FROM d WHERE status <> 'unchanged'
+      |ORDER BY status, c_custkey""".stripMargin
+
+  /** Fixed-width histogram of a measure — the profiling primitive:
+    * bucket index is integer arithmetic on the scan (codegen'd, no
+    * UDF), one narrow aggregate shuffle of at most #buckets groups.
+    */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).lineitem
+      .select((floor($"l_extendedprice" / 5000.0)).cast("long").as("bucket"),
+        $"l_extendedprice")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("cnt"), round(sum($"l_extendedprice"), 4).as("bucket_sum"))
+      .orderBy($"bucket")
+  }
+
+  private val qHistogramSql =
+    """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+      |  count(*) AS cnt, round(sum(l_extendedprice), 4) AS bucket_sum
+      |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** Grouped correlation statistics — Pearson corr, population
+    * covariance and stddevs per group in ONE aggregate pass (all
+    * co-moment accumulators, map-side combinable).
+    */
+  def qCorrStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).lineitem
+      .groupBy($"l_returnflag")
+      .agg(
+        round(corr($"l_quantity", $"l_extendedprice"), 4).as("qty_price_corr"),
+        round(covar_pop($"l_quantity", $"l_extendedprice"), 4).as("qty_price_covar"),
+        round(stddev_pop($"l_quantity"), 4).as("qty_stddev"),
+        round(stddev_pop($"l_extendedprice"), 4).as("price_stddev"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val qCorrStatsSql =
+    """SELECT l_returnflag,
+      |  round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+      |  round(covar_pop(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+      |  round(stddev_pop(l_quantity), 4) AS qty_stddev,
+      |  round(stddev_pop(l_extendedprice), 4) AS price_stddev
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Per-label feature scaling (z-score) of the leading embedding
+    * dimensions: per-(label, dim) moments from one aggregate over the
+    * exploded slice, broadcast back onto the vectors. The stats table
+    * is labels × dims — broadcastable at any corpus size; the explode
+    * is bounded to the audited dims, not all 64.
+    */
+  def embFeatureScale(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).embeddings
+      .select($"vec_id", $"label", posexplode(slice($"embedding", 1, 4)))
+      .select($"vec_id", $"label", ($"pos" + 1).cast("long").as("dim"),
+        $"col".cast("double").as("x"))
+    val stats = e.groupBy($"label", $"dim")
+      .agg(avg($"x").as("m"), stddev_pop($"x").as("s"))
+    e.join(broadcast(stats), Seq("label", "dim"))
+      .select($"vec_id", $"dim", round(($"x" - $"m") / $"s", 4).as("z"))
+      .orderBy($"vec_id", $"dim")
+  }
+
+  private val embFeatureScaleSql =
+    """WITH e AS (
+      |  SELECT vec_id, label, i AS dim, CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings, range(1, 5) t(i)),
+      |stats AS (
+      |  SELECT label, dim, avg(x) AS m, stddev_pop(x) AS s
+      |  FROM e GROUP BY 1, 2)
+      |SELECT vec_id, dim, round((x - m) / s, 4) AS z
+      |FROM e JOIN stats USING (label, dim)
+      |ORDER BY vec_id, dim""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("q_bloom_join", qBloomJoin _, qBloomJoinSql),
+    QueryDef.sql("etl_snapshot_diff", etlSnapshotDiff _, etlSnapshotDiffSql),
+    QueryDef.sql("q_histogram", qHistogram _, qHistogramSql),
+    QueryDef.sql("q_corr_stats", qCorrStats _, qCorrStatsSql),
+    QueryDef.sql("emb_feature_scale", embFeatureScale _, embFeatureScaleSql))
+}

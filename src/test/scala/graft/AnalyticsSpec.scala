@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-3 analytics wave: Bloom-pruned joins, CDC
+  * snapshot diff, and feature scaling.
+  */
+class AnalyticsSpec extends GraftSuite {
+  import spark.implicits._
+
+  // ------------------------------------------------------- bloom join
+
+  test("bloom prune never drops a true match (no false negatives)") {
+    val build = Seq(1L, 5L, 9L, 123456L).toDF("k")
+    val probe = (1L to 2000L).toDF("p")
+    val kept = graft.operators.BloomJoin.prune(probe, build, "p", "k", 1 << 10, 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(Set(1L, 5L, 9L).subsetOf(kept), s"lost a build key from $kept")
+  }
+
+  test("bloom prune actually prunes: pass set is far smaller than the probe") {
+    val build = Seq(7L, 77L).toDF("k")
+    val probe = (1L to 5000L).toDF("p")
+    val n = graft.operators.BloomJoin.prune(probe, build, "p", "k", 1 << 14, 3).count()
+    assert(n >= 2 && n < 500, s"bloom pruned to $n of 5000 — not selective")
+  }
+
+  test("bloom gate's pass count dominates its true-match count") {
+    val rows = graft.queries.Analytics.qBloomJoin(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(1) >= r.getLong(2)),
+      "false negative: fewer bloom passes than true matches")
+  }
+
+  test("bloom prune plans a broadcast bitmap, not a shuffle join") {
+    val t = Tables(spark, sf0001)
+    val build = t.customer.filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val p = graft.operators.BloomJoin
+      .prune(t.orders, build, "o_custkey", "c_custkey", 1 << 16, 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"), s"bitmap not broadcast in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"shuffle join in bloom prune:\n$p")
+  }
+
+  // ---------------------------------------------------- snapshot diff
+
+  test("snapshot diff classifies insert, delete, change, unchanged") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "bal")
+    val cur = Seq((1L, "a", 10.0), (2L, "b", 99.0), (4L, "d", 40.0))
+      .toDF("id", "name", "bal")
+    val got = graft.etl.SnapshotDiff.diff(base, cur, "id", Seq("name", "bal"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "deleted", 4L -> "inserted"))
+  }
+
+  test("snapshot diff distinguishes NULL from empty string") {
+    val base = Seq((1L, Some("")), (2L, Option.empty[String])).toDF("id", "v")
+    val cur = Seq((1L, Option.empty[String]), (2L, Some(""))).toDF("id", "v")
+    val got = graft.etl.SnapshotDiff.diff(base, cur, "id", Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "changed", 2L -> "changed"))
+  }
+
+  // -------------------------------------------------- feature scaling
+
+  test("z-scored features have zero mean per (label, dim)") {
+    val bad = graft.queries.Analytics.embFeatureScale(spark, sf001)
+      .join(Tables(spark, sf001).embeddings.select($"vec_id", $"label"), "vec_id")
+      .groupBy($"label", $"dim").agg(avg($"z").as("mz"))
+      .filter(abs($"mz") > 0.001).count()
+    assert(bad == 0, s"$bad (label, dim) groups with non-zero z mean")
+  }
+}
