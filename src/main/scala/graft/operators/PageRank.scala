@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Power-iteration PageRank over an edge list — the second iterative
+  * graph primitive next to [[ClusterDedup]]'s connected components.
+  *
+  * Each iteration is the Pregel step as two relational ops: a join of
+  * the (static, cached) out-degree-annotated edge list against the
+  * current rank vector, and a per-destination sum. Nodes with no
+  * in-edges keep the teleport mass `(1-d)/N`; dangling nodes'
+  * outbound mass is deliberately not redistributed (documented,
+  * deterministic, and replayable in plain SQL — the DuckDB oracle
+  * unrolls the same iterations).
+  *
+  * Scale: the edge list + degrees persist once and re-serve every
+  * iteration; the rank vector (one double per node) is the only
+  * thing that updates. A fixed iteration count keeps the lineage
+  * linear; for 100s of iterations compose with localCheckpoint the
+  * way ClusterDedup does.
+  */
+object PageRank {
+
+  /** @param edges distinct (src, dst) pairs. Returns (node, r). */
+  def run(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val nDf = nodes.agg(count(lit(1)).cast("double").as("n"))
+    var ranks = nodes.crossJoin(broadcast(nDf))
+      .select(col("node"), (lit(1.0) / col("n")).as("r"))
+    for (_ <- 1 to iters) {
+      val contribs = e.join(ranks, e("src") === ranks("node"))
+        .groupBy(col("dst"))
+        .agg(sum(col("r") / col("deg")).as("contrib"))
+      ranks = nodes.crossJoin(broadcast(nDf))
+        .join(contribs, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) / col("n") +
+            lit(damping) * coalesce(col("contrib"), lit(0.0))).as("r"))
+    }
+    ranks
+  }
+}

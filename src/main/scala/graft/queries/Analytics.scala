@@ -187,7 +187,82 @@ object Analytics {
       |FROM e JOIN stats USING (label, dim)
       |ORDER BY vec_id, dim""".stripMargin
 
+  /** PageRank over the supplier→customer trade graph (who supplies
+    * whom, observed from shipped lines), 5 power iterations at
+    * damping 0.85 through [[graft.operators.PageRank]]. The oracle
+    * unrolls the identical iterations in SQL — pinning the iterative
+    * join+aggregate loop end to end. Output: every node's rank.
+    */
+  def qPagerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val edges = t.lineitem
+      .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .select(concat(lit("s"), $"l_suppkey").as("src"),
+        concat(lit("c"), $"o_custkey").as("dst"))
+      .distinct()
+    graft.operators.PageRank.run(edges, iters = 5, damping = 0.85)
+      .select($"node", round($"r", 8).as("r"))
+      .orderBy($"node")
+  }
+
+  private val qPagerankSql = {
+    def contrib(prev: String, k: Int) =
+      s"""c$k AS (SELECT dst, sum(r / deg) AS contrib
+         |  FROM edges JOIN deg USING (src) JOIN $prev ON $prev.node = edges.src
+         |  GROUP BY dst),
+         |r$k AS (SELECT nodes.node AS node,
+         |    (1.0 - 0.85) / n + 0.85 * coalesce(contrib, 0.0) AS r
+         |  FROM nodes CROSS JOIN nn LEFT JOIN c$k ON nodes.node = c$k.dst)""".stripMargin
+    s"""WITH edges AS (
+       |  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+       |                  'c' || CAST(o_custkey AS VARCHAR) AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |r0 AS (SELECT node, 1.0 / n AS r FROM nodes CROSS JOIN nn),
+       |${(1 to 5).map(k => contrib(s"r${k - 1}", k)).mkString(",\n")}
+       |SELECT node, round(r, 8) AS r FROM r5 ORDER BY node""".stripMargin
+  }
+
+  /** Cohort retention over the event stream: users bucketed by their
+    * first-activity week, activity weeks diffed against the cohort —
+    * the product-analytics staple. Two aggregates (first-touch per
+    * user, then the cohort×offset matrix), both map-side combinable;
+    * week arithmetic is integer epoch math, identical in any engine.
+    */
+  def qRetentionCohort(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val week = 604800000000L // microseconds
+    val ev = Tables(spark, dir).events
+    val firstWeek = ev.groupBy($"user_id")
+      .agg(floor(unix_micros(min($"ts")) / week).as("cohort_week"))
+    val activeWeeks = ev
+      .select($"user_id", floor(unix_micros($"ts") / week).as("w"))
+      .distinct()
+    activeWeeks.join(firstWeek, "user_id")
+      .groupBy($"cohort_week", ($"w" - $"cohort_week").as("week_offset"))
+      .agg(count(lit(1)).as("active_users"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
+  private val qRetentionCohortSql =
+    """WITH fw AS (
+      |  SELECT user_id,
+      |    CAST(floor(epoch_us(min(ts)) / 604800000000) AS BIGINT) AS cohort_week
+      |  FROM events GROUP BY user_id),
+      |aw AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS w
+      |  FROM events)
+      |SELECT cohort_week, w - cohort_week AS week_offset, count(*) AS active_users
+      |FROM aw JOIN fw USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("q_pagerank", qPagerank _, qPagerankSql),
+    QueryDef.sql("q_retention_cohort", qRetentionCohort _, qRetentionCohortSql),
     QueryDef.sql("q_bloom_join", qBloomJoin _, qBloomJoinSql),
     QueryDef.sql("etl_snapshot_diff", etlSnapshotDiff _, etlSnapshotDiffSql),
     QueryDef.sql("q_histogram", qHistogram _, qHistogramSql),

@@ -63,6 +63,47 @@ class AnalyticsSpec extends GraftSuite {
     assert(got == Map(1L -> "changed", 2L -> "changed"))
   }
 
+  // ----------------------------------------------------- pagerank
+
+  test("pagerank conserves teleport mass and ranks sinks above sources") {
+    val edges = Seq(("a", "x"), ("b", "x"), ("c", "y")).toDF("src", "dst")
+    val r = graft.operators.PageRank.run(edges, iters = 5)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r.values.forall(_ > 0.0))
+    // x has two in-edges, y one, sources none: rank(x) > rank(y) > rank(a)
+    assert(r("x") > r("y") && r("y") > r("a"))
+    // source nodes keep exactly the teleport share (1-d)/N
+    assert(math.abs(r("a") - 0.15 / 5) < 1e-12)
+    assert(r("a") == r("b") && r("b") == r("c"))
+  }
+
+  test("pagerank is invariant to input partitioning") {
+    val t = Tables(spark, sf0001)
+    val edges = t.lineitem.join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .select(concat(lit("s"), $"l_suppkey").as("src"),
+        concat(lit("c"), $"o_custkey").as("dst")).distinct()
+    def ranked(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.PageRank.run(df, iters = 3)
+        .select($"node", round($"r", 8).as("r"))
+        .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(ranked(edges.repartition(1)) == ranked(edges.repartition(13)))
+  }
+
+  // ---------------------------------------------------- retention
+
+  test("retention cohort offset-0 cell counts every cohort member") {
+    val out = graft.queries.Analytics.qRetentionCohort(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    assert(out.forall(_._2 >= 0), "negative week offset — activity before first touch")
+    // every user is active in their own cohort week, so for each cohort
+    // the offset-0 count must be >= any later offset's count
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val at0 = rows.find(_._2 == 0L).map(_._3).getOrElse(0L)
+      assert(rows.forall(_._3 <= at0), s"offset 0 not the max in $rows")
+    }
+  }
+
   // -------------------------------------------------- feature scaling
 
   test("z-scored features have zero mean per (label, dim)") {
