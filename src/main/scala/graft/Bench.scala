@@ -71,13 +71,17 @@ object Bench {
     val slow = results.toSeq.filter(_._2 >= 0.0).sortBy(-_._2).take(5).map(_._1)
     val isolated = slow.map { name =>
       val fn = SparkEntry.queries(name)
+      // same failure armor as the main loop: a transient re-run
+      // failure must not discard the whole suite's JSON
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case scala.util.control.NonFatal(_) => -1.0 }
       }
       spark.catalog.clearCache()
-      name -> times.min
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val iso = isolated.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -56,6 +56,12 @@ object Pipeline {
             SinkCheck(ok = false, s"Sink URI invalid or bucket/path missing: $uri.")
           case e: java.io.IOException =>
             SinkCheck(ok = false, s"Sink I/O failed for $uri: ${e.getMessage}.")
+          // object-store connectors throw RuntimeExceptions for
+          // credential/endpoint misconfiguration — the probe exists
+          // precisely to translate those, so never let one escape
+          case scala.util.control.NonFatal(e) =>
+            SinkCheck(ok = false,
+              s"Sink probe failed for $uri (${e.getClass.getSimpleName}: ${e.getMessage}).")
         }
     }
 
@@ -106,10 +112,12 @@ object Pipeline {
         issues += "XLSX uploads are disabled."
       if (!Validation.fileSizeOk(spark, p.toString, maxFileMb))
         issues += s"File exceeds max size ($maxFileMb MB)."
+      var parsed: Option[org.apache.spark.sql.DataFrame] = None
       val df =
         if (issues.nonEmpty) None
         else try {
           val d = Intake.read(spark, p.toString)
+          parsed = Some(d)
           // raw header: Spark renames duplicate columns on read
           val headers =
             if (p.getName.toLowerCase.endsWith(".csv"))
@@ -126,19 +134,27 @@ object Pipeline {
           // place that cost is the point (the reference parses the
           // whole upload too), and it must happen even in offline
           // mode where no write would otherwise touch the rows.
+          // Persisted so the canonical-CSV write below reuses the
+          // parsed rows instead of re-parsing the file.
+          d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val rows = d.rdd.count()
           if (rows == 0L) issues += "No data rows found."
           Some((d, rows))
         } catch {
           case e: Intake.UnsupportedFormat => issues += e.getMessage; None
-          case e: Exception => issues += s"Failed to parse file: ${e.getMessage}"; None
+          case e: Exception =>
+            issues += s"Failed to parse file: ${e.getMessage}"
+            parsed.foreach(_.unpersist(blocking = false))
+            None
         }
       val stem = p.getName.replaceFirst("\\.[^.]+$", "")
       val dest = session.map(s => s"$s/${stem.replaceAll("[^A-Za-z0-9._-]", "_")}")
       val accepted = issues.isEmpty && df.isDefined
       val (rows, cols) = df.map { case (d, r) =>
-        if (accepted) dest.foreach(Normalize.writeCanonicalCsv(d, _))
-        (r, d.columns.length.toLong)
+        try {
+          if (accepted) dest.foreach(Normalize.writeCanonicalCsv(d, _))
+          (r, d.columns.length.toLong)
+        } finally d.unpersist(blocking = false)
       }.getOrElse((0L, 0L))
       // per-file upload timestamp (reference uploaded_at_utc,
       // streamlit_app.py:308) — clock injectable for deterministic tests

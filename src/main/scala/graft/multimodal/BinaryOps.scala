@@ -52,8 +52,11 @@ object BinaryOps {
     */
   private[graft] def decodeFeatures(bytes: Array[Byte]): Array[Double] =
     if (Png.isPng(bytes))
+      // NonFatal, not just Unsupported: a malformed chunk can also
+      // surface as an index/size error from the decoder, and any of
+      // them must degrade to the stub instead of failing the batch
       try Png.features(Png.decode(bytes))
-      catch { case _: Png.Unsupported => fakeDecode(bytes) }
+      catch { case scala.util.control.NonFatal(_) => fakeDecode(bytes) }
     else fakeDecode(bytes)
 
   final case class FrameSample(doc_id: Long, n_frames: Long, sampled: Array[Array[Byte]])

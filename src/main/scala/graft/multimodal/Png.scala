@@ -79,7 +79,10 @@ object Png {
     var got = 0
     while (got < raw.length && !inf.finished()) {
       val n = inf.inflate(raw, got, raw.length - got)
-      if (n == 0 && inf.needsInput()) throw Unsupported("IDAT stream truncated")
+      // any zero-progress state (truncated input, preset-dictionary
+      // FDICT stream) must bail out — needsInput() alone would spin
+      // forever on a dictionary-requiring stream
+      if (n == 0) throw Unsupported("IDAT stream stalled (truncated or needs dictionary)")
       got += n
     }
     inf.end()

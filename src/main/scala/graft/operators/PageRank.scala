@@ -24,8 +24,12 @@ object PageRank {
 
   /** @param edges distinct (src, dst) pairs. Returns (node, r). */
   def run(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct()
-      .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+    val dedup = edges.select(col("src"), col("dst")).distinct()
+    // degree from the DEDUP'd set: a duplicated input pair must not
+    // deflate the source's per-edge contribution (rank mass would
+    // silently leak and diverge from the SQL oracle)
+    val e = dedup
+      .join(dedup.groupBy("src").agg(count(lit(1)).as("deg")), "src")
       .persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()

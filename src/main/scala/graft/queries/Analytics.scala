@@ -212,7 +212,8 @@ object Analytics {
          |  FROM edges JOIN deg USING (src) JOIN $prev ON $prev.node = edges.src
          |  GROUP BY dst),
          |r$k AS (SELECT nodes.node AS node,
-         |    (1.0 - 0.85) / n + 0.85 * coalesce(contrib, 0.0) AS r
+         |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
+         |      + 0.85 * coalesce(contrib, 0.0) AS r
          |  FROM nodes CROSS JOIN nn LEFT JOIN c$k ON nodes.node = c$k.dst)""".stripMargin
     s"""WITH edges AS (
        |  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,

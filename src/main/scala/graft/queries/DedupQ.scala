@@ -232,9 +232,17 @@ object DedupQ {
     * occurrence window (digest cardinality ≈ corpus size — no hot
     * keys), one map-side-combinable aggregate back to doc_id.
     */
-  def dedupChunks(spark: SparkSession, dir: String): DataFrame = {
+  def dedupChunks(spark: SparkSession, dir: String): DataFrame =
+    chunkDedup(Tables(spark, dir).documents)
+
+  /** The chunk-dedup plan over any (doc_id, text) frame — split out so
+    * fixtures exercise the REAL chunking/window arithmetic, not a
+    * spec-side copy of it.
+    */
+  def chunkDedup(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val chunks = Tables(spark, dir).documents
+    val chunks = docs
       .select($"doc_id", TextFns.toks($"text").as("t"))
       .withColumn("nc",
         greatest(lit(1), ceil((size($"t") - lit(20)) / lit(80.0))).cast("int"))

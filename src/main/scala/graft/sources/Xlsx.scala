@@ -391,8 +391,20 @@ object Xlsx {
       if (n > maxRows) throw SizeExceeded(maxRows)
       r.toSeq.map(v => if (v == null) "" else v.toString)
     }
+    // close exactly once, then delete the partial file on failure —
+    // a double close (or a close() that itself throws mid-flush)
+    // must never mask the typed SizeExceeded or skip the cleanup
+    var failed: Throwable = null
     try write(header, guarded, out)
-    catch { case e: Throwable => out.close(); fs.delete(p, false); throw e }
-    finally out.close()
+    catch { case e: Throwable => failed = e }
+    finally {
+      try out.close()
+      catch { case e: Throwable => if (failed == null) failed = e }
+    }
+    if (failed != null) {
+      try fs.delete(p, false)
+      catch { case _: Throwable => () }
+      throw failed
+    }
   }
 }
