@@ -151,6 +151,32 @@ object ScaleProbe {
     // pack as ONE plan)
     probeGrowth("pipeline_corpus", base, docs2,
       dir => graft.queries.TrainingQ.pipelineCorpus(spark, dir))
+
+    // ---- round-3 operator families ----
+
+    // bloom join under 10× facts: probe-side scan grows 10×, the
+    // bitmap build (customer) is constant — time must track the scan
+    probeGrowth("bloom_join", base, out,
+      dir => graft.queries.Analytics.qBloomJoin(spark, dir))
+
+    // pagerank under 10× facts: the edge-derivation join grows 10×,
+    // the distinct edge set saturates (supplier×customer), so the
+    // 5 iterations stay constant-size — time ≈ scan + flat iterate
+    probeGrowth("pagerank", base, out,
+      dir => graft.queries.Analytics.qPagerank(spark, dir))
+
+    // tf-idf under 2× docs: (doc, token) counts double, the df table
+    // stays vocabulary-sized and broadcast
+    probeGrowth("tfidf", base, docs2,
+      dir => graft.queries.Text.textTfidf(spark, dir))
+
+    // chunk dedup under 2× docs: digest window doubles, never squares
+    probeGrowth("chunk_dedup", base, docs2,
+      dir => graft.queries.DedupQ.dedupChunks(spark, dir))
+
+    // CDC diff under 2× keys: one full-outer join on (key, digest)
+    probeGrowth("snapshot_diff", base, cust2,
+      dir => graft.queries.Analytics.etlSnapshotDiff(spark, dir))
     spark.stop()
   }
 }

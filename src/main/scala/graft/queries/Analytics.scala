@@ -261,7 +261,118 @@ object Analytics {
       |FROM aw JOIN fw USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Unpivot / melt — the inverse of `q_pivot`: wide measure columns
+    * to (measure, value) rows through the native Unpivot node (an
+    * Expand — rows × measures emitted scan-side, no shuffle at all
+    * before the caller's aggregate).
+    */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).lineitem
+      .filter($"l_orderkey" <= 100)
+      .unpivot(
+        Array($"l_orderkey", $"l_linenumber"),
+        Array($"l_quantity", $"l_extendedprice", $"l_discount"),
+        "measure", "value")
+      .select($"l_orderkey", $"l_linenumber", $"measure", round($"value", 4).as("value"))
+      .orderBy($"l_orderkey", $"l_linenumber", $"measure")
+  }
+
+  private val qUnpivotSql =
+    """SELECT l_orderkey, l_linenumber, measure, round(value, 4) AS value
+      |FROM (
+      |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+      |  FROM lineitem WHERE l_orderkey <= 100
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+      |  FROM lineitem WHERE l_orderkey <= 100
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+      |  FROM lineitem WHERE l_orderkey <= 100)
+      |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin
+
+  /** Schema evolution: two parquet batches written with different
+    * column sets (v2 adds a column, drops another) read back as ONE
+    * table via mergeSchema — the lake-format reality every long-lived
+    * pipeline hits. The oracle reconstructs the same union with NULL
+    * padding from the source table.
+    */
+  def etlMergeSchema(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = Tables(spark, dir).nation
+    val out = s"/tmp/graft_evolve_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    n.select($"n_nationkey", $"n_name")
+      .write.mode("overwrite").parquet(s"$out/batch=1")
+    n.select($"n_nationkey", $"n_regionkey")
+      .write.mode("overwrite").parquet(s"$out/batch=2")
+    spark.read.option("mergeSchema", "true").parquet(out)
+      .select($"n_nationkey", $"n_name", $"n_regionkey", $"batch".cast("long").as("batch"))
+      .orderBy($"batch", $"n_nationkey")
+  }
+
+  private val etlMergeSchemaSql =
+    """SELECT n_nationkey, n_name, CAST(NULL AS BIGINT) AS n_regionkey,
+      |  CAST(1 AS BIGINT) AS batch FROM nation
+      |UNION ALL
+      |SELECT n_nationkey, CAST(NULL AS VARCHAR), n_regionkey, CAST(2 AS BIGINT) FROM nation
+      |ORDER BY batch, n_nationkey""".stripMargin
+
+  /** Unigram language-model scoring (the CCNet-style perplexity proxy
+    * used for corpus quality filtering): p(tok) from corpus counts,
+    * each document scored by its mean token log-probability. The LM
+    * table aggregates to vocabulary cardinality and broadcasts; the
+    * corpus makes two narrow shuffles (token counts, per-doc mean).
+    */
+  def textLmScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables(spark, dir).documents
+      .select($"doc_id", explode(graft.functions.TextFns.toks($"text")).as("tok"))
+    val lm = toks.groupBy($"tok").agg(count(lit(1)).as("c"))
+    val total = lm.agg(sum($"c").cast("double").as("n"))
+    toks
+      .join(broadcast(lm), "tok")
+      .crossJoin(broadcast(total))
+      .groupBy($"doc_id")
+      .agg(round(avg(log($"c" / $"n")), 4).as("lm_score"))
+      .orderBy($"doc_id")
+  }
+
+  private val textLmScoreSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents),
+      |lm AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+      |total AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM lm)
+      |SELECT doc_id, round(avg(ln(c / n)), 4) AS lm_score
+      |FROM toks JOIN lm USING (tok) CROSS JOIN total
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Deterministic corpus shuffle + first-batch take: order by a
+    * seeded md5 of the id and keep the first N — how a training run
+    * draws a reproducible shuffled batch. Plans as
+    * TakeOrderedAndProject (per-partition heaps), NEVER a global
+    * sort; the full shuffle-ordered write would repartitionByRange on
+    * the same key.
+    */
+  def etlShuffleBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select($"doc_id", md5(concat(lit("shuffle42:"), $"doc_id")).as("shuffle_key"))
+      .orderBy($"shuffle_key")
+      .limit(100)
+  }
+
+  private val etlShuffleBatchSql =
+    """SELECT doc_id, md5('shuffle42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+      |FROM documents
+      |ORDER BY shuffle_key
+      |LIMIT 100""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("q_unpivot", qUnpivot _, qUnpivotSql),
+    QueryDef.sql("etl_merge_schema", etlMergeSchema _, etlMergeSchemaSql),
+    QueryDef.sql("text_lm_score", textLmScore _, textLmScoreSql),
+    QueryDef.sql("etl_shuffle_batch", etlShuffleBatch _, etlShuffleBatchSql),
     QueryDef.sql("q_pagerank", qPagerank _, qPagerankSql),
     QueryDef.sql("q_retention_cohort", qRetentionCohort _, qRetentionCohortSql),
     QueryDef.sql("q_bloom_join", qBloomJoin _, qBloomJoinSql),

@@ -104,6 +104,41 @@ class AnalyticsSpec extends GraftSuite {
     }
   }
 
+  // ------------------------------------------- unpivot / merge-schema
+
+  test("unpivot emits one row per (row, measure) and inverts pivot") {
+    val base = Tables(spark, sf0001).lineitem.filter($"l_orderkey" <= 100)
+    val out = graft.queries.Analytics.qUnpivot(spark, sf0001)
+    assert(out.count() == base.count() * 3)
+    assert(out.select($"measure").distinct().count() == 3)
+  }
+
+  test("merge-schema read NULL-pads each batch's missing column") {
+    val out = graft.queries.Analytics.etlMergeSchema(spark, sf0001)
+    assert(out.filter($"batch" === 1 && $"n_regionkey".isNotNull).count() == 0)
+    assert(out.filter($"batch" === 2 && $"n_name".isNotNull).count() == 0)
+    assert(out.filter($"n_nationkey".isNull).count() == 0)
+  }
+
+  // ------------------------------------------------- lm score / shuffle
+
+  test("unigram lm scores are negative log-probs, higher for common-token docs") {
+    val out = graft.queries.Analytics.textLmScore(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.nonEmpty)
+    assert(out.values.forall(_ < 0.0), "log-prob means must be negative")
+  }
+
+  test("shuffle batch is deterministic and plans as ordered take") {
+    val a = graft.queries.Analytics.etlShuffleBatch(spark, sf0001).collect()
+    val b = graft.queries.Analytics.etlShuffleBatch(spark, sf0001).collect()
+    assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq)
+    assert(a.length == 100)
+    val p = graft.queries.Analytics.etlShuffleBatch(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"global sort in shuffle batch:\n$p")
+  }
+
   // -------------------------------------------------- feature scaling
 
   test("z-scored features have zero mean per (label, dim)") {
