@@ -368,7 +368,36 @@ object Analytics {
       |ORDER BY shuffle_key
       |LIMIT 100""".stripMargin
 
+  /** Array higher-order functions over the embedding column — the
+    * codegen-adjacent lambda surface (transform/filter/aggregate):
+    * L2 norm via an in-order fold (both engines fold left-to-right,
+    * so the doubles agree bit for bit), positive-component count,
+    * component max. Pure projection: scales with the scan, no
+    * shuffle, no explode.
+    */
+  def qArrayOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).embeddings
+      .select($"vec_id",
+        round(sqrt(expr(
+          "aggregate(embedding, 0.0D, (acc, x) -> acc + cast(x as double) * cast(x as double))")), 4)
+          .as("l2_norm"),
+        expr("size(filter(embedding, x -> x > 0))").cast("long").as("n_pos"),
+        round(expr("cast(array_max(embedding) as double)"), 4).as("max_val"))
+      .orderBy($"vec_id")
+  }
+
+  private val qArrayOpsSql =
+    """SELECT vec_id,
+      |  round(sqrt(list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+      |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
+      |  round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_val
+      |FROM embeddings
+      |ORDER BY vec_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("q_array_ops", qArrayOps _, qArrayOpsSql),
     QueryDef.sql("q_unpivot", qUnpivot _, qUnpivotSql),
     QueryDef.sql("etl_merge_schema", etlMergeSchema _, etlMergeSchemaSql),
     QueryDef.sql("text_lm_score", textLmScore _, textLmScoreSql),

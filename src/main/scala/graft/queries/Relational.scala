@@ -801,7 +801,41 @@ object Relational {
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       |ORDER BY rf, ls""".stripMargin
 
+  /** Window frame variants — first/last/nth value and a bounded
+    * moving average over explicit ROWS frames (the frame semantics
+    * beyond the default RANGE frame the other window gates use). One
+    * shuffle on the partition key serves all four frames.
+    */
+  def qWindowFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables(spark, dir).orders
+      .select($"o_custkey", $"o_orderkey",
+        round(first_value($"o_totalprice").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4).as("first_price"),
+        round(last_value($"o_totalprice").over(
+          w.rowsBetween(Window.currentRow, Window.unboundedFollowing)), 4).as("last_price"),
+        round(nth_value($"o_totalprice", 2).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4).as("second_price"),
+        round(avg($"o_totalprice").over(w.rowsBetween(-2, 0)), 4).as("mov_avg3"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  private val qWindowFramesSql =
+    """SELECT o_custkey, o_orderkey,
+      |  round(first_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS first_price,
+      |  round(last_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 4) AS last_price,
+      |  round(nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS second_price,
+      |  round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg3
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("q_window_frames", qWindowFrames _, qWindowFramesSql),
     QueryDef.sql("q_window_rolling", qWindowRolling _, qWindowRollingSql),
     QueryDef.sql("q_grouping_sets", qGroupingSets _, qGroupingSetsSql),
     QueryDef.sql("q_window_lag", qWindowLag _, qWindowLagSql),
