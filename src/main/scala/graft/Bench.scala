@@ -78,7 +78,11 @@ object Bench {
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
-        } catch { case scala.util.control.NonFatal(_) => -1.0 }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] isolated $name FAILED: ${e.getMessage}")
+            -1.0
+        }
       }
       spark.catalog.clearCache()
       name -> (if (times.contains(-1.0)) -1.0 else times.min)

@@ -22,7 +22,10 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
-  /** @param edges distinct (src, dst) pairs. Returns (node, r). */
+  /** @param edges (src, dst) pairs (deduplicated internally).
+    * Returns (node, r, n) — n (the node count) rides along so callers
+    * normalizing by graph size don't recompute the edge derivation.
+    */
   def run(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
     val dedup = edges.select(col("src"), col("dst")).distinct()
     // degree from the DEDUP'd set: a duplicated input pair must not
@@ -35,7 +38,7 @@ object PageRank {
       .union(e.select(col("dst").as("node"))).distinct().persist()
     val nDf = nodes.agg(count(lit(1)).cast("double").as("n"))
     var ranks = nodes.crossJoin(broadcast(nDf))
-      .select(col("node"), (lit(1.0) / col("n")).as("r"))
+      .select(col("node"), (lit(1.0) / col("n")).as("r"), col("n"))
     for (_ <- 1 to iters) {
       val contribs = e.join(ranks, e("src") === ranks("node"))
         .groupBy(col("dst"))
@@ -44,7 +47,8 @@ object PageRank {
         .join(contribs, col("node") === col("dst"), "left")
         .select(col("node"),
           (lit(1.0 - damping) / col("n") +
-            lit(damping) * coalesce(col("contrib"), lit(0.0))).as("r"))
+            lit(damping) * coalesce(col("contrib"), lit(0.0))).as("r"),
+          col("n"))
     }
     ranks
   }

@@ -201,8 +201,11 @@ object Analytics {
       .select(concat(lit("s"), $"l_suppkey").as("src"),
         concat(lit("c"), $"o_custkey").as("dst"))
       .distinct()
+    // gate emits the N-RELATIVE rank (r·N ≈ O(1)): same 1e-4 rounding
+    // granularity vs ~1e-13 summation noise as every other summing
+    // gate — round(raw rank, 8) would sit only ~1e-7 above the noise
     graft.operators.PageRank.run(edges, iters = 5, damping = 0.85)
-      .select($"node", round($"r", 8).as("r"))
+      .select($"node", round($"r" * $"n", 4).as("r_rel"))
       .orderBy($"node")
   }
 
@@ -224,7 +227,7 @@ object Analytics {
        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
        |r0 AS (SELECT node, 1.0 / n AS r FROM nodes CROSS JOIN nn),
        |${(1 to 5).map(k => contrib(s"r${k - 1}", k)).mkString(",\n")}
-       |SELECT node, round(r, 8) AS r FROM r5 ORDER BY node""".stripMargin
+       |SELECT node, round(r * n, 4) AS r_rel FROM r5 CROSS JOIN nn ORDER BY node""".stripMargin
   }
 
   /** Cohort retention over the event stream: users bucketed by their
@@ -325,15 +328,19 @@ object Analytics {
     */
   def textLmScore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = Tables(spark, dir).documents
+    // single corpus pass: per-(doc, token) counts feed BOTH the LM
+    // build (vocabulary sums) and the per-doc weighted mean — the
+    // token instances are never exploded twice
+    val tf = Tables(spark, dir).documents
       .select($"doc_id", explode(graft.functions.TextFns.toks($"text")).as("tok"))
-    val lm = toks.groupBy($"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val lm = tf.groupBy($"tok").agg(sum($"tf").as("c"))
     val total = lm.agg(sum($"c").cast("double").as("n"))
-    toks
+    tf
       .join(broadcast(lm), "tok")
       .crossJoin(broadcast(total))
       .groupBy($"doc_id")
-      .agg(round(avg(log($"c" / $"n")), 4).as("lm_score"))
+      .agg(round(sum($"tf" * log($"c" / $"n")) / sum($"tf"), 4).as("lm_score"))
       .orderBy($"doc_id")
   }
 
@@ -341,10 +348,11 @@ object Analytics {
     """WITH toks AS (
       |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
       |  FROM documents),
-      |lm AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+      |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+      |lm AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY tok),
       |total AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM lm)
-      |SELECT doc_id, round(avg(ln(c / n)), 4) AS lm_score
-      |FROM toks JOIN lm USING (tok) CROSS JOIN total
+      |SELECT doc_id, round(sum(tf * ln(c / n)) / sum(tf), 4) AS lm_score
+      |FROM tf JOIN lm USING (tok) CROSS JOIN total
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Deterministic corpus shuffle + first-batch take: order by a

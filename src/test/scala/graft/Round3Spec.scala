@@ -68,6 +68,11 @@ class Round3Spec extends GraftSuite {
     assert(got(2L)._1 == got(2L)._2 && got(2L)._2 > 0L, s"doc 2 not fully duplicate: $got")
     assert(got(3L)._2 == 0L)
     assert(got(2L)._1 == got(1L)._1, "identical docs chunked differently")
+    // doc 4 (241 tokens → 3 chunks at 100/stride-80): its chunk 0 is
+    // exactly doc 1's chunk 0 (the first 100 shared tokens), chunks
+    // 1-2 mix shared + fresh tokens — cross-document alignment must
+    // flag exactly that one chunk
+    assert(got(4L) == (3L, 1L), s"doc 4 alignment wrong: ${got(4L)}")
   }
 
   // -------------------------------------------------- quality classifier
