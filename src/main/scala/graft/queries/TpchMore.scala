@@ -244,8 +244,12 @@ object TpchMore {
     unitCosts.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
       .join(broadcast(t.supplier), $"l_suppkey" === $"s_suppkey")
       .join(broadcast(t.nation), $"s_nationkey" === $"n_nationkey")
+      // TRUNCATE, not round: price/quantity often lands exactly on a
+      // 5-at-the-5th-decimal (e.g. 60.27125), where the two engines'
+      // round() implementations disagree; floor(x·10⁴)/10⁴ is pure
+      // IEEE multiply+floor+divide — bit-identical everywhere
       .select($"l_partkey".as("p_partkey"), $"s_name", $"n_name".as("nation"),
-        round($"unit_cost", 4).as("unit_cost"))
+        (floor($"unit_cost" * 10000) / 10000).as("unit_cost"))
       .orderBy($"p_partkey")
   }
 
@@ -260,7 +264,7 @@ object TpchMore {
       |                               ORDER BY unit_cost, l_suppkey) AS rk
       |  FROM costs)
       |SELECT l_partkey AS p_partkey, s_name, n_name AS nation,
-      |  round(unit_cost, 4) AS unit_cost
+      |  floor(unit_cost * 10000) / 10000 AS unit_cost
       |FROM ranked JOIN supplier ON l_suppkey = s_suppkey
       |JOIN nation ON s_nationkey = n_nationkey
       |WHERE rk = 1 ORDER BY p_partkey""".stripMargin
