@@ -208,6 +208,27 @@ object SimilarityQ {
       |FROM events
       |GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin
 
+  /** Top event type per finalized window ([[EventStream
+    * .topEventPerWindow]]) — the foreachBatch ranking step over the
+    * windowed counts, oracled end to end in batch.
+    */
+  def streamTopEvent(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    EventStream.topEventPerWindow(Tables(spark, dir).events)
+      .orderBy($"window_start_us")
+  }
+
+  private val streamTopEventSql =
+    """WITH counts AS (
+      |  SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
+      |    event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY window_start_us
+      |        ORDER BY n DESC, event_type) AS rk
+      |      FROM counts)
+      |SELECT window_start_us, event_type, n FROM r WHERE rk = 1
+      |ORDER BY window_start_us""".stripMargin
+
   /** Sliding 2-hour windows every 1 hour — each event lands in two
     * windows; the oracle replicates rows per containing window.
     */
@@ -257,6 +278,7 @@ object SimilarityQ {
     QueryDef.sql("mm_frame_sample", mmFrameSample _, mmFrameSampleSql),
     QueryDef.sql("text_rolling_fp", textRollingFp _, textRollingFpSql),
     QueryDef.sql("stream_window_counts", streamWindowCounts _, streamWindowCountsSql),
+    QueryDef.sql("stream_top_event", streamTopEvent _, streamTopEventSql),
     QueryDef.sql("stream_sliding_counts", streamSlidingCounts _, streamSlidingCountsSql),
     QueryDef.sql("q_interval_join", qIntervalJoin _, qIntervalJoinSql))
 }

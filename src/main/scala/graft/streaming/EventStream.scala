@@ -35,6 +35,24 @@ object EventStream {
         unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Top event type per finalized window — the rank-over-windowed-
+    * counts shape. Rank functions don't run inside a streaming
+    * aggregation, so in production this is the `foreachBatch` step
+    * over [[windowCounts]]' finalized output (each batch holds only
+    * windows the watermark just closed — tiny); in batch mode it is
+    * the same plan end to end, which is what the gate oracles.
+    * Deterministic tie-break: (count desc, event_type).
+    */
+  def topEventPerWindow(events: DataFrame): DataFrame = {
+    val counts = windowCounts(events)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start_us"))
+      .orderBy(col("n").desc, col("event_type"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("window_start_us"), col("event_type"), col("n"))
+  }
+
   /** Stream-stream interval join: purchases attributed to a click by
     * the same user within the following hour. The event-time bound is
     * what lets Spark expire join state in streaming mode (callers add

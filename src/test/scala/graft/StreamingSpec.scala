@@ -37,6 +37,39 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("topEventPerWindow over the streamed counts matches the batch plan") {
+    // the documented composition: windowed counts run IN the stream,
+    // the rank step runs over each finalized batch (foreachBatch) —
+    // here over the complete-mode table, which holds the same rows
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_stream_top")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      stageDir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(schema)
+      .parquet(stageDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "10 minutes")
+    val q = EventStream.windowCounts(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_counts_top").start()
+    try {
+      q.processAllAvailable()
+      val counts = spark.table("win_counts_top")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"window_start_us").orderBy($"n".desc, $"event_type")
+      val streamed = counts.withColumn("rk", row_number().over(w))
+        .filter($"rk" === 1).select($"window_start_us", $"event_type", $"n")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val batch = EventStream.topEventPerWindow(Tables(spark, sf0001).events)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("stream-static join enriches the stream with a broadcast dim") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
