@@ -323,8 +323,11 @@ object Analytics {
   /** Unigram language-model scoring (the CCNet-style perplexity proxy
     * used for corpus quality filtering): p(tok) from corpus counts,
     * each document scored by its mean token log-probability. The LM
-    * table aggregates to vocabulary cardinality and broadcasts; the
-    * corpus makes two narrow shuffles (token counts, per-doc mean).
+    * table aggregates to VOCABULARY cardinality — unbounded on web
+    * text — so the join back carries no broadcast hint: AQE
+    * broadcasts when the measured size is small, else sort-merge
+    * (skew-split on hot tokens). Only the 1-row grand total is
+    * hint-broadcast. PlanSpec pins both shapes.
     */
   def textLmScore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -337,7 +340,7 @@ object Analytics {
     val lm = tf.groupBy($"tok").agg(sum($"tf").as("c"))
     val total = lm.agg(sum($"c").cast("double").as("n"))
     tf
-      .join(broadcast(lm), "tok")
+      .join(lm, "tok")
       .crossJoin(broadcast(total))
       .groupBy($"doc_id")
       .agg(round(sum($"tf" * log($"c" / $"n")) / sum($"tf"), 4).as("lm_score"))

@@ -335,11 +335,14 @@ object Text {
 
   /** TF-IDF top terms per document — the classic two-pass weighting:
     * per-(doc, token) term counts, a corpus document-frequency table
-    * (tiny — vocabulary-sized) joined back BROADCAST, smooth idf
-    * ln((N+1)/(df+1))+1, top-5 terms per doc by score. Scale: the big
-    * shuffle is the (doc, token) count — the df side aggregates to
-    * vocabulary cardinality and broadcasts, so the join adds no
-    * shuffle; the per-doc top-5 rides the RewriteTopK native heap.
+    * joined back, smooth idf ln((N+1)/(df+1))+1, top-5 terms per doc
+    * by score. Scale: the df table is VOCABULARY-cardinality — on web
+    * text (URLs, typos, code) that grows into the billions, so the
+    * join carries NO broadcast hint: AQE broadcasts when the measured
+    * size is small and falls back to a sort-merge join (with skew
+    * splitting for hot tokens like "the") when it isn't. Only the
+    * 1-row corpus count is hint-broadcast. PlanSpec pins both shapes.
+    * The per-doc top-5 rides the RewriteTopK native heap.
     */
   def textTfidf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -348,7 +351,7 @@ object Text {
     val tf = docs.select($"doc_id", explode(toks($"text")).as("token"))
       .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(df), "token").crossJoin(broadcast(n))
+    val scored = tf.join(df, "token").crossJoin(broadcast(n))
       .withColumn("score",
         round($"tf" * (log(($"n_docs" + 1.0) / ($"df" + 1.0)) + 1.0), 4))
     val w = org.apache.spark.sql.expressions.Window

@@ -123,6 +123,40 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in q21 plan:\n$p")
   }
 
+  test("tfidf/lm vocabulary joins carry no broadcast hint; AQE picks the join") {
+    // The df/lm tables are vocabulary-cardinality — unbounded on web
+    // text — so an explicit broadcast() hint is an OOM at 100 TB. Pin
+    // its absence: with AQE off and auto-broadcast disabled, ONLY a
+    // hint could produce a broadcast join, so the token join must plan
+    // sort-merge. Then with the shipped AQE defaults, the runtime-
+    // measured-small table must still broadcast (no perf loss at
+    // bounded vocabularies).
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for ((name, df) <- Seq(
+          "text_tfidf" -> graft.queries.Text.textTfidf(spark, sf001),
+          "text_lm_score" -> graft.queries.Analytics.textLmScore(spark, sf001))) {
+        val p = plan(df)
+        assert(p.contains("SortMergeJoin"),
+          s"$name: vocabulary join is not sort-merge — a broadcast hint is forcing it:\n$p")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    }
+    for ((name, df) <- Seq(
+        "text_tfidf" -> graft.queries.Text.textTfidf(spark, sf001),
+        "text_lm_score" -> graft.queries.Analytics.textLmScore(spark, sf001))) {
+      df.collect()
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name: AQE did not broadcast the measured-small vocabulary table:\n$p")
+    }
+  }
+
   test("approx distinct stays within 5% of exact") {
     import org.apache.spark.sql.functions._
     // the gate emits the tolerance check in-plan; assert it holds, and
