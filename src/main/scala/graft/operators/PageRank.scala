@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions._
   * iteration; the rank vector (one double per node) is the only
   * thing that updates. A fixed iteration count keeps the lineage
   * linear; for 100s of iterations compose with localCheckpoint the
-  * way ClusterDedup does.
+  * way ClusterDedup does. The intermediate caches are released
+  * before `run` returns: the final ranks are eagerly
+  * localCheckpoint'ed (cutting their lineage off the cached edge
+  * tables), so a long-lived library session accumulates nothing.
   */
 object PageRank {
 
@@ -50,6 +53,12 @@ object PageRank {
             lit(damping) * coalesce(col("contrib"), lit(0.0))).as("r"),
           col("n"))
     }
-    ranks
+    // Materialize once (eager checkpoint severs the plan from the
+    // cached tables), then release the per-run caches — callers get
+    // a self-contained result, not a cache-leaking lineage.
+    val out = ranks.localCheckpoint()
+    e.unpersist()
+    nodes.unpersist()
+    out
   }
 }

@@ -178,11 +178,19 @@ object TpchMore {
   def q21WaitingOrders(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val t = Tables(spark, dir)
+    // Both consumers below need only these three narrow columns;
+    // materialize the joined stream ONCE (eager local checkpoint) so
+    // the biggest join in the query can't silently run twice — the
+    // two branches prune differently, so ReuseExchange alone never
+    // dedupes them. Blocks are freed by the ContextCleaner when the
+    // result is dereferenced.
     val lines = t.lineitem
       .join(t.orders.filter($"o_orderstatus" === "F"),
         $"l_orderkey" === $"o_orderkey")
       .withColumn("late",
         $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+      .select($"l_orderkey", $"l_suppkey", $"late")
+      .localCheckpoint()
     val perOrder = lines.groupBy($"l_orderkey".as("ok")).agg(
       countDistinct($"l_suppkey").as("nsupp"),
       countDistinct(when($"late", $"l_suppkey")).as("nlate"))

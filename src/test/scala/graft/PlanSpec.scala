@@ -123,6 +123,20 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in q21 plan:\n$p")
   }
 
+  test("q21 runs the lineitem⋈orders join once, not once per branch") {
+    // `lines` feeds both the per-order aggregate and the late-line
+    // probe with different prunings, so ReuseExchange never dedupes
+    // them — the query materializes the narrow joined stream once
+    // via localCheckpoint instead. Pin it: the final plan must not
+    // scan lineitem at all (the scan happened in the checkpoint).
+    val df = graft.queries.TpchMore.q21WaitingOrders(spark, sf001)
+    df.collect()
+    val p = plan(df)
+    val lineitemScans = "lineitem".r.findAllIn(p).size
+    assert(lineitemScans == 0,
+      s"q21 re-derives the lineitem join per branch ($lineitemScans scans):\n$p")
+  }
+
   test("tfidf/lm vocabulary joins carry no broadcast hint; AQE picks the join") {
     // The df/lm tables are vocabulary-cardinality — unbounded on web
     // text — so an explicit broadcast() hint is an OOM at 100 TB. Pin
@@ -131,11 +145,9 @@ class PlanSpec extends GraftSuite {
     // sort-merge. Then with the shipped AQE defaults, the runtime-
     // measured-small table must still broadcast (no perf loss at
     // bounded vocabularies).
-    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
+    withSQLConf(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       for ((name, df) <- Seq(
           "text_tfidf" -> graft.queries.Text.textTfidf(spark, sf001),
           "text_lm_score" -> graft.queries.Analytics.textLmScore(spark, sf001))) {
@@ -143,17 +155,19 @@ class PlanSpec extends GraftSuite {
         assert(p.contains("SortMergeJoin"),
           s"$name: vocabulary join is not sort-merge — a broadcast hint is forcing it:\n$p")
       }
-    } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", aqe)
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
     }
-    for ((name, df) <- Seq(
-        "text_tfidf" -> graft.queries.Text.textTfidf(spark, sf001),
-        "text_lm_score" -> graft.queries.Analytics.textLmScore(spark, sf001))) {
-      df.collect()
-      val p = plan(df)
-      assert(p.contains("BroadcastHashJoin"),
-        s"$name: AQE did not broadcast the measured-small vocabulary table:\n$p")
+    // The AQE half depends on the sf0.01 vocabulary shuffle staying
+    // under the broadcast threshold — pin the threshold so a future
+    // GraftSession default change can't silently flip this assert.
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "10485760") {
+      for ((name, df) <- Seq(
+          "text_tfidf" -> graft.queries.Text.textTfidf(spark, sf001),
+          "text_lm_score" -> graft.queries.Analytics.textLmScore(spark, sf001))) {
+        df.collect()
+        val p = plan(df)
+        assert(p.contains("BroadcastHashJoin"),
+          s"$name: AQE did not broadcast the measured-small vocabulary table:\n$p")
+      }
     }
   }
 
