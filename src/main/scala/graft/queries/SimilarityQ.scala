@@ -172,25 +172,41 @@ object SimilarityQ {
       |    (acc, x) -> (acc * 257 + x) % 2147483647) AS rolling_fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Frame-sampling plumbing over "video"-shaped binary payloads:
-    * byte-window slicing is real, the codec is the documented stub.
-    * The window arithmetic is pure byte math, so the DuckDB oracle
-    * recomputes frame and sample counts exactly.
+  /** Frame sampling through the REAL Y4M codec ([[graft.multimodal
+    * .Y4m]]): each document is packed into a C420 stream of 8×8
+    * frames carrying its content bytes as luma, then the operator
+    * PARSES the stream (header + FRAME markers + planar layout),
+    * keeps every 4th frame, and reduces kept frames to their mean
+    * luma. The oracle replays the byte math exactly: each frame mean
+    * is an integer sum / 64 (exact in binary), so both engines
+    * produce bit-identical doubles; truncation (not rounding) guards
+    * the half-way divergence class.
     */
   def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    BinaryOps.frameSample(BinaryOps.pack(Tables(spark, dir).documents),
-        frameBytes = 32, stride = 4)
+    BinaryOps.videoFrameSample(
+        BinaryOps.packY4m(Tables(spark, dir).documents), stride = 4)
       .toDF()
-      .select($"doc_id", $"n_frames", size($"sampled").cast("long").as("n_sampled"))
+      .select($"doc_id", $"width", $"height", $"n_frames", $"n_sampled",
+        (floor($"mean_luma" * 1e4) / 1e4).as("mean_luma_t"))
       .orderBy($"doc_id")
   }
 
   private val mmFrameSampleSql =
-    """SELECT doc_id,
-      |  CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT) AS n_frames,
-      |  CAST(ceil(ceil(octet_length(encode(text)) / 32.0) / 4.0) AS BIGINT) AS n_sampled
-      |FROM documents ORDER BY doc_id""".stripMargin
+    """WITH f AS (
+      |  SELECT doc_id, text,
+      |    CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames,
+      |    CAST(ceil(ceil(octet_length(encode(text)) / 64.0) / 4.0) AS BIGINT) AS n_sampled
+      |  FROM documents)
+      |SELECT doc_id, CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+      |  n_frames, n_sampled,
+      |  floor(coalesce(
+      |    list_sum(list_transform(range(0, n_sampled), k ->
+      |      coalesce(list_sum(list_transform(
+      |        string_split(substr(text, CAST(k * 256 AS INTEGER) + 1, 64), ''),
+      |        c -> ascii(c))), 0) / 64.0)) / n_sampled,
+      |    CAST(0.0 AS DOUBLE)) * 1e4) / 1e4 AS mean_luma_t
+      |FROM f ORDER BY doc_id""".stripMargin
 
   /** Tumbling 1-hour windows over the event stream — the identical
     * plan StreamingSpec drives through readStream+watermark; DuckDB

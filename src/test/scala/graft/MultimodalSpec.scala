@@ -123,6 +123,62 @@ class MultimodalSpec extends GraftSuite {
     assert(f(2L).toSeq == BinaryOps.fakeDecode("not an image".getBytes).toSeq)
   }
 
+  // ------------------------------------------------------------- real Y4M
+
+  import graft.multimodal.Y4m
+
+  test("Y4M round-trips C420 luma planes through encode/decode") {
+    val f0 = Array.tabulate(64)(i => i.toByte)
+    val f1 = Array.tabulate(64)(i => (255 - i).toByte)
+    val v = Y4m.decode(Y4m.encodeC420(8, 8, Seq(f0, f1)))
+    assert(v.width == 8 && v.height == 8 && v.colorspace == "420")
+    assert(v.frames.length == 2)
+    assert(v.frames(0).y.toSeq == f0.toSeq && v.frames(1).y.toSeq == f1.toSeq)
+    assert(v.frames(0).u.length == 16 && v.frames(0).u.forall(_ == 128.toByte))
+    assert(math.abs(v.frames(0).meanLuma - (0 until 64).sum / 64.0) < 1e-12)
+  }
+
+  test("Y4M parses colorspace variants, frame params, and odd dimensions") {
+    import java.nio.charset.StandardCharsets.US_ASCII
+    def stream(cs: String, w: Int, h: Int, cw: Int, ch: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(s"YUV4MPEG2 W$w H$h F30000:1001 It A0:0 C$cs XYSCSS=$cs\n".getBytes(US_ASCII))
+      out.write("FRAME Ix\n".getBytes(US_ASCII))   // frame-level params are legal
+      out.write(Array.fill[Byte](w * h)(7))
+      out.write(Array.fill[Byte](2 * cw * ch)(9))
+      out.toByteArray
+    }
+    for ((cs, cw, ch) <- Seq(("420jpeg", 3, 2), ("422", 3, 3), ("444", 5, 3), ("mono", 0, 0))) {
+      val v = Y4m.decode(stream(cs, 5, 3, cw, ch))
+      assert(v.frames.length == 1, cs)
+      assert(v.frames(0).y.length == 15 && v.frames(0).u.length == cw * ch, cs)
+    }
+  }
+
+  test("Y4M rejects malformed streams; videoFrameSample armors them") {
+    val good = Y4m.encodeC420(8, 8, Seq(Array.fill[Byte](64)(50)))
+    assert(Y4m.isY4m(good) && !Y4m.isY4m("YUV4MPEG-not".getBytes))
+    intercept[IllegalArgumentException](Y4m.decode(good.take(good.length - 5))) // truncated plane
+    intercept[IllegalArgumentException](Y4m.decode("YUV4MPEG2 W8 H8\nGARBAGE".getBytes))
+    intercept[IllegalArgumentException](Y4m.decode("YUV4MPEG2 W8 C420\nFRAME\n".getBytes)) // no H
+    val packed = Seq((1L, good), (2L, good.take(good.length - 5))).toDF("doc_id", "payload")
+    val r = BinaryOps.videoFrameSample(packed, stride = 1).collect()
+      .map(s => s.doc_id -> s).toMap
+    assert(r(1L).n_frames == 1 && r(1L).mean_luma == 50.0)
+    assert(r(2L).n_frames == 0 && r(2L).mean_luma == -1.0, "corrupt payload must degrade, not throw")
+  }
+
+  test("packY4m + videoFrameSample computes stride-sampled mean luma over content bytes") {
+    // 100 'a' bytes -> 2 frames (64 + 36-padded); stride 2 keeps frame 0 only
+    val docs = Seq((1L, "a" * 100)).toDF("doc_id", "text")
+    val s = BinaryOps.videoFrameSample(BinaryOps.packY4m(docs), stride = 2).collect().head
+    assert(s.n_frames == 2 && s.n_sampled == 1)
+    assert(math.abs(s.mean_luma - 97.0) < 1e-12) // frame 0 is all 'a'
+    val all = BinaryOps.videoFrameSample(BinaryOps.packY4m(docs), stride = 1).collect().head
+    assert(all.n_sampled == 2)
+    assert(math.abs(all.mean_luma - (97.0 + 97.0 * 36 / 64) / 2) < 1e-12) // padded tail
+  }
+
   test("out-of-scope PNGs degrade to the stub instead of failing the batch") {
     val img = gradient(4, 4, 1)
     val png = Png.encode(img)
