@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL parsing as pure built-in Column expressions (SURVEY.md §2.5
+  * extension — domain-aware corpus curation). Everything here is
+  * regexp_extract / replace / length over codegen'd builtins: no
+  * UDFs, no shuffle, and the identical regexes run in the DuckDB
+  * oracle, so every derived column is exactly replayable.
+  */
+object UrlFns {
+
+  /** Scheme (`https` from `https://…`), empty when absent. */
+  def scheme(url: Column): Column =
+    regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+
+  /** Normalized host: the authority with scheme, `www.` prefix,
+    * port, and path/query stripped, lowercased — the canonical
+    * per-site key for caps and dedup.
+    */
+  def host(url: Column): Column =
+    regexp_replace(
+      lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1)),
+      "^www\\.", "")
+
+  /** Explicit port, empty when none is given. */
+  def port(url: Column): Column =
+    regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]+:([0-9]+)", 1)
+
+  /** Registered domain approximation: the last two dot-labels of the
+    * host (`sub.news.example.com` → `example.com`). A production
+    * build consults the public-suffix list; the two-label rule is the
+    * standard fallback and is what the oracle replays.
+    */
+  def registeredDomain(hostCol: Column): Column =
+    regexp_extract(hostCol, "([^.]+\\.[^.]+)$", 1)
+
+  /** Top-level domain (last label) of a host. */
+  def tld(hostCol: Column): Column =
+    regexp_extract(hostCol, "([^.]+)$", 1)
+
+  /** Path component (leading slash, no query/fragment), empty when
+    * the URL has no path.
+    */
+  def path(url: Column): Column =
+    regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)", 1)
+
+  /** Directory depth of the path: number of slashes. */
+  def pathDepth(url: Column): Column =
+    (length(path(url)) - length(regexp_replace(path(url), "/", ""))).cast("long")
+
+  /** Whether the URL carries a query string. */
+  def hasQuery(url: Column): Column = url.contains("?")
+}

@@ -1,0 +1,146 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.UrlFns
+import graft.operators.DomainOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Domain/URL-aware corpus curation gates (SURVEY.md §2.5 extension):
+  * host extraction, per-domain caps, and domain-level mixing — the
+  * per-SITE controls a web-scale training pipeline applies before any
+  * per-document filter. Documents get a deterministic synthetic URL
+  * (scheme/www/port/path/query shapes all varied by doc_id), so the
+  * DuckDB oracle can reconstruct every parsed field from ground truth
+  * — the parser must exactly invert the synthesis.
+  */
+object CorpusQ {
+
+  /** CASE lang → TLD, the ground truth the host parser must recover. */
+  private def tldExpr(lang: org.apache.spark.sql.Column) =
+    when(lang === "en", lit("com")).when(lang === "de", lit("org"))
+      .when(lang === "fr", lit("net")).when(lang === "es", lit("io"))
+      .otherwise(lit("cn"))
+
+  private val tldSql =
+    "CASE lang WHEN 'en' THEN 'com' WHEN 'de' THEN 'org' WHEN 'fr' THEN 'net' " +
+      "WHEN 'es' THEN 'io' ELSE 'cn' END"
+
+  /** Deterministic URL per document, shape-varied by doc_id so every
+    * parser branch is exercised: http/https, www or bare, explicit
+    * port, deep paths, query strings.
+    */
+  private def withUrl(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.withColumn("url", concat(
+      when(pmod($"doc_id", lit(3)) === 0, lit("http")).otherwise(lit("https")),
+      lit("://"),
+      when(pmod($"doc_id", lit(2)) === 0, lit("www.")).otherwise(lit("")),
+      $"source", lit(".example."), tldExpr($"lang"),
+      when(pmod($"doc_id", lit(5)) === 0, lit(":8080")).otherwise(lit("")),
+      lit("/"), $"lang", lit("/p"), pmod($"doc_id", lit(7)).cast("string"),
+      when(pmod($"doc_id", lit(6)) === 0, lit("/deep")).otherwise(lit("")),
+      lit("/"), $"doc_id".cast("string"), lit(".html"),
+      when(pmod($"doc_id", lit(4)) === 0, lit("?ref=rss")).otherwise(lit(""))))
+  }
+
+  private val urlSql =
+    """CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END || '://'
+      | || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END
+      | || source || '.example.' || TLD
+      | || CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END
+      | || '/' || lang || '/p' || CAST(doc_id % 7 AS VARCHAR)
+      | || CASE WHEN doc_id % 6 = 0 THEN '/deep' ELSE '' END
+      | || '/' || CAST(doc_id AS VARCHAR) || '.html'
+      | || CASE WHEN doc_id % 4 = 0 THEN '?ref=rss' ELSE '' END""".stripMargin
+      .replace("TLD", tldSql).replaceAll("\n", "")
+
+  /** URL parsing: every component extracted with built-in regexes
+    * ([[UrlFns]] — codegen'd, shuffle-free). The oracle reconstructs
+    * each field from the synthesis inputs, so the regexes must invert
+    * the construction exactly (www/port stripping, TLD split, depth).
+    */
+  def corpusUrlParse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val u = withUrl(Tables(spark, dir).documents)
+    val host = UrlFns.host($"url")
+    u.select($"doc_id", $"url",
+        UrlFns.scheme($"url").as("scheme"),
+        host.as("host"),
+        UrlFns.registeredDomain(host).as("reg_domain"),
+        UrlFns.tld(host).as("tld"),
+        UrlFns.port($"url").as("port"),
+        UrlFns.pathDepth($"url").as("path_depth"),
+        UrlFns.hasQuery($"url").as("has_query"))
+      .orderBy($"doc_id")
+  }
+
+  private val corpusUrlParseSql =
+    s"""SELECT doc_id, $urlSql AS url,
+       |  CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END AS scheme,
+       |  source || '.example.' || $tldSql AS host,
+       |  'example.' || $tldSql AS reg_domain,
+       |  $tldSql AS tld,
+       |  CASE WHEN doc_id % 5 = 0 THEN '8080' ELSE '' END AS port,
+       |  CAST(CASE WHEN doc_id % 6 = 0 THEN 4 ELSE 3 END AS BIGINT) AS path_depth,
+       |  doc_id % 4 = 0 AS has_query
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Per-domain cap: at most 3 documents per host, drawn
+    * deterministically-at-random (md5 rank) through the native
+    * GroupTopK operator — bounded heaps, never a full per-host sort.
+    * The oracle states the same draw as a SQL window.
+    */
+  def corpusDomainCap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = withUrl(Tables(spark, dir).documents)
+      .select($"doc_id", UrlFns.host($"url").as("host"))
+    DomainOps.capPerDomain(docs, $"host", $"doc_id", cap = 3)
+      .select($"doc_id", $"host", $"rk".cast("long").as("rk"))
+      .orderBy($"host", $"rk")
+  }
+
+  private val corpusDomainCapSql =
+    s"""WITH p AS (
+       |  SELECT doc_id, source || '.example.' || $tldSql AS host FROM documents),
+       |r AS (
+       |  SELECT doc_id, host, row_number() OVER (
+       |    PARTITION BY host
+       |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |  FROM p)
+       |SELECT doc_id, host, CAST(rk AS BIGINT) AS rk FROM r
+       |WHERE rk <= 3 ORDER BY host, rk""".stripMargin
+
+  /** Domain-level mixing: thin over-represented TLD groups to a
+    * uniform share via content-addressed sampling (keep-rate
+    * min(1, target/n) per group, md5-thresholded). The skewed lang
+    * distribution makes this real work: the `com` group holds ~44%
+    * of the corpus and gets thinned to the uniform 20% target while
+    * small groups pass through whole.
+    */
+  def corpusDomainMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = withUrl(Tables(spark, dir).documents)
+      .select($"doc_id", UrlFns.tld(UrlFns.host($"url")).as("tld"))
+    DomainOps.rebalanceToUniform(docs, $"tld", $"doc_id")
+      .select($"doc_id", $"tld", $"n_before")
+      .orderBy($"doc_id")
+  }
+
+  private val corpusDomainMixSql =
+    s"""WITH p AS (SELECT doc_id, $tldSql AS tld FROM documents),
+       |b AS (SELECT tld, count(*) AS n_before FROM p GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_before) AS DOUBLE) AS total, count(*) AS ngroups FROM b),
+       |r AS (SELECT tld, n_before,
+       |        CAST(floor(least(1.0, (total / ngroups) / n_before) * 1000000) AS BIGINT) AS cutoff
+       |      FROM b, t)
+       |SELECT p.doc_id, p.tld, r.n_before FROM p JOIN r USING (tld)
+       |WHERE CAST(('0x' || substr(md5(CAST(p.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+       |      < r.cutoff
+       |ORDER BY doc_id""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("corpus_url_parse", corpusUrlParse _, corpusUrlParseSql),
+    QueryDef.sql("corpus_domain_cap", corpusDomainCap _, corpusDomainCapSql),
+    QueryDef.sql("corpus_domain_mix", corpusDomainMix _, corpusDomainMixSql))
+}

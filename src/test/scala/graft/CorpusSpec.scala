@@ -1,0 +1,79 @@
+package graft
+
+import graft.functions.UrlFns
+import graft.operators.DomainOps
+import org.apache.spark.sql.functions._
+
+/** Domain-aware corpus curation: URL parsing edge cases beyond the
+  * gate's synthetic shapes, and the cap/rebalance operator
+  * invariants.
+  */
+class CorpusSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def parse(url: String) = {
+    val host = UrlFns.host($"u")
+    Seq(url).toDF("u").select(
+      UrlFns.scheme($"u"), host, UrlFns.registeredDomain(host),
+      UrlFns.tld(host), UrlFns.port($"u"), UrlFns.path($"u"),
+      UrlFns.pathDepth($"u"), UrlFns.hasQuery($"u")).collect().head
+  }
+
+  test("UrlFns handles hosts, ports, deep subdomains, and degenerate URLs") {
+    val r = parse("https://a.news.Example.COM:8443/x/y/z.html?q=1#frag")
+    assert(r.getString(0) == "https")
+    assert(r.getString(1) == "a.news.example.com", "host must lowercase, keep subdomains")
+    assert(r.getString(2) == "example.com" && r.getString(3) == "com")
+    assert(r.getString(4) == "8443" && r.getString(5) == "/x/y/z.html")
+    assert(r.getLong(6) == 3 && r.getBoolean(7))
+
+    val bare = parse("http://www.example.org")
+    assert(bare.getString(1) == "example.org", "www. must strip")
+    assert(bare.getString(4) == "" && bare.getString(5) == "" && bare.getLong(6) == 0)
+
+    val noScheme = parse("not a url at all")
+    assert(noScheme.getString(0) == "" && noScheme.getString(1) == "")
+
+    // single-label host (intranet): no registered domain to extract
+    assert(parse("https://localhost:9000/a").getString(2) == "")
+  }
+
+  test("capPerDomain keeps at most K per domain, deterministically") {
+    val docs = Tables(spark, sf0001).documents
+      .select($"doc_id", $"source".as("host"))
+    val a = DomainOps.capPerDomain(docs, $"host", $"doc_id", cap = 4).collect()
+    val byHost = a.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(byHost.values.max <= 4 && byHost.values.forall(_ > 0))
+    val b = DomainOps.capPerDomain(docs, $"host", $"doc_id", cap = 4)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a.map(_.getLong(0)).sorted.toSeq == b, "draw must be deterministic")
+    // the native draw equals the window formulation
+    val w = graft.operators.TopK(docs, Seq($"host"),
+        Seq(md5($"doc_id".cast("string")), $"doc_id"), 4)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(b == w, "native GroupTopK must match the window draw")
+  }
+
+  test("rebalanceToUniform thins big groups, passes small ones whole") {
+    val docs = Tables(spark, sf001).documents
+      .select($"doc_id", when($"lang" === "en", "small").otherwise("big").as("g"))
+    val before = docs.groupBy($"g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = DomainOps.rebalanceToUniform(docs, $"g", $"doc_id")
+      .groupBy($"g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val target = before.values.sum / 2.0
+    assert(before("big") > target, "fixture must be skewed for the test to bite")
+    assert(after("small") == before("small"), "under-represented group must pass whole")
+    assert(after("big") < before("big"), "over-represented group must thin")
+    assert(math.abs(after("big") - target) < target * 0.2,
+      s"thinned size ${after("big")} should approach the uniform target $target")
+  }
+
+  test("corpus cap plans through GroupTopKExec, not a window sort") {
+    val p = graft.queries.CorpusQ.corpusDomainCap(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("GroupTopK"), s"cap not planned natively:\n$p")
+    assert(!p.contains("Window"), s"cap fell back to WindowExec:\n$p")
+  }
+}
