@@ -346,8 +346,93 @@ object TpchMore {
       |GROUP BY 1, 2, 3
       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
 
+  /** TPC-H Q12 shape (adapted: no l_shipmode/commitdate/receiptdate
+    * in the lake — the "ship mode" categorical is l_linestatus and
+    * lateness is the same 60-day shipdate-vs-orderdate rule q21
+    * uses): late lines in a window year, split per mode into high-
+    * vs low-priority order counts — the classic conditional
+    * aggregation over a fact⋈fact join. Scale: one shuffle join on
+    * the order key (both sides are fact-scale, sort-merge is the
+    * right plan — no hint), aggregate output is mode-cardinality.
+    */
+  def q12ShipMode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val high = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+    t.lineitem
+      .filter($"l_shipdate" >= "1996-01-01" && $"l_shipdate" < "1997-01-01")
+      .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+      .groupBy($"l_linestatus".as("mode"))
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy($"mode")
+  }
+
+  private val q12Sql =
+    """SELECT l_linestatus AS mode,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+      |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** TPC-H Q20 shape (adapted: no partsupp — "excess stock" reads
+    * off the lineitem bridge like Q2/Q11): suppliers of name-filtered
+    * parts who shipped MORE than half of their all-time volume of a
+    * part inside the window year (the nested per-(part, supplier)
+    * aggregate threshold), restricted to one nation. Scale: the
+    * filtered part set broadcasts into the fact scan; both window and
+    * all-time sums come out of ONE aggregate pass (conditional sum,
+    * no rescan); quantity sums are integer-valued doubles, so the
+    * 0.5 threshold compare is exact in both engines.
+    */
+  def q20PromotionParts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val parts = t.part.filter($"p_name".startsWith("small")).select($"p_partkey")
+    val ps = t.lineitem
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(
+        sum(when($"l_shipdate" >= "1997-01-01" && $"l_shipdate" < "1998-01-01",
+          $"l_quantity").otherwise(lit(0.0))).as("q_win"),
+        sum($"l_quantity").as("q_all"))
+    ps.filter($"q_win" > $"q_all" * 0.5)
+      .groupBy($"l_suppkey")
+      .agg(countDistinct($"l_partkey").as("n_parts"))
+      .join(broadcast(t.supplier), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(t.nation.filter($"n_name" === "NATION_3")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_name", $"n_parts")
+      .orderBy($"s_name")
+  }
+
+  private val q20Sql =
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    sum(CASE WHEN l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+      |             THEN l_quantity ELSE 0 END) AS q_win,
+      |    sum(l_quantity) AS q_all
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_name LIKE 'small%'
+      |  GROUP BY 1, 2),
+      |picked AS (
+      |  SELECT l_suppkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+      |  FROM ps WHERE q_win > q_all * 0.5 GROUP BY 1)
+      |SELECT s_name, n_parts
+      |FROM picked JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+      |ORDER BY s_name""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q2_min_cost_supplier", q2MinCostSupplier _, q2Sql),
+    QueryDef.sql("q12_ship_mode", q12ShipMode _, q12Sql),
+    QueryDef.sql("q20_promotion_parts", q20PromotionParts _, q20Sql),
     QueryDef.sql("q8_market_share", q8MarketShare _, q8Sql),
     QueryDef.sql("q9_product_profit", q9ProductProfit _, q9Sql),
     QueryDef.sql("q11_important_parts", q11ImportantParts _, q11Sql),
