@@ -177,6 +177,37 @@ object ScaleProbe {
     // CDC diff under 2× keys: one full-outer join on (key, digest)
     probeGrowth("snapshot_diff", base, cust2,
       dir => graft.queries.Analytics.etlSnapshotDiff(spark, dir))
+
+    // ---- round-5 operator families ----
+
+    // per-domain cap under 2× docs: the replica docs double every
+    // host's population, so kept rows saturate at hosts×K (row_factor
+    // → ~1.0) while the heap pass stays scan-bound — the exact
+    // behavior that makes the cap safe on a hot-domain crawl
+    probeGrowth("domain_cap", base, docs2,
+      dir => graft.queries.CorpusQ.corpusDomainCap(spark, dir))
+
+    // domain mixing under 2× docs: group stats double together, so
+    // keep-rates are unchanged and survivors just double — one count
+    // aggregate + a shuffle-free filter, time must track the scan
+    probeGrowth("domain_mix", base, docs2,
+      dir => graft.queries.CorpusQ.corpusDomainMix(spark, dir))
+
+    // Y4M frame sampling under 2× docs: pure per-row decode, no
+    // shuffle — time and rows must both track the corpus exactly
+    probeGrowth("frame_sample", base, docs2,
+      dir => graft.queries.SimilarityQ.mmFrameSample(spark, dir))
+
+    // q12 under 10× facts: the fact⋈fact sort-merge join is the whole
+    // query — both sides grow 10×, output stays mode-cardinality
+    probeGrowth("q12_ship_mode", base, out,
+      dir => graft.queries.TpchMore.q12ShipMode(spark, dir))
+
+    // q20 under 10× facts: the (part, supplier) aggregate grows with
+    // the bridge scan; the threshold filter and dimension joins stay
+    // output-sized
+    probeGrowth("q20_promotion_parts", base, out,
+      dir => graft.queries.TpchMore.q20PromotionParts(spark, dir))
     spark.stop()
   }
 }

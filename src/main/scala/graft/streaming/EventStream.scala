@@ -43,8 +43,14 @@ object EventStream {
     * the same plan end to end, which is what the gate oracles.
     * Deterministic tie-break: (count desc, event_type).
     */
-  def topEventPerWindow(events: DataFrame): DataFrame = {
-    val counts = windowCounts(events)
+  def topEventPerWindow(events: DataFrame): DataFrame =
+    rankTopPerWindow(windowCounts(events))
+
+  /** The rank step itself — shared verbatim by the batch gate above
+    * and the per-micro-batch `foreachBatch` body below, so what the
+    * oracle checks IS what production executes.
+    */
+  private def rankTopPerWindow(counts: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("window_start_us"))
       .orderBy(col("n").desc, col("event_type"))
@@ -52,6 +58,38 @@ object EventStream {
       .filter(col("rk") === 1)
       .select(col("window_start_us"), col("event_type"), col("n"))
   }
+
+  /** The idempotent per-batch write: rank the finalized windows this
+    * micro-batch emitted, then dynamic-partition-OVERWRITE their
+    * window directories. A replayed batch (failure/restart re-runs
+    * the same epoch) rewrites the same partitions with the same
+    * deterministic content — exactly-once output without a
+    * transactional sink. Exposed for direct spec-level replay tests.
+    */
+  def writeTopEventBatch(finalizedCounts: DataFrame, outDir: String): Unit =
+    rankTopPerWindow(finalizedCounts)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("window_start_us")
+      .parquet(outDir)
+
+  /** Production wiring end to end: watermarked stream → append-mode
+    * windowed counts (only watermark-finalized windows reach each
+    * micro-batch) → `foreachBatch` ranking + idempotent partitioned
+    * write. Caller supplies the watermarked stream (`withWatermark`
+    * on `ts`) and owns the returned query's lifecycle. At 100 TB
+    * this is the deploy shape: bounded state (watermark horizon ×
+    * event types), tiny per-batch rank input, restart-safe sink.
+    */
+  def startTopEventSink(watermarked: DataFrame, outDir: String,
+                        checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    windowCounts(watermarked)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        writeTopEventBatch(batch.toDF(), outDir))
+      .option("checkpointLocation", checkpointDir)
+      .start()
 
   /** Stream-stream interval join: purchases attributed to a click by
     * the same user within the following hour. The event-time bound is

@@ -89,6 +89,21 @@ class AnalyticsSpec extends GraftSuite {
     assert(ranked(edges.repartition(1)) == ranked(edges.repartition(13)))
   }
 
+  test("runReleased matches run and frees the per-run caches") {
+    val edges = Seq(("a", "x"), ("b", "x"), ("c", "y"), ("x", "y")).toDF("src", "dst")
+    val lazyRanks = graft.operators.PageRank.run(edges, iters = 4)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    spark.catalog.clearCache()
+    val released = graft.operators.PageRank.runReleased(edges, iters = 4)
+    val got = released.collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(got == lazyRanks)
+    // the long-lived-session contract: the two persisted tables are
+    // gone (the result's own checkpoint blocks live at the RDD level,
+    // outside the cache manager, and free on dereference)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "runReleased must leave no persisted tables behind")
+  }
+
   // ---------------------------------------------------- retention
 
   test("retention cohort offset-0 cell counts every cohort member") {

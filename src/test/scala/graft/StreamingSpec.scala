@@ -70,6 +70,54 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch sink writes finalized-window top events idempotently end to end") {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_fb_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      stageDir.resolve("events.parquet"))
+    val outDir = java.nio.file.Files.createTempDirectory("graft_fb_out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_fb_ck").toString
+    val stream = spark.readStream.schema(schema)
+      .parquet(stageDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "10 minutes")
+    val q = EventStream.startTopEventSink(stream, outDir, ckDir)
+    try q.processAllAvailable() finally q.stop()
+
+    val batchTop = EventStream.topEventPerWindow(Tables(spark, sf0001).events)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    def readOut() = spark.read.parquet(outDir)
+      .select($"window_start_us".cast("long"), $"event_type", $"n")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val out = readOut()
+    assert(out.nonEmpty, "append mode must emit watermark-finalized windows")
+    // every emitted window carries exactly the batch gate's answer
+    out.foreach { case (win, v) =>
+      assert(batchTop(win) == v, s"window $win: sink wrote $v, batch says ${batchTop(win)}")
+    }
+    // coverage: each window safely below the final watermark emitted
+    val maxTsUs = Tables(spark, sf0001).events
+      .agg(max(unix_micros($"ts"))).collect().head.getLong(0)
+    val wmUs = maxTsUs - 600L * 1000000
+    val mustEmit = batchTop.keySet.filter(_ + 3600L * 1000000 < wmUs)
+    assert(mustEmit.subsetOf(out.keySet),
+      s"windows finalized below the watermark missing: ${mustEmit -- out.keySet}")
+    // idempotency: replaying the batch write over the same finalized
+    // counts (a restart re-runs the epoch) must leave the sink
+    // byte-identical — dynamic overwrite rewrites the same partitions
+    val finalized = EventStream.windowCounts(Tables(spark, sf0001).events)
+      .filter(($"window_start_us" + 3600L * 1000000) < wmUs)
+    EventStream.writeTopEventBatch(finalized, outDir)
+    val replayedOnce = readOut()
+    EventStream.writeTopEventBatch(finalized, outDir)
+    assert(readOut() == replayedOnce, "replay must be a no-op on sink content")
+    replayedOnce.foreach { case (win, v) => assert(batchTop(win) == v) }
+  }
+
   test("stream-static join enriches the stream with a broadcast dim") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
