@@ -50,6 +50,9 @@ object UrlFns {
   def pathDepth(url: Column): Column =
     (length(path(url)) - length(regexp_replace(path(url), "/", ""))).cast("long")
 
-  /** Whether the URL carries a query string. */
-  def hasQuery(url: Column): Column = url.contains("?")
+  /** Whether the URL carries a query string: a '?' BEFORE any '#' —
+    * everything after the fragment marker is fragment per RFC 3986,
+    * so `page#sec?note` has no query.
+    */
+  def hasQuery(url: Column): Column = url.rlike("^[^#]*\\?")
 }

@@ -111,6 +111,9 @@ object BinaryOps {
     * same armor contract as the PNG path.
     */
   def videoFrameSample(packed: DataFrame, stride: Int): Dataset[VideoSample] = {
+    // guard OUTSIDE the per-payload armor: a bad argument must fail
+    // the call, not silently mark every row as a corrupt payload
+    require(stride > 0, s"stride must be positive, got $stride")
     val spark = packed.sparkSession
     import spark.implicits._
     packed.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]

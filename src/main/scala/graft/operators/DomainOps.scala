@@ -25,13 +25,6 @@ import org.apache.spark.sql.functions._
   */
 object DomainOps {
 
-  /** Same content-addressed uniform as Sample.md5Bucket: stable under
-    * retry/repartition and replayable in SQL.
-    */
-  private def md5Bucket(idCol: Column): Column =
-    pmod(conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10).cast("long"),
-      lit(1000000L))
-
   /** Keep at most `cap` rows per domain, ranked by (md5(id), id) — a
     * deterministic uniform draw. Emits the surviving rows plus their
     * in-domain rank `rk`.
@@ -46,6 +39,11 @@ object DomainOps {
     * through untouched (rate clamps at 1).
     */
   def rebalanceToUniform(df: DataFrame, groupCol: Column, idCol: Column): DataFrame = {
+    // the output ADDS n_before; fail fast rather than emit an
+    // ambiguous duplicate when the input already carries one (e.g. a
+    // chained rebalance — drop or rename it first)
+    require(!df.columns.contains("n_before"),
+      "rebalanceToUniform adds an n_before column; rename the input's existing one first")
     // internal names are prefixed so a caller's own `g`/`cutoff`
     // column can never collide with the join keys
     val byGroup = df.groupBy(groupCol.as("__graft_g")).agg(count(lit(1)).as("n_before"))
@@ -61,7 +59,7 @@ object DomainOps {
           (col("total") / col("ngroups")) / col("n_before")) * 1000000L)
           .cast("long").as("__graft_cutoff"))
     df.join(rates, groupCol === col("__graft_g"))
-      .filter(md5Bucket(idCol) < col("__graft_cutoff"))
+      .filter(Sample.md5Bucket(idCol) < col("__graft_cutoff"))
       .drop("__graft_g", "__graft_cutoff")
   }
 }

@@ -13,9 +13,13 @@ object Sample {
   /** Per-row uniform in [0, 1e6) derived from the id's md5 — the same
     * content-addressed trick as the train/val/test split: no RNG
     * state, engine-independent, stable under repartition/retry, and a
-    * 100 TB mixture rebuild selects the identical rows.
+    * 100 TB mixture rebuild selects the identical rows. Shared
+    * (private[graft]) because the first-8-hex mod 1e6 contract is
+    * load-bearing for DuckDB-oracle parity everywhere it appears —
+    * one definition, one contract (DomainOps.rebalanceToUniform uses
+    * it too).
     */
-  private def md5Bucket(idCol: Column): Column =
+  private[graft] def md5Bucket(idCol: Column): Column =
     pmod(conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10).cast("long"),
       lit(1000000L))
 

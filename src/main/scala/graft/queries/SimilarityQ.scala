@@ -181,6 +181,12 @@ object SimilarityQ {
     * is an integer sum / 64 (exact in binary), so both engines
     * produce bit-identical doubles; truncation (not rounding) guards
     * the half-way divergence class.
+    *
+    * Oracle precondition: the corpus is pure ASCII (TESTDATA
+    * contract), so the oracle's CHARACTER-based substr/ascii math
+    * equals the engine's UTF-8 BYTE framing. MultimodalSpec pins
+    * ASCII-ness at every SF so a future generator change surfaces as
+    * a named spec failure, not a silent oracle divergence.
     */
   def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -36,6 +36,17 @@ class CorpusSpec extends GraftSuite {
 
     // single-label host (intranet): no registered domain to extract
     assert(parse("https://localhost:9000/a").getString(2) == "")
+
+    // a '?' that lives in the fragment is NOT a query (RFC 3986)
+    assert(!parse("https://example.com/page#sec?note").getBoolean(7))
+    assert(parse("https://example.com/page?x=1#sec").getBoolean(7))
+  }
+
+  test("rebalanceToUniform refuses an input that already carries n_before") {
+    val docs = Tables(spark, sf0001).documents
+      .select($"doc_id", $"lang", lit(1L).as("n_before"))
+    intercept[IllegalArgumentException](
+      DomainOps.rebalanceToUniform(docs, $"lang", $"doc_id"))
   }
 
   test("capPerDomain keeps at most K per domain, deterministically") {

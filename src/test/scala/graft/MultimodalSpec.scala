@@ -1,6 +1,7 @@
 package graft
 
 import graft.multimodal.BinaryOps
+import org.apache.spark.sql.functions.{length, octet_length}
 
 class MultimodalSpec extends GraftSuite {
   import spark.implicits._
@@ -166,6 +167,23 @@ class MultimodalSpec extends GraftSuite {
       .map(s => s.doc_id -> s).toMap
     assert(r(1L).n_frames == 1 && r(1L).mean_luma == 50.0)
     assert(r(2L).n_frames == 0 && r(2L).mean_luma == -1.0, "corrupt payload must degrade, not throw")
+  }
+
+  test("documents stay pure ASCII at every SF (mm_frame_sample oracle precondition)") {
+    // the gate's DuckDB oracle does CHARACTER-based substr/ascii math;
+    // it equals the engine's UTF-8 BYTE framing only while the corpus
+    // is ASCII — pin that here so a generator change fails loudly
+    for (dir <- Seq(sf0001, sf001)) {
+      val nonAscii = Tables(spark, dir).documents
+        .filter(length($"text") =!= octet_length($"text")).count()
+      assert(nonAscii == 0, s"$dir: $nonAscii non-ASCII docs break the frame-sample oracle")
+    }
+  }
+
+  test("videoFrameSample rejects a non-positive stride instead of marking rows corrupt") {
+    val docs = Seq((1L, "abc")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](
+      BinaryOps.videoFrameSample(BinaryOps.packY4m(docs), stride = 0))
   }
 
   test("packY4m + videoFrameSample computes stride-sampled mean luma over content bytes") {
