@@ -16,8 +16,15 @@ object ScaleProbe {
     val spark = GraftSession.get("scale-probe")
     import spark.implicits._
     val base = "/root/testdata/sf0.1"
-    val out = "/tmp/graft_scale10"
-    val replicas = 10
+    // replication factor: 10 is the per-round default; 100 replicates
+    // the sf0.1 facts to ~60M lineitem rows (≈ sf10) for the
+    // headline-relational tier — set SPARK_GRAFT_PROBE_SCALE=100 and
+    // SPARK_GRAFT_PROBE_RELATIONAL_ONLY=1 (the corpus-growth probes
+    // don't need the bigger factor and minhash pair counts would
+    // explode quadratically by design)
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_PROBE_SCALE", "10").toInt
+    val relationalOnly = sys.env.contains("SPARK_GRAFT_PROBE_RELATIONAL_ONLY")
+    val out = s"/tmp/graft_scale$replicas"
 
     val t = Tables(spark, base)
     val maxOrder = t.orders.agg(max($"o_orderkey")).as[Long].head() + 1
@@ -49,7 +56,10 @@ object ScaleProbe {
       "q5_region_revenue" -> (Relational.q5RegionRevenue _),
       "q_outer_join" -> (Relational.qOuterJoin _),
       "q_window_rank" -> (Relational.qWindowRank _),
-      "q_asof_join" -> (Relational.qAsofJoin _))
+      "q_asof_join" -> (Relational.qAsofJoin _),
+      "q12_ship_mode" -> (graft.queries.TpchMore.q12ShipMode _),
+      "q18_large_orders" -> (graft.queries.Extra.q18LargeOrders _),
+      "q21_waiting_orders" -> (graft.queries.TpchMore.q21WaitingOrders _))
 
     def time(dir: String, name: String,
              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -61,12 +71,13 @@ object ScaleProbe {
       }.min
     }
 
-    println("name,base_s,x10_s,scaling_factor")
+    println(s"name,base_s,x${replicas}_s,scaling_factor")
     probes.foreach { case (name, fn) =>
       val b = time(base, name, fn)
       val s = time(out, name, fn)
       println(f"$name,$b%.2f,$s%.2f,${s / b}%.1f")
     }
+    if (relationalOnly) { spark.stop(); return }
 
     // dedup path under corpus growth: 2× docs quadruples the true
     // near-dup pair count (every replica pair matches) — measures the

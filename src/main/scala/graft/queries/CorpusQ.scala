@@ -139,8 +139,45 @@ object CorpusQ {
        |      < r.cutoff
        |ORDER BY doc_id""".stripMargin
 
+  /** Domain-level quality blocklist (the C4/RefinedWeb curation
+    * step): mean per-doc quality score per host — ONE map-side-
+    * combinable aggregate over host-cardinality output — flagging
+    * hosts whose mean falls under the cut. The per-doc score is the
+    * SAME [[Text.qualityScore]] formula the text_quality gate
+    * oracles; a downstream filter drops documents from blocked hosts
+    * (CorpusSpec asserts the composition).
+    */
+  def corpusDomainQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withUrl(Tables(spark, dir).documents)
+      .select(UrlFns.host($"url").as("host"), Text.qualityScore($"text").as("q"))
+      .groupBy($"host")
+      .agg(count(lit(1)).as("n_docs"), round(avg($"q"), 4).as("mean_q"))
+      .withColumn("blocked", $"mean_q" < 0.72)
+      .orderBy($"host")
+  }
+
+  private val corpusDomainQualitySql =
+    s"""WITH d AS (
+       |  SELECT source || '.example.' || $tldSql AS host,
+       |    length(text) AS n_chars,
+       |    len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+       |    len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+       |    len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |      t -> t IN ('the','a','and','of','to','in','is','it'))) AS n_stop
+       |  FROM documents),
+       |q AS (SELECT host, round(
+       |    least(1.0, n_chars / 500.0) * 0.25 + (n_alpha / n_chars) * 0.25 +
+       |    (1.0 - n_stop / n_tokens) * 0.25 +
+       |    least(1.0, ((n_chars - (n_tokens - 1)) / n_tokens) / 8.0) * 0.25, 4) AS q
+       |  FROM d)
+       |SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+       |  round(avg(q), 4) AS mean_q, round(avg(q), 4) < 0.72 AS blocked
+       |FROM q GROUP BY host ORDER BY host""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef.sql("corpus_url_parse", corpusUrlParse _, corpusUrlParseSql),
     QueryDef.sql("corpus_domain_cap", corpusDomainCap _, corpusDomainCapSql),
-    QueryDef.sql("corpus_domain_mix", corpusDomainMix _, corpusDomainMixSql))
+    QueryDef.sql("corpus_domain_mix", corpusDomainMix _, corpusDomainMixSql),
+    QueryDef.sql("corpus_domain_quality", corpusDomainQuality _, corpusDomainQualitySql))
 }

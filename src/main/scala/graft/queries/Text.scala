@@ -34,6 +34,24 @@ object Text {
   /** Quality scoring: length, alpha ratio, stopword ratio, mean word
     * length → composite in [0,1].
     */
+  /** The composite per-doc quality score (rounded to 4), defined
+    * ONCE: text_quality and corpus_domain_quality both use it, and
+    * the oracle-parity arithmetic (division order, 0.25 weights,
+    * rounding) is load-bearing — two copies would drift.
+    */
+  private[queries] def qualityScore(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val nChars = length(text).cast("long")
+    val nTokens = tokenCount(text)
+    val nAlpha = regexp_count(text, lit("[A-Za-z]")).cast("long")
+    val nStop = tokensIn(text, Stopwords)
+    round(
+      least(lit(1.0), nChars / lit(500.0)) * 0.25 +
+        (nAlpha / nChars) * 0.25 +
+        (lit(1.0) - nStop / nTokens) * 0.25 +
+        least(lit(1.0), ((nChars - (nTokens - lit(1))) / nTokens) / lit(8.0)) * 0.25,
+      4)
+  }
+
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val d = Tables(spark, dir).documents
@@ -47,12 +65,7 @@ object Text {
         round($"n_alpha" / $"n_chars", 4).as("alpha_ratio"),
         round($"n_stop" / $"n_tokens", 4).as("stop_ratio"),
         round(($"n_chars" - ($"n_tokens" - lit(1))) / $"n_tokens", 4).as("mean_word_len"),
-        round(
-          least(lit(1.0), $"n_chars" / lit(500.0)) * 0.25 +
-            ($"n_alpha" / $"n_chars") * 0.25 +
-            (lit(1.0) - $"n_stop" / $"n_tokens") * 0.25 +
-            least(lit(1.0), (($"n_chars" - ($"n_tokens" - lit(1))) / $"n_tokens") / lit(8.0)) * 0.25,
-          4).as("quality_score"))
+        qualityScore($"text").as("quality_score"))
       .orderBy($"doc_id")
   }
 

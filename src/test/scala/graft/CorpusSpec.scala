@@ -81,6 +81,28 @@ class CorpusSpec extends GraftSuite {
       s"thinned size ${after("big")} should approach the uniform target $target")
   }
 
+  test("domain-quality blocklist composes: docs from blocked hosts filter out") {
+    val blocklist = graft.queries.CorpusQ.corpusDomainQuality(spark, sf0001)
+    val rows = blocklist.collect()
+    val blocked = rows.filter(_.getBoolean(3)).map(_.getString(0)).toSet
+    assert(blocked.nonEmpty && blocked.size < rows.length,
+      "fixture must split hosts for the test to bite")
+    // the curation step: anti-join the corpus against blocked hosts
+    // (host derivation mirrors the gate's synthesis ground truth)
+    val docs = Tables(spark, sf0001).documents
+    val withHost = docs.select($"doc_id",
+      concat($"source", lit(".example."),
+        when($"lang" === "en", "com").when($"lang" === "de", "org")
+          .when($"lang" === "fr", "net").when($"lang" === "es", "io")
+          .otherwise("cn")).as("host"))
+    val kept = withHost.join(
+      blocklist.filter($"blocked").select($"host"), Seq("host"), "left_anti")
+    val keptHosts = kept.select($"host").distinct().collect().map(_.getString(0)).toSet
+    assert(keptHosts.intersect(blocked).isEmpty, "blocked hosts must not survive")
+    assert(kept.count() == withHost.count() -
+      withHost.join(blocklist.filter($"blocked").select($"host"), Seq("host")).count())
+  }
+
   test("corpus cap plans through GroupTopKExec, not a window sort") {
     val p = graft.queries.CorpusQ.corpusDomainCap(spark, sf0001)
       .queryExecution.executedPlan.toString
