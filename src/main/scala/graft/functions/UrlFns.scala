@@ -55,4 +55,35 @@ object UrlFns {
     * so `page#sec?note` has no query.
     */
   def hasQuery(url: Column): Column = url.rlike("^[^#]*\\?")
+
+  /** Crawl-URL canonicalization — the normalization every URL-level
+    * dedup runs first so `http://www.Example.com:80/a/?utm_source=x`
+    * and `http://example.com/a` collapse to one key:
+    * lowercase scheme + normalized host (www/port handling via
+    * [[host]]), default ports dropped (80 on http, 443 on https;
+    * other ports kept), trailing path slashes stripped, the fragment
+    * dropped, and tracking parameters (`utm_*`, `ref`, `fbclid`,
+    * `gclid`) removed from the query — `?` disappears when nothing
+    * survives. Remaining parameters keep their original order
+    * (sorting them is a policy choice this canonicalizer does not
+    * impose). Pure Column ops (regexes + one array filter), so it
+    * scales with the scan.
+    */
+  def canonicalize(url: Column): Column = {
+    val sch = lower(scheme(url))
+    val h = host(url)
+    val p = port(url)
+    val keptPort = when(
+      p === "" || (sch === "http" && p === "80") || (sch === "https" && p === "443"),
+      lit("")).otherwise(concat(lit(":"), p))
+    val pth = regexp_replace(path(url), "/+$", "")
+    // query = text between the first pre-fragment '?' and '#'/end
+    val rawQuery = regexp_extract(url, "^[^#]*?\\?([^#]*)", 1)
+    val keptParams = array_join(
+      filter(split(rawQuery, "&"),
+        kv => !(kv === "" || kv.rlike("^(utm_[^=&]*|ref|fbclid|gclid)(=|$)"))),
+      "&")
+    val q = when(keptParams === "", lit("")).otherwise(concat(lit("?"), keptParams))
+    concat(sch, lit("://"), h, keptPort, pth, q)
+  }
 }

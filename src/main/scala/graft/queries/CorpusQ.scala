@@ -175,9 +175,59 @@ object CorpusQ {
        |  round(avg(q), 4) AS mean_q, round(avg(q), 4) < 0.72 AS blocked
        |FROM q GROUP BY host ORDER BY host""".stripMargin
 
+  /** URL-level dedup after canonicalization (the crawl-dump reality:
+    * one page arrives under www/no-www, http/https-default-port,
+    * trailing-slash, tracking-param and fragment variants). The
+    * synthesis deliberately dresses a SMALL canonical space (host ×
+    * 25 pages × optional id param) in all of those disguises; the
+    * canonicalizer must strip every one, and the oracle reconstructs
+    * the canonical form from the arithmetic ground truth — not from
+    * the messy string — so any canonicalization miss shows up as a
+    * key mismatch. Dedup itself is one groupBy on the canonical key:
+    * keeper = min(doc_id), map-side combinable.
+    */
+  def corpusUrlDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val messy = Tables(spark, dir).documents.withColumn("url", concat(
+      when(pmod($"doc_id", lit(3)) === 0, lit("http")).otherwise(lit("https")),
+      lit("://"),
+      when(pmod($"doc_id", lit(2)) === 0, lit("www.")).otherwise(lit("")),
+      $"source", lit(".example."), tldExpr($"lang"),
+      when(pmod($"doc_id", lit(7)) === 0, lit(":443")).otherwise(lit("")),
+      lit("/page"), pmod($"doc_id", lit(25)).cast("string"),
+      when(pmod($"doc_id", lit(6)) === 0, lit("/")).otherwise(lit("")),
+      when(pmod($"doc_id", lit(4)) === 0,
+        concat(lit("?ref=rss&utm_source=x&id="), pmod($"doc_id", lit(5)).cast("string")))
+        .when(pmod($"doc_id", lit(5)) === 0,
+          concat(lit("?id="), pmod($"doc_id", lit(5)).cast("string")))
+        .when(pmod($"doc_id", lit(11)) === 0, lit("?utm_campaign=c"))
+        .otherwise(lit("")),
+      when(pmod($"doc_id", lit(9)) === 0, lit("#sec?note")).otherwise(lit(""))))
+    messy.select($"doc_id", UrlFns.canonicalize($"url").as("canonical"))
+      .groupBy($"canonical")
+      .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_dupes"))
+      .orderBy($"canonical")
+  }
+
+  private val corpusUrlDedupSql =
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END || '://'
+       |    || source || '.example.' || $tldSql
+       |    || CASE WHEN doc_id % 7 = 0 AND doc_id % 3 = 0 THEN ':443' ELSE '' END
+       |    || '/page' || CAST(doc_id % 25 AS VARCHAR)
+       |    || CASE WHEN doc_id % 4 = 0 OR doc_id % 5 = 0
+       |            THEN '?id=' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END
+       |    AS canonical
+       |  FROM documents)
+       |SELECT canonical, CAST(min(doc_id) AS BIGINT) AS keeper,
+       |  CAST(count(*) AS BIGINT) AS n_dupes
+       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef.sql("corpus_url_parse", corpusUrlParse _, corpusUrlParseSql),
     QueryDef.sql("corpus_domain_cap", corpusDomainCap _, corpusDomainCapSql),
     QueryDef.sql("corpus_domain_mix", corpusDomainMix _, corpusDomainMixSql),
-    QueryDef.sql("corpus_domain_quality", corpusDomainQuality _, corpusDomainQualitySql))
+    QueryDef.sql("corpus_domain_quality", corpusDomainQuality _, corpusDomainQualitySql),
+    QueryDef.sql("corpus_url_dedup", corpusUrlDedup _, corpusUrlDedupSql))
 }

@@ -42,6 +42,29 @@ class CorpusSpec extends GraftSuite {
     assert(parse("https://example.com/page?x=1#sec").getBoolean(7))
   }
 
+  test("canonicalize strips disguises and keeps meaningful parts") {
+    def canon(u: String) =
+      Seq(u).toDF("u").select(UrlFns.canonicalize($"u")).collect().head.getString(0)
+    // www, default port, trailing slash, fragment, tracking params all go
+    assert(canon("HTTP://www.Example.COM:80/a/b/?utm_source=x&ref=rss#frag")
+      == "http://example.com/a/b")
+    assert(canon("https://example.com:443/x") == "https://example.com/x")
+    // non-default port, real params, param order survive
+    assert(canon("https://example.com:8443/x?b=2&a=1") == "https://example.com:8443/x?b=2&a=1")
+    // mixed query: tracking stripped, payload kept
+    assert(canon("https://example.com/x?utm_campaign=c&id=7&fbclid=z") ==
+      "https://example.com/x?id=7")
+    // '?' only in the fragment is not a query
+    assert(canon("https://example.com/x#sec?note") == "https://example.com/x")
+    // utm param with no '=' still strips; lone '&' leaves nothing
+    assert(canon("https://example.com/x?utm_source&") == "https://example.com/x")
+    // root path trailing slash drops; bare host stays bare
+    assert(canon("https://example.com/") == "https://example.com")
+    assert(canon("https://example.com") == "https://example.com")
+    // a 'reference' param is NOT the tracking param 'ref'
+    assert(canon("https://example.com/x?reference=9") == "https://example.com/x?reference=9")
+  }
+
   test("rebalanceToUniform refuses an input that already carries n_before") {
     val docs = Tables(spark, sf0001).documents
       .select($"doc_id", $"lang", lit(1L).as("n_before"))
