@@ -209,6 +209,18 @@ object ScaleProbe {
     probeGrowth("frame_sample", base, docs2,
       dir => graft.queries.SimilarityQ.mmFrameSample(spark, dir))
 
+    // composed web pipeline under 2× docs: dedup groups double,
+    // blocklist stats double together, caps saturate — survivors
+    // grow sub-2× while time tracks the scan
+    probeGrowth("pipeline_web", base, docs2,
+      dir => graft.queries.CorpusQ.pipelineWeb(spark, dir))
+
+    // URL dedup under 2× docs: one groupBy on the canonical key —
+    // output is bounded by the canonical space and time must track
+    // the scan, never pairs
+    probeGrowth("url_dedup", base, docs2,
+      dir => graft.queries.CorpusQ.corpusUrlDedup(spark, dir))
+
     // q12 under 10× facts: the fact⋈fact sort-merge join is the whole
     // query — both sides grow 10×, output stays mode-cardinality
     probeGrowth("q12_ship_mode", base, out,

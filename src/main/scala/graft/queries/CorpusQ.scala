@@ -224,10 +224,82 @@ object CorpusQ {
        |  CAST(count(*) AS BIGINT) AS n_dupes
        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The composed web-curation pipeline as ONE plan — the C4-style
+    * sequence a crawl actually runs: URL-canonicalize and dedup
+    * (keeper = min id) → drop documents from quality-blocked hosts
+    * (mean score < cut over the SURVIVORS) → cap each host at K docs
+    * (deterministic md5 draw through native GroupTopK). Every stage
+    * is an already-gated operator; this gate pins their composition
+    * end to end. Scale shape: one groupBy on canonical key, one
+    * host-cardinality aggregate joined back (no broadcast hint —
+    * AQE decides), one bounded-heap cap — no stage is quadratic and
+    * nothing collects.
+    */
+  def pipelineWeb(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    val messy = docs.withColumn("url", concat(
+      when(pmod($"doc_id", lit(3)) === 0, lit("http")).otherwise(lit("https")),
+      lit("://"),
+      when(pmod($"doc_id", lit(2)) === 0, lit("www.")).otherwise(lit("")),
+      $"source", lit(".example."), tldExpr($"lang"),
+      lit("/page"), pmod($"doc_id", lit(25)).cast("string"),
+      when(pmod($"doc_id", lit(6)) === 0, lit("/")).otherwise(lit("")),
+      when(pmod($"doc_id", lit(4)) === 0, lit("?ref=rss")).otherwise(lit(""))))
+    val keepers = messy
+      .select($"doc_id", UrlFns.canonicalize($"url").as("canonical"))
+      .groupBy($"canonical").agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    val survivors = docs.join(keepers, "doc_id")
+      .select($"doc_id", $"text",
+        concat($"source", lit(".example."), tldExpr($"lang")).as("host"))
+    val scored = survivors.select($"doc_id", $"host", Text.qualityScore($"text").as("q"))
+    val hostStats = scored.groupBy($"host".as("__h"))
+      .agg(round(avg($"q"), 4).as("mean_q"))
+    val unblocked = scored
+      .join(hostStats, $"host" === $"__h")
+      .filter($"mean_q" >= 0.72)
+      .select($"doc_id", $"host")
+    DomainOps.capPerDomain(unblocked, $"host", $"doc_id", cap = 3)
+      .select($"doc_id", $"host", $"rk".cast("long").as("rk"))
+      .orderBy($"doc_id")
+  }
+
+  private val pipelineWebSql =
+    s"""WITH p AS (
+       |  SELECT doc_id, text,
+       |    source || '.example.' || $tldSql AS host,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END || '://'
+       |      || source || '.example.' || $tldSql
+       |      || '/page' || CAST(doc_id % 25 AS VARCHAR) AS canonical
+       |  FROM documents),
+       |s AS (SELECT doc_id, text, host FROM p
+       |      WHERE doc_id IN (SELECT min(doc_id) FROM p GROUP BY canonical)),
+       |q AS (
+       |  SELECT doc_id, host, round(
+       |    least(1.0, length(text) / 500.0) * 0.25
+       |    + (len(regexp_extract_all(text, '[A-Za-z]')) / length(text)) * 0.25
+       |    + (1.0 - len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |         t -> t IN ('the','a','and','of','to','in','is','it')))
+       |         / len(string_split_regex(lower(trim(text)), '\\s+'))) * 0.25
+       |    + least(1.0, ((length(text) - (len(string_split_regex(lower(trim(text)), '\\s+')) - 1))
+       |         / len(string_split_regex(lower(trim(text)), '\\s+'))) / 8.0) * 0.25, 4) AS q
+       |  FROM s),
+       |u AS (
+       |  SELECT doc_id, host FROM q
+       |  WHERE host IN (SELECT host FROM q GROUP BY host HAVING round(avg(q), 4) >= 0.72)),
+       |r AS (
+       |  SELECT doc_id, host, row_number() OVER (
+       |    PARTITION BY host ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |  FROM u)
+       |SELECT doc_id, host, CAST(rk AS BIGINT) AS rk FROM r
+       |WHERE rk <= 3 ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef.sql("corpus_url_parse", corpusUrlParse _, corpusUrlParseSql),
     QueryDef.sql("corpus_domain_cap", corpusDomainCap _, corpusDomainCapSql),
     QueryDef.sql("corpus_domain_mix", corpusDomainMix _, corpusDomainMixSql),
     QueryDef.sql("corpus_domain_quality", corpusDomainQuality _, corpusDomainQualitySql),
-    QueryDef.sql("corpus_url_dedup", corpusUrlDedup _, corpusUrlDedupSql))
+    QueryDef.sql("corpus_url_dedup", corpusUrlDedup _, corpusUrlDedupSql),
+    QueryDef.sql("pipeline_web", pipelineWeb _, pipelineWebSql))
 }

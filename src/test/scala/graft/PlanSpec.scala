@@ -137,6 +137,14 @@ class PlanSpec extends GraftSuite {
       s"q21 re-derives the lineitem join per branch ($lineitemScans scans):\n$p")
   }
 
+  test("composed web pipeline: no quadratic operator, cap through GroupTopK") {
+    val p = plan(graft.queries.CorpusQ.pipelineWeb(spark, sf001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"quadratic operator in web pipeline:\n$p")
+    assert(p.contains("GroupTopK"), s"host cap not planned natively:\n$p")
+    assert(!p.contains("Window"), s"cap fell back to WindowExec:\n$p")
+  }
+
   test("tfidf/lm vocabulary joins carry no broadcast hint; AQE picks the join") {
     // The df/lm tables are vocabulary-cardinality — unbounded on web
     // text — so an explicit broadcast() hint is an OOM at 100 TB. Pin
