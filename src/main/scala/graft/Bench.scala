@@ -69,7 +69,9 @@ object Bench {
     // read as a regression until an idle re-run) — isolated-vs-main
     // deltas make that inflation visible inside the JSON itself.
     val slow = results.toSeq.filter(_._2 >= 0.0).sortBy(-_._2).take(5).map(_._1)
-    val isolated = slow.map { name =>
+    // both diagnostic passes are skipped under BENCH_ONLY — that mode is
+    // a single-operator iteration aid, not a suite measurement
+    val isolated = if (only.isDefined) Seq.empty else slow.map { name =>
       val fn = SparkEntry.queries(name)
       // same failure armor as the main loop: a transient re-run
       // failure must not discard the whole suite's JSON
@@ -89,10 +91,50 @@ object Bench {
     }
     val iso = isolated.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // fresh-JVM re-times: the isolated pass above still runs inside a
+    // JVM that has executed the whole suite (heap/codegen/GC debris
+    // inflates post-suite re-times ~1.7× — the round-3 memory gotcha),
+    // so each of the slowest queries is also re-timed in a CHILD JVM
+    // that has run nothing else. Same classpath + JVM flags as this
+    // process; child warms up at sf0.001 then times sfDir, so the
+    // number is steady-state, not cold-start. SPARK_GRAFT_BENCH_FRESH=0
+    // disables (e.g. under a tight driver time budget).
+    val freshOn = only.isEmpty && sys.env.getOrElse("SPARK_GRAFT_BENCH_FRESH", "1") != "0"
+    val fresh = if (!freshOn) Seq.empty else {
+      import scala.jdk.CollectionConverters._
+      val javaBin = new java.io.File(new java.io.File(System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments.asScala.toSeq
+      val cp = System.getProperty("java.class.path")
+      slow.map { name =>
+        val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.environment().put("SPARK_GRAFT_BENCH_ONLY", name)
+        pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+        pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+        pb.environment().put("SPARK_GRAFT_BENCH_ITERS", iters.toString)
+        pb.redirectErrorStream(false)
+        val t = try {
+          val p = pb.start()
+          val outF = scala.concurrent.Future(scala.io.Source.fromInputStream(p.getInputStream).mkString)(scala.concurrent.ExecutionContext.global)
+          scala.concurrent.Future(scala.io.Source.fromInputStream(p.getErrorStream).mkString)(scala.concurrent.ExecutionContext.global)
+          if (!p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)) { p.destroyForcibly(); -1.0 }
+          else {
+            val out = scala.concurrent.Await.result(outF, scala.concurrent.duration.Duration(10, "s"))
+            val re = ("\"" + java.util.regex.Pattern.quote(name) + "\":(-?[0-9.eE+]+)").r
+            re.findFirstMatchIn(out).map(_.group(1).toDouble).getOrElse(-1.0)
+          }
+        } catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] fresh $name FAILED: ${e.getMessage}"); -1.0
+        }
+        name -> t
+      }
+    }
+    val fr = fresh.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     // failure sentinels must not shrink the headline number
     val ok = results.values.filter(_ >= 0.0)
     val total = if (results.values.exists(_ < 0.0)) -1.0 else ok.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$iso,"sf":"$sfDir","iters":$iters,"warmup":"$warmDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$iso,"fresh":$fr,"sf":"$sfDir","iters":$iters,"warmup":"$warmDir"}""")
     spark.stop()
   }
 }

@@ -358,8 +358,8 @@ object Analytics {
   }
 
   private val textLmScoreSql =
-    """WITH toks AS (
-      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(${QueryDef.toksSql()}) AS tok
       |  FROM documents),
       |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
       |lm AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY tok),

@@ -161,9 +161,9 @@ object CorpusQ {
     s"""WITH d AS (
        |  SELECT source || '.example.' || $tldSql AS host,
        |    length(text) AS n_chars,
-       |    len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+       |    len(${QueryDef.toksSql()}) AS n_tokens,
        |    len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
-       |    len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |    len(list_filter(${QueryDef.toksSql()},
        |      t -> t IN ('the','a','and','of','to','in','is','it'))) AS n_stop
        |  FROM documents),
        |q AS (SELECT host, round(
@@ -279,11 +279,11 @@ object CorpusQ {
        |  SELECT doc_id, host, round(
        |    least(1.0, length(text) / 500.0) * 0.25
        |    + (len(regexp_extract_all(text, '[A-Za-z]')) / length(text)) * 0.25
-       |    + (1.0 - len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |    + (1.0 - len(list_filter(${QueryDef.toksSql()},
        |         t -> t IN ('the','a','and','of','to','in','is','it')))
-       |         / len(string_split_regex(lower(trim(text)), '\\s+'))) * 0.25
-       |    + least(1.0, ((length(text) - (len(string_split_regex(lower(trim(text)), '\\s+')) - 1))
-       |         / len(string_split_regex(lower(trim(text)), '\\s+'))) / 8.0) * 0.25, 4) AS q
+       |         / len(${QueryDef.toksSql()})) * 0.25
+       |    + least(1.0, ((length(text) - (len(${QueryDef.toksSql()}) - 1))
+       |         / len(${QueryDef.toksSql()})) / 8.0) * 0.25, 4) AS q
        |  FROM s),
        |u AS (
        |  SELECT doc_id, host FROM q

@@ -44,7 +44,7 @@ object DedupQ {
   }
 
   private val dedupNgramJaccardSql =
-    """WITH s AS (SELECT doc_id, string_split_regex(lower(trim(text)),'\s+') AS t FROM documents),
+    s"""WITH s AS (SELECT doc_id, ${QueryDef.toksSql()} AS t FROM documents),
       |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
       |         THEN list_distinct([t[i]||' '||t[i+1]||' '||t[i+2] for i in range(1, len(t)-1)])
       |         ELSE [array_to_string(t, ' ')] END AS toks FROM s),
@@ -79,8 +79,8 @@ object DedupQ {
     * and mod 2^63 of that sum equals Java's `& Long.MaxValue`.
     */
   private val dedupMinhashLshSql =
-    """WITH tk AS (
-      |  SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS tok
+    s"""WITH tk AS (
+      |  SELECT doc_id, unnest(list_distinct(${QueryDef.toksSql()})) AS tok
       |  FROM documents),
       |th AS (
       |  SELECT doc_id, CAST(CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS HUGEINT) AS base
@@ -108,7 +108,7 @@ object DedupQ {
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM bs a JOIN bs b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
-      |ts AS (SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks FROM documents),
+      |ts AS (SELECT doc_id, list_distinct(${QueryDef.toksSql()}) AS toks FROM documents),
       |j AS (
       |  SELECT id_a, id_b,
       |    len(list_intersect(a.toks, b.toks)) * 1.0 /
@@ -140,7 +140,7 @@ object DedupQ {
       s"((xor(a.simhash, b.simhash) >> ${b * 16}) & 65535) = 0").mkString(" OR ")
     s"""WITH tk AS (
        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS w FROM (
-       |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |    SELECT doc_id, unnest(${QueryDef.toksSql()}) AS tok
        |    FROM documents)
        |  GROUP BY doc_id, tok),
        |h AS (SELECT doc_id, w, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h64 FROM tk),
@@ -260,7 +260,7 @@ object DedupQ {
   }
 
   private val dedupChunksSql =
-    """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+    s"""WITH d AS (SELECT doc_id, ${QueryDef.toksSql()} AS t FROM documents),
       |c AS (SELECT doc_id, t,
       |        unnest(range(0, CAST(greatest(1, ceil((len(t) - 20) / 80.0)) AS BIGINT))) AS chunk_id
       |      FROM d),

@@ -83,8 +83,8 @@ object Extra {
   }
 
   private val textVocabSql =
-    """SELECT token, count(*) AS n
-      |FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents)
+    s"""SELECT token, count(*) AS n
+      |FROM (SELECT unnest(${QueryDef.toksSql()}) AS token FROM documents)
       |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin
 
   /** One-pass heavy-hitter vocabulary (Misra–Gries, capacity 200):
@@ -109,8 +109,8 @@ object Extra {
   }
 
   private val textHeavyHittersSql =
-    """SELECT token, CAST(count(*) AS BIGINT) AS est_count
-      |FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents)
+    s"""SELECT token, CAST(count(*) AS BIGINT) AS est_count
+      |FROM (SELECT unnest(${QueryDef.toksSql()}) AS token FROM documents)
       |GROUP BY token ORDER BY est_count DESC, token LIMIT 20""".stripMargin
 
   /** TPC-H Q10 shape: returned-items revenue per customer, top 20. */
@@ -215,7 +215,7 @@ object Extra {
   }
 
   private val textChunkSql =
-    """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+    s"""WITH d AS (SELECT doc_id, ${QueryDef.toksSql()} AS t FROM documents),
       |c AS (SELECT doc_id, t,
       |        unnest(range(0, CAST(greatest(1, ceil((len(t) - 20) / 80.0)) AS BIGINT))) AS chunk_id
       |      FROM d)
@@ -260,8 +260,8 @@ object Extra {
   }
 
   private val dedupClustersSql =
-    """WITH RECURSIVE
-      |s AS (SELECT doc_id, string_split_regex(lower(trim(text)),'\s+') AS t FROM documents),
+    s"""WITH RECURSIVE
+      |s AS (SELECT doc_id, ${QueryDef.toksSql()} AS t FROM documents),
       |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
       |         THEN list_distinct([t[i]||' '||t[i+1]||' '||t[i+2] for i in range(1, len(t)-1)])
       |         ELSE [array_to_string(t, ' ')] END AS toks FROM s),

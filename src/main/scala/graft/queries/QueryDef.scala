@@ -16,4 +16,12 @@ object QueryDef {
     QueryDef(name, fn, Some(oracle))
   def rowsOnly(name: String, fn: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, fn, None)
+
+  /** Canonical whitespace-tokenizer SQL fragment — the DuckDB twin of
+    * [[graft.functions.TextFns.toks]] (lowercase, trim, split on \s+).
+    * One definition interpolated into every oracle so the Spark
+    * tokenizer and the oracle tokenizer can never drift apart.
+    */
+  def toksSql(col: String = "text"): String =
+    s"string_split_regex(lower(trim($col)),'\\s+')"
 }

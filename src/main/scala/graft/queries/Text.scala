@@ -24,9 +24,9 @@ object Text {
   }
 
   private val textStatsSql =
-    """SELECT doc_id, length(text) AS n_chars,
-      |  len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
-      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+    s"""SELECT doc_id, length(text) AS n_chars,
+      |  len(${QueryDef.toksSql()}) AS n_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
   private val Stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "it")
@@ -70,12 +70,12 @@ object Text {
   }
 
   private val textQualitySql =
-    """WITH d AS (
+    s"""WITH d AS (
       |  SELECT doc_id, length(text) AS n_chars,
-      |    len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+      |    len(${QueryDef.toksSql()}) AS n_tokens,
       |    len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
-      |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
-      |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+      |    len(list_filter(${QueryDef.toksSql()},
       |      t -> t IN ('the','a','and','of','to','in','is','it'))) AS n_stop
       |  FROM documents)
       |SELECT doc_id, n_chars, n_tokens, n_punct,
@@ -96,47 +96,67 @@ object Text {
     "es" -> Seq("el", "los", "y", "las"),
     "fr" -> Seq("le", "la", "et", "les"))
 
-  /** Marker-word language ID with deterministic alphabetical
-    * tie-break; `correct` compares against the labeled lang.
+  /** CJK Unified Ideographs block — zh is char-based (no whitespace
+    * word boundaries), so its signal is a character-class count. The
+    * \x{...} code-point syntax parses identically in Java regex and
+    * DuckDB's RE2, so Spark and the oracle share the pattern text.
     */
-  def textLangid(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val withCounts = Markers.foldLeft(Tables(spark, dir).documents) {
-      case (df, (lang, words)) => df.withColumn(s"c_$lang", tokensIn($"text", words))
-    }
-    val g = greatest(Markers.map { case (l, _) => col(s"c_$l") }: _*)
-    val pred = Markers.foldRight(lit("unknown")) { case ((l, _), acc) =>
+  private val CjkClass = "[\\x{4e00}-\\x{9fff}]"
+
+  /** Marker language ID (de/en/es/fr word markers + zh CJK chars)
+    * with deterministic alphabetical tie-break; `confidence` is the
+    * winning marker share (floor-truncated to 4 decimals — IEEE
+    * multiply+floor is bit-identical across engines, unlike round on
+    * non-representable halves); `correct` compares the labeled lang.
+    */
+  def langidOf(docs: DataFrame): DataFrame = {
+    val withCounts = Markers.foldLeft(docs) {
+      case (df, (lang, words)) => df.withColumn(s"c_$lang", tokensIn(col("text"), words))
+    }.withColumn("c_zh", regexp_count(col("text"), lit(CjkClass)).cast("long"))
+    val langs = Markers.map(_._1) :+ "zh"
+    val cols = langs.map(l => col(s"c_$l"))
+    val g = greatest(cols: _*)
+    val total = cols.reduce(_ + _)
+    val pred = langs.foldRight(lit("unknown")) { case (l, acc) =>
       when(col(s"c_$l") === g && g > 0, l).otherwise(acc)
     }
-    // foldRight gives de > en > es > fr precedence (alphabetical)
-    val outCols = Seq($"doc_id", $"lang") ++
-      Markers.map { case (l, _) => col(s"c_$l") } :+ pred.as("pred_lang")
+    // foldRight gives de > en > es > fr > zh precedence (alphabetical)
     withCounts
-      .select(outCols: _*)
-      .withColumn("correct", $"pred_lang" === $"lang")
-      .orderBy($"doc_id")
+      .withColumn("pred_lang", pred)
+      .withColumn("confidence",
+        when(total > 0, floor(g / total * 10000) / lit(10000.0)).otherwise(lit(0.0)))
+      .withColumn("correct", col("pred_lang") === col("lang"))
+      .select((Seq(col("doc_id"), col("lang")) ++ cols ++
+        Seq(col("pred_lang"), col("confidence"), col("correct"))): _*)
+      .orderBy(col("doc_id"))
   }
 
+  def textLangid(spark: SparkSession, dir: String): DataFrame =
+    langidOf(Tables(spark, dir).documents)
+
   private val textLangidSql =
-    """WITH c AS (
+    s"""WITH c AS (
       |  SELECT doc_id, lang,
-      |    len(list_filter(string_split_regex(lower(trim(text)),'\s+'), t -> t IN ('der','die','und','das'))) AS c_de,
-      |    len(list_filter(string_split_regex(lower(trim(text)),'\s+'), t -> t IN ('the','and','of','is'))) AS c_en,
-      |    len(list_filter(string_split_regex(lower(trim(text)),'\s+'), t -> t IN ('el','los','y','las'))) AS c_es,
-      |    len(list_filter(string_split_regex(lower(trim(text)),'\s+'), t -> t IN ('le','la','et','les'))) AS c_fr
-      |  FROM documents)
-      |SELECT doc_id, lang, c_de, c_en, c_es, c_fr,
-      |  CASE WHEN greatest(c_de,c_en,c_es,c_fr) = 0 THEN 'unknown'
-      |       WHEN c_de = greatest(c_de,c_en,c_es,c_fr) THEN 'de'
-      |       WHEN c_en = greatest(c_de,c_en,c_es,c_fr) THEN 'en'
-      |       WHEN c_es = greatest(c_de,c_en,c_es,c_fr) THEN 'es'
-      |       ELSE 'fr' END AS pred_lang,
-      |  (CASE WHEN greatest(c_de,c_en,c_es,c_fr) = 0 THEN 'unknown'
-      |       WHEN c_de = greatest(c_de,c_en,c_es,c_fr) THEN 'de'
-      |       WHEN c_en = greatest(c_de,c_en,c_es,c_fr) THEN 'en'
-      |       WHEN c_es = greatest(c_de,c_en,c_es,c_fr) THEN 'es'
-      |       ELSE 'fr' END) = lang AS correct
-      |FROM c ORDER BY doc_id""".stripMargin
+      |    len(list_filter(${QueryDef.toksSql()}, t -> t IN ('der','die','und','das'))) AS c_de,
+      |    len(list_filter(${QueryDef.toksSql()}, t -> t IN ('the','and','of','is'))) AS c_en,
+      |    len(list_filter(${QueryDef.toksSql()}, t -> t IN ('el','los','y','las'))) AS c_es,
+      |    len(list_filter(${QueryDef.toksSql()}, t -> t IN ('le','la','et','les'))) AS c_fr,
+      |    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS c_zh
+      |  FROM documents),
+      |g AS (
+      |  SELECT *, greatest(c_de,c_en,c_es,c_fr,c_zh) AS m,
+      |    c_de+c_en+c_es+c_fr+c_zh AS tot,
+      |    CASE WHEN greatest(c_de,c_en,c_es,c_fr,c_zh) = 0 THEN 'unknown'
+      |         WHEN c_de = greatest(c_de,c_en,c_es,c_fr,c_zh) THEN 'de'
+      |         WHEN c_en = greatest(c_de,c_en,c_es,c_fr,c_zh) THEN 'en'
+      |         WHEN c_es = greatest(c_de,c_en,c_es,c_fr,c_zh) THEN 'es'
+      |         WHEN c_fr = greatest(c_de,c_en,c_es,c_fr,c_zh) THEN 'fr'
+      |         ELSE 'zh' END AS pred_lang
+      |  FROM c)
+      |SELECT doc_id, lang, c_de, c_en, c_es, c_fr, c_zh, pred_lang,
+      |  CASE WHEN tot > 0 THEN floor(m / tot * 10000) / 10000 ELSE 0.0 END AS confidence,
+      |  pred_lang = lang AS correct
+      |FROM g ORDER BY doc_id""".stripMargin
 
   /** Canonical token-sort document fingerprint (md5 parity). */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
@@ -147,9 +167,9 @@ object Text {
   }
 
   private val textFingerprintSql =
-    """SELECT doc_id,
+    s"""SELECT doc_id,
       |  md5(array_to_string(list_sort(list_distinct(
-      |    string_split_regex(lower(trim(text)), '\s+'))), ' ')) AS fingerprint
+      |    ${QueryDef.toksSql()})), ' ')) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Corpus-wide top-20 bigrams (one shuffle on bigram; map-side
@@ -165,7 +185,7 @@ object Text {
   }
 
   private val textNgramsSql =
-    """WITH t AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+    s"""WITH t AS (SELECT ${QueryDef.toksSql()} AS t FROM documents),
       |bi AS (SELECT unnest(list_distinct([t[i] || ' ' || t[i+1] for i in range(1, len(t))])) AS bigram FROM t)
       |SELECT bigram, count(*) AS n FROM bi
       |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
@@ -230,7 +250,7 @@ object Text {
 
   private val textDecontaminateSql = {
     val gram13 = (0 until 13).map(j => s"t[i+$j]").mkString(" || ' ' || ")
-    s"""WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+    s"""WITH tok AS (SELECT doc_id, ${QueryDef.toksSql()} AS t FROM documents),
        |sh AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 13
        |         THEN list_distinct([$gram13 for i in range(1, len(t) - 11)])
        |         ELSE [array_to_string(t, ' ')] END) AS sh FROM tok),
@@ -262,7 +282,7 @@ object Text {
 
   private val textRepetitionSql = {
     val gram3 = "t[i] || ' ' || t[i+1] || ' ' || t[i+2]"
-    s"""WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+    s"""WITH tok AS (SELECT doc_id, ${QueryDef.toksSql()} AS t FROM documents),
        |g AS (SELECT doc_id, CASE WHEN len(t) >= 3
        |        THEN [$gram3 for i in range(1, len(t) - 1)]
        |        ELSE [array_to_string(t, ' ')] END AS grams FROM tok)
@@ -299,7 +319,7 @@ object Text {
   }
 
   private val textQualityModelSql =
-    """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+    s"""WITH d AS (SELECT doc_id, ${QueryDef.toksSql()} AS t FROM documents),
       |r AS (SELECT doc_id,
       |        list_reduce(
       |          list_prepend(CAST(0.0 AS DOUBLE), list_transform(t, tk ->
@@ -335,8 +355,8 @@ object Text {
   }
 
   private val textCountminSql =
-    """WITH tok AS (
-      |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents),
+    s"""WITH tok AS (
+      |  SELECT unnest(${QueryDef.toksSql()}) AS token FROM documents),
       |tc AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY token),
       |bk AS (SELECT token, d, ('0x' || substr(md5(token || '#' || d), 1, 8))::BIGINT % 256 AS b
       |       FROM tc, range(0, 4) t(d)),
@@ -375,9 +395,9 @@ object Text {
   }
 
   private val textTfidfSql =
-    """WITH tf AS (
+    s"""WITH tf AS (
       |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
-      |  FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      |  FROM (SELECT doc_id, unnest(${QueryDef.toksSql()}) AS token
       |        FROM documents)
       |  GROUP BY doc_id, token),
       |dfx AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),

@@ -45,9 +45,9 @@ object TrainingQ {
   }
 
   private val textPackSql =
-    """SELECT doc_id, source,
-      |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens,
-      |  CAST(floor(coalesce(SUM(len(string_split_regex(lower(trim(text)), '\s+')))
+    s"""SELECT doc_id, source,
+      |  CAST(len(${QueryDef.toksSql()}) AS BIGINT) AS n_tokens,
+      |  CAST(floor(coalesce(SUM(len(${QueryDef.toksSql()}))
       |    OVER (PARTITION BY source ORDER BY doc_id
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT) AS seq_id
       |FROM documents ORDER BY doc_id""".stripMargin
@@ -99,13 +99,13 @@ object TrainingQ {
   }
 
   private val pipelineCorpusSql =
-    """WITH survivors AS (
+    s"""WITH survivors AS (
       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
       |kept AS (
       |  SELECT d.doc_id, d.source,
-      |    CAST(len(string_split_regex(lower(trim(d.text)), '\s+')) AS BIGINT) AS n_tokens
+      |    CAST(len(${QueryDef.toksSql("d.text")}) AS BIGINT) AS n_tokens
       |  FROM documents d JOIN survivors s ON d.doc_id = s.doc_id
-      |  WHERE len(string_split_regex(lower(trim(d.text)), '\s+')) >= 30),
+      |  WHERE len(${QueryDef.toksSql("d.text")}) >= 30),
       |sampled AS (
       |  SELECT doc_id, source, n_tokens FROM (
       |    SELECT *,

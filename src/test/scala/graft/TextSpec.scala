@@ -42,6 +42,21 @@ class TextSpec extends GraftSuite {
     assert(cnt.toSeq == Seq(4L, 0L, 0L))
   }
 
+  test("langid handles zh, mixed-language docs, and confidence shares") {
+    val df = Seq(
+      (1L, "中文文本处理引擎", "zh"), // pure CJK
+      (2L, "the dog and 中文 of the house is", "en"),          // mixed: 5 en vs 2 zh
+      (3L, "12345 67890 !!!", "en"))                                    // no markers at all
+      .toDF("doc_id", "text", "lang")
+    val got = graft.queries.Text.langidOf(df)
+      .select($"doc_id", $"pred_lang", $"confidence", $"correct")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got(1L) == (("zh", 1.0, true)))
+    assert(got(2L)._1 == "en" && got(2L)._3)
+    assert(got(2L)._2 == math.floor(5.0 / 7.0 * 10000) / 10000)
+    assert(got(3L) == (("unknown", 0.0, false)))
+  }
+
   test("quality score is within [0,1] on the corpus") {
     val scores = Text.textQuality(spark, sf0001).select($"quality_score").as[Double].collect()
     assert(scores.nonEmpty && scores.forall(s => s >= 0.0 && s <= 1.0))
