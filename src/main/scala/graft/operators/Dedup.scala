@@ -22,6 +22,37 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .drop("__key")
 
+  /** Incremental-ingestion dedup: flag each doc of a NEW batch against
+    * an existing corpus index, without re-deduplicating the corpus.
+    * Two tiers, each one equi-join: `dup_exact` on the normalized
+    * content digest, `dup_near` on the token-sort fingerprint (catches
+    * token-permuted copies the digest misses); else `new`.
+    * `matched_id` is the smallest matching index id (-1 for new).
+    *
+    * Scale shape: the index side pre-aggregates to one (digest,
+    * min id) row per DISTINCT content — that compact artifact is what
+    * a production pipeline persists between ingestion runs, so daily
+    * batches join against digests, never against the 100 TB corpus
+    * text. The batch side is small by definition (one day's crawl vs
+    * the accumulated corpus), so AQE broadcasts it and the giant
+    * index is never shuffled.
+    */
+  def incremental(index: DataFrame, batch: DataFrame,
+                  idCol: String, textCol: String): DataFrame = {
+    val dg = md5(normalized(col(textCol)))
+    val fp = fingerprint(col(textCol))
+    val ixDigest = index.groupBy(dg.as("dg")).agg(min(col(idCol)).as("ix_exact"))
+    val ixFp = index.groupBy(fp.as("fp")).agg(min(col(idCol)).as("ix_near"))
+    batch.select(col(idCol), dg.as("dg"), fp.as("fp"))
+      .join(ixDigest, Seq("dg"), "left")
+      .join(ixFp, Seq("fp"), "left")
+      .select(col(idCol),
+        when(col("ix_exact").isNotNull, "dup_exact")
+          .when(col("ix_near").isNotNull, "dup_near")
+          .otherwise("new").as("status"),
+        coalesce(col("ix_exact"), col("ix_near"), lit(-1L)).as("matched_id"))
+  }
+
   /** Candidate pairs from the inverted shingle index, with a
     * document-frequency cap on the blocking key: a shingle appearing
     * in m documents emits m(m-1)/2 join rows, so one boilerplate

@@ -116,4 +116,64 @@ object Similarity {
       .select(col("q_id"), col("id").as("neighbor_id"),
         round(col("cos"), 4).as("cosine"), col("rk").cast("long").as("rk"))
   }
+
+  /** Product-quantization ANN (inner-product PQ with asymmetric
+    * distance): the vector space splits into `numSub` subspaces, each
+    * with a `codebook`-entry codebook (deterministic seed set — the
+    * first `codebook` vectors by id, sliced per subspace; production
+    * would k-means per subspace, seeding keeps the plan exactly
+    * replayable by the oracle). Each vector is encoded ONCE as
+    * `numSub` small codes — at 100 TB the scoring scan reads the code
+    * table (numSub bytes/vector, a 64× compression of a 64-float
+    * embedding), never the vectors. A query scores candidates through
+    * its asymmetric-distance table: partial inner products of the
+    * query's subvectors against every codebook entry (queries ×
+    * numSub × codebook rows — bounded, broadcast), joined to the
+    * codes on (subspace, code) and summed per (query, vector).
+    * Partials are floor-quantized to 2^-20 integers before the sum so
+    * the reduction is order-independent — a raw double sum would
+    * hash-diverge across partitionings; the quantized ADC stays a
+    * faithful approximate inner product (error < numSub·2^-20).
+    * Codes/ADC shuffles: one bounded heap pass per stage via the
+    * native GroupTopK tier, the same contract as [[bruteForceTopK]].
+    */
+  def pqTopK(vectors: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String, k: Int,
+             numSub: Int = 4, codebook: Int = 8): DataFrame = {
+    val subIdx = sequence(lit(0), lit(numSub - 1))
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val cents = vectors.orderBy(col(idCol)).limit(codebook)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_v"))
+    val csub = cents.select(col("c_id"), col("c_v"), explode(subIdx).as("m"))
+      .withColumn("sd", expr(s"size(c_v) div $numSub").cast("int"))
+      .withColumn("c_sub", slice(col("c_v"), col("m") * col("sd") + 1, col("sd")))
+      .select(col("c_id"), col("m"), col("c_sub"))
+    val vsub = v.select(col("id"), col("v"), explode(subIdx).as("m"))
+      .withColumn("sd", expr(s"size(v) div $numSub").cast("int"))
+      .withColumn("v_sub", slice(col("v"), col("m") * col("sd") + 1, col("sd")))
+    // encode: nearest codebook entry per (vector, subspace) — max
+    // partial inner product, tie by c_id; bounded heap per group
+    val codes = TopK(
+      vsub.join(broadcast(csub), "m")
+        .withColumn("ip", VecFns.dot(col("v_sub"), col("c_sub"))),
+      Seq(col("id"), col("m")), Seq(col("ip").desc, col("c_id")), 1)
+      .select(col("id"), col("m"), col("c_id").as("code"))
+    // asymmetric-distance table: the query side of every (m, code) cell
+    val qsub = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"),
+        explode(subIdx).as("m"))
+      .withColumn("sd", expr(s"size(q_v) div $numSub").cast("int"))
+      .withColumn("q_sub", slice(col("q_v"), col("m") * col("sd") + 1, col("sd")))
+    val dt = qsub.join(broadcast(csub), "m")
+      .withColumn("pd",
+        floor(VecFns.dot(col("q_sub"), col("c_sub")) * lit(1048576.0)).cast("long"))
+      .select(col("q_id"), col("m"), col("c_id").as("code"), col("pd"))
+    val scored = codes.join(broadcast(dt), Seq("m", "code"))
+      .filter(col("id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("id"))
+      .agg(sum(col("pd")).as("adcq"))
+      .withColumn("adc", col("adcq").cast("double") / lit(1048576.0))
+    TopK(scored, Seq(col("q_id")), Seq(col("adcq").desc, col("id")), k)
+      .select(col("q_id"), col("id").as("neighbor_id"),
+        col("adc"), col("rk").cast("long").as("rk"))
+  }
 }

@@ -34,6 +34,35 @@ object DedupQ {
       |GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')))
       |ORDER BY doc_id""".stripMargin
 
+  /** Incremental ingestion: every 5th doc plays the "new batch", the
+    * rest the accumulated index — SF-independent deterministic split.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    Dedup.incremental(
+        docs.filter($"doc_id" % 5 =!= 0), docs.filter($"doc_id" % 5 === 0),
+        "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
+  private val dedupIncrementalSql =
+    s"""WITH ix AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+      |b AS (SELECT doc_id,
+      |        md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g'))) AS dg,
+      |        md5(array_to_string(list_sort(list_distinct(${QueryDef.toksSql()})), ' ')) AS fp
+      |      FROM documents WHERE doc_id % 5 = 0),
+      |ixd AS (SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g'))) AS dg,
+      |               min(doc_id) AS ix_exact FROM ix GROUP BY 1),
+      |ixf AS (SELECT md5(array_to_string(list_sort(list_distinct(${QueryDef.toksSql()})), ' ')) AS fp,
+      |               min(doc_id) AS ix_near FROM ix GROUP BY 1)
+      |SELECT b.doc_id,
+      |  CASE WHEN ix_exact IS NOT NULL THEN 'dup_exact'
+      |       WHEN ix_near IS NOT NULL THEN 'dup_near' ELSE 'new' END AS status,
+      |  coalesce(ix_exact, ix_near, -1) AS matched_id
+      |FROM b LEFT JOIN ixd USING (dg) LEFT JOIN ixf USING (fp)
+      |ORDER BY doc_id""".stripMargin
+
   /** Exact word-3-gram Jaccard near-dup pairs (>= 0.6) via inverted
     * shingle index — exact, so DuckDB recomputes it as the oracle.
     */
@@ -279,6 +308,7 @@ object DedupQ {
     QueryDef.sql("dedup_chunks", dedupChunks _, dedupChunksSql),
     QueryDef.sql("dedup_exact", dedupExact _, dedupExactSql),
     QueryDef.sql("dedup_exact_norm", dedupExactNorm _, dedupExactNormSql),
+    QueryDef.sql("dedup_incremental", dedupIncremental _, dedupIncrementalSql),
     QueryDef.sql("dedup_ngram_jaccard", dedupNgramJaccard _, dedupNgramJaccardSql),
     QueryDef.sql("dedup_minhash_lsh", dedupMinhashLsh _, dedupMinhashLshSql),
     QueryDef.sql("dedup_simhash", dedupSimhash _, dedupSimhashSql),

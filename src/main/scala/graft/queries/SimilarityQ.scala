@@ -115,6 +115,42 @@ object SimilarityQ {
       |r AS (SELECT q_id, neighbor_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, neighbor_id) AS rk FROM scored)
       |SELECT q_id, neighbor_id, round(c, 4) AS cosine, rk FROM r WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
 
+  /** Product-quantization ANN (asymmetric distance over 4 subspaces ×
+    * 8-entry seed codebooks). Codes + distance-table partials are
+    * integer-quantized, so the DuckDB oracle replays encoding, table
+    * build and the summed ADC ranking bit-for-bit — hash-match gate;
+    * recall vs brute force stays in SimilaritySpec.
+    */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).embeddings
+    Similarity.pqTopK(e, queriesOf(spark, dir), "vec_id", "embedding", k = 10)
+      .orderBy($"q_id", $"rk")
+  }
+
+  private val annPqSql =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |cents AS (SELECT vec_id AS c_id, e AS ce FROM v ORDER BY vec_id LIMIT 8),
+      |cs AS (SELECT c_id, p, list_slice(ce, p * (len(ce) // 4) + 1, (p + 1) * (len(ce) // 4)) AS cse
+      |       FROM cents, range(0, 4) t(p)),
+      |vs AS (SELECT vec_id, p, list_slice(e, p * (len(e) // 4) + 1, (p + 1) * (len(e) // 4)) AS es
+      |       FROM v, range(0, 4) t(p)),
+      |cd AS (SELECT vec_id, vs.p, c_id,
+      |         row_number() OVER (PARTITION BY vec_id, vs.p
+      |           ORDER BY list_dot_product(es, cse) DESC, c_id) AS rn
+      |       FROM vs JOIN cs ON cs.p = vs.p),
+      |codes AS (SELECT vec_id, p, c_id AS code FROM cd WHERE rn = 1),
+      |dt AS (SELECT qs.vec_id AS q_id, qs.p, c_id AS code,
+      |         CAST(floor(list_dot_product(qs.es, cs.cse) * 1048576.0) AS BIGINT) AS pd
+      |       FROM vs qs JOIN cs ON cs.p = qs.p WHERE qs.vec_id < 10),
+      |scored AS (SELECT d.q_id, c.vec_id AS neighbor_id, SUM(d.pd) AS adcq
+      |           FROM codes c JOIN dt d ON d.p = c.p AND d.code = c.code
+      |           WHERE c.vec_id <> d.q_id GROUP BY d.q_id, c.vec_id),
+      |r AS (SELECT q_id, neighbor_id, CAST(adcq AS DOUBLE) / 1048576.0 AS adc,
+      |        row_number() OVER (PARTITION BY q_id ORDER BY adcq DESC, neighbor_id) AS rk
+      |      FROM scored)
+      |SELECT q_id, neighbor_id, adc, rk FROM r WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
+
   /** Binary payload stats: byte length + content digest of the packed
     * media column (DuckDB encode() parity).
     */
@@ -295,6 +331,7 @@ object SimilarityQ {
     QueryDef.sql("ann_bruteforce_topk", annBruteforce _, annBruteforceSql),
     QueryDef.sql("ann_lsh_topk", annLsh _, annLshSql),
     QueryDef.sql("ann_ivf_topk", annIvf _, annIvfSql),
+    QueryDef.sql("ann_pq_topk", annPq _, annPqSql),
     QueryDef.sql("mm_binary_stats", mmBinaryStats _, mmBinaryStatsSql),
     QueryDef.sql("mm_featurize", mmFeaturize _, mmFeaturizeSql),
     QueryDef.sql("mm_frame_sample", mmFrameSample _, mmFrameSampleSql),

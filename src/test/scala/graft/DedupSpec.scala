@@ -94,4 +94,22 @@ class DedupSpec extends GraftSuite {
       assert(r.getDouble(2) >= 0.45)
     }
   }
+
+  test("incremental dedup tiers: exact digest, token-permuted near, new") {
+    val index = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog"),
+      (2L, "completely different corpus content here"),
+      (7L, "the QUICK brown fox... jumps over the lazy dog!")) // normalizes to id 1's digest
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick BROWN fox jumps over the lazy dog?"), // dup_exact after normalization
+      (11L, "dog lazy the over jumps fox brown quick the"),  // permuted: same token set -> dup_near
+      (12L, "entirely novel text never seen before"))        // new
+      .toDF("doc_id", "text")
+    val got = Dedup.incremental(index, batch, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(10L) == (("dup_exact", 1L)))
+    assert(got(11L) == (("dup_near", 1L)))
+    assert(got(12L) == (("new", -1L)))
+  }
 }

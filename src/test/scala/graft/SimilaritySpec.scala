@@ -39,4 +39,19 @@ class SimilaritySpec extends GraftSuite {
     info(s"ivf recall@10 = $recall")
     assert(recall >= 0.3)
   }
+
+  test("PQ ANN returns k ADC-ranked rows per query with recall floor") {
+    val r = Similarity.pqTopK(emb, qs, "vec_id", "embedding", 10)
+    val rows = r.collect()
+    assert(rows.length == qs.count() * 10)
+    // ADC descends within each query
+    rows.groupBy(_.getAs[Long]("q_id")).values.foreach { g =>
+      val byRk = g.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("adc"))
+      assert(byRk.zip(byRk.tail).forall { case (a, b) => a >= b })
+    }
+    val got = pairs(r)
+    val recall = (got & truth).size.toDouble / truth.size
+    info(s"pq recall@10 = $recall")
+    assert(recall >= 0.2)
+  }
 }
