@@ -233,7 +233,32 @@ object Etl {
       |WINDOW w AS (PARTITION BY c_custkey ORDER BY version)
       |ORDER BY c_custkey, version""".stripMargin
 
+  /** Z-order clustering code over orders: customer key × order day
+    * interleaved — the layout key a data-skipping write sorts by. The
+    * gate emits the code itself so the oracle replays every shift and
+    * mask; the file-level min/max-bounding effect is measured in
+    * ZOrderSpec.
+    */
+  def etlZorder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).orders
+      .select($"o_orderkey",
+        graft.etl.ZOrder.zcode2(
+          $"o_custkey",
+          datediff(to_date($"o_orderdate"), to_date(lit("1992-01-01")))
+        ).as("zcode"))
+      .orderBy($"o_orderkey")
+  }
+
+  private val etlZorderSql = {
+    val z = graft.etl.ZOrder.zcode2Sql(
+      "CAST(o_custkey AS BIGINT)",
+      "CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)")
+    s"SELECT o_orderkey, $z AS zcode FROM orders ORDER BY o_orderkey"
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("etl_zorder", etlZorder _, etlZorderSql),
     QueryDef.sql("etl_scd2", etlScd2 _, etlScd2Sql),
     QueryDef.sql("etl_upsert", etlUpsert _, etlUpsertSql),
     QueryDef.sql("etl_csv_roundtrip", etlCsvRoundtrip _, etlCsvRoundtripSql),
