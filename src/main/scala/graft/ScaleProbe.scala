@@ -221,6 +221,23 @@ object ScaleProbe {
     probeGrowth("url_dedup", base, docs2,
       dir => graft.queries.CorpusQ.corpusUrlDedup(spark, dir))
 
+    // PQ ANN under 2× vectors: the code table doubles, the broadcast
+    // ADC table is constant (queries × subspaces × codebook) — time
+    // tracks the code scan, output stays queries×k (row_factor ~1.0)
+    probeGrowth("ann_pq", base, emb2,
+      dir => graft.queries.SimilarityQ.annPq(spark, dir))
+
+    // incremental dedup under 2× docs: batch and index both double;
+    // two digest equi-joins — time tracks the scan, flagged rows
+    // double with the batch
+    probeGrowth("dedup_incremental", base, docs2,
+      dir => graft.queries.DedupQ.dedupIncremental(spark, dir))
+
+    // z-order code under 10× facts: map-only shift/mask arithmetic —
+    // time and rows must both track the scan exactly
+    probeGrowth("zorder", base, out,
+      dir => graft.queries.Etl.etlZorder(spark, dir))
+
     // q12 under 10× facts: the fact⋈fact sort-merge join is the whole
     // query — both sides grow 10×, output stays mode-cardinality
     probeGrowth("q12_ship_mode", base, out,

@@ -176,4 +176,73 @@ object Similarity {
       .select(col("q_id"), col("id").as("neighbor_id"),
         col("adc"), col("rk").cast("long").as("rk"))
   }
+
+  /** IVF-PQ: the composed production ANN shape — IVF coarse
+    * clustering prunes the candidate set to the query's `nprobe`
+    * nearest lists (O(n·nprobe/numCentroids) candidates instead of
+    * n), and PQ asymmetric distance scores those candidates from the
+    * compressed code table instead of the raw vectors. At 100 TB this
+    * is the only memory-feasible layout: the index artifact is
+    * (cluster, codes) — a few bytes per vector — and a query touches
+    * `nprobe` clusters' codes plus one broadcast ADC table. Both
+    * stages reuse the deterministic seed constructions of [[ivfTopK]]
+    * and [[pqTopK]], so the whole composition stays exactly
+    * oracle-replayable.
+    */
+  def ivfPqTopK(vectors: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String, k: Int,
+                numCentroids: Int = 10, nprobe: Int = 4,
+                numSub: Int = 4, codebook: Int = 8): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // ---- coarse tier (as ivfTopK) ----
+    val cents = vectors.orderBy(col(idCol)).limit(numCentroids)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_v"))
+    val assigned = TopK(
+      v.crossJoin(broadcast(cents))
+        .withColumn("c_cos", VecFns.cosine(col("v"), col("c_v"))),
+      Seq(col("id")), Seq(col("c_cos").desc, col("c_id")), 1)
+      .select(col("id"), col("c_id").as("cluster"))
+    val probes = TopK(
+      queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
+        .crossJoin(broadcast(cents))
+        .withColumn("c_cos", VecFns.cosine(col("q_v"), col("c_v"))),
+      Seq(col("q_id")), Seq(col("c_cos").desc, col("c_id")), nprobe)
+      .select(col("q_id"), col("c_id").as("cluster"))
+    // ---- fine tier (as pqTopK, restricted to probed clusters) ----
+    val subIdx = sequence(lit(0), lit(numSub - 1))
+    val pqCents = vectors.orderBy(col(idCol)).limit(codebook)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_v"))
+    val csub = pqCents.select(col("c_id"), col("c_v"), explode(subIdx).as("m"))
+      .withColumn("sd", expr(s"size(c_v) div $numSub").cast("int"))
+      .withColumn("c_sub", slice(col("c_v"), col("m") * col("sd") + 1, col("sd")))
+      .select(col("c_id"), col("m"), col("c_sub"))
+    val vsub = v.select(col("id"), col("v"), explode(subIdx).as("m"))
+      .withColumn("sd", expr(s"size(v) div $numSub").cast("int"))
+      .withColumn("v_sub", slice(col("v"), col("m") * col("sd") + 1, col("sd")))
+    val codes = TopK(
+      vsub.join(broadcast(csub), "m")
+        .withColumn("ip", VecFns.dot(col("v_sub"), col("c_sub"))),
+      Seq(col("id"), col("m")), Seq(col("ip").desc, col("c_id")), 1)
+      .select(col("id"), col("m"), col("c_id").as("code"))
+    val qsub = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"),
+        explode(subIdx).as("m"))
+      .withColumn("sd", expr(s"size(q_v) div $numSub").cast("int"))
+      .withColumn("q_sub", slice(col("q_v"), col("m") * col("sd") + 1, col("sd")))
+    val dt = qsub.join(broadcast(csub), "m")
+      .withColumn("pd",
+        floor(VecFns.dot(col("q_sub"), col("c_sub")) * lit(1048576.0)).cast("long"))
+      .select(col("q_id"), col("m"), col("c_id").as("code"), col("pd"))
+    // candidates: vectors whose cluster one of the query's probes hits
+    val cand = assigned.join(broadcast(probes), "cluster")
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id")).distinct()
+    val scored = cand.join(codes, "id")
+      .join(broadcast(dt), Seq("q_id", "m", "code"))
+      .groupBy(col("q_id"), col("id"))
+      .agg(sum(col("pd")).as("adcq"))
+      .withColumn("adc", col("adcq").cast("double") / lit(1048576.0))
+    TopK(scored, Seq(col("q_id")), Seq(col("adcq").desc, col("id")), k)
+      .select(col("q_id"), col("id").as("neighbor_id"),
+        col("adc"), col("rk").cast("long").as("rk"))
+  }
 }

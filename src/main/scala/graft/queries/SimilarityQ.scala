@@ -151,6 +151,56 @@ object SimilarityQ {
       |      FROM scored)
       |SELECT q_id, neighbor_id, adc, rk FROM r WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
 
+  /** IVF-PQ composed ANN: coarse clusters prune candidates to nprobe
+    * lists, PQ asymmetric distance scores them from the code table —
+    * the memory-feasible 100 TB index shape. Fully deterministic, so
+    * the oracle replays both tiers end to end.
+    */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).embeddings
+    Similarity.ivfPqTopK(e, queriesOf(spark, dir), "vec_id", "embedding", k = 10)
+      .orderBy($"q_id", $"rk")
+  }
+
+  private val annIvfPqSql =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |cents AS (SELECT vec_id AS c_id, e AS ce FROM v ORDER BY vec_id LIMIT 10),
+      |ac AS (SELECT vec_id, c_id,
+      |        row_number() OVER (PARTITION BY vec_id ORDER BY
+      |          list_dot_product(e, ce) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))) DESC, c_id) AS rn
+      |      FROM v, cents),
+      |assigned AS (SELECT vec_id, c_id AS cluster FROM ac WHERE rn = 1),
+      |qp AS (SELECT vec_id AS q_id, c_id AS cluster,
+      |        row_number() OVER (PARTITION BY vec_id ORDER BY
+      |          list_dot_product(e, ce) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))) DESC, c_id) AS rn
+      |      FROM v, cents WHERE vec_id < 10),
+      |probes AS (SELECT q_id, cluster FROM qp WHERE rn <= 4),
+      |pqc AS (SELECT vec_id AS c_id, e AS ce FROM v ORDER BY vec_id LIMIT 8),
+      |cs AS (SELECT c_id, p, list_slice(ce, p * (len(ce) // 4) + 1, (p + 1) * (len(ce) // 4)) AS cse
+      |       FROM pqc, range(0, 4) t(p)),
+      |vs AS (SELECT vec_id, p, list_slice(e, p * (len(e) // 4) + 1, (p + 1) * (len(e) // 4)) AS es
+      |       FROM v, range(0, 4) t(p)),
+      |cd AS (SELECT vec_id, vs.p, c_id,
+      |         row_number() OVER (PARTITION BY vec_id, vs.p
+      |           ORDER BY list_dot_product(es, cse) DESC, c_id) AS rn
+      |       FROM vs JOIN cs ON cs.p = vs.p),
+      |codes AS (SELECT vec_id, p, c_id AS code FROM cd WHERE rn = 1),
+      |dt AS (SELECT qs.vec_id AS q_id, qs.p, c_id AS code,
+      |         CAST(floor(list_dot_product(qs.es, cs.cse) * 1048576.0) AS BIGINT) AS pd
+      |       FROM vs qs JOIN cs ON cs.p = qs.p WHERE qs.vec_id < 10),
+      |cand AS (SELECT DISTINCT p.q_id, a.vec_id AS id
+      |         FROM probes p JOIN assigned a ON a.cluster = p.cluster
+      |         WHERE a.vec_id <> p.q_id),
+      |scored AS (SELECT c.q_id, c.id AS neighbor_id, SUM(d.pd) AS adcq
+      |           FROM cand c JOIN codes kc ON kc.vec_id = c.id
+      |           JOIN dt d ON d.q_id = c.q_id AND d.p = kc.p AND d.code = kc.code
+      |           GROUP BY c.q_id, c.id),
+      |r AS (SELECT q_id, neighbor_id, CAST(adcq AS DOUBLE) / 1048576.0 AS adc,
+      |        row_number() OVER (PARTITION BY q_id ORDER BY adcq DESC, neighbor_id) AS rk
+      |      FROM scored)
+      |SELECT q_id, neighbor_id, adc, rk FROM r WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
+
   /** Binary payload stats: byte length + content digest of the packed
     * media column (DuckDB encode() parity).
     */
@@ -332,6 +382,7 @@ object SimilarityQ {
     QueryDef.sql("ann_lsh_topk", annLsh _, annLshSql),
     QueryDef.sql("ann_ivf_topk", annIvf _, annIvfSql),
     QueryDef.sql("ann_pq_topk", annPq _, annPqSql),
+    QueryDef.sql("ann_ivf_pq_topk", annIvfPq _, annIvfPqSql),
     QueryDef.sql("mm_binary_stats", mmBinaryStats _, mmBinaryStatsSql),
     QueryDef.sql("mm_featurize", mmFeaturize _, mmFeaturizeSql),
     QueryDef.sql("mm_frame_sample", mmFrameSample _, mmFrameSampleSql),

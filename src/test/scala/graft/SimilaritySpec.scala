@@ -54,4 +54,18 @@ class SimilaritySpec extends GraftSuite {
     info(s"pq recall@10 = $recall")
     assert(recall >= 0.2)
   }
+
+  test("IVF-PQ composes coarse pruning with ADC scoring") {
+    val r = Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", 10)
+    val rows = r.collect()
+    assert(rows.nonEmpty)
+    // every neighbor must come from a probed cluster: cross-check that
+    // IVF-PQ's candidate set is a subset of plain IVF's k=huge output
+    val ivfAll = pairs(Similarity.ivfTopK(emb, qs, "vec_id", "embedding", k = 10000))
+    val got = pairs(r)
+    assert(got.subsetOf(ivfAll), s"candidates escaped the probed clusters: ${(got -- ivfAll).take(3)}")
+    val recall = (got & truth).size.toDouble / truth.size
+    info(s"ivf-pq recall@10 = $recall")
+    assert(recall >= 0.15)
+  }
 }
