@@ -147,12 +147,25 @@ object CorpusQ {
     * oracles; a downstream filter drops documents from blocked hosts
     * (CorpusSpec asserts the composition).
     */
+  /** Cross-engine-stable 4-decimal mean of already-4-decimal scores:
+    * rows become exact integer ten-thousandths, the mean is ONE
+    * correctly-rounded IEEE division of exact integers, and both
+    * engines then round the identical double. round(avg(q), 4)
+    * instead inherits sum-order last-bit noise that can flip the 4th
+    * decimal on half-way means (observed at sf0.001).
+    */
+  private def meanQ4(q: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(sum(round(q * 10000).cast("long")).cast("double") / count(lit(1))) / 10000.0
+
+  private val meanQ4Sql =
+    "round(CAST(sum(CAST(round(q * 10000) AS BIGINT)) AS DOUBLE) / count(*)) / 10000"
+
   def corpusDomainQuality(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     withUrl(Tables(spark, dir).documents)
       .select(UrlFns.host($"url").as("host"), Text.qualityScore($"text").as("q"))
       .groupBy($"host")
-      .agg(count(lit(1)).as("n_docs"), round(avg($"q"), 4).as("mean_q"))
+      .agg(count(lit(1)).as("n_docs"), meanQ4($"q").as("mean_q"))
       .withColumn("blocked", $"mean_q" < 0.72)
       .orderBy($"host")
   }
@@ -172,7 +185,7 @@ object CorpusQ {
        |    least(1.0, ((n_chars - (n_tokens - 1)) / n_tokens) / 8.0) * 0.25, 4) AS q
        |  FROM d)
        |SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
-       |  round(avg(q), 4) AS mean_q, round(avg(q), 4) < 0.72 AS blocked
+       |  $meanQ4Sql AS mean_q, $meanQ4Sql < 0.72 AS blocked
        |FROM q GROUP BY host ORDER BY host""".stripMargin
 
   /** URL-level dedup after canonicalization (the crawl-dump reality:
@@ -255,7 +268,7 @@ object CorpusQ {
         concat($"source", lit(".example."), tldExpr($"lang")).as("host"))
     val scored = survivors.select($"doc_id", $"host", Text.qualityScore($"text").as("q"))
     val hostStats = scored.groupBy($"host".as("__h"))
-      .agg(round(avg($"q"), 4).as("mean_q"))
+      .agg(meanQ4($"q").as("mean_q"))
     val unblocked = scored
       .join(hostStats, $"host" === $"__h")
       .filter($"mean_q" >= 0.72)
@@ -287,7 +300,7 @@ object CorpusQ {
        |  FROM s),
        |u AS (
        |  SELECT doc_id, host FROM q
-       |  WHERE host IN (SELECT host FROM q GROUP BY host HAVING round(avg(q), 4) >= 0.72)),
+       |  WHERE host IN (SELECT host FROM q GROUP BY host HAVING $meanQ4Sql >= 0.72)),
        |r AS (
        |  SELECT doc_id, host, row_number() OVER (
        |    PARTITION BY host ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
