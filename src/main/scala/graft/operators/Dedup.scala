@@ -53,6 +53,41 @@ object Dedup {
         coalesce(col("ix_exact"), col("ix_near"), lit(-1L)).as("matched_id"))
   }
 
+  /** [[incremental]] with Bloom pre-pruning of the INDEX side — the
+    * at-scale formulation. The batch's digest/fingerprint sets build
+    * two compact bitmaps (one aggregate each, partial buffers OR
+    * together, broadcast as a 1-row join); the 100 TB index is then
+    * filtered by codegen'd bit tests BEFORE its (digest, min-id)
+    * aggregate, so only index rows that might match this batch ever
+    * reach a shuffle. Bloom false positives survive into the equi-join
+    * (which discards them); false negatives are impossible, and every
+    * index row sharing a batch digest passes (same digest → same
+    * bits), so min-id survivors — and therefore the output — are
+    * IDENTICAL to [[incremental]]: the gate runs against the very same
+    * oracle SQL, proving the plan-level optimization preserves
+    * semantics against an independent engine.
+    */
+  def incrementalBloom(index: DataFrame, batch: DataFrame,
+                       idCol: String, textCol: String,
+                       bits: Int = 1 << 16, k: Int = 3): DataFrame = {
+    val dg = md5(normalized(col(textCol)))
+    val fp = fingerprint(col(textCol))
+    val b = batch.select(col(idCol), dg.as("dg"), fp.as("fp"))
+    val ixD = index.select(col(idCol).as("__ix_id"), dg.as("dg"))
+    val ixF = index.select(col(idCol).as("__ix_id"), fp.as("fp"))
+    val ixDigest = BloomJoin.prune(ixD, b.select(col("dg")), "dg", "dg", bits, k)
+      .groupBy(col("dg")).agg(min(col("__ix_id")).as("ix_exact"))
+    val ixFp = BloomJoin.prune(ixF, b.select(col("fp")), "fp", "fp", bits, k)
+      .groupBy(col("fp")).agg(min(col("__ix_id")).as("ix_near"))
+    b.join(ixDigest, Seq("dg"), "left")
+      .join(ixFp, Seq("fp"), "left")
+      .select(col(idCol),
+        when(col("ix_exact").isNotNull, "dup_exact")
+          .when(col("ix_near").isNotNull, "dup_near")
+          .otherwise("new").as("status"),
+        coalesce(col("ix_exact"), col("ix_near"), lit(-1L)).as("matched_id"))
+  }
+
   /** Candidate pairs from the inverted shingle index, with a
     * document-frequency cap on the blocking key: a shingle appearing
     * in m documents emits m(m-1)/2 join rows, so one boilerplate

@@ -63,6 +63,19 @@ object DedupQ {
       |FROM b LEFT JOIN ixd USING (dg) LEFT JOIN ixf USING (fp)
       |ORDER BY doc_id""".stripMargin
 
+  /** The Bloom-pruned plan of the same incremental contract — gated
+    * against the IDENTICAL oracle SQL as `dedup_incremental`, so the
+    * hash match proves the pre-pruning preserved semantics.
+    */
+  def dedupIncrementalBloom(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    Dedup.incrementalBloom(
+        docs.filter($"doc_id" % 5 =!= 0), docs.filter($"doc_id" % 5 === 0),
+        "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
   /** Exact word-3-gram Jaccard near-dup pairs (>= 0.6) via inverted
     * shingle index — exact, so DuckDB recomputes it as the oracle.
     */
@@ -309,6 +322,7 @@ object DedupQ {
     QueryDef.sql("dedup_exact", dedupExact _, dedupExactSql),
     QueryDef.sql("dedup_exact_norm", dedupExactNorm _, dedupExactNormSql),
     QueryDef.sql("dedup_incremental", dedupIncremental _, dedupIncrementalSql),
+    QueryDef.sql("dedup_incremental_bloom", dedupIncrementalBloom _, dedupIncrementalSql),
     QueryDef.sql("dedup_ngram_jaccard", dedupNgramJaccard _, dedupNgramJaccardSql),
     QueryDef.sql("dedup_minhash_lsh", dedupMinhashLsh _, dedupMinhashLshSql),
     QueryDef.sql("dedup_simhash", dedupSimhash _, dedupSimhashSql),

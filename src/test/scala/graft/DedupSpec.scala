@@ -112,4 +112,16 @@ class DedupSpec extends GraftSuite {
     assert(got(11L) == (("dup_near", 1L)))
     assert(got(12L) == (("new", -1L)))
   }
+
+  test("bloom-pruned incremental dedup is row-identical to the plain plan") {
+    val docs = Tables(spark, sf0001).documents
+    val index = docs.filter($"doc_id" % 5 =!= 0)
+    val batch = docs.filter($"doc_id" % 5 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val plain = rows(Dedup.incremental(index, batch, "doc_id", "text"))
+    val bloom = rows(Dedup.incrementalBloom(index, batch, "doc_id", "text"))
+    assert(plain == bloom)
+    assert(plain.nonEmpty)
+  }
 }
