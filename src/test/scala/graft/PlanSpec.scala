@@ -97,6 +97,21 @@ class PlanSpec extends GraftSuite {
       s"quadratic operator in chunk-dedup plan:\n$p")
   }
 
+  test("bloom-pruned incremental dedup: bitmap broadcasts, bit test filters the index") {
+    val docs = Tables(spark, sf001).documents
+    val p = plan(graft.operators.Dedup.incrementalBloom(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 5 =!= 0),
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 0),
+      "doc_id", "text"))
+    // the 1-row bitmap arrives by broadcast (nested-loop against one
+    // row is the cross join's degenerate, correct form)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"bloom bitmap did not broadcast:\n$p")
+    // the codegen'd bit-test conjunction is present as a Filter over
+    // the index scan — index rows die before the min-id aggregate
+    assert(p.contains("element_at"), s"no bit-test filter in plan:\n$p")
+  }
+
   test("quality model scores in one narrow pass: no explode, no pre-agg shuffle") {
     val p = plan(graft.queries.Text.textQualityModel(spark, sf001))
     // the whole fold happens in projections over the scan; the only
