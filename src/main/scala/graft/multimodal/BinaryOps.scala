@@ -57,6 +57,9 @@ object BinaryOps {
       // them must degrade to the stub instead of failing the batch
       try Png.features(Png.decode(bytes))
       catch { case scala.util.control.NonFatal(_) => fakeDecode(bytes) }
+    else if (Bmp.isBmp(bytes))
+      try Png.features(Bmp.decode(bytes))
+      catch { case scala.util.control.NonFatal(_) => fakeDecode(bytes) }
     else fakeDecode(bytes)
 
   final case class FrameSample(doc_id: Long, n_frames: Long, sampled: Array[Array[Byte]])

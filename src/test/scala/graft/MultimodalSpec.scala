@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.BinaryOps
+import graft.multimodal.{BinaryOps, Bmp}
 import org.apache.spark.sql.functions.{length, octet_length}
 
 class MultimodalSpec extends GraftSuite {
@@ -195,6 +195,43 @@ class MultimodalSpec extends GraftSuite {
     val all = BinaryOps.videoFrameSample(BinaryOps.packY4m(docs), stride = 1).collect().head
     assert(all.n_sampled == 2)
     assert(math.abs(all.mean_luma - (97.0 + 97.0 * 36 / 64) / 2) < 1e-12) // padded tail
+  }
+
+  test("BMP round-trips 24bpp with padding, top-down, and 32bpp variants") {
+    // 3x2 RGB with a non-multiple-of-4 row (3*3=9 bytes -> 12 padded)
+    val rgb = Array[Byte](
+      10, 20, 30,  40, 50, 60,  70, 80, 90,
+      -1, 0, 1,    100, 101, 102, 5, 6, 7)
+    val img = Bmp.decode(Bmp.encode24(3, 2, rgb))
+    assert(img.width == 3 && img.height == 2 && img.channels == 3)
+    assert(img.pixels.toSeq == rgb.toSeq)
+    // top-down variant: negate height in the encoded header and
+    // reverse the stored row order -> same decoded pixels
+    val enc = Bmp.encode24(3, 2, rgb)
+    val td = enc.clone()
+    val h = java.nio.ByteBuffer.wrap(td).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    h.putInt(22, -2)
+    val row0 = td.slice(54, 54 + 12); val row1 = td.slice(66, 66 + 12)
+    System.arraycopy(row1, 0, td, 54, 12); System.arraycopy(row0, 0, td, 66, 12)
+    assert(Bmp.decode(td).pixels.toSeq == rgb.toSeq)
+  }
+
+  test("featurize computes REAL pixel stats for BMP payloads; bad BMPs degrade") {
+    val flat = Array.fill[Byte](4 * 4 * 3)(100)
+    val bmp = Bmp.encode24(4, 4, flat)
+    val f = BinaryOps.decodeFeatures(bmp)
+    // flat gray 100: f = [width, height, channels?]-shaped like Png.features
+    assert(f.toSeq != BinaryOps.fakeDecode(bmp).toSeq, "BMP must not hit the stub")
+    val viaPng = Png.features(Bmp.decode(bmp))
+    assert(f.toSeq == viaPng.toSeq)
+    // RLE-compressed claim -> Unsupported -> stub, batch survives
+    val rle = bmp.clone()
+    java.nio.ByteBuffer.wrap(rle).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(30, 1)
+    assert(intercept[Png.Unsupported](Bmp.decode(rle)).getMessage.contains("compressed"))
+    assert(BinaryOps.decodeFeatures(rle).toSeq == BinaryOps.fakeDecode(rle).toSeq)
+    // truncated pixel data -> stub
+    assert(BinaryOps.decodeFeatures(bmp.take(60)).toSeq ==
+      BinaryOps.fakeDecode(bmp.take(60)).toSeq)
   }
 
   test("out-of-scope PNGs degrade to the stub instead of failing the batch") {
