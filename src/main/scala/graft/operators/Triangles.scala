@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed triangle counting with degree-ordered orientation —
+  * the classic bound that makes the multi-way self-join feasible at
+  * scale. Orienting every undirected edge from its lower-(degree, id)
+  * endpoint to the higher one (a total order) gives each vertex a
+  * FORWARD adjacency of O(√m) even on power-law graphs, so the wedge
+  * join enumerates Σ fdeg(v)² ≈ m^1.5 candidates instead of the
+  * unoriented Σ deg(v)² (which a single web-scale hub makes
+  * quadratic). Each triangle has exactly one lowest-rank apex, so it
+  * is produced and counted exactly once — no /3 correction or
+  * dedup pass. Three shuffles total: degree aggregate, wedge join,
+  * closing-edge join; AQE handles residual skew.
+  */
+object Triangles {
+
+  /** Orient `edges` (distinct undirected pairs uCol/vCol) by
+    * (degree, id) and return the single-row triangle count.
+    */
+  def count(edges: DataFrame, uCol: String, vCol: String): DataFrame = {
+    val e = edges.select(col(uCol).as("u"), col(vCol).as("v"))
+    val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
+      .groupBy(col("x")).agg(org.apache.spark.sql.functions.count(lit(1)).as("d"))
+    val ranked = e
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+    val oriented = ranked.select(
+      when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+        struct(col("u").as("s"), col("v").as("t")))
+        .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.t") === col("e2.s"))
+      .select(col("e1.s").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))
+    wedges.join(oriented.as("e3"),
+        col("a") === col("e3.s") && col("c") === col("e3.t"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_triangles"))
+  }
+}

@@ -417,7 +417,42 @@ object Analytics {
       |FROM embeddings
       |ORDER BY vec_id""".stripMargin
 
+  /** Triangle count over the bulk co-purchase graph (parts sharing an
+    * order's l_quantity >= 40 lines are adjacent): per-order part
+    * pairs are bounded by the ~7 lines/order, the distinct edge set
+    * is one shuffle, and the wedge/closing joins run on the
+    * degree-ORIENTED edge list (see [[graft.operators.Triangles]]) so
+    * no hub vertex can square the join. The quantity slice keeps the
+    * GATE's graph at gate scale (the synthetic lake reuses one part
+    * dimension, so unfiltered replication densifies the graph itself
+    * — a measurement artifact, not an operator property; real
+    * corpora grow the vertex set with the data). Pure integer
+    * output — exact at any SF by construction.
+    */
+  def qTriangles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables(spark, dir).lineitem
+      .filter($"l_quantity" >= 40)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("p"))
+    val e = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .distinct()
+    graft.operators.Triangles.count(e, "u", "v")
+  }
+
+  private val qTrianglesSql =
+    """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem WHERE l_quantity >= 40),
+      |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+      |deg AS (SELECT x, count(*) AS d FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY x),
+      |o AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v) THEN e.u ELSE e.v END AS s,
+      |             CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v) THEN e.v ELSE e.u END AS t
+      |      FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v),
+      |w AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c FROM o e1 JOIN o e2 ON e1.t = e2.s)
+      |SELECT count(*) AS n_triangles FROM w JOIN o e3 ON w.a = e3.s AND w.c = e3.t""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("q_triangles", qTriangles _, qTrianglesSql),
     QueryDef.sql("q_array_ops", qArrayOps _, qArrayOpsSql),
     QueryDef.sql("q_unpivot", qUnpivot _, qUnpivotSql),
     QueryDef.sql("etl_merge_schema", etlMergeSchema _, etlMergeSchemaSql),

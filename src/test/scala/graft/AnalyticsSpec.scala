@@ -163,4 +163,21 @@ class AnalyticsSpec extends GraftSuite {
       .filter(abs($"mz") > 0.001).count()
     assert(bad == 0, s"$bad (label, dim) groups with non-zero z mean")
   }
+
+  // ----------------------------------------------- triangle counting
+
+  test("triangle count: K4 has 4, a 4-cycle and a hub star have 0") {
+    def n(edges: Seq[(Long, Long)]): Long =
+      graft.operators.Triangles.count(edges.toDF("u", "v"), "u", "v")
+        .collect().head.getLong(0)
+    // K4: every 3-subset closes
+    assert(n(Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L))) == 4)
+    // C4: no chords, no triangles
+    assert(n(Seq((1L,2L),(2L,3L),(3L,4L),(4L,1L))) == 0)
+    // star: the hub orients AWAY from leaves under degree order and
+    // nothing closes — also exercises the hub-safety of orientation
+    assert(n((2L to 20L).map(i => (1L, i))) == 0)
+    // K4 plus a pendant edge: still 4
+    assert(n(Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),(4L,5L))) == 4)
+  }
 }
