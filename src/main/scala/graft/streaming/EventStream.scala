@@ -111,6 +111,28 @@ object EventStream {
         round(col("value"), 4).as("purchase_value"))
   }
 
+  /** LEFT OUTER stream-stream interval join: every click emits —
+    * matched within the hour, or with null purchase columns once the
+    * watermark passes `c_ts + 1 hour` (the event-time bound is what
+    * lets Spark PROVE no future purchase can still match, emit the
+    * null row, and drop the click's join state; without it an outer
+    * stream join would hold every click forever). The same plan runs
+    * in batch, where the nulls are immediate — StreamingSpec pins
+    * stream/batch agreement including the null rows.
+    */
+  def intervalJoinOuter(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("user_id"), col("ts").as("c_ts"),
+      col("event_id").as("click_id"))
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+      col("event_id").as("purchase_id"), col("value"))
+    c.join(p,
+        expr("user_id = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"),
+        "left_outer")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        unix_micros(col("c_ts")).as("c_us"),
+        round(col("value"), 4).as("purchase_value"))
+  }
+
   final case class Ev(user_id: Long, ts_us: Long, event_id: Long)
   final case class SessionAcc(start_us: Long, last_us: Long, n: Long)
   final case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)

@@ -214,6 +214,44 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("LEFT OUTER interval join emits null rows once the watermark passes the bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Long)]
+    val buys = MemoryStream[(Long, Long, Long, Double)]
+    val cdf = clicks.toDS().toDF("user_id", "ts_us", "event_id")
+      .withColumn("ts", expr("timestamp_micros(ts_us)"))
+      .withWatermark("ts", "0 seconds")
+    val bdf = buys.toDS().toDF("user_id", "ts_us", "event_id", "value")
+      .withColumn("ts", expr("timestamp_micros(ts_us)"))
+      .withWatermark("ts", "0 seconds")
+    val q = graft.streaming.EventStream.intervalJoinOuter(cdf, bdf)
+      .writeStream.outputMode("append").format("memory").queryName("attrib_outer").start()
+    try {
+      clicks.addData((1L, 3_600_000_000L, 101L), (2L, 3_600_000_000L, 102L))
+      buys.addData((1L, 5_400_000_000L, 201L, 9.5)) // user 1 attributed
+      q.processAllAvailable()
+      // push the GLOBAL watermark (min across both sources) past
+      // c_ts + 1 hour so user 2's click is provably unmatched
+      clicks.addData((9L, 14_400_000_000L, 999L))
+      buys.addData((9L, 14_400_000_000L, 998L, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("attrib_outer").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(rows.contains((1L, 101L, 201L)), rows.toString)
+      assert(rows.contains((2L, 102L, -1L)), s"unmatched click did not emit: $rows")
+      // batch face of the same builder agrees, nulls included
+      val cb = Seq((1L, 3_600_000_000L, 101L), (2L, 3_600_000_000L, 102L))
+        .toDF("user_id", "ts_us", "event_id").withColumn("ts", expr("timestamp_micros(ts_us)"))
+      val bb = Seq((1L, 5_400_000_000L, 201L, 9.5))
+        .toDF("user_id", "ts_us", "event_id", "value").withColumn("ts", expr("timestamp_micros(ts_us)"))
+      val batch = graft.streaming.EventStream.intervalJoinOuter(cb, bb).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(batch == Set((1L, 101L, 201L), (2L, 102L, -1L)), batch.toString)
+    } finally q.stop()
+  }
+
   test("sessionize still runs in BATCH mode (timeouts inert, no watermark to read)") {
     // regression: the TTL change must not crash non-streaming callers —
     // getCurrentWatermarkMs throws in batch because the watermark node
