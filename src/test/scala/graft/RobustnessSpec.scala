@@ -35,6 +35,34 @@ class RobustnessSpec extends GraftSuite {
     assert(Dedup.simhashPairs(empty, "doc_id", "text", 6).count() == 0)
   }
 
+  test("round-5 operators handle empty inputs") {
+    val emptyDocs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    val someDocs = Seq((1L, "some text here")).toDF("doc_id", "text")
+    // empty batch against a real index, and a real batch against an
+    // empty index (day one of a pipeline) — both tiers, both plans
+    assert(Dedup.incremental(someDocs, emptyDocs, "doc_id", "text").count() == 0)
+    val dayOne = Dedup.incremental(emptyDocs, someDocs, "doc_id", "text").collect()
+    assert(dayOne.length == 1 && dayOne.head.getString(1) == "new")
+    assert(Dedup.incrementalBloom(emptyDocs, someDocs, "doc_id", "text")
+      .collect().head.getString(1) == "new")
+    // triangles on an empty and on a triangle-free edge set
+    val emptyEdges = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("u", LongType), StructField("v", LongType))))
+    assert(graft.operators.Triangles.count(emptyEdges, "u", "v")
+      .collect().head.getLong(0) == 0)
+    // z-order clustering of an empty frame writes no rows but plans fine
+    assert(graft.etl.ZOrder.cluster(emptyEdges, $"u", $"v", 4).count() == 0)
+    // PQ with fewer vectors than the codebook: seed set is just smaller
+    val tiny = Seq((1L, Array.fill(8)(0.5f)), (2L, Array.fill(8)(0.25f)))
+      .toDF("vec_id", "embedding")
+    val pq = graft.operators.Similarity.pqTopK(tiny, tiny, "vec_id", "embedding",
+      k = 5, numSub = 2, codebook = 8).collect()
+    assert(pq.length == 2) // each vector's only neighbor is the other
+  }
+
   test("sessionize and topk handle empty input") {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
