@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{array, col, explode, lit, struct, when}
 
 /** Distributed triangle counting with degree-ordered orientation —
   * the classic bound that makes the multi-way self-join feasible at
@@ -17,26 +17,58 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
+  /** (x, d) degree table of the undirected edge list. */
+  private def degrees(e: DataFrame): DataFrame =
+    e.select(explode(array(col("u"), col("v"))).as("x"))
+      .groupBy(col("x"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("d"))
+
+  /** Orient u—v from lower (degree, id) to higher: (s, t) rows. */
+  private def orient(e: DataFrame, deg: DataFrame): DataFrame =
+    e.join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+
+  /** One (a, b, c) row per triangle, a = lowest-rank apex. */
+  private def triangleRows(oriented: DataFrame): DataFrame = {
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.t") === col("e2.s"))
+      .select(col("e1.s").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))
+    wedges.join(oriented.as("e3"),
+      col("a") === col("e3.s") && col("c") === col("e3.t"))
+      .select(col("a"), col("b"), col("c"))
+  }
+
   /** Orient `edges` (distinct undirected pairs uCol/vCol) by
     * (degree, id) and return the single-row triangle count.
     */
   def count(edges: DataFrame, uCol: String, vCol: String): DataFrame = {
     val e = edges.select(col(uCol).as("u"), col(vCol).as("v"))
-    val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
-      .groupBy(col("x")).agg(org.apache.spark.sql.functions.count(lit(1)).as("d"))
-    val ranked = e
-      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
-      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
-    val oriented = ranked.select(
-      when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
-        struct(col("u").as("s"), col("v").as("t")))
-        .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
-      .select(col("e.s").as("s"), col("e.t").as("t"))
-    val wedges = oriented.as("e1")
-      .join(oriented.as("e2"), col("e1.t") === col("e2.s"))
-      .select(col("e1.s").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))
-    wedges.join(oriented.as("e3"),
-        col("a") === col("e3.s") && col("c") === col("e3.t"))
+    triangleRows(orient(e, degrees(e)))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_triangles"))
+  }
+
+  /** Per-node triangle participation: every found triangle credits
+    * its THREE vertices (the orientation makes each triangle unique,
+    * so the explode is exact), joined back onto the degree table so
+    * nodes in no triangle report 0. `n_wedges` = d(d−1)/2 is the
+    * local clustering coefficient's denominator — kept integer, so
+    * the whole result is FP-free and exact on any engine.
+    */
+  def perNode(edges: DataFrame, uCol: String, vCol: String): DataFrame = {
+    val e = edges.select(col(uCol).as("u"), col(vCol).as("v"))
+    val deg = degrees(e)
+    val credits = triangleRows(orient(e, deg))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("x"))
+      .groupBy(col("x"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_tri"))
+    deg.join(credits, Seq("x"), "left")
+      .select(col("x").as("node"),
+        org.apache.spark.sql.functions.coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        (col("d") * (col("d") - 1) / 2).cast("long").as("n_wedges"))
   }
 }

@@ -429,17 +429,48 @@ object Analytics {
     * corpora grow the vertex set with the data). Pure integer
     * output — exact at any SF by construction.
     */
-  def qTriangles(spark: SparkSession, dir: String): DataFrame = {
+  private def bulkCoPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = Tables(spark, dir).lineitem
       .filter($"l_quantity" >= 40)
       .select($"l_orderkey".as("ok"), $"l_partkey".as("p"))
-    val e = li.as("a").join(li.as("b"),
+    li.as("a").join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
       .select(col("a.p").as("u"), col("b.p").as("v"))
       .distinct()
-    graft.operators.Triangles.count(e, "u", "v")
   }
+
+  def qTriangles(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Triangles.count(bulkCoPurchaseEdges(spark, dir), "u", "v")
+
+  /** Per-node triangle participation over the same graph: n_tri and
+    * the integer wedge denominator d(d−1)/2 — the local clustering
+    * coefficient without a single FP operation, so the top-20 ranking
+    * (n_tri desc, node) is exact on any engine.
+    */
+  def qClusteringCoef(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Triangles.perNode(bulkCoPurchaseEdges(spark, dir), "u", "v")
+      .orderBy($"n_tri".desc, $"node")
+      .limit(20)
+  }
+
+  private val qClusteringCoefSql =
+    """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem WHERE l_quantity >= 40),
+      |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+      |deg AS (SELECT x, count(*) AS d FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY x),
+      |o AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v) THEN e.u ELSE e.v END AS s,
+      |             CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v) THEN e.v ELSE e.u END AS t
+      |      FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v),
+      |w AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c FROM o e1 JOIN o e2 ON e1.t = e2.s),
+      |tri AS (SELECT a, b, c FROM w JOIN o e3 ON w.a = e3.s AND w.c = e3.t),
+      |cr AS (SELECT x, count(*) AS n_tri FROM (
+      |         SELECT a AS x FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+      |       GROUP BY x)
+      |SELECT deg.x AS node, coalesce(cr.n_tri, 0) AS n_tri,
+      |  CAST(deg.d * (deg.d - 1) // 2 AS BIGINT) AS n_wedges
+      |FROM deg LEFT JOIN cr ON cr.x = deg.x
+      |ORDER BY n_tri DESC, node LIMIT 20""".stripMargin
 
   private val qTrianglesSql =
     """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem WHERE l_quantity >= 40),
@@ -453,6 +484,7 @@ object Analytics {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q_triangles", qTriangles _, qTrianglesSql),
+    QueryDef.sql("q_clustering_coef", qClusteringCoef _, qClusteringCoefSql),
     QueryDef.sql("q_array_ops", qArrayOps _, qArrayOpsSql),
     QueryDef.sql("q_unpivot", qUnpivot _, qUnpivotSql),
     QueryDef.sql("etl_merge_schema", etlMergeSchema _, etlMergeSchemaSql),

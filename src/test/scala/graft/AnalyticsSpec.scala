@@ -180,4 +180,16 @@ class AnalyticsSpec extends GraftSuite {
     // K4 plus a pendant edge: still 4
     assert(n(Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),(4L,5L))) == 4)
   }
+
+  test("per-node triangle credits and wedge denominators are exact") {
+    // K4 + pendant: nodes 1-3 sit in 3 triangles with deg 3 (wedges 3);
+    // node 4 in 3 with deg 4 (wedges 6); pendant node 5 in 0, deg 1
+    val got = graft.operators.Triangles.perNode(
+        Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),(4L,5L)).toDF("u","v"),
+        "u", "v")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((3L, 3L)) && got(2L) == ((3L, 3L)) && got(3L) == ((3L, 3L)))
+    assert(got(4L) == ((3L, 6L)))
+    assert(got(5L) == ((0L, 0L)))
+  }
 }
