@@ -112,6 +112,10 @@ object Bench {
         pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
         pb.environment().put("SPARK_GRAFT_CPUS", cpus)
         pb.environment().put("SPARK_GRAFT_BENCH_ITERS", iters.toString)
+        // the child must warm up where the parent did (a custom or
+        // disabled warmup dir would otherwise silently revert to the
+        // default path, which may not exist in that configuration)
+        pb.environment().put("SPARK_GRAFT_WARMUP_DIR", warmDir)
         pb.redirectErrorStream(false)
         val t = try {
           val p = pb.start()
@@ -120,7 +124,8 @@ object Bench {
           if (!p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)) { p.destroyForcibly(); -1.0 }
           else {
             val out = scala.concurrent.Await.result(outF, scala.concurrent.duration.Duration(10, "s"))
-            val re = ("\"" + java.util.regex.Pattern.quote(name) + "\":(-?[0-9.eE+]+)").r
+            val re = ("\"" + java.util.regex.Pattern.quote(name) +
+              "\":(-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)").r
             re.findFirstMatchIn(out).map(_.group(1).toDouble).getOrElse(-1.0)
           }
         } catch { case scala.util.control.NonFatal(e) =>

@@ -42,6 +42,9 @@ object Bmp {
       throw Png.Unsupported(s"bad dimensions ${width}x$rawHeight")
     val srcBytesPerPx = bpp / 8
     val rowSize = ((width * srcBytesPerPx + 3) / 4) * 4
+    // a negative/in-header dataOff is malformed and would index before
+    // the pixel array — reject it as Unsupported, not an AIOOBE
+    if (dataOff < 54) throw Png.Unsupported(s"bad pixel-data offset ($dataOff)")
     if (dataOff.toLong + rowSize.toLong * height > bytes.length)
       throw Png.Unsupported("truncated pixel data")
     val out = new Array[Byte](width * height * 3)

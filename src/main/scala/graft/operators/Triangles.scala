@@ -69,6 +69,9 @@ object Triangles {
     deg.join(credits, Seq("x"), "left")
       .select(col("x").as("node"),
         org.apache.spark.sql.functions.coalesce(col("n_tri"), lit(0L)).as("n_tri"),
-        (col("d") * (col("d") - 1) / 2).cast("long").as("n_wedges"))
+        // integer `div`, not Column `/` (double division): d(d-1) is
+        // long arithmetic end to end, matching the oracle's `//` even
+        // for degrees where d(d-1) exceeds 2^53
+        org.apache.spark.sql.functions.expr("d * (d - 1) div 2").as("n_wedges"))
   }
 }
