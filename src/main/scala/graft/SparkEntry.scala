@@ -9,7 +9,8 @@ object SparkEntry {
   /** Every implemented operator, one QueryDef each (SURVEY.md §2). */
   def allDefs: Seq[QueryDef] =
     Relational.defs ++ Etl.defs ++ Text.defs ++ DedupQ.defs ++ SimilarityQ.defs ++
-      Extra.defs ++ TrainingQ.defs ++ TpchMore.defs ++ Analytics.defs ++ CorpusQ.defs
+      Extra.defs ++ TrainingQ.defs ++ TpchMore.defs ++ Analytics.defs ++ CorpusQ.defs ++
+      QualityQ.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
