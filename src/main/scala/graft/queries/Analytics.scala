@@ -472,6 +472,44 @@ object Analytics {
       |FROM deg LEFT JOIN cr ON cr.x = deg.x
       |ORDER BY n_tri DESC, node LIMIT 20""".stripMargin
 
+  /** Multi-source BFS hop distances over the same co-purchase graph
+    * (r6, [[graft.operators.Bfs]]): the 3 lowest-id nodes seed at
+    * distance 0, four frontier-expansion rounds settle everything
+    * within 4 hops. Work per round is O(edges incident to the
+    * frontier) — a node expands exactly once — and each frontier is
+    * lazily localCheckpointed (the ClusterDedup lineage rule). The
+    * DuckDB oracle unrolls the identical 4 rounds in SQL, so the
+    * iterative loop is exactly hash-matched like q_pagerank's.
+    */
+  def qShortestPaths(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = bulkCoPurchaseEdges(spark, dir)
+    val sources = e.select($"u".as("node"))
+      .unionByName(e.select($"v".as("node")))
+      .distinct().orderBy($"node").limit(3)
+    graft.operators.Bfs.distances(e, sources, rounds = 4)
+      .orderBy($"dist", $"node")
+  }
+
+  private val qShortestPathsSql = {
+    val rounds = 4
+    val head =
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem WHERE l_quantity >= 40),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+        |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |src AS (SELECT x AS node FROM (SELECT u AS x FROM e UNION SELECT v AS x FROM e) ORDER BY x LIMIT 3),
+        |d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM src)""".stripMargin
+    val iters = (1 to rounds).map { r =>
+      s"""d$r AS (SELECT * FROM d${r - 1} UNION ALL
+         |  SELECT n.node, CAST($r AS BIGINT) AS dist FROM (
+         |    SELECT DISTINCT s.v AS node FROM sym s
+         |    JOIN d${r - 1} f ON f.node = s.u AND f.dist = ${r - 1}) n
+         |  WHERE NOT EXISTS (SELECT 1 FROM d${r - 1} x WHERE x.node = n.node))""".stripMargin
+    }
+    head + iters.mkString(",\n", ",\n", "") +
+      s"\nSELECT node, dist FROM d$rounds ORDER BY dist, node"
+  }
+
   private val qTrianglesSql =
     """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem WHERE l_quantity >= 40),
       |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
@@ -485,6 +523,7 @@ object Analytics {
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q_triangles", qTriangles _, qTrianglesSql),
     QueryDef.sql("q_clustering_coef", qClusteringCoef _, qClusteringCoefSql),
+    QueryDef.sql("q_shortest_paths", qShortestPaths _, qShortestPathsSql),
     QueryDef.sql("q_array_ops", qArrayOps _, qArrayOpsSql),
     QueryDef.sql("q_unpivot", qUnpivot _, qUnpivotSql),
     QueryDef.sql("etl_merge_schema", etlMergeSchema _, etlMergeSchemaSql),

@@ -192,4 +192,33 @@ class AnalyticsSpec extends GraftSuite {
     assert(got(4L) == ((3L, 6L)))
     assert(got(5L) == ((0L, 0L)))
   }
+
+  // ----------------------------------------------- multi-source BFS
+
+  test("bfs settles exact hop distances, expands each node once, stops at the hop budget") {
+    // path 1-2-3-4-5-6 plus a disconnected edge 10-11
+    val edges = Seq((1L,2L),(2L,3L),(3L,4L),(4L,5L),(5L,6L),(10L,11L)).toDF("u","v")
+    val got = graft.operators.Bfs.distances(
+        edges, Seq(1L).toDF("node"), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // nodes 5, 6 (dist 4, 5) and the 10-11 component are absent
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("bfs multi-source: nearest seed wins and seeds stay at zero") {
+    // 1-2-3-4-5 seeded from both ends: middle node takes the min side
+    val edges = Seq((1L,2L),(2L,3L),(3L,4L),(4L,5L)).toDF("u","v")
+    val got = graft.operators.Bfs.distances(
+        edges, Seq(1L, 5L).toDF("node"), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L))
+  }
+
+  test("bfs with an empty frontier mid-run returns only the settled set") {
+    val edges = Seq((1L,2L)).toDF("u","v")
+    val got = graft.operators.Bfs.distances(
+        edges, Seq(1L).toDF("node"), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L))
+  }
 }
