@@ -290,4 +290,44 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round($("cos"), 4).as("cosine"))
   }
+
+  /** SemDeDup-style semantic dedup: embeddings are coarse-clustered
+    * (nearest of `numCentroids` deterministic seed centroids — the
+    * same construction as IVF; production would k-means, seeding
+    * keeps the plan oracle-replayable), then near-duplicate pairs are
+    * found ONLY within each cluster and every vector is flagged with
+    * the minimum smaller same-cluster id whose cosine ≥ tau. The
+    * quadratic is bounded per cluster — O(Σ |cluster|²) instead of
+    * n², and with production cluster counts (n/1000s) each cluster's
+    * pair block fits one task. This trades the cross-cluster
+    * near-dups away by design (the SemDeDup recipe: semantically
+    * close vectors land in the same cluster), which
+    * [[embeddingPairsLsh]] covers when global recall matters.
+    */
+  def semantic(df: DataFrame, idCol: String, vecCol: String, tau: Double,
+               numCentroids: Int = 10): DataFrame = {
+    import graft.functions.VecFns
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VecFns.norm(col(vecCol)).as("nrm"))
+    val cents = df.orderBy(col(idCol)).limit(numCentroids)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_v"))
+    // nearest centroid (max cosine, tie by c_id) via bounded heaps
+    val assigned = TopK(
+      v.crossJoin(broadcast(cents))
+        .withColumn("c_cos", VecFns.cosine($("v"), $("c_v"))),
+      Seq($("id")), Seq($("c_cos").desc, $("c_id")), 1)
+      .select($("id"), $("v"), $("nrm"), $("c_id").as("cluster"))
+      .persist() // pair join reads both sides; released by clearCache
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .withColumn("cos", VecFns.cosinePrenormed(
+        VecFns.dot(col("a.v"), col("b.v")), col("a.nrm"), col("b.nrm")))
+      .filter($("cos") >= tau)
+      .select(col("a.id").as("keep_id"), col("b.id").as("id"))
+    val dupOf = pairs.groupBy($("id")).agg(min($("keep_id")).as("dup_of"))
+    assigned.select($("id"), $("cluster"))
+      .join(dupOf, Seq("id"), "left")
+      .select($("id"), $("cluster"), $("dup_of"),
+        $("dup_of").isNotNull.as("is_dup"))
+  }
 }

@@ -117,6 +117,39 @@ object Similarity {
         round(col("cos"), 4).as("cosine"), col("rk").cast("long").as("rk"))
   }
 
+  /** Corpus-wide kNN JOIN — every vector's top-k neighbors (the kNN
+    * graph behind retrieval-augmented dedup, graph clustering and
+    * kNN-LM), not just a query set's. Unlike [[lshTopK]], the probe
+    * side IS the corpus, so nothing broadcasts: vectors bucket by the
+    * compiled hyperplane signature, probes explode to their own
+    * bucket plus all 1-bit flips, and candidates come from a plain
+    * (shuffled) equi-join on the bucket — per-bucket work is
+    * O(|bucket| × |probes in bucket|), never n². The exact-cosine
+    * scoring stays in whole-stage codegen and the final top-k runs
+    * through the native bounded-heap tier.
+    */
+  def knnJoin(vectors: DataFrame, idCol: String, vecCol: String, k: Int,
+              planes: Int = 4): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VecFns.norm(col(vecCol)).as("nrm"),
+      planeSig(vecCol, planes).as("bucket"))
+      .persist() // both join sides read it; released by clearCache
+    val probes = v
+      .select(col("id").as("q_id"), col("v").as("q_v"),
+        col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
+      .withColumn("bucket", explode(expr(
+        s"array_union(array(q_bucket), transform(sequence(0, ${planes - 1}), p -> " +
+          "CAST(q_bucket AS BIGINT) ^ shiftleft(CAST(1 AS BIGINT), p)))")))
+      .select(col("q_id"), col("q_v"), col("q_nrm"), col("bucket"))
+    val scored = v.join(probes, "bucket") // no hint: both sides corpus-sized
+      .filter(col("id") =!= col("q_id"))
+      .withColumn("cos", VecFns.cosinePrenormed(
+        VecFns.dot(col("v"), col("q_v")), col("nrm"), col("q_nrm")))
+    TopK(scored, Seq(col("q_id")), Seq(col("cos").desc, col("id")), k)
+      .select(col("q_id"), col("id").as("neighbor_id"),
+        round(col("cos"), 4).as("cosine"), col("rk").cast("long").as("rk"))
+  }
+
   /** Product-quantization ANN (inner-product PQ with asymmetric
     * distance): the vector space splits into `numSub` subspaces, each
     * with a `codebook`-entry codebook (deterministic seed set — the

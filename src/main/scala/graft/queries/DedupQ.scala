@@ -265,6 +265,39 @@ object DedupQ {
       |  FROM cand JOIN v a ON a.vec_id = id_a JOIN v b ON b.vec_id = id_b)
       |SELECT id_a, id_b, round(c, 4) AS cosine FROM j WHERE c >= 0.45 ORDER BY id_a, id_b""".stripMargin
 
+  /** SemDeDup-style semantic dedup (r6, [[Dedup.semantic]]): coarse
+    * clusters bound the quadratic — pairs are scored only within a
+    * cluster and every vector reports the min smaller same-cluster id
+    * at cosine ≥ τ. Deterministic seed centroids (the IVF
+    * construction) make the whole plan — assignment, pair join,
+    * min-fold — exactly replayable in SQL.
+    */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.semantic(Tables(spark, dir).embeddings, "vec_id", "embedding", tau = 0.45)
+      .orderBy($"id")
+  }
+
+  private val dedupSemanticSql =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |cents AS (SELECT vec_id AS c_id, e AS ce FROM v ORDER BY vec_id LIMIT 10),
+      |ac AS (
+      |  SELECT vec_id, c_id,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY
+      |      list_dot_product(e, ce) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))) DESC, c_id) AS rn
+      |  FROM v, cents),
+      |assigned AS (SELECT vec_id, c_id AS cluster FROM ac WHERE rn = 1),
+      |p AS (
+      |  SELECT a.vec_id AS keep_id, b.vec_id AS vec_id
+      |  FROM assigned a JOIN assigned b
+      |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      |  JOIN v va ON va.vec_id = a.vec_id JOIN v vb ON vb.vec_id = b.vec_id
+      |  WHERE list_dot_product(va.e, vb.e) /
+      |    (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))) >= 0.45),
+      |d AS (SELECT vec_id, min(keep_id) AS dup_of FROM p GROUP BY vec_id)
+      |SELECT a.vec_id AS id, a.cluster, d.dup_of, d.dup_of IS NOT NULL AS is_dup
+      |FROM assigned a LEFT JOIN d USING (vec_id) ORDER BY id""".stripMargin
+
   /** Sub-document (chunk-level) dedup — the RefinedWeb-style pass that
     * removes REPEATED SPANS across the corpus, not just whole-doc
     * copies: the same 100-token / stride-80 chunking as `text_chunk`,
@@ -327,5 +360,6 @@ object DedupQ {
     QueryDef.sql("dedup_minhash_lsh", dedupMinhashLsh _, dedupMinhashLshSql),
     QueryDef.sql("dedup_simhash", dedupSimhash _, dedupSimhashSql),
     QueryDef.sql("dedup_embedding", dedupEmbedding _, dedupEmbeddingSql),
-    QueryDef.sql("dedup_embedding_lsh", dedupEmbeddingLsh _, dedupEmbeddingLshSql))
+    QueryDef.sql("dedup_embedding_lsh", dedupEmbeddingLsh _, dedupEmbeddingLshSql),
+    QueryDef.sql("dedup_semantic", dedupSemantic _, dedupSemanticSql))
 }

@@ -201,6 +201,47 @@ object SimilarityQ {
       |      FROM scored)
       |SELECT q_id, neighbor_id, adc, rk FROM r WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
 
+  /** Corpus-wide kNN graph (r6, [[Similarity.knnJoin]]): every
+    * vector's top-5 neighbors via the hyperplane-bucket equi-join —
+    * the probe side is the corpus itself, so unlike `ann_lsh_topk`
+    * nothing broadcasts and candidates come from a plain shuffled
+    * join on the bucket. Fully deterministic (md5-derived planes), so
+    * the oracle replays bucketing, 1-bit-flip probing, scoring and
+    * ranking exactly.
+    */
+  def annKnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).embeddings
+    Similarity.knnJoin(e, "vec_id", "embedding", k = 5)
+      .orderBy($"q_id", $"rk")
+  }
+
+  private val annKnnJoinSql =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * 1048576.0)) AS qx,
+      |         CAST(embedding AS DOUBLE[]) AS e
+      |  FROM embeddings),
+      |w AS (
+      |  SELECT p, list(CAST(CAST(CAST(('0x'||substr(md5('hp:'||p||':'||j),1,16)) AS UBIGINT) % 2001 AS BIGINT) - 1000 AS DOUBLE) ORDER BY j) AS wv
+      |  FROM range(0, 4) t(p), range(0, 64) d(j) GROUP BY p),
+      |bk AS (
+      |  SELECT vec_id, SUM(CASE WHEN list_dot_product(qx, wv) > 0 THEN CAST(1 AS BIGINT) << CAST(p AS INTEGER) ELSE 0 END) AS bucket
+      |  FROM v, w GROUP BY vec_id),
+      |probes AS (
+      |  SELECT DISTINCT q_id, pb FROM (
+      |    SELECT vec_id AS q_id, bucket AS pb FROM bk
+      |    UNION ALL
+      |    SELECT vec_id, CAST(xor(bucket, CAST(1 AS BIGINT) << CAST(p AS INTEGER)) AS BIGINT)
+      |    FROM bk, range(0, 4) r(p))),
+      |scored AS (
+      |  SELECT p.q_id, b.vec_id AS neighbor_id,
+      |    list_dot_product(e.e, q.e) / (sqrt(list_dot_product(e.e, e.e)) * sqrt(list_dot_product(q.e, q.e))) AS c
+      |  FROM probes p JOIN bk b ON b.bucket = p.pb
+      |  JOIN v e ON e.vec_id = b.vec_id JOIN v q ON q.vec_id = p.q_id
+      |  WHERE b.vec_id <> p.q_id),
+      |r AS (SELECT q_id, neighbor_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, neighbor_id) AS rk FROM scored)
+      |SELECT q_id, neighbor_id, round(c, 4) AS cosine, rk FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
   /** Binary payload stats: byte length + content digest of the packed
     * media column (DuckDB encode() parity).
     */
@@ -383,6 +424,7 @@ object SimilarityQ {
     QueryDef.sql("ann_ivf_topk", annIvf _, annIvfSql),
     QueryDef.sql("ann_pq_topk", annPq _, annPqSql),
     QueryDef.sql("ann_ivf_pq_topk", annIvfPq _, annIvfPqSql),
+    QueryDef.sql("ann_knn_join", annKnnJoin _, annKnnJoinSql),
     QueryDef.sql("mm_binary_stats", mmBinaryStats _, mmBinaryStatsSql),
     QueryDef.sql("mm_featurize", mmFeaturize _, mmFeaturizeSql),
     QueryDef.sql("mm_frame_sample", mmFrameSample _, mmFrameSampleSql),

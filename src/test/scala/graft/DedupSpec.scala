@@ -124,4 +124,45 @@ class DedupSpec extends GraftSuite {
     assert(plain == bloom)
     assert(plain.nonEmpty)
   }
+
+  test("semantic dedup: fixture clusters flag near-copies against the min id") {
+    // seeds (ids 0, 1) point along orthogonal axes; 10/11 are scaled
+    // copies (cosine 1 with their seed), 12 is a noisy copy of seed 0,
+    // 13 is oblique enough to clear cluster assignment but miss tau
+    val vecs = Seq(
+      0L -> Array(1f, 0f, 0f, 0f),
+      1L -> Array(0f, 1f, 0f, 0f),
+      10L -> Array(2f, 0f, 0f, 0f),
+      11L -> Array(0f, 3f, 0f, 0f),
+      12L -> Array(0.9f, 0.1f, 0f, 0f),
+      13L -> Array(0.3f, 0f, 0.95f, 0f))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Dedup.semantic(df, "vec_id", "embedding", tau = 0.9, numCentroids = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]), r.getBoolean(3))))
+      .toMap
+    assert(got(0L) === ((0L, None, false)))      // cluster representative
+    assert(got(10L) === ((0L, Some(0L), true)))  // exact-direction copy
+    assert(got(12L) === ((0L, Some(0L), true)))  // noisy copy, cos ≈ 0.994
+    assert(got(11L) === ((1L, Some(1L), true)))
+    assert(got(1L) === ((1L, None, false)))
+    assert(got(13L)._1 === 0L && !got(13L)._3)   // same cluster, below tau
+  }
+
+  test("semantic dedup flags exactly the same-cluster exact pairs") {
+    val emb = Tables(spark, sf0001).embeddings
+    val out = Dedup.semantic(emb, "vec_id", "embedding", tau = 0.45)
+    val clusters = out.select($"id", $"cluster")
+    // ground truth: exact all-pairs cosine, restricted to same cluster
+    val exact = Dedup.embeddingPairs(emb, "vec_id", "embedding", tau = 0.45)
+      .join(clusters.select($"id".as("id_a"), $"cluster".as("ca")), "id_a")
+      .join(clusters.select($"id".as("id_b"), $"cluster".as("cb")), "id_b")
+      .filter($"ca" === $"cb")
+    val expect = exact.groupBy($"id_b".as("id")).agg(min($"id_a").as("dup_of"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = out.filter($"is_dup").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
 }

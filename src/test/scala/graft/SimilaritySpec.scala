@@ -68,4 +68,26 @@ class SimilaritySpec extends GraftSuite {
     info(s"ivf-pq recall@10 = $recall")
     assert(recall >= 0.15)
   }
+
+  test("kNN join agrees with lshTopK on any query subset (same buckets, same probes)") {
+    // knnJoin's probe set for a vector is identical to lshTopK's for
+    // the same vector (own bucket + 1-bit flips), so restricting the
+    // corpus-wide graph to the query ids must reproduce lshTopK@5
+    val graph = Similarity.knnJoin(emb, "vec_id", "embedding", k = 5)
+      .filter($"q_id" < 10)
+    val direct = Similarity.lshTopK(emb, qs, "vec_id", "embedding", k = 5)
+    assert(graph.collect().toSet === direct.collect().toSet)
+  }
+
+  test("kNN join covers every vector with k rows and descending cosine") {
+    val rows = Similarity.knnJoin(emb, "vec_id", "embedding", k = 3).collect()
+    val n = emb.count()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size.toLong === n) // every vector has neighbors (buckets+flips never empty)
+    byQ.values.foreach { g =>
+      assert(g.length <= 3)
+      val cs = g.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
 }
