@@ -43,6 +43,17 @@ object Sample {
     df.filter(md5Bucket(col(idCol)) < cutoff)
   }
 
+  /** Importance-weighted deterministic sampling: keep each row with
+    * probability `prob` (a per-row column in [0, 1] — e.g. a quality
+    * score, so better documents survive proportionally more often).
+    * Same md5 content-addressing as [[stratified]]: shuffle-free,
+    * retry-stable, and exactly replayable by an oracle. The cutoff is
+    * `floor(prob·1e6)` computed in-plan — floor of the same IEEE
+    * product on both engines, so no rounding divergence.
+    */
+  def weighted(df: DataFrame, idCol: String, prob: Column): DataFrame =
+    df.filter(md5Bucket(col(idCol)) < floor(prob * lit(1000000.0)))
+
   /** Greedy contiguous sequence packing: within each `groupCol`
     * shard, documents (ordered by id — deterministic) fill fixed
     * token-budget training sequences; a doc starts a new sequence

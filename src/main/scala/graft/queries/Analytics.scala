@@ -510,6 +510,39 @@ object Analytics {
       s"\nSELECT node, dist FROM d$rounds ORDER BY dist, node"
   }
 
+  /** k-core peeling over the co-purchase graph (r6,
+    * [[graft.operators.KCore]]): 3 rounds of drop-degree-<4 — the
+    * dense-subgraph seed every community/spam-cluster pipeline
+    * starts from. The edge list only shrinks, so round cost is
+    * monotonically decreasing; the DuckDB oracle unrolls the
+    * identical 3 rounds (the q_pagerank/q_shortest_paths pattern).
+    */
+  def qKcore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.KCore.peel(bulkCoPurchaseEdges(spark, dir), k = 4, rounds = 3)
+      .orderBy($"node")
+  }
+
+  private val qKcoreSql = {
+    val (k, rounds) = (4, 3)
+    val head =
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem WHERE l_quantity >= 40),
+        |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p)""".stripMargin
+    val iters = (1 to rounds).map { r =>
+      s"""k$r AS (SELECT x FROM (
+         |    SELECT x, count(*) AS d FROM (
+         |      SELECT u AS x FROM e${r - 1} UNION ALL SELECT v FROM e${r - 1})
+         |    GROUP BY x) WHERE d >= $k),
+         |e$r AS (SELECT u, v FROM e${r - 1}
+         |        WHERE u IN (SELECT x FROM k$r) AND v IN (SELECT x FROM k$r))""".stripMargin
+    }
+    head + iters.mkString(",\n", ",\n", "") +
+      s"""
+         |SELECT x AS node, count(*) AS deg FROM (
+         |  SELECT u AS x FROM e$rounds UNION ALL SELECT v FROM e$rounds)
+         |GROUP BY x ORDER BY node""".stripMargin
+  }
+
   private val qTrianglesSql =
     """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem WHERE l_quantity >= 40),
       |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
@@ -524,6 +557,7 @@ object Analytics {
     QueryDef.sql("q_triangles", qTriangles _, qTrianglesSql),
     QueryDef.sql("q_clustering_coef", qClusteringCoef _, qClusteringCoefSql),
     QueryDef.sql("q_shortest_paths", qShortestPaths _, qShortestPathsSql),
+    QueryDef.sql("q_kcore", qKcore _, qKcoreSql),
     QueryDef.sql("q_array_ops", qArrayOps _, qArrayOpsSql),
     QueryDef.sql("q_unpivot", qUnpivot _, qUnpivotSql),
     QueryDef.sql("etl_merge_schema", etlMergeSchema _, etlMergeSchemaSql),

@@ -185,9 +185,90 @@ object QualityQ {
       |    AND (s.price < r.price OR s.sz > r.sz))
       |ORDER BY price""".stripMargin
 
+  /** Exponentially weighted moving average per user over the purchase
+    * stream (α = 0.25, s₀ = first value) — the smoothing primitive
+    * behind anomaly baselines and feature pipelines. EWMA is a
+    * sequential recurrence, so it runs as ONE per-key fold: values
+    * collect in arrival order (event_id — the stream's sequence
+    * number, deterministic on any engine) and a codegen'd `aggregate`
+    * lambda folds them left-to-right; both engines fold in identical
+    * order, so the doubles agree exactly (the q_array_ops parity).
+    * Scale: per-key state is that key's own event list — the same
+    * bounded-per-entity contract as sessionization; the groupBy is
+    * the only shuffle.
+    */
+  def tsEwma(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).events
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list(struct($"event_id", $"value"))).as("seq"))
+      .withColumn("vals", expr("transform(seq, x -> x.value)"))
+      .select($"user_id", size($"vals").cast("long").as("n_events"),
+        round(expr(
+          "aggregate(slice(vals, 2, size(vals) - 1), element_at(vals, 1)," +
+            " (acc, x) -> acc * 0.75 + 0.25 * x)"), 4).as("ewma"))
+      .orderBy($"user_id")
+  }
+
+  private val tsEwmaSql =
+    """SELECT user_id, count(*) AS n_events,
+      |  round(list_reduce(list(value ORDER BY event_id),
+      |    (acc, x) -> acc * 0.75 + 0.25 * x), 4) AS ewma
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Order-independent content digests of two tables
+    * ([[graft.etl.TableDigest]]): rows hash scan-side (floats enter
+    * as integer cents, timestamps as epoch micros — raw float/ts
+    * string formatting is not defined cross-engine), the table digest
+    * is the map-side-combinable XOR of row hashes, and comparing two
+    * tables moves one row each. The hash-match against DuckDB is the
+    * point: the digest only works as an integrity check if two
+    * INDEPENDENT engines derive the same value from the same rows.
+    */
+  def etlTableDigest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val cust = graft.etl.TableDigest.digest(t.customer, "customer", Seq(
+      $"c_custkey", $"c_name", $"c_nationkey",
+      round($"c_acctbal" * 100).cast("long"), $"c_mktsegment"))
+    val ord = graft.etl.TableDigest.digest(t.orders, "orders", Seq(
+      $"o_orderkey", $"o_custkey", $"o_orderstatus",
+      round($"o_totalprice" * 100).cast("long"),
+      // o_orderdate is TIMESTAMP_NTZ; the session is pinned UTC, so
+      // the cast to TIMESTAMP is epoch-identical to DuckDB's epoch_us
+      expr("unix_micros(cast(o_orderdate as timestamp))"), $"o_orderpriority"))
+    cust.unionByName(ord).orderBy($"table_name")
+  }
+
+  private val etlTableDigestSql =
+    """WITH c AS (
+      |  SELECT CAST(('0x' || substr(md5(
+      |    CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' ||
+      |    CAST(c_nationkey AS VARCHAR) || '|' ||
+      |    CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR) || '|' ||
+      |    c_mktsegment), 1, 15)) AS UBIGINT) AS rh
+      |  FROM customer),
+      |o AS (
+      |  SELECT CAST(('0x' || substr(md5(
+      |    CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' ||
+      |    o_orderstatus || '|' ||
+      |    CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR) || '|' ||
+      |    CAST(epoch_us(o_orderdate) AS VARCHAR) || '|' ||
+      |    o_orderpriority), 1, 15)) AS UBIGINT) AS rh
+      |  FROM orders)
+      |SELECT 'customer' AS table_name, count(*) AS n_rows,
+      |  CAST(bit_xor(rh) AS BIGINT) AS xor_digest FROM c
+      |UNION ALL
+      |SELECT 'orders', count(*), CAST(bit_xor(rh) AS BIGINT) FROM o
+      |ORDER BY table_name""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("etl_profile", etlProfile _, etlProfileSql),
     QueryDef.sql("q_outlier_iqr", qOutlierIqr _, qOutlierIqrSql),
     QueryDef.sql("q_gap_fill", qGapFill _, qGapFillSql),
-    QueryDef.sql("q_skyline", qSkyline _, qSkylineSql))
+    QueryDef.sql("q_skyline", qSkyline _, qSkylineSql),
+    QueryDef.sql("ts_ewma", tsEwma _, tsEwmaSql),
+    QueryDef.sql("etl_table_digest", etlTableDigest _, etlTableDigestSql))
 }

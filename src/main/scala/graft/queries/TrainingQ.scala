@@ -34,6 +34,43 @@ object TrainingQ {
       |WHERE bucket < cutoff
       |ORDER BY doc_id""".stripMargin
 
+  /** Quality-weighted corpus sampling (r6, [[Sample.weighted]]): each
+    * document survives with probability quality², so the sampler
+    * preferentially keeps high-quality text instead of hard-dropping
+    * at a threshold — the soft variant of the C4-style quality floor
+    * (a hard cutoff throws away ALL borderline data; importance
+    * sampling keeps a calibrated fraction of it). Deterministic md5
+    * addressing: same survivors under any partitioning/retry, and the
+    * oracle replays the exact row set. The score is the same
+    * [[Text.qualityScore]] every quality gate shares.
+    */
+  def corpusQualitySample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables(spark, dir).documents
+      .withColumn("quality_score", Text.qualityScore($"text"))
+    Sample.weighted(d, "doc_id", $"quality_score" * $"quality_score")
+      .select($"doc_id", $"source", $"quality_score")
+      .orderBy($"doc_id")
+  }
+
+  private val corpusQualitySampleSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, length(text) AS n_chars,
+       |    len(${QueryDef.toksSql()}) AS n_tokens,
+       |    len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+       |    len(list_filter(${QueryDef.toksSql()},
+       |      t -> t IN ('the','a','and','of','to','in','is','it'))) AS n_stop
+       |  FROM documents),
+       |q AS (SELECT doc_id, source, round(
+       |    least(1.0, n_chars / 500.0) * 0.25 + (n_alpha / n_chars) * 0.25 +
+       |    (1.0 - n_stop / n_tokens) * 0.25 +
+       |    least(1.0, ((n_chars - (n_tokens - 1)) / n_tokens) / 8.0) * 0.25, 4) AS quality_score
+       |  FROM d)
+       |SELECT doc_id, source, quality_score FROM q
+       |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+       |  < floor(quality_score * quality_score * 1000000.0)
+       |ORDER BY doc_id""".stripMargin
+
   /** Greedy per-source sequence packing into 512-token budgets —
     * window running-sum, fully SQL-expressible.
     */
@@ -120,6 +157,7 @@ object TrainingQ {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("etl_stratified_sample", etlStratifiedSample _, etlStratifiedSampleSql),
+    QueryDef.sql("corpus_quality_sample", corpusQualitySample _, corpusQualitySampleSql),
     QueryDef.sql("text_pack", textPack _, textPackSql),
     QueryDef.sql("q_salted_join", qSaltedJoin _, qSaltedJoinSql),
     QueryDef.sql("pipeline_corpus", pipelineCorpus _, pipelineCorpusSql))

@@ -214,6 +214,24 @@ class AnalyticsSpec extends GraftSuite {
     assert(got === Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L))
   }
 
+  test("k-core peeling strips a tail one hop per round down to the stable core") {
+    // triangle 1-2-3 with tail 3-4-5: k=2 peels 5 (round 1) then 4
+    // (round 2); the triangle is the stable 2-core
+    val edges = Seq((1L,2L),(2L,3L),(1L,3L),(3L,4L),(4L,5L)).toDF("u","v")
+    def run(rounds: Int) =
+      graft.operators.KCore.peel(edges, k = 2, rounds = rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one round is not enough: node 4 still has degree 2 when 5 goes
+    assert(run(1).keySet === Set(1L, 2L, 3L, 4L))
+    assert(run(2) === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    assert(run(3) === run(2)) // converged: further rounds are no-ops
+  }
+
+  test("k-core of a graph below k is empty") {
+    val chain = Seq((1L,2L),(2L,3L),(3L,4L)).toDF("u","v")
+    assert(graft.operators.KCore.peel(chain, k = 3, rounds = 2).count() === 0L)
+  }
+
   test("bfs with an empty frontier mid-run returns only the settled set") {
     val edges = Seq((1L,2L)).toDF("u","v")
     val got = graft.operators.Bfs.distances(

@@ -132,6 +132,62 @@ class QualitySpec extends GraftSuite {
     assert(n.toDouble / total < 0.05)
   }
 
+  // ---- EWMA ----
+
+  test("ewma recurrence: fold matches the hand-computed sequence") {
+    // s0=8, s1=.75*8+.25*4=7, s2=.75*7+.25*12=8.25
+    val df = Seq((1L, 0L, 8.0), (1L, 1L, 4.0), (1L, 2L, 12.0), (2L, 3L, 5.0))
+      .toDF("user_id", "event_id", "value")
+      .withColumn("event_type", lit("purchase"))
+      .withColumn("ts", expr("timestamp_seconds(event_id)"))
+      .withColumn("props", lit("{}"))
+    val got = df.groupBy($"user_id")
+      .agg(sort_array(collect_list(struct($"event_id", $"value"))).as("seq"))
+      .withColumn("vals", expr("transform(seq, x -> x.value)"))
+      .select($"user_id", expr(
+        "aggregate(slice(vals, 2, size(vals) - 1), element_at(vals, 1)," +
+          " (acc, x) -> acc * 0.75 + 0.25 * x)").as("ewma"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) === 8.25)
+    assert(got(2L) === 5.0) // single observation: s0 = x0, no decay applied
+  }
+
+  // ---- Table digest ----
+
+  test("table digest is order/partitioning-invariant and detects one changed row") {
+    import graft.etl.TableDigest
+    val base = Tables(spark, sf0001).customer
+    def dig(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = TableDigest.digest(df, "t", Seq(
+        $"c_custkey", $"c_name", $"c_nationkey",
+        round($"c_acctbal" * 100).cast("long"), $"c_mktsegment")).collect().head
+      (r.getLong(1), r.getLong(2))
+    }
+    val d1 = dig(base)
+    assert(d1 === dig(base.repartition(17)))            // layout-blind
+    assert(d1 === dig(base.orderBy($"c_name".desc)))    // order-blind
+    val mutated = base.withColumn("c_acctbal",
+      when($"c_custkey" === 7, $"c_acctbal" + 0.01).otherwise($"c_acctbal"))
+    val d2 = dig(mutated)
+    assert(d1._1 === d2._1 && d1._2 != d2._2) // same count, different digest
+  }
+
+  // ---- Weighted sampling ----
+
+  test("weighted sampling keeps ~prob fraction and prob=1/0 are exact") {
+    import graft.operators.Sample
+    val df = (0L until 4000L).toDF("id")
+    assert(Sample.weighted(df, "id", lit(1.0)).count() === 4000L)
+    assert(Sample.weighted(df, "id", lit(0.0)).count() === 0L)
+    val half = Sample.weighted(df, "id", lit(0.5)).count()
+    assert(half > 1800 && half < 2200, s"got $half")
+    // determinism: the same rows survive a different partitioning
+    val a = Sample.weighted(df, "id", lit(0.3)).collect().map(_.getLong(0)).toSet
+    val b = Sample.weighted(df.repartition(7), "id", lit(0.3))
+      .collect().map(_.getLong(0)).toSet
+    assert(a === b)
+  }
+
   // ---- Column profile ----
 
   test("profile reports exact null/distinct/min/max per column") {
