@@ -194,6 +194,60 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("skyline plans two window stages: salted local pass before the global pass") {
+    val df = graft.operators.Skyline.pareto(
+      Tables(spark, sf001).part
+        .select(org.apache.spark.sql.functions.col("p_retailprice").as("price"),
+          org.apache.spark.sql.functions.col("p_size").as("sz")),
+      "price", "sz")
+    val p = plan(df)
+    // the parallel local stage partitions by the salt; the global
+    // stage is the only single-partition window and sees survivors only
+    assert(p.contains("_salt"), s"no salted local skyline stage:\n$p")
+    assert("Window".r.findAllIn(p).size >= 2,
+      s"expected local + global window stages:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"quadratic operator in skyline plan:\n$p")
+  }
+
+  test("kNN join carries no broadcast hint: the probe side is the corpus") {
+    // with AQE and auto-broadcast off, only a hint could broadcast —
+    // the bucket join must plan sort-merge (the tfidf rule applied to
+    // the kNN graph: at 100 TB the probe side IS the corpus)
+    withSQLConf(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p = plan(graft.operators.Similarity.knnJoin(
+        Tables(spark, sf001).embeddings, "vec_id", "embedding", k = 5))
+      assert(p.contains("SortMergeJoin"),
+        s"bucket join is not sort-merge — a broadcast hint is forcing it:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"quadratic operator in kNN join plan:\n$p")
+    }
+  }
+
+  test("semantic dedup: pair join is cluster-keyed, only the centroid table cross-joins") {
+    val p = plan(graft.operators.Dedup.semantic(
+      Tables(spark, sf001).embeddings, "vec_id", "embedding", tau = 0.45))
+    assert(!p.contains("CartesianProduct"),
+      s"unbounded cartesian in semantic dedup plan:\n$p")
+    // BroadcastNestedLoopJoin appears only as the deliberate corpus ×
+    // numCentroids assignment (bounded 10-row build side — the IVF
+    // construction; the cached subtree prints once per scan of the
+    // persisted relation). The corpus-sized pair join itself must be
+    // an equi-join KEYED ON THE CLUSTER.
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cluster".r
+      .findFirstIn(p).isDefined,
+      s"cluster pair join is not a cluster-keyed equi-join:\n$p")
+  }
+
+  test("column profile plans one aggregate over one scan (Expand, not per-column scans)") {
+    val p = plan(graft.queries.QualityQ.etlProfile(spark, sf001))
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"profile should read the table once:\n$p")
+    assert(p.contains("Expand"), s"multi-distinct agg should plan one Expand:\n$p")
+  }
+
   test("approx distinct stays within 5% of exact") {
     import org.apache.spark.sql.functions._
     // the gate emits the tolerance check in-plan; assert it holds, and

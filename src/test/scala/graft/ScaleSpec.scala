@@ -35,6 +35,36 @@ class ScaleSpec extends GraftSuite {
     assert(back.count() == expected)
   }
 
+  test("dynamic partition pruning: a dim filter prunes the partitioned fact at runtime") {
+    // the 100 TB pattern: facts partitioned on the join key's proxy,
+    // dimension filtered at runtime — static pruning can't see the
+    // dim filter, DPP injects it into the fact scan as a runtime
+    // subquery so unneeded partitions are never read
+    val base = Files.createTempDirectory("graft_dpp").toString
+    Tables(spark, sf0001).events
+      .write.partitionBy("event_type").parquet(s"$base/events")
+    val fact = spark.read.parquet(s"$base/events")
+    // the dim must be a real scan: a local relation's filter constant-
+    // folds away at optimize time and DPP never sees a selective
+    // predicate (exactly how a lake dim behaves is what's under test)
+    Seq(("purchase", "rev"), ("refund", "rev"), ("click", "traffic"),
+        ("view", "traffic"), ("signup", "acq"))
+      .toDF("event_type", "category").write.parquet(s"$base/dim")
+    val dim = spark.read.parquet(s"$base/dim")
+    val q = fact.join(dim, "event_type").filter($"category" === "rev")
+      .groupBy($"event_type").agg(count(lit(1)).as("n"), sum($"value").as("sv"))
+      .select($"event_type", $"n".as("count"))
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in:\n$p")
+    val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = Tables(spark, sf0001).events
+      .filter($"event_type".isin("purchase", "refund"))
+      .groupBy($"event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected && got.nonEmpty)
+  }
+
   test("bucketed tables join without a shuffle") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
