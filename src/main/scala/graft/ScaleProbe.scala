@@ -248,6 +248,77 @@ object ScaleProbe {
     // output-sized
     probeGrowth("q20_promotion_parts", base, out,
       dir => graft.queries.TpchMore.q20PromotionParts(spark, dir))
+
+    // ---- round-6 operator families ----
+
+    // events doubled by shifting user/event ids: 2× keys at the same
+    // per-key history length — the growth mode the per-key operators
+    // (gap fill, EWMA, outliers) must stay linear under
+    val events2 = s"$out/events2"
+    val ev = t.events
+    val maxUser = ev.agg(max($"user_id")).as[Long].head() + 1
+    val maxEvent = ev.agg(max($"event_id")).as[Long].head() + 1
+    ev.unionByName(ev
+        .withColumn("user_id", $"user_id" + maxUser)
+        .withColumn("event_id", $"event_id" + maxEvent))
+      .write.mode("overwrite").parquet(s"$events2/events.parquet")
+
+    // gap fill: grids are per-key and span-bounded, the LOCF window
+    // shares the one user_id shuffle — keys double, rows ~double
+    probeGrowth("gap_fill", base, events2,
+      dir => graft.queries.QualityQ.qGapFill(spark, dir))
+
+    // EWMA: one fold per key — keys double, per-key lists unchanged
+    probeGrowth("ts_ewma", base, events2,
+      dir => graft.queries.QualityQ.tsEwma(spark, dir))
+
+    // IQR outliers: fences are identical (same value distribution), so
+    // flagged rows double with the scan
+    probeGrowth("outlier_iqr", base, events2,
+      dir => graft.queries.QualityQ.qOutlierIqr(spark, dir))
+
+    // skyline under 10× points (lineitem price/quantity): the salted
+    // local pass prunes map-side, the global pass sees only local
+    // frontiers — time must track the scan while output stays
+    // frontier-sized
+    probeGrowth("skyline", base, out, { dir =>
+      val pts = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select($"l_extendedprice".as("price"), $"l_quantity".as("sz"))
+      graft.operators.Skyline.pareto(pts, "price", "sz")
+    })
+
+    // BFS/k-core under 10× facts: replicated orders repeat the same
+    // part pairs, so the distinct co-purchase edge set saturates —
+    // time tracks the edge-derivation scan, output is unchanged
+    probeGrowth("shortest_paths", base, out,
+      dir => graft.queries.Analytics.qShortestPaths(spark, dir))
+    probeGrowth("kcore", base, out,
+      dir => graft.queries.Analytics.qKcore(spark, dir))
+
+    // kNN join under 2× vectors: per-bucket work is |bucket|×|probes|,
+    // so candidates grow ~4× at a FIXED plane count while output (n×k)
+    // doubles — the planes parameter is the knob that scales bucket
+    // count with the corpus (buckets = 2^planes); the probe documents
+    // the fixed-knob behavior
+    probeGrowth("ann_knn_join", base, emb2,
+      dir => graft.queries.SimilarityQ.annKnnJoin(spark, dir))
+
+    // semantic dedup under 2× vectors: replica pairs are real dups, so
+    // flags grow with rows while within-cluster scoring grows ~4× at a
+    // FIXED cluster count — numCentroids is the production knob
+    // (clusters ∝ corpus keeps per-cluster blocks constant)
+    probeGrowth("dedup_semantic", base, emb2,
+      dir => graft.queries.DedupQ.dedupSemantic(spark, dir))
+
+    // table digest under 10× facts: map-side hash + XOR combine — time
+    // must track the scan exactly, output is one row per table
+    probeGrowth("table_digest", base, out,
+      dir => graft.queries.QualityQ.etlTableDigest(spark, dir))
+
+    // quality-weighted sampling under 2× docs: shuffle-free filter —
+    // survivors and time both double with the scan
+    probeGrowth("quality_sample", base, docs2,
+      dir => graft.queries.TrainingQ.corpusQualitySample(spark, dir))
     spark.stop()
   }
 }
