@@ -32,9 +32,13 @@ object TableDigest {
     conv(substring(md5(concat_ws("|", rendered: _*)), 1, 15), 16, 10).cast("long")
   }
 
-  /** One (table_name, n_rows, xor_digest) row. */
+  /** One (table_name, n_rows, xor_digest) row. An empty table digests
+    * to 0 (XOR's identity), not NULL — two empty tables must compare
+    * equal, and a digest pipeline shouldn't need null-handling.
+    */
   def digest(df: DataFrame, tableName: String, cols: Seq[Column]): DataFrame =
     df.select(rowHash(cols).as("__rh"))
-      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(__rh)").as("xor_digest"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(expr("bit_xor(__rh)"), lit(0L)).as("xor_digest"))
       .select(lit(tableName).as("table_name"), col("n_rows"), col("xor_digest"))
 }

@@ -133,6 +133,39 @@ object EventStream {
         round(col("value"), 4).as("purchase_value"))
   }
 
+  final case class ValEv(user_id: Long, event_id: Long, value: Double)
+  final case class EwmaState(ewma: Double, n: Long)
+  final case class EwmaOut(user_id: Long, n_events: Long, ewma: Double)
+
+  /** Stateful streaming EWMA — the streaming face of the `ts_ewma`
+    * gate: per-key state is ONE (double, count) pair however long the
+    * stream runs (the recurrence's whole point — contrast with
+    * windowed aggregates whose state scales with open windows). Each
+    * micro-batch folds its events in sequence order (events within a
+    * batch sort by `event_id`; cross-batch order is the stream's
+    * arrival order, as in the batch gate) and emits the updated value
+    * per key seen. Same fold arithmetic as the batch gate
+    * (s₀ = x₀, s = (1−α)·s + α·x), so a drained stream equals the
+    * batch fold exactly — StreamingSpec pins it.
+    */
+  def ewma(ds: Dataset[ValEv], alpha: Double): Dataset[EwmaOut] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val decay = 1.0 - alpha
+    ds.groupByKey(_.user_id)
+      .mapGroupsWithState[EwmaState, EwmaOut](GroupStateTimeout.NoTimeout) {
+        (userId: Long, events: Iterator[ValEv], state: GroupState[EwmaState]) =>
+          val sorted = events.toSeq.sortBy(_.event_id)
+          var (s, n) = state.getOption.map(a => (a.ewma, a.n)).getOrElse((0.0, 0L))
+          sorted.foreach { e =>
+            s = if (n == 0) e.value else s * decay + alpha * e.value
+            n += 1
+          }
+          state.update(EwmaState(s, n))
+          EwmaOut(userId, n, s)
+      }
+  }
+
   final case class Ev(user_id: Long, ts_us: Long, event_id: Long)
   final case class SessionAcc(start_us: Long, last_us: Long, n: Long)
   final case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)

@@ -63,6 +63,37 @@ class RobustnessSpec extends GraftSuite {
     assert(pq.length == 2) // each vector's only neighbor is the other
   }
 
+  test("round-6 operators handle empty inputs") {
+    val emptyEdges = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("u", LongType), StructField("v", LongType))))
+    val emptyNodes = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("node", LongType))))
+    // BFS with no seeds and with no edges settles only what exists
+    assert(graft.operators.Bfs.distances(emptyEdges, emptyNodes, 3).count() == 0)
+    assert(graft.operators.Bfs.distances(emptyEdges, Seq(1L).toDF("node"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 0L)))
+    // k-core of an empty graph is empty
+    assert(graft.operators.KCore.peel(emptyEdges, k = 2, rounds = 2).count() == 0)
+    // digest of an empty table: count 0, XOR identity (not NULL)
+    val emptyDocs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    val dig = graft.etl.TableDigest.digest(emptyDocs, "t", Seq($"doc_id", $"text"))
+      .collect().head
+    assert(dig.getLong(1) == 0L && dig.getLong(2) == 0L)
+    // semantic dedup / kNN join on an empty vector set plan and return 0
+    val emptyVecs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    assert(graft.operators.Dedup.semantic(emptyVecs, "vec_id", "embedding", 0.5).count() == 0)
+    assert(graft.operators.Similarity.knnJoin(emptyVecs, "vec_id", "embedding", 3).count() == 0)
+    // weighted sampling of an empty frame
+    assert(graft.operators.Sample.weighted(emptyDocs, "doc_id", lit(0.5)).count() == 0)
+  }
+
   test("sessionize and topk handle empty input") {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -162,6 +162,43 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("stateful EWMA across micro-batches equals the batch fold") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventStream.ValEv]
+    val q = EventStream.ewma(input.toDS(), alpha = 0.25)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ewma_out").start()
+    try {
+      // key 1 split across batches (and delivered out of order inside
+      // batch 1 — the per-batch event_id sort must fix it); key 2 in one
+      input.addData(
+        EventStream.ValEv(1L, 2L, 4.0), EventStream.ValEv(1L, 1L, 8.0),
+        EventStream.ValEv(2L, 3L, 5.0))
+      q.processAllAvailable()
+      input.addData(EventStream.ValEv(1L, 4L, 12.0))
+      q.processAllAvailable()
+      // final state per key = last update emitted
+      val got = spark.table("ewma_out").as[EventStream.EwmaOut].collect()
+        .groupBy(_.user_id)
+        .map { case (k, rows) => k -> rows.maxBy(_.n_events) }
+      // batch-fold ground truth: s=8 → .75*8+.25*4=7 → .75*7+.25*12=8.25
+      assert(got(1L) == EventStream.EwmaOut(1L, 3L, 8.25))
+      assert(got(2L) == EventStream.EwmaOut(2L, 1L, 5.0))
+      // and the same numbers through the BATCH gate's fold arithmetic
+      val batch = Seq((1L, 1L, 8.0), (1L, 2L, 4.0), (1L, 4L, 12.0), (2L, 3L, 5.0))
+        .toDF("user_id", "event_id", "value")
+        .groupBy($"user_id")
+        .agg(sort_array(collect_list(struct($"event_id", $"value"))).as("seq"))
+        .withColumn("vals", expr("transform(seq, x -> x.value)"))
+        .select($"user_id", expr(
+          "aggregate(slice(vals, 2, size(vals) - 1), element_at(vals, 1)," +
+            " (acc, x) -> acc * 0.75 + 0.25 * x)").as("ewma"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(batch(1L) == got(1L).ewma && batch(2L) == got(2L).ewma)
+    } finally q.stop()
+  }
+
   test("sliding-window counts through readStream match the batch plan") {
     val batch = EventStream.slidingCounts(Tables(spark, sf0001).events)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
