@@ -264,9 +264,28 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$events2/events.parquet")
 
     // gap fill: grids are per-key and span-bounded, the LOCF window
-    // shares the one user_id shuffle — keys double, rows ~double
-    probeGrowth("gap_fill", base, events2,
-      dir => graft.queries.QualityQ.qGapFill(spark, dir))
+    // shares the one user_id shuffle — keys double, rows ~double.
+    // The gate restricts to user_id < 10 (oracle-size bound), which
+    // the shifted replicas would never pass — probe the same plan
+    // over ALL users instead
+    probeGrowth("gap_fill", base, events2, { dir =>
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val evTs =
+        if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          ev.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else ev
+      val b = evTs.filter($"event_type" === "purchase")
+        .groupBy($"user_id", expr("unix_micros(ts) div 3600000000").as("h"))
+        .agg(round(sum($"value"), 4).as("v_obs"))
+      val grid = b.groupBy($"user_id").agg(min($"h").as("h0"), max($"h").as("h1"))
+        .select($"user_id", explode(org.apache.spark.sql.functions.sequence($"h0", $"h1")).as("h"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"h")
+        .rowsBetween(Long.MinValue, 0)
+      grid.join(b, Seq("user_id", "h"), "left")
+        .select($"user_id", $"h",
+          last($"v_obs", ignoreNulls = true).over(w).as("v_filled"))
+    })
 
     // EWMA: one fold per key — keys double, per-key lists unchanged
     probeGrowth("ts_ewma", base, events2,

@@ -264,11 +264,78 @@ object QualityQ {
       |SELECT 'orders', count(*), CAST(bit_xor(rh) AS BIGINT) FROM o
       |ORDER BY table_name""".stripMargin
 
+  /** Rolling distinct users — DAU plus 7-day WAU per day (the
+    * engagement metric every analytics stack ships). Distinct
+    * counting doesn't run inside a window frame, so the rolling
+    * distinct is restated as an equi-join: the distinct (user, day)
+    * set fans out to the 7 window-end days it belongs to (a bounded
+    * ×7 map-side explode — never a range join), then one distinct
+    * aggregate per end day. Two shuffles total, both map-side
+    * combinable; the fan-out factor IS the window length, which is
+    * how this stays linear at 100 TB.
+    */
+  def qRollingDau(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).events
+    val userDays = e.select($"user_id",
+      expr("unix_micros(ts) div 86400000000").as("day")).distinct()
+    val dau = userDays.groupBy($"day").agg(count(lit(1)).as("dau"))
+    val wau = userDays
+      .select($"user_id", explode(sequence($"day", $"day" + 6)).as("day"))
+      .groupBy($"day").agg(countDistinct($"user_id").as("wau_7d"))
+    // report only days that exist in the stream (the fan-out creates
+    // up to 6 phantom trailing days)
+    dau.join(wau, Seq("day"))
+      .select($"day", $"dau", $"wau_7d")
+      .orderBy($"day")
+  }
+
+  private val qRollingDauSql =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+      |wau AS (SELECT day + i AS day, count(DISTINCT user_id) AS wau_7d
+      |        FROM ud, range(0, 7) t(i) GROUP BY day + i)
+      |SELECT day, dau, wau_7d FROM dau JOIN wau USING (day)
+      |ORDER BY day""".stripMargin
+
+  /** Median absolute deviation per group — the robust scale estimator
+    * next to [[qOutlierIqr]]'s fences (MAD tolerates 50% outliers;
+    * stddev breaks at one). Two exact-percentile aggregates: the
+    * per-type median, then the median of |x − median| after one
+    * hint-free join back (the same shuffle key both times). Exact
+    * percentile parity is pinned by `q_percentiles`.
+    */
+  def qMadStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).events
+    val med = e.groupBy($"event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    e.join(med, "event_type")
+      .groupBy($"event_type")
+      .agg(round(first($"med"), 4).as("median"),
+        round(expr("percentile(abs(value - med), 0.5)"), 4).as("mad"),
+        count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
+  private val qMadStatsSql =
+    """WITH m AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_type, round(any_value(m.med), 4) AS median,
+      |  round(quantile_cont(abs(e.value - m.med), 0.5), 4) AS mad,
+      |  count(*) AS n
+      |FROM events e JOIN m USING (event_type)
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("etl_profile", etlProfile _, etlProfileSql),
     QueryDef.sql("q_outlier_iqr", qOutlierIqr _, qOutlierIqrSql),
     QueryDef.sql("q_gap_fill", qGapFill _, qGapFillSql),
     QueryDef.sql("q_skyline", qSkyline _, qSkylineSql),
     QueryDef.sql("ts_ewma", tsEwma _, tsEwmaSql),
-    QueryDef.sql("etl_table_digest", etlTableDigest _, etlTableDigestSql))
+    QueryDef.sql("etl_table_digest", etlTableDigest _, etlTableDigestSql),
+    QueryDef.sql("q_rolling_dau", qRollingDau _, qRollingDauSql),
+    QueryDef.sql("q_mad_stats", qMadStats _, qMadStatsSql))
 }

@@ -71,6 +71,67 @@ object TrainingQ {
        |  < floor(quality_score * quality_score * 1000000.0)
        |ORDER BY doc_id""".stripMargin
 
+  /** Mixture diagnostics: total-variation distance between each
+    * source's token distribution and the corpus-wide distribution,
+    * over the shared top-30 vocabulary (r6) — "which slice of my
+    * mixture is drifting?" without shipping a vocabulary anywhere
+    * (the comparison set is a FIXED top-K, broadcast at 30 rows).
+    * TV = ½·Σ|p_src − p_global| is deliberately log-free: KL needs
+    * ln(), whose last-ulp behavior differs across engines, while TV
+    * is pure +,−,×,÷ — and the per-term |diff| is floor-quantized to
+    * 2⁻²⁰ before the sum (the PQ trick) so the reduction is
+    * order-independent and the oracle hash-matches bit for bit.
+    * Shuffles: token count, per-source count, two bounded joins.
+    */
+  def corpusSourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables(spark, dir).documents
+      .select($"source", explode(TextFns.toks($"text")).as("tok"))
+    val top = toks.groupBy($"tok").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"tok").limit(30).select($"tok")
+    val f = toks.join(broadcast(top), "tok")
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("sc"))
+    val st = f.groupBy($"source").agg(sum($"sc").as("st"))
+    val g = f.groupBy($"tok").agg(sum($"sc").as("gc"))
+    val gt = g.agg(sum($"gc").as("gt"))
+    // full source × top-K grid: a source's MISSING token still
+    // contributes |0 − p_global|; the multiplier is the fixed K
+    val grid = st.crossJoin(broadcast(top))
+    grid.join(f, Seq("source", "tok"), "left")
+      .join(broadcast(g), "tok")
+      .crossJoin(broadcast(gt))
+      .select($"source", $"st",
+        floor(abs(coalesce($"sc", lit(0L)).cast("double") / $"st".cast("double")
+          - $"gc".cast("double") / $"gt".cast("double")) * lit(1048576.0))
+          .cast("long").as("q"))
+      .groupBy($"source")
+      .agg(first($"st").as("n_top_tokens"),
+        (sum($"q").cast("double") / lit(2097152.0)).as("tv_dist"))
+      .orderBy($"source")
+  }
+
+  private val corpusSourceDivergenceSql =
+    s"""WITH tk AS (SELECT source, unnest(${QueryDef.toksSql()}) AS tok FROM documents),
+       |top AS (SELECT tok FROM (
+       |  SELECT tok, count(*) AS c FROM tk GROUP BY tok
+       |  ORDER BY c DESC, tok LIMIT 30)),
+       |f AS (SELECT source, tok, count(*) AS sc
+       |      FROM tk JOIN top USING (tok) GROUP BY source, tok),
+       |st AS (SELECT source, sum(sc) AS st FROM f GROUP BY source),
+       |g AS (SELECT tok, sum(sc) AS gc FROM f GROUP BY tok),
+       |gt AS (SELECT sum(gc) AS gt FROM g),
+       |grid AS (SELECT st.source, st.st, top.tok FROM st, top),
+       |terms AS (
+       |  SELECT grid.source, grid.st,
+       |    CAST(floor(abs(CAST(coalesce(f.sc, 0) AS DOUBLE) / CAST(grid.st AS DOUBLE)
+       |      - CAST(g.gc AS DOUBLE) / CAST(gt.gt AS DOUBLE)) * 1048576.0) AS BIGINT) AS q
+       |  FROM grid
+       |  LEFT JOIN f ON f.source = grid.source AND f.tok = grid.tok
+       |  JOIN g ON g.tok = grid.tok CROSS JOIN gt)
+       |SELECT source, CAST(any_value(st) AS BIGINT) AS n_top_tokens,
+       |  CAST(sum(q) AS DOUBLE) / 2097152.0 AS tv_dist
+       |FROM terms GROUP BY source ORDER BY source""".stripMargin
+
   /** Greedy per-source sequence packing into 512-token budgets —
     * window running-sum, fully SQL-expressible.
     */
@@ -158,6 +219,7 @@ object TrainingQ {
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("etl_stratified_sample", etlStratifiedSample _, etlStratifiedSampleSql),
     QueryDef.sql("corpus_quality_sample", corpusQualitySample _, corpusQualitySampleSql),
+    QueryDef.sql("corpus_source_divergence", corpusSourceDivergence _, corpusSourceDivergenceSql),
     QueryDef.sql("text_pack", textPack _, textPackSql),
     QueryDef.sql("q_salted_join", qSaltedJoin _, qSaltedJoinSql),
     QueryDef.sql("pipeline_corpus", pipelineCorpus _, pipelineCorpusSql))

@@ -188,6 +188,75 @@ class QualitySpec extends GraftSuite {
     assert(a === b)
   }
 
+  // ---- Rolling DAU / MAD / divergence ----
+
+  test("rolling WAU window: a user active on day d counts toward days d..d+6") {
+    // one user active day 0; another active days 0 and 10
+    val rows = Seq((1L, 0L), (2L, 0L), (2L, 10L))
+    val ud = rows.toDF("user_id", "day")
+    val wau = ud.select($"user_id", explode(sequence($"day", $"day" + 6)).as("day"))
+      .groupBy($"day").agg(countDistinct($"user_id").as("wau"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 6L).foreach(d => assert(wau(d) === 2L, s"day $d"))
+    (10L to 16L).foreach(d => assert(wau(d) === 1L, s"day $d"))
+    assert(!wau.contains(7L) && !wau.contains(9L))
+  }
+
+  test("rolling dau gate: wau_7d >= dau and both positive on every reported day") {
+    val out = graft.queries.QualityQ.qRollingDau(spark, sf001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1) && r.getLong(1) > 0,
+        s"day ${r.getLong(0)}: dau=${r.getLong(1)} wau=${r.getLong(2)}")
+    }
+  }
+
+  test("MAD: hand-computed fixture, robust to an extreme outlier") {
+    // values 1..9 plus 1e9: median 5.5, |x-med| medians to 2.75
+    val df = ((1 to 9).map(_.toDouble) :+ 1e9).zipWithIndex
+      .map { case (v, i) => (i.toLong, "t", v) }
+      .toDF("event_id", "event_type", "value")
+    val med = df.groupBy($"event_type").agg(expr("percentile(value, 0.5)").as("med"))
+    val got = df.join(med, "event_type").groupBy($"event_type")
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+      .collect().head.getDouble(1)
+    // deviations sorted: 0.5,0.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,1e9 → median 2.5
+    assert(got === 2.5)
+    // stddev by contrast explodes past 1e8 on the same data
+    val sd = df.agg(stddev($"value")).collect().head.getDouble(0)
+    assert(sd > 1e8)
+  }
+
+  test("source divergence: tv_dist is a bounded distance, zero for identical slices") {
+    // two sources with identical token streams → TV 0; a third skewed one → >0
+    val docs = Seq(
+      (1L, "a b c d", "s1"), (2L, "a b c d", "s2"),
+      (3L, "a a a a", "s3"))
+      .toDF("doc_id", "text", "source")
+    val toks = docs.select($"source", explode(split(lower(trim($"text")), "\\s+")).as("tok"))
+    val f = toks.groupBy($"source", $"tok").agg(count(lit(1)).as("sc"))
+    val st = f.groupBy($"source").agg(sum($"sc").as("st"))
+    val g = f.groupBy($"tok").agg(sum($"sc").as("gc"))
+    val gt = g.agg(sum($"gc").as("gt"))
+    val tv = st.crossJoin(g.select($"tok")).join(f, Seq("source", "tok"), "left")
+      .join(g, "tok").crossJoin(gt)
+      .select($"source",
+        floor(abs(coalesce($"sc", lit(0L)).cast("double") / $"st".cast("double")
+          - $"gc".cast("double") / $"gt".cast("double")) * lit(1048576.0))
+          .cast("long").as("q"))
+      .groupBy($"source").agg((sum($"q").cast("double") / lit(2097152.0)).as("tv"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // s1 and s2 are identical slices: same distance from global
+    assert(tv("s1") === tv("s2"))
+    // the skewed source is strictly farther, and all are in [0, 1]
+    assert(tv("s3") > tv("s1"))
+    tv.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
+    // gate-level sanity at sf0.001: bounded, sources present
+    val gate = graft.queries.TrainingQ.corpusSourceDivergence(spark, sf0001).collect()
+    assert(gate.nonEmpty)
+    gate.foreach(r => assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+  }
+
   // ---- Column profile ----
 
   test("profile reports exact null/distinct/min/max per column") {
