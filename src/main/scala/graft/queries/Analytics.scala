@@ -553,8 +553,42 @@ object Analytics {
       |w AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c FROM o e1 JOIN o e2 ON e1.t = e2.s)
       |SELECT count(*) AS n_triangles FROM w JOIN o e3 ON w.a = e3.s AND w.c = e3.t""".stripMargin
 
+  /** Top-50 most-similar part pairs by neighbor-set Jaccard over the
+    * co-purchase graph ([[graft.operators.NeighborJaccard]]) — the
+    * link-prediction primitive next to `q_triangles`. Wedge
+    * generation is keyed on the middle vertex with a degree cap
+    * (declared semantics, replayed by the oracle — the ngram DF-cap
+    * rule), so per-key fan-out is bounded at cap² and no hub can
+    * square the join. Jaccard divides two exact integers; the
+    * ranking tiebreaks on (u, v).
+    */
+  def qJaccardNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.NeighborJaccard
+      .pairs(bulkCoPurchaseEdges(spark, dir), "u", "v",
+        minCommon = 3, maxMiddleDegree = 64)
+      .orderBy($"jaccard".desc, $"u", $"v")
+      .limit(50)
+  }
+
+  private val qJaccardNeighborsSql =
+    """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem WHERE l_quantity >= 40),
+      |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+      |adj AS (SELECT u AS w, v AS n FROM e UNION ALL SELECT v AS w, u AS n FROM e),
+      |deg AS (SELECT n AS x, count(*) AS d FROM adj GROUP BY n),
+      |mid AS (SELECT a.w, a.n FROM adj a JOIN deg dw ON dw.x = a.w AND dw.d <= 64),
+      |common AS (
+      |  SELECT a.n AS u, b.n AS v, count(*) AS common
+      |  FROM mid a JOIN mid b ON a.w = b.w AND a.n < b.n
+      |  GROUP BY a.n, b.n HAVING count(*) >= 3)
+      |SELECT c.u, c.v, c.common, du.d AS du, dv.d AS dv,
+      |  round(c.common / (du.d + dv.d - c.common), 4) AS jaccard
+      |FROM common c JOIN deg du ON du.x = c.u JOIN deg dv ON dv.x = c.v
+      |ORDER BY jaccard DESC, c.u, c.v LIMIT 50""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q_triangles", qTriangles _, qTrianglesSql),
+    QueryDef.sql("q_jaccard_neighbors", qJaccardNeighbors _, qJaccardNeighborsSql),
     QueryDef.sql("q_clustering_coef", qClusteringCoef _, qClusteringCoefSql),
     QueryDef.sql("q_shortest_paths", qShortestPaths _, qShortestPathsSql),
     QueryDef.sql("q_kcore", qKcore _, qKcoreSql),

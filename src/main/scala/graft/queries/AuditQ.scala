@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 wave 2 — lake-audit operators: a referential-integrity
+  * sweep over every FK edge of the star schema, and the compaction
+  * planner that bin-packs file-level stats into target-sized output
+  * shards. Both are the "run it over the whole lake" maintenance
+  * shapes a 100 TB deployment schedules nightly.
+  */
+object AuditQ {
+
+  /** One FK edge: child table/column → parent table/column. */
+  private case class Fk(name: String, child: String, ck: String,
+      parent: String, pk: String)
+
+  private val Edges = Seq(
+    Fk("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    Fk("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    Fk("lineitem.l_suppkey->supplier.s_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    Fk("orders.o_custkey->customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    Fk("customer.c_nationkey->nation.n_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+    Fk("supplier.s_nationkey->nation.n_nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    Fk("nation.n_regionkey->region.r_regionkey", "nation", "n_regionkey", "region", "r_regionkey"))
+
+  /** Referential-integrity audit: for every FK edge of the schema,
+    * the child row count, orphan count (child keys with no parent)
+    * and null-key count, as one summary table. Each edge is a LEFT
+    * join of the child's key column against the DISTINCT parent keys
+    * + one map-side-combinable aggregate; no broadcast hints (parent
+    * dimensions are usually small — AQE broadcasts them when
+    * measured small, the tfidf rule). The whole audit reads each
+    * child table once and only its key columns — at 100 TB the scan
+    * is column-pruned to one integer column per edge.
+    */
+  def etlFkIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val per = Edges.map { e =>
+      val parentKeys = t.byName(e.parent).select(col(e.pk).as("__pk"))
+        .distinct().withColumn("__hit", lit(1))
+      t.byName(e.child).select(col(e.ck).as("__ck"))
+        .join(parentKeys, col("__ck") === col("__pk"), "left")
+        .agg(
+          count(lit(1)).as("n_child"),
+          sum(when(col("__ck").isNull, 1L).otherwise(0L)).as("n_null_key"),
+          sum(when(col("__ck").isNotNull && col("__hit").isNull, 1L)
+            .otherwise(0L)).as("n_orphans"))
+        .select(lit(e.name).as("fk"), col("n_child"), col("n_null_key"),
+          col("n_orphans"),
+          round(col("n_orphans") / col("n_child"), 6).as("orphan_rate"))
+    }
+    per.reduce(_.unionByName(_)).orderBy(col("fk"))
+  }
+
+  private val etlFkIntegritySql = Edges.map { e =>
+    s"""SELECT '${e.name}' AS fk, count(*) AS n_child,
+       |  CAST(sum(CASE WHEN c.${e.ck} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_key,
+       |  CAST(sum(CASE WHEN c.${e.ck} IS NOT NULL AND p.__pk IS NULL
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+       |  round(sum(CASE WHEN c.${e.ck} IS NOT NULL AND p.__pk IS NULL
+       |    THEN 1 ELSE 0 END) / count(*), 6) AS orphan_rate
+       |FROM ${e.child} c LEFT JOIN
+       |  (SELECT DISTINCT ${e.pk} AS __pk FROM ${e.parent}) p
+       |  ON c.${e.ck} = p.__pk""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY fk")
+
+  /** Compaction planner: bin-pack per-(source, lang) file stats into
+    * output shards of ~64 KB of text via a running-total first-fit
+    * (`shard = floor(preceding_bytes / target)`). The window is
+    * GLOBAL but runs over file-level METADATA — the stats table is
+    * smaller than the data by the mean file size (a million files of
+    * 128 MB for 100 TB), which is the standard compaction-planner
+    * shape: plan serially over stats, execute the rewrite in
+    * parallel per shard. Integer arithmetic end to end.
+    */
+  def etlBinpack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stats = Tables(spark, dir).documents
+      .groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("bytes_est"))
+    val w = Window.orderBy($"source", $"lang")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    stats
+      .withColumn("prev_bytes", coalesce(sum($"bytes_est").over(w), lit(0L)))
+      // integer `div` (not Column `/` + cast): long end to end, the
+      // Triangles wedge-math rule
+      .withColumn("shard", expr("prev_bytes div 65536"))
+      .select($"source", $"lang", $"n_docs", $"bytes_est", $"shard")
+      .orderBy($"source", $"lang")
+  }
+
+  private val etlBinpackSql =
+    """WITH stats AS (
+      |  SELECT source, lang, count(*) AS n_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS bytes_est
+      |  FROM documents GROUP BY source, lang)
+      |SELECT source, lang, n_docs, bytes_est,
+      |  CAST(coalesce(CAST(sum(bytes_est) OVER (
+      |    ORDER BY source, lang
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+      |    // 65536 AS BIGINT) AS shard
+      |FROM stats ORDER BY source, lang""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("etl_fk_integrity", etlFkIntegrity _, etlFkIntegritySql),
+    QueryDef.sql("etl_binpack", etlBinpack _, etlBinpackSql))
+}

@@ -1,0 +1,166 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 wave 2 — event-sequence analytics over the `events`
+  * stream: OHLC resampling, Markov transition mining, last-touch
+  * attribution and robust winsorization. Every gate shares the
+  * shape discipline of the earlier waves: one declared shuffle key
+  * per query, windows ordered by `event_id` (the stream's unique
+  * sequence number — deterministic on any engine), no broadcast
+  * hints on unbounded relations.
+  */
+object SequenceQ {
+
+  /** Hourly OHLC bars per event type — the downsampling primitive
+    * behind every metrics/finance dashboard. Open/close are
+    * `min_by`/`max_by` on the unique sequence number, so the whole
+    * bar is ONE map-side-combinable aggregate: no window, no
+    * self-join, a single shuffle on (type, hour). At 100 TB the
+    * output is bounded by types × hours — aggregation, not data,
+    * cardinality.
+    */
+  def tsResampleOhlc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).events
+      .select($"event_type",
+        expr("unix_micros(ts) div 3600000000").as("hour_bucket"),
+        $"event_id", $"value")
+      .groupBy($"event_type", $"hour_bucket")
+      .agg(
+        min_by($"value", $"event_id").as("open"),
+        max($"value").as("high"),
+        min($"value").as("low"),
+        max_by($"value", $"event_id").as("close"),
+        round(sum($"value"), 4).as("volume"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"event_type", $"hour_bucket")
+  }
+
+  private val tsResampleOhlcSql =
+    """SELECT event_type, epoch_us(ts) // 3600000000 AS hour_bucket,
+      |  arg_min(value, event_id) AS open,
+      |  max(value) AS high, min(value) AS low,
+      |  arg_max(value, event_id) AS close,
+      |  round(sum(value), 4) AS volume,
+      |  count(*) AS n_events
+      |FROM events GROUP BY 1, 2
+      |ORDER BY event_type, hour_bucket""".stripMargin
+
+  /** First-order Markov transition matrix of user behavior: for each
+    * (state → next state) pair, its count and conditional
+    * probability. The per-user sequence runs through ONE lag window
+    * keyed on user_id (per-key state is a single previous row —
+    * cheaper than sessionization), then two map-side-combinable
+    * aggregates; the probability divides two exact integers, so both
+    * engines produce the identical double. Output is |states|² —
+    * constant-bounded however large the stream.
+    */
+  def qMarkovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+    val pairs = Tables(spark, dir).events
+      .select($"user_id", $"event_id", $"event_type")
+      .withColumn("src", lag($"event_type", 1).over(w))
+      .filter($"src".isNotNull)
+    val cnt = pairs.groupBy($"src", $"event_type".as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy($"src").agg(sum($"n").as("n_src"))
+    cnt.join(tot, "src")
+      .select($"src", $"dst", $"n", round($"n" / $"n_src", 4).as("p"))
+      .orderBy($"src", $"dst")
+  }
+
+  private val qMarkovTransitionsSql =
+    """WITH pairs AS (
+      |  SELECT user_id,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS src,
+      |    event_type AS dst
+      |  FROM events),
+      |cnt AS (
+      |  SELECT src, dst, count(*) AS n FROM pairs
+      |  WHERE src IS NOT NULL GROUP BY src, dst),
+      |tot AS (SELECT src, CAST(sum(n) AS BIGINT) AS n_src FROM cnt GROUP BY src)
+      |SELECT c.src, c.dst, c.n, round(c.n / t.n_src, 4) AS p
+      |FROM cnt c JOIN tot t USING (src)
+      |ORDER BY c.src, c.dst""".stripMargin
+
+  /** Last-touch attribution: every purchase credits the user's most
+    * recent preceding non-purchase event type, and channels roll up
+    * to conversions + attributed revenue. The credit assignment is
+    * one conditional LOCF window over the user's stream (the
+    * `q_gap_fill` IGNORE NULLS pattern pointed backwards); purchases
+    * with no preceding touch land in 'none'. One user_id window +
+    * one bounded aggregate — the sessionization scale contract.
+    */
+  def qAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(spark, dir).events
+      .select($"user_id", $"event_id", $"event_type", $"value")
+      .withColumn("touch",
+        last(when($"event_type" =!= "purchase", $"event_type"),
+          ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .groupBy(coalesce($"touch", lit("none")).as("channel"))
+      .agg(count(lit(1)).as("conversions"),
+        round(sum($"value"), 4).as("revenue"))
+      .orderBy($"channel")
+  }
+
+  private val qAttributionSql =
+    """WITH touched AS (
+      |  SELECT user_id, event_id, event_type, value,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+      |      IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      |  FROM events)
+      |SELECT coalesce(touch, 'none') AS channel,
+      |  count(*) AS conversions, round(sum(value), 4) AS revenue
+      |FROM touched WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY channel""".stripMargin
+
+  /** Winsorization: clamp each value to its own event type's
+    * [p05, p95] — the robust-preprocessing sibling of
+    * `q_outlier_iqr` (flagging) and `q_mad_stats` (scale): instead
+    * of dropping outliers, cap them. One exact-percentile aggregate
+    * to a type-cardinality table, one hint-free join back (AQE
+    * broadcasts when it measures small — the tfidf rule), clamp in
+    * codegen. Both engines state the identical clamp arithmetic on
+    * the identical percentile doubles.
+    */
+  def qWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).events
+    val pct = e.groupBy($"event_type").agg(
+      expr("percentile(value, 0.05)").as("lo"),
+      expr("percentile(value, 0.95)").as("hi"))
+    e.join(pct, "event_type")
+      .select($"event_id", $"event_type", $"value",
+        ($"value" < $"lo" || $"value" > $"hi").as("clamped"),
+        round(least(greatest($"value", $"lo"), $"hi"), 4).as("w_value"))
+      .orderBy($"event_id")
+  }
+
+  private val qWinsorizeSql =
+    """WITH p AS (
+      |  SELECT event_type, quantile_cont(value, 0.05) AS lo,
+      |    quantile_cont(value, 0.95) AS hi
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_id, e.event_type, e.value,
+      |  (e.value < p.lo OR e.value > p.hi) AS clamped,
+      |  round(least(greatest(e.value, p.lo), p.hi), 4) AS w_value
+      |FROM events e JOIN p USING (event_type)
+      |ORDER BY e.event_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("ts_resample_ohlc", tsResampleOhlc _, tsResampleOhlcSql),
+    QueryDef.sql("q_markov_transitions", qMarkovTransitions _, qMarkovTransitionsSql),
+    QueryDef.sql("q_attribution", qAttribution _, qAttributionSql),
+    QueryDef.sql("q_winsorize", qWinsorize _, qWinsorizeSql))
+}

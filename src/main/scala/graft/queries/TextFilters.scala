@@ -1,0 +1,177 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFns._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-6 wave 2 — corpus-filter rule engines and retrieval scoring
+  * (the C4 / Gopher / BM25 trio every web-scale training pipeline
+  * runs). The reference's intake surface validates rows
+  * (/root/reference/streamlit_app.py:180-189); these are the
+  * corpus-grade analogue: per-document rule verdicts and ranking,
+  * each with an exact DuckDB oracle.
+  */
+object TextFilters {
+
+  private val Stop = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+
+  /** C4-style structural scan filters: blocklist phrases ("lorem
+    * ipsum"), code markers (braces, a `javascript` token), a minimum
+    * word count and a maximum word length. Every rule is a scalar
+    * string/array expression — the whole gate is ONE narrow
+    * projection inside whole-stage codegen, no shuffle, no join: at
+    * 100 TB this runs at scan cost, which is exactly where a
+    * first-pass corpus filter must sit (C4 drops ~90% of raw text
+    * before anything expensive runs).
+    */
+  def textC4Rules(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables(spark, dir).documents
+    d.select($"doc_id", toks($"text").as("ts"), lower($"text").as("lt"))
+      .select(
+        $"doc_id",
+        $"lt".contains("{").or($"lt".contains("}")).as("has_brace"),
+        $"lt".contains("lorem ipsum").as("has_lorem"),
+        array_contains($"ts", "javascript").as("has_js"),
+        (size($"ts") >= 5).as("enough_words"),
+        array_max(transform($"ts", t => length(t))).cast("long").as("max_word_len"))
+      .withColumn("keep",
+        !$"has_brace" && !$"has_lorem" && !$"has_js" &&
+          $"enough_words" && $"max_word_len" <= 100)
+      .orderBy($"doc_id")
+  }
+
+  private val textC4RulesSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${QueryDef.toksSql()} AS ts, lower(text) AS lt
+       |  FROM documents)
+       |SELECT doc_id,
+       |  (lt LIKE '%{%' OR lt LIKE '%}%') AS has_brace,
+       |  lt LIKE '%lorem ipsum%' AS has_lorem,
+       |  list_contains(ts, 'javascript') AS has_js,
+       |  len(ts) >= 5 AS enough_words,
+       |  CAST(list_max(list_transform(ts, x -> length(x))) AS BIGINT) AS max_word_len,
+       |  (NOT (lt LIKE '%{%' OR lt LIKE '%}%') AND NOT lt LIKE '%lorem ipsum%'
+       |    AND NOT list_contains(ts, 'javascript') AND len(ts) >= 5
+       |    AND list_max(list_transform(ts, x -> length(x))) <= 100) AS keep
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  /** Gopher-style distributional quality rules: word-count bounds,
+    * mean-word-length window, a stopword floor and the top-token
+    * concentration cap (the mode-fraction repetition signal
+    * `text_repetition`'s duplicate-3-gram rule doesn't see). The
+    * scalar rules stay in the scan projection; the mode needs the
+    * per-(doc, token) histogram — one explode + two doc_id-keyed
+    * aggregations, the same shuffle key end to end, map-side
+    * combinable, linear in corpus tokens. All ratios divide two
+    * integers, so both engines produce the identical double.
+    */
+  def textGopherRules(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables(spark, dir).documents
+    val base = d.select($"doc_id", toks($"text").as("ts"))
+      .select($"doc_id",
+        size($"ts").cast("long").as("n_words"),
+        aggregate(transform($"ts", t => length(t)),
+          lit(0L), (a, x) => a + x).as("n_chars_w"),
+        size(filter($"ts", t => t.isin(Stop: _*))).cast("long").as("stop_hits"))
+    val top = d.select($"doc_id", explode(toks($"text")).as("token"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("top_cnt"))
+    base.join(top, "doc_id")
+      .select($"doc_id", $"n_words",
+        round($"n_chars_w" / $"n_words", 4).as("mean_word_len"),
+        $"stop_hits",
+        round($"top_cnt" / $"n_words", 4).as("top_tok_frac"),
+        ($"n_words".between(10, 10000) &&
+          ($"n_chars_w" / $"n_words").between(2.0, 10.0) &&
+          $"stop_hits" >= 2 && ($"top_cnt" / $"n_words") <= 0.2).as("pass"))
+      .orderBy($"doc_id")
+  }
+
+  private val textGopherRulesSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${QueryDef.toksSql()} AS ts FROM documents),
+       |base AS (
+       |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(ts, x -> length(x))) AS BIGINT) AS n_chars_w,
+       |    CAST(len(list_filter(ts, x -> list_contains(
+       |      ['the','a','and','of','to','in','is','it'], x))) AS BIGINT) AS stop_hits
+       |  FROM t),
+       |hist AS (
+       |  SELECT doc_id, token, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(ts) AS token FROM t)
+       |  GROUP BY doc_id, token),
+       |top AS (SELECT doc_id, max(c) AS top_cnt FROM hist GROUP BY doc_id)
+       |SELECT b.doc_id, b.n_words,
+       |  round(b.n_chars_w / b.n_words, 4) AS mean_word_len,
+       |  b.stop_hits,
+       |  round(p.top_cnt / b.n_words, 4) AS top_tok_frac,
+       |  (b.n_words BETWEEN 10 AND 10000
+       |    AND b.n_chars_w / b.n_words BETWEEN 2.0 AND 10.0
+       |    AND b.stop_hits >= 2
+       |    AND p.top_cnt / b.n_words <= 0.2) AS pass
+       |FROM base b JOIN top p USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+
+  /** BM25 retrieval scoring of the corpus against a query term set
+    * (k1 = 1.2, b = 0.75) — the lexical-ranking baseline every RAG /
+    * eval pipeline needs next to the ANN gates. Per-term document
+    * frequencies are bounded by |query| (three rows here), so the DF
+    * table is a LEGITIMATE broadcast — the opposite regime from the
+    * tfidf vocabulary rule, and the asymmetry is the point: broadcast
+    * what is bounded by the query, shuffle what grows with the
+    * corpus. Per-term contributions quantize to integer
+    * ten-thousandths before the cross-term sum, so addition order
+    * can't flip a bit between engines (the ann_pq integer-ADC
+    * pattern).
+    */
+  def textBm25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val terms = Seq("spark", "join", "window")
+    val d = Tables(spark, dir).documents
+    val dlen = d.select($"doc_id", tokenCount($"text").as("dl"))
+    val stats = dlen.agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))
+    val tf = d.select($"doc_id", explode(toks($"text")).as("token"))
+      .filter($"token".isin(terms: _*))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val contrib = tf.join(broadcast(df), "token")
+      .join(dlen, "doc_id").crossJoin(broadcast(stats))
+      .withColumn("idf", log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0))
+      .withColumn("c",
+        round($"idf" * ($"tf" * 2.2) /
+          ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")) * 10000)
+          .cast("long"))
+    contrib.groupBy($"doc_id")
+      .agg(sum($"c").as("score_1e4"), count(lit(1)).as("n_terms_hit"))
+      .orderBy($"score_1e4".desc, $"doc_id").limit(20)
+  }
+
+  private val textBm25Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${QueryDef.toksSql()} AS ts FROM documents),
+       |dlen AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM t),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dlen),
+       |tf AS (
+       |  SELECT doc_id, token, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(ts) AS token FROM t)
+       |  WHERE token IN ('spark', 'join', 'window')
+       |  GROUP BY doc_id, token),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |contrib AS (
+       |  SELECT tf.doc_id,
+       |    CAST(round(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+       |      * (tf.tf * 2.2)
+       |      / (tf.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)) * 10000) AS BIGINT) AS c
+       |  FROM tf JOIN df USING (token) JOIN dlen d USING (doc_id), stats s)
+       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_1e4, count(*) AS n_terms_hit
+       |FROM contrib GROUP BY doc_id
+       |ORDER BY score_1e4 DESC, doc_id LIMIT 20""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("text_c4_rules", textC4Rules _, textC4RulesSql),
+    QueryDef.sql("text_gopher_rules", textGopherRules _, textGopherRulesSql),
+    QueryDef.sql("text_bm25", textBm25 _, textBm25Sql))
+}
