@@ -338,6 +338,45 @@ object ScaleProbe {
     // survivors and time both double with the scan
     probeGrowth("quality_sample", base, docs2,
       dir => graft.queries.TrainingQ.corpusQualitySample(spark, dir))
+
+    // ---- round-6 wave-2 families ----
+
+    // C4 scan filter under 2× docs: map-only — rows and time double
+    probeGrowth("c4_rules", base, docs2,
+      dir => graft.queries.TextFilters.textC4Rules(spark, dir))
+    // Gopher rules under 2× docs: explode + doc_id-keyed aggs — linear
+    probeGrowth("gopher_rules", base, docs2,
+      dir => graft.queries.TextFilters.textGopherRules(spark, dir))
+    // BM25 under 2× docs: tf scan doubles, df stays |query|-bounded,
+    // output is fixed top-k — time tracks scan, rows constant
+    probeGrowth("bm25", base, docs2,
+      dir => graft.queries.TextFilters.textBm25(spark, dir))
+    // OHLC under 2× per-key histories: bars are (type, hour)-bounded —
+    // rows constant, aggregation absorbs the doubled input map-side
+    probeGrowth("ohlc", base, events2,
+      dir => graft.queries.SequenceQ.tsResampleOhlc(spark, dir))
+    // Markov under 2× users: output is |states|² — constant
+    probeGrowth("markov", base, events2,
+      dir => graft.queries.SequenceQ.qMarkovTransitions(spark, dir))
+    // attribution under 2× users: channels constant, revenue doubles
+    probeGrowth("attribution", base, events2,
+      dir => graft.queries.SequenceQ.qAttribution(spark, dir))
+    // winsorize under 2× events: fences identical, rows double
+    probeGrowth("winsorize", base, events2,
+      dir => graft.queries.SequenceQ.qWinsorize(spark, dir))
+    // FK audit under 10× facts: key-column scans only — time tracks
+    // the biggest child scan, output is one row per FK edge
+    probeGrowth("fk_integrity", base, out,
+      dir => graft.queries.AuditQ.etlFkIntegrity(spark, dir))
+    // binpack under 2× docs: stats cardinality (source × lang) is
+    // constant — the metadata window never grows with the data
+    probeGrowth("binpack", base, docs2,
+      dir => graft.queries.AuditQ.etlBinpack(spark, dir))
+    // neighbor jaccard under 10× facts: replicated orders repeat the
+    // same part pairs — edges saturate like kcore, time tracks the
+    // edge-derivation scan
+    probeGrowth("neighbor_jaccard", base, out,
+      dir => graft.queries.Analytics.qJaccardNeighbors(spark, dir))
     spark.stop()
   }
 }

@@ -131,7 +131,36 @@ object Dedup {
     * DuckDB oracle target.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int, tau: Double, maxShingleDf: Long = 10000): DataFrame = {
+                        n: Int, tau: Double, maxShingleDf: Long = 10000): DataFrame =
+    shingleIntersections(df, idCol, textCol, n, maxShingleDf)
+      .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+
+  /** Exact containment pairs >= tau over the same capped inverted
+    * shingle index: containment = |A∩B| / min(|A|, |B|) — the
+    * quote/boilerplate detector Jaccard misses when sizes differ (a
+    * paragraph fully contained in a 100× larger doc has Jaccard ~0.01
+    * but containment 1.0 — RefinedWeb drops exactly these). Same
+    * candidate generation and exact rare+hot intersection split as
+    * [[ngramJaccardPairs]]; only the denominator changes.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, tau: Double, maxShingleDf: Long = 10000): DataFrame =
+    shingleIntersections(df, idCol, textCol, n, maxShingleDf)
+      .withColumn("containment", col("inter") / least(col("sz_a"), col("sz_b")))
+      .filter(col("containment") >= tau)
+      .select(col("id_a"), col("id_b"), col("inter").cast("long").as("inter"),
+        round(col("containment"), 4).as("containment"))
+
+  /** Exact |A∩B| + set sizes for every candidate pair sharing a
+    * sub-cap shingle. The intersection splits exactly in two: shared
+    * RARE shingles counted inside the capped equi-join (scalar
+    * groupBy — no arrays move), shared HOT shingles from the tiny
+    * per-doc hot sets (only df>cap boilerplate enters them).
+    */
+  private def shingleIntersections(df: DataFrame, idCol: String, textCol: String,
+                                   n: Int, maxShingleDf: Long): DataFrame = {
     import graft.functions.SortedIntersectSize
     val sets = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("shs"))
     // persisted: feeds the df-count, the self-join sides and the hot sets
@@ -153,9 +182,6 @@ object Dedup {
       .withColumn("inter",
         (col("inter_rare") + when(col("hot_a").isNull || col("hot_b").isNull, lit(0))
           .otherwise(SortedIntersectSize(col("hot_a"), col("hot_b"))).cast("long")).cast("double"))
-      .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
-      .filter(col("jaccard") >= tau)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
   private def $(s: String): Column = col(s)
 

@@ -104,7 +104,40 @@ object AuditQ {
       |    // 65536 AS BIGINT) AS shard
       |FROM stats ORDER BY source, lang""".stripMargin
 
+  /** Join-key skew profile — the diagnostic a 100 TB join plan is
+    * sized from: per-key frequencies of a fact join column, the
+    * top-10 heaviest keys with their corpus share, and the global
+    * skew factor (max/mean — AQE's skew-join trigger is this number
+    * per partition). One map-side-combinable count aggregate to
+    * key-cardinality, TakeOrderedAndProject heaps for the top-10
+    * (never a global sort), scalar stats broadcast back. Shares and
+    * skew divide exact integers — identical doubles both engines.
+    */
+  def qSkewProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cnt = Tables(spark, dir).lineitem
+      .groupBy($"l_partkey").agg(count(lit(1)).as("cnt"))
+    val stats = cnt.agg(count(lit(1)).as("n_keys"), sum($"cnt").as("total"),
+      max($"cnt").as("max_cnt"))
+    cnt.crossJoin(broadcast(stats))
+      .select($"l_partkey".as("key"), $"cnt",
+        round($"cnt" / $"total", 6).as("share"),
+        round($"max_cnt" * $"n_keys" / $"total", 4).as("skew_factor"))
+      .orderBy($"cnt".desc, $"key").limit(10)
+  }
+
+  private val qSkewProfileSql =
+    """WITH cnt AS (
+      |  SELECT l_partkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1),
+      |stats AS (
+      |  SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total,
+      |    max(cnt) AS max_cnt FROM cnt)
+      |SELECT key, cnt, round(cnt / total, 6) AS share,
+      |  round(max_cnt * n_keys / total, 4) AS skew_factor
+      |FROM cnt, stats ORDER BY cnt DESC, key LIMIT 10""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("etl_fk_integrity", etlFkIntegrity _, etlFkIntegritySql),
-    QueryDef.sql("etl_binpack", etlBinpack _, etlBinpackSql))
+    QueryDef.sql("etl_binpack", etlBinpack _, etlBinpackSql),
+    QueryDef.sql("q_skew_profile", qSkewProfile _, qSkewProfileSql))
 }

@@ -308,7 +308,47 @@ object CorpusQ {
        |SELECT doc_id, host, CAST(rk AS BIGINT) AS rk FROM r
        |WHERE rk <= 3 ORDER BY doc_id""".stripMargin
 
+  /** Token-budget accounting per source — the data-mixture card every
+    * training run publishes: documents, whitespace tokens, each
+    * source's share of the corpus and the cumulative share in
+    * contribution order. Token totals aggregate map-side to a
+    * source-cardinality table; the share window runs over that
+    * METADATA table (the binpack planner shape). Shares divide exact
+    * integer token counts — cumulative sums stay integer until the
+    * single division, so both engines agree bit-for-bit.
+    */
+  def corpusTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables(spark, dir).documents
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.functions.TextFns.tokenCount($"text")).as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"n_tokens".desc, $"source")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    per.crossJoin(broadcast(per.agg(sum($"n_tokens").as("total"))))
+      .select($"source", $"n_docs", $"n_tokens",
+        round($"n_tokens" / $"total", 6).as("share"),
+        round(sum($"n_tokens").over(w) / $"total", 6).as("cum_share"))
+      .orderBy($"n_tokens".desc, $"source")
+  }
+
+  private val corpusTokenBudgetSql =
+    s"""WITH per AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(${QueryDef.toksSql()})) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM per)
+       |SELECT source, n_docs, n_tokens,
+       |  round(n_tokens / total, 6) AS share,
+       |  round(CAST(sum(n_tokens) OVER (
+       |    ORDER BY n_tokens DESC, source
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    / total, 6) AS cum_share
+       |FROM per, tot ORDER BY n_tokens DESC, source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("corpus_token_budget", corpusTokenBudget _, corpusTokenBudgetSql),
     QueryDef.sql("corpus_url_parse", corpusUrlParse _, corpusUrlParseSql),
     QueryDef.sql("corpus_domain_cap", corpusDomainCap _, corpusDomainCapSql),
     QueryDef.sql("corpus_domain_mix", corpusDomainMix _, corpusDomainMixSql),

@@ -79,6 +79,33 @@ object DedupQ {
   /** Exact word-3-gram Jaccard near-dup pairs (>= 0.6) via inverted
     * shingle index — exact, so DuckDB recomputes it as the oracle.
     */
+  /** Containment pairs ≥ 0.8 ([[Dedup.containmentPairs]]): the
+    * quote/boilerplate detector — |A∩B| / min(|A|, |B|) flags a doc
+    * fully contained in a much larger one, which Jaccard's
+    * union-denominator dilutes below any usable threshold. Same
+    * capped inverted-index candidates and exact rare+hot
+    * intersection as the Jaccard gate; all-pairs containment oracle
+    * (quadratic in DuckDB — the ngram-oracle policy).
+    */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.containmentPairs(Tables(spark, dir).documents, "doc_id", "text", n = 3, tau = 0.8)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  private val dedupContainmentSql =
+    s"""WITH s AS (SELECT doc_id, ${QueryDef.toksSql()} AS t FROM documents),
+      |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+      |         THEN list_distinct([t[i]||' '||t[i+1]||' '||t[i+2] for i in range(1, len(t)-1)])
+      |         ELSE [array_to_string(t, ' ')] END AS toks FROM s),
+      |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |        len(list_intersect(a.toks, b.toks)) AS inter,
+      |        least(len(a.toks), len(b.toks)) AS mn
+      |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+      |  round(inter * 1.0 / mn, 4) AS containment
+      |FROM j WHERE inter * 1.0 / mn >= 0.8 ORDER BY id_a, id_b""".stripMargin
+
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Dedup.ngramJaccardPairs(Tables(spark, dir).documents, "doc_id", "text", n = 3, tau = 0.6)
@@ -357,6 +384,7 @@ object DedupQ {
     QueryDef.sql("dedup_incremental", dedupIncremental _, dedupIncrementalSql),
     QueryDef.sql("dedup_incremental_bloom", dedupIncrementalBloom _, dedupIncrementalSql),
     QueryDef.sql("dedup_ngram_jaccard", dedupNgramJaccard _, dedupNgramJaccardSql),
+    QueryDef.sql("dedup_containment", dedupContainment _, dedupContainmentSql),
     QueryDef.sql("dedup_minhash_lsh", dedupMinhashLsh _, dedupMinhashLshSql),
     QueryDef.sql("dedup_simhash", dedupSimhash _, dedupSimhashSql),
     QueryDef.sql("dedup_embedding", dedupEmbedding _, dedupEmbeddingSql),

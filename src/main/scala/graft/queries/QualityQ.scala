@@ -329,7 +329,88 @@ object QualityQ {
       |FROM events e JOIN m USING (event_type)
       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
 
+  /** Linear interpolation across time-series gaps — the sibling of
+    * [[qGapFill]]'s LOCF for signals where holding the last value
+    * misstates a trend: each missing hourly bucket takes the value
+    * interpolated between its nearest observed neighbors. Same
+    * per-key grid (bounded by that key's own span), with TWO
+    * conditional LOCF windows (previous observed value/hour looking
+    * back, next observed looking forward) sharing the single user_id
+    * shuffle. The lerp arithmetic is stated identically on both
+    * engines over already-rounded observations and integer hours.
+    */
+  def tsInterpolate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).events
+      .filter($"user_id" < 10 && $"event_type" === "purchase")
+    val b = e.groupBy($"user_id",
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(round(sum($"value"), 4).as("v_obs"))
+    val grid = b.groupBy($"user_id").agg(min($"h").as("h0"), max($"h").as("h1"))
+      .select($"user_id", explode(sequence($"h0", $"h1")).as("h"))
+    val wb = Window.partitionBy($"user_id").orderBy($"h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy($"user_id").orderBy($"h")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(b, Seq("user_id", "h"), "left")
+      .select($"user_id", $"h", $"v_obs",
+        last($"v_obs", ignoreNulls = true).over(wb).as("pv"),
+        last(when($"v_obs".isNotNull, $"h"), ignoreNulls = true).over(wb).as("ph"),
+        first($"v_obs", ignoreNulls = true).over(wf).as("nv"),
+        first(when($"v_obs".isNotNull, $"h"), ignoreNulls = true).over(wf).as("nh"))
+      // lerp in integer ten-thousandths: the observations are 4-decimal,
+      // so pvi/nvi are exact longs, the lerp is integer until ONE
+      // division, and floor(x + 0.5) replaces round() — a lerp between
+      // 4-decimal endpoints lands EXACTLY on .00005 half-way points,
+      // where Spark's BigDecimal rounding and DuckDB's multiply-rint
+      // disagree (the r5 half-way-mean lesson)
+      .withColumn("pvi", round($"pv" * 10000).cast("long"))
+      .withColumn("nvi", round($"nv" * 10000).cast("long"))
+      .select($"user_id", $"h".as("hour_bucket"), $"v_obs".isNull.as("is_gap"),
+        when($"v_obs".isNotNull, $"v_obs")
+          .otherwise(
+            floor($"pvi" + ($"nvi" - $"pvi") * ($"h" - $"ph") / ($"nh" - $"ph") + 0.5)
+              / 10000.0)
+          .as("v_interp"))
+      .orderBy($"user_id", $"hour_bucket")
+  }
+
+  private val tsInterpolateSql =
+    """WITH b AS (
+      |  SELECT user_id, epoch_us(ts) // 3600000000 AS h,
+      |    round(sum(value), 4) AS v_obs
+      |  FROM events WHERE user_id < 10 AND event_type = 'purchase'
+      |  GROUP BY 1, 2),
+      |g AS (SELECT user_id, unnest(range(min(h), max(h) + 1)) AS h
+      |      FROM b GROUP BY user_id),
+      |j AS (
+      |  SELECT g.user_id, g.h, b.v_obs,
+      |    last_value(b.v_obs IGNORE NULLS) OVER (
+      |      PARTITION BY g.user_id ORDER BY g.h
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |    last_value(CASE WHEN b.v_obs IS NOT NULL THEN g.h END IGNORE NULLS) OVER (
+      |      PARTITION BY g.user_id ORDER BY g.h
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+      |    first_value(b.v_obs IGNORE NULLS) OVER (
+      |      PARTITION BY g.user_id ORDER BY g.h
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+      |    first_value(CASE WHEN b.v_obs IS NOT NULL THEN g.h END IGNORE NULLS) OVER (
+      |      PARTITION BY g.user_id ORDER BY g.h
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      |  FROM g LEFT JOIN b ON b.user_id = g.user_id AND b.h = g.h),
+      |q AS (
+      |  SELECT user_id, h, v_obs, ph, nh,
+      |    CAST(round(pv * 10000) AS BIGINT) AS pvi,
+      |    CAST(round(nv * 10000) AS BIGINT) AS nvi
+      |  FROM j)
+      |SELECT user_id, h AS hour_bucket, v_obs IS NULL AS is_gap,
+      |  CASE WHEN v_obs IS NOT NULL THEN v_obs
+      |    ELSE floor(pvi + (nvi - pvi) * (h - ph) / (nh - ph) + 0.5) / 10000.0
+      |  END AS v_interp
+      |FROM q ORDER BY user_id, hour_bucket""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("ts_interpolate", tsInterpolate _, tsInterpolateSql),
     QueryDef.sql("etl_profile", etlProfile _, etlProfileSql),
     QueryDef.sql("q_outlier_iqr", qOutlierIqr _, qOutlierIqrSql),
     QueryDef.sql("q_gap_fill", qGapFill _, qGapFillSql),

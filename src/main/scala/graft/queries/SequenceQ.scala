@@ -158,8 +158,58 @@ object SequenceQ {
       |FROM events e JOIN p USING (event_type)
       |ORDER BY e.event_id""".stripMargin
 
+  /** Signup→purchase conversion lag per weekly signup cohort — the
+    * growth metric behind activation dashboards. One aggregate finds
+    * each user's first signup and first subsequent purchase (min_by
+    * conditionals — map-side combinable); lags are integer hours
+    * (micros `div`, the Triangles rule); one cohort-keyed aggregate
+    * emits conversion counts + exact median/extreme lags. Two
+    * shuffles total, both bounded by user then cohort cardinality.
+    */
+  def qConversionLag(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val firsts = Tables(spark, dir).events
+      .groupBy($"user_id")
+      .agg(
+        min(when($"event_type" === "signup", $"ts")).as("s_ts"),
+        min(when($"event_type" === "purchase", $"ts")).as("p_ts"))
+      .filter($"s_ts".isNotNull)
+      .withColumn("converted", $"p_ts".isNotNull && $"p_ts" >= $"s_ts")
+      .withColumn("lag_hours",
+        when($"converted",
+          expr("(unix_micros(p_ts) - unix_micros(s_ts)) div 3600000000")))
+      .withColumn("cohort_week", expr("unix_micros(s_ts) div 604800000000"))
+    firsts.groupBy($"cohort_week")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when($"converted", 1L).otherwise(0L)).as("n_converted"),
+        round(expr("percentile(lag_hours, 0.5)"), 4).as("median_lag_h"),
+        min($"lag_hours").as("min_lag_h"),
+        max($"lag_hours").as("max_lag_h"))
+      .orderBy($"cohort_week")
+  }
+
+  private val qConversionLagSql =
+    """WITH firsts AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts,
+      |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS p_ts
+      |  FROM events GROUP BY user_id),
+      |f AS (
+      |  SELECT user_id, s_ts, p_ts,
+      |    (p_ts IS NOT NULL AND p_ts >= s_ts) AS converted,
+      |    CASE WHEN p_ts IS NOT NULL AND p_ts >= s_ts
+      |      THEN (epoch_us(p_ts) - epoch_us(s_ts)) // 3600000000 END AS lag_hours,
+      |    epoch_us(s_ts) // 604800000000 AS cohort_week
+      |  FROM firsts WHERE s_ts IS NOT NULL)
+      |SELECT cohort_week, count(*) AS n_users,
+      |  CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+      |  round(quantile_cont(lag_hours, 0.5), 4) AS median_lag_h,
+      |  min(lag_hours) AS min_lag_h, max(lag_hours) AS max_lag_h
+      |FROM f GROUP BY cohort_week ORDER BY cohort_week""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("ts_resample_ohlc", tsResampleOhlc _, tsResampleOhlcSql),
+    QueryDef.sql("q_conversion_lag", qConversionLag _, qConversionLagSql),
     QueryDef.sql("q_markov_transitions", qMarkovTransitions _, qMarkovTransitionsSql),
     QueryDef.sql("q_attribution", qAttribution _, qAttributionSql),
     QueryDef.sql("q_winsorize", qWinsorize _, qWinsorizeSql))

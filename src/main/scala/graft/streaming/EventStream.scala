@@ -35,6 +35,29 @@ object EventStream {
         unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Hourly OHLC bars per event type — the streaming dual of the
+    * `ts_resample_ohlc` gate: open/close via `min_by`/`max_by` on the
+    * stream's unique sequence number, high/low/volume alongside, all
+    * in ONE declarative aggregate, so the same plan runs over a
+    * watermarked stream (state = one bar per open window × type) and
+    * over a batch DataFrame. Works because every piece is a
+    * DeclarativeAggregate — no rank, no second pass.
+    */
+  def ohlcBars(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        min_by(col("value"), col("event_id")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("event_id")).as("close"),
+        round(sum(col("value")), 4).as("volume"),
+        count(lit(1)).as("n_events"))
+      .select(
+        unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("open"), col("high"), col("low"),
+        col("close"), col("volume"), col("n_events"))
+
   /** Top event type per finalized window — the rank-over-windowed-
     * counts shape. Rank functions don't run inside a streaming
     * aggregation, so in production this is the `foreachBatch` step

@@ -56,6 +56,42 @@ class AuditSpec extends GraftSuite {
     assert(out.length.toLong === nGroups)
   }
 
+  test("skew profile: shares and skew factor recompute from raw counts") {
+    val rows = AuditQ.qSkewProfile(spark, sf001).collect()
+    assert(rows.length === 10)
+    val cnt = Tables(spark, sf001).lineitem
+      .groupBy($"l_partkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = cnt.values.sum
+    val expectedSkew = cnt.values.max.toDouble * cnt.size / total
+    // ranked by count desc: the head really is the heaviest key
+    assert(rows.head.getLong(1) === cnt.values.max)
+    rows.foreach { r =>
+      assert(cnt(r.getLong(0)) === r.getLong(1))
+      assert(math.abs(r.getDouble(3) - expectedSkew) < 1e-3)
+    }
+  }
+
+  test("containment flags a quote inside a larger doc that jaccard misses") {
+    val frag = "alpha beta gamma delta epsilon zeta eta theta"
+    // distinct filler (repeated filler would dedup to 2 shingles and
+    // hand jaccard the pair after all)
+    val big = (1 to 120).map(i => s"w$i").mkString(" ") + " " + frag
+    val fx = Seq((1L, frag), (2L, big), (3L, "unrelated totally different text here"))
+      .toDF("doc_id", "text")
+    val cont = graft.operators.Dedup
+      .containmentPairs(fx, "doc_id", "text", n = 3, tau = 0.8)
+      .collect()
+    assert(cont.length === 1)
+    val r = cont.head
+    assert((r.getLong(0), r.getLong(1)) === ((1L, 2L)))
+    assert(r.getDouble(3) === 1.0) // every fragment shingle is in the big doc
+    // jaccard on the same pair is diluted far below its threshold
+    val jac = graft.operators.Dedup
+      .ngramJaccardPairs(fx, "doc_id", "text", n = 3, tau = 0.6)
+    assert(jac.count() === 0)
+  }
+
   test("neighbor jaccard matches brute force on a fixture") {
     // path + square: 1-2, 2-3, 3-4, 4-1, 1-3 (chord)
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))

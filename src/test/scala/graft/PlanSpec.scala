@@ -264,4 +264,51 @@ class PlanSpec extends GraftSuite {
       assert(withinTol, s"$k: HLL estimate outside 5% of $e")
     }
   }
+
+  test("c4 rules run at scan cost: no exchange anywhere in the plan") {
+    // the first-pass corpus filter must stay map-side — one narrow
+    // projection, no shuffle, no join (C4 drops most of the raw
+    // corpus before anything expensive runs)
+    // (the gate's presentation orderBy adds one range exchange; what
+    // must not exist is any hash shuffle or join)
+    val p = plan(graft.queries.TextFilters.textC4Rules(spark, sf001))
+    assert(!p.contains("Exchange hashpartitioning"), s"c4 rules shuffle:\n$p")
+    assert(!p.contains("Join"), s"c4 rules join:\n$p")
+  }
+
+  test("fk integrity scans are pruned to the key columns") {
+    val p = plan(graft.queries.AuditQ.etlFkIntegrity(spark, sf001))
+    // the audit touches lineitem three times but must never read its
+    // payload columns — at 100 TB the scan cost IS the audit cost
+    for (c <- Seq("l_extendedprice", "l_quantity", "l_shipdate", "o_totalprice"))
+      assert(!p.contains(c), s"fk audit reads payload column $c:\n$p")
+  }
+
+  test("bm25 broadcasts the query-bounded df table (the tfidf inverse)") {
+    // per-term document frequencies are bounded by |query terms| —
+    // the LEGITIMATE broadcast regime, asserted present so a future
+    // edit can't regress it into a shuffle of three rows
+    val p = plan(graft.queries.TextFilters.textBm25(spark, sf001))
+    assert(p.contains("BroadcastHashJoin"), s"bm25 df table not broadcast:\n$p")
+  }
+
+  test("neighbor jaccard plans equi-joins only: cap bounds the wedge fan-out") {
+    withSQLConf(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p = plan(graft.queries.Analytics.qJaccardNeighbors(spark, sf001))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"quadratic operator in neighbor-jaccard plan:\n$p")
+      // the wedge self-join is keyed on the middle vertex
+      assert(p.contains("SortMergeJoin"), s"wedge join not an equi-join:\n$p")
+    }
+  }
+
+  test("binpack windows over the aggregated stats table, not the data") {
+    val p = plan(graft.queries.AuditQ.etlBinpack(spark, sf001))
+    // exactly one (global) window, fed by the group-by stats — the
+    // planner-over-metadata shape; the document text never reaches it
+    assert("Window".r.findAllIn(p).size === 1, s"expected one window stage:\n$p")
+    assert(!p.contains("text#"), s"binpack reads document text:\n$p")
+  }
 }

@@ -147,6 +147,81 @@ class SequenceSpec extends GraftSuite {
       "view" -> (1L, 3.0)))  // user 2's second purchase
   }
 
+  // ---- Conversion lag ----
+
+  test("conversion lag: converted <= users, lags non-negative and bounded by median order") {
+    val rows = SequenceQ.qConversionLag(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, c) = (r.getLong(1), r.getLong(2))
+      assert(c <= n)
+      if (c > 0) {
+        val (med, lo, hi) = (r.getDouble(3), r.getLong(4), r.getLong(5))
+        assert(lo >= 0 && lo <= med && med <= hi)
+      }
+    }
+    // cross-check one cohort's conversion count against a direct computation
+    val e = Tables(spark, sf001).events
+    val direct = e.groupBy($"user_id")
+      .agg(min(when($"event_type" === "signup", $"ts")).as("s"),
+        min(when($"event_type" === "purchase", $"ts")).as("p"))
+      .filter($"s".isNotNull && $"p".isNotNull && $"p" >= $"s").count()
+    assert(rows.map(_.getLong(2)).sum === direct)
+  }
+
+  // ---- Interpolation ----
+
+  test("interpolation is exact on a linear fixture and agrees with LOCF on observed points") {
+    // observed at h=0 (v=0) and h=4 (v=8): interior gaps lerp to 2,4,6
+    val fx = Seq((1L, 0L, 0.0), (1L, 4L, 8.0)).toDF("user_id", "h", "v_obs")
+    import org.apache.spark.sql.expressions.Window
+    val grid = fx.groupBy($"user_id").agg(min($"h").as("h0"), max($"h").as("h1"))
+      .select($"user_id", explode(sequence($"h0", $"h1")).as("h"))
+    val wb = Window.partitionBy($"user_id").orderBy($"h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy($"user_id").orderBy($"h")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val got = grid.join(fx, Seq("user_id", "h"), "left")
+      .select($"user_id", $"h",
+        last($"v_obs", ignoreNulls = true).over(wb).as("pv"),
+        last(when($"v_obs".isNotNull, $"h"), ignoreNulls = true).over(wb).as("ph"),
+        first($"v_obs", ignoreNulls = true).over(wf).as("nv"),
+        first(when($"v_obs".isNotNull, $"h"), ignoreNulls = true).over(wf).as("nh"),
+        $"v_obs")
+      .select($"h",
+        when($"v_obs".isNotNull, $"v_obs")
+          .otherwise($"pv" + ($"nv" - $"pv") * ($"h" - $"ph") / ($"nh" - $"ph"))
+          .as("v"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === Map(0L -> 0.0, 1L -> 2.0, 2L -> 4.0, 3L -> 6.0, 4L -> 8.0))
+    // on the real gate: observed (non-gap) points match the LOCF gate's values
+    val interp = graft.queries.QualityQ.tsInterpolate(spark, sf001)
+      .filter(!$"is_gap")
+      .select($"user_id", $"hour_bucket", $"v_interp")
+    val locf = graft.queries.QualityQ.qGapFill(spark, sf001)
+      .filter(!$"is_gap")
+      .select($"user_id", $"hour_bucket", round($"v_filled", 4).as("v_interp"))
+    assert(interp.exceptAll(locf).count() === 0)
+    assert(locf.exceptAll(interp).count() === 0)
+  }
+
+  // ---- Token budget ----
+
+  test("token budget: shares sum to 1 and cumulate monotonically") {
+    val rows = graft.queries.CorpusQ.corpusTokenBudget(spark, sf001).collect()
+    assert(rows.length === 20) // one per source
+    val cums = rows.map(_.getDouble(4)).toSeq
+    assert(cums === cums.sorted)
+    assert(math.abs(cums.last - 1.0) < 1e-9)
+    val total = rows.map(_.getLong(2)).sum
+    // largest contributor first
+    assert(rows.head.getLong(2) === rows.map(_.getLong(2)).max)
+    // shares recompute from the integer token counts
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(3) - r.getLong(2).toDouble / total) < 1e-6)
+    }
+  }
+
   // ---- Winsorize ----
 
   test("winsorize clamps exactly the tails and preserves the middle") {

@@ -37,6 +37,36 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("OHLC bars through readStream+watermark match the batch plan") {
+    // min_by/max_by are declarative aggregates, so the identical OHLC
+    // plan runs streaming (one bar of state per open window × type)
+    val batch = EventStream.ohlcBars(Tables(spark, sf0001).events)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_stream_ohlc")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      stageDir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(schema)
+      .parquet(stageDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "10 minutes")
+    val q = EventStream.ohlcBars(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("ohlc_bars").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ohlc_bars")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("topEventPerWindow over the streamed counts matches the batch plan") {
     // the documented composition: windowed counts run IN the stream,
     // the rank step runs over each finalized batch (foreachBatch) —
