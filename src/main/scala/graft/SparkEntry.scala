@@ -10,7 +10,8 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     Relational.defs ++ Etl.defs ++ Text.defs ++ DedupQ.defs ++ SimilarityQ.defs ++
       Extra.defs ++ TrainingQ.defs ++ TpchMore.defs ++ Analytics.defs ++ CorpusQ.defs ++
-      QualityQ.defs ++ TextFilters.defs ++ SequenceQ.defs ++ AuditQ.defs
+      QualityQ.defs ++ TextFilters.defs ++ SequenceQ.defs ++ AuditQ.defs ++
+      StatsQ.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
