@@ -377,6 +377,20 @@ object ScaleProbe {
     // edge-derivation scan
     probeGrowth("neighbor_jaccard", base, out,
       dir => graft.queries.Analytics.qJaccardNeighbors(spark, dir))
+    // containment under 2× docs: replica pairs are mutual containment
+    // (same doc) — output ~4× like minhash while candidates stay
+    // blocked on the capped inverted index
+    probeGrowth("containment", base, docs2,
+      dir => graft.operators.Dedup.containmentPairs(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 3, 0.8))
+    // sufficient-statistics gates under 2× events: output constant,
+    // time tracks the scan (100 TB reduces to moments map-side)
+    probeGrowth("ab_test", base, events2,
+      dir => graft.queries.StatsQ.qAbTest(spark, dir))
+    probeGrowth("survival_curve", base, events2,
+      dir => graft.queries.StatsQ.qSurvivalCurve(spark, dir))
+    probeGrowth("skew_profile", base, out,
+      dir => graft.queries.AuditQ.qSkewProfile(spark, dir))
     spark.stop()
   }
 }

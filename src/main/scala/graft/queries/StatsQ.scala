@@ -151,7 +151,90 @@ object StatsQ {
       |  round(sum(CASE WHEN l_day - s_day >= h THEN 1 ELSE 0 END) / count(*), 4) AS survival
       |FROM f GROUP BY h ORDER BY horizon_days""".stripMargin
 
+  /** Right-to-be-forgotten audit: purge a deletion-request key set
+    * (here: customers with negative balance — a deterministic stand-in
+    * for an uploaded request list) and emit the audit row a
+    * compliance log needs: rows before, deleted, after, and the
+    * ORDER-INDEPENDENT content digest of the surviving table
+    * ([[graft.etl.TableDigest]] — so the regulator's replay can
+    * verify the purge without moving the data). One anti-join + two
+    * digest aggregates; the deletion list joins hint-free.
+    */
+  def etlRightToForget(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables(spark, dir).customer
+    val requests = c.filter($"c_acctbal" < 0).select($"c_custkey")
+    val kept = c.join(requests, Seq("c_custkey"), "left_anti")
+    val digest = graft.etl.TableDigest.digest(kept, "customer_after", Seq(
+      $"c_custkey", $"c_name", $"c_nationkey",
+      round($"c_acctbal" * 100).cast("long"), $"c_mktsegment"))
+    val counts = c.agg(count(lit(1)).as("n_before"))
+      .crossJoin(requests.agg(count(lit(1)).as("n_deleted")))
+    counts.crossJoin(digest)
+      .select($"table_name", $"n_before", $"n_deleted",
+        $"n_rows".as("n_after"), $"xor_digest")
+  }
+
+  private val etlRightToForgetSql =
+    """WITH kept AS (
+      |  SELECT * FROM customer WHERE c_custkey NOT IN
+      |    (SELECT c_custkey FROM customer WHERE c_acctbal < 0)),
+      |d AS (
+      |  SELECT count(*) AS n_after,
+      |    coalesce(CAST(bit_xor(CAST(('0x' || substr(md5(
+      |      CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' ||
+      |      CAST(c_nationkey AS VARCHAR) || '|' ||
+      |      CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR) || '|' ||
+      |      c_mktsegment), 1, 15)) AS UBIGINT)) AS BIGINT), 0) AS xor_digest
+      |  FROM kept)
+      |SELECT 'customer_after' AS table_name,
+      |  (SELECT count(*) FROM customer) AS n_before,
+      |  (SELECT count(*) FROM customer WHERE c_acctbal < 0) AS n_deleted,
+      |  n_after, xor_digest
+      |FROM d""".stripMargin
+
+  /** Temperature-scaled mixture weights (α = 0.7) — the multilingual
+    * sampling recipe: raw language shares flatten to
+    * share^α / Σ share^α, up-weighting tail languages without
+    * discarding head data. Shares reduce map-side to lang-cardinality
+    * counts; the re-normalization runs over that METADATA table. Both
+    * engines compute pow on the identical share doubles (exact
+    * integer divisions), so the rounded weights agree.
+    */
+  def corpusTemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables(spark, dir).documents
+      .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+    val tot = per.agg(sum($"n_docs").as("total"))
+    val powed = per.crossJoin(broadcast(tot))
+      .withColumn("share", $"n_docs" / $"total")
+      // quantize each weight to integer nanos BEFORE the normalizing
+      // sum — a cross-group double sum is addition-order-dependent
+      // (the q_ab_test pre-rounding recipe)
+      .withColumn("wq", round(pow($"share", 0.7) * 1e9).cast("long"))
+    val z = powed.agg(sum($"wq").as("z"))
+    powed.crossJoin(broadcast(z))
+      .select($"lang", $"n_docs", round($"share", 6).as("share"),
+        round($"wq" / $"z", 6).as("t_share"))
+      .orderBy($"lang")
+  }
+
+  private val corpusTemperatureMixSql =
+    """WITH per AS (
+      |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+      |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM per),
+      |powed AS (
+      |  SELECT lang, n_docs, n_docs / total AS share,
+      |    CAST(round(pow(n_docs / total, 0.7) * 1e9) AS BIGINT) AS wq
+      |  FROM per, tot),
+      |z AS (SELECT CAST(sum(wq) AS BIGINT) AS z FROM powed)
+      |SELECT lang, n_docs, round(share, 6) AS share,
+      |  round(wq / z, 6) AS t_share
+      |FROM powed, z ORDER BY lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("etl_right_to_forget", etlRightToForget _, etlRightToForgetSql),
+    QueryDef.sql("corpus_temperature_mix", corpusTemperatureMix _, corpusTemperatureMixSql),
     QueryDef.sql("q_forecast_linreg", qForecastLinreg _, qForecastLinregSql),
     QueryDef.sql("q_ab_test", qAbTest _, qAbTestSql),
     QueryDef.sql("etl_k_anonymity", etlKAnonymity _, etlKAnonymitySql),

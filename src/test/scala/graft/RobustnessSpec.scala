@@ -94,6 +94,25 @@ class RobustnessSpec extends GraftSuite {
     assert(graft.operators.Sample.weighted(emptyDocs, "doc_id", lit(0.5)).count() == 0)
   }
 
+  test("round-6 wave-2/3 operators handle empty inputs") {
+    val emptyEdges = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("u", LongType), StructField("v", LongType))))
+    // neighbor jaccard over no edges: no pairs, no crash
+    assert(graft.operators.NeighborJaccard
+      .pairs(emptyEdges, "u", "v", minCommon = 1).count() == 0)
+    val emptyDocs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    // containment over an empty corpus: no candidate pairs
+    assert(graft.operators.Dedup
+      .containmentPairs(emptyDocs, "doc_id", "text", n = 3, tau = 0.8).count() == 0)
+    // one-doc corpus: no pair to report
+    assert(graft.operators.Dedup
+      .containmentPairs(Seq((1L, "a b c d e")).toDF("doc_id", "text"),
+        "doc_id", "text", n = 3, tau = 0.8).count() == 0)
+  }
+
   test("sessionize and topk handle empty input") {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -9,6 +9,40 @@ import graft.queries.StatsQ
 class StatsSpec extends GraftSuite {
   import spark.implicits._
 
+  test("right to forget: counts reconcile and the digest matches the purged table") {
+    val r = StatsQ.etlRightToForget(spark, sf001).collect().head
+    assert(r.getLong(1) === r.getLong(2) + r.getLong(3)) // before = deleted + after
+    // the audit digest equals an independent digest of the purged rows
+    val c = Tables(spark, sf001).customer
+    val kept = c.filter(!($"c_acctbal" < 0))
+    val expected = graft.etl.TableDigest.digest(kept, "customer_after", Seq(
+      $"c_custkey", $"c_name", $"c_nationkey",
+      round($"c_acctbal" * 100).cast("long"), $"c_mktsegment"))
+      .collect().head
+    assert(r.getLong(3) === expected.getLong(1))
+    assert(r.getLong(4) === expected.getLong(2))
+    // and differs from the pre-purge digest (the purge is observable)
+    val before = graft.etl.TableDigest.digest(c, "customer", Seq(
+      $"c_custkey", $"c_name", $"c_nationkey",
+      round($"c_acctbal" * 100).cast("long"), $"c_mktsegment"))
+      .collect().head
+    assert(r.getLong(4) !== before.getLong(2))
+  }
+
+  test("temperature mix flattens the head and lifts the tail, summing to ~1") {
+    val rows = StatsQ.corpusTemperatureMix(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length === 5)
+    val head = rows.maxBy(_._2)
+    val tail = rows.minBy(_._2)
+    assert(head._4 < head._3, "head language should be down-weighted")
+    assert(tail._4 > tail._3, "tail language should be up-weighted")
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4)
+    // order preserved: more docs never means lower temperature share
+    val sorted = rows.sortBy(_._2)
+    sorted.sliding(2).foreach { case Array(a, b) => assert(a._4 <= b._4) }
+  }
+
   test("linreg recovers an exact line from a synthetic series") {
     // y = 3x + 7 fitted exactly: slope 3, intercept 7, r2 1
     val fx = (0L to 20L).map(d => ("t", d, 3.0 * d + 7.0)).toDF("event_type", "d", "rev")
