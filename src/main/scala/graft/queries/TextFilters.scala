@@ -170,7 +170,59 @@ object TextFilters {
        |FROM contrib GROUP BY doc_id
        |ORDER BY score_1e4 DESC, doc_id LIMIT 20""".stripMargin
 
+  /** CCNet-style perplexity bucketing: the corpus splits into
+    * head/middle/tail terciles by unigram LM score (higher mean
+    * log-prob = lower perplexity = head — the split CCNet trains on
+    * head+middle and audits on tail). Reuses the `text_lm_score`
+    * plan verbatim, adds one exact-percentile aggregate for the two
+    * cuts (broadcast — 2 numbers), and buckets in codegen; per-bucket
+    * means use the quantize-then-one-division recipe
+    * (order-independent). The cut comparison runs on the identical
+    * interpolated doubles in both engines (the q_percentiles parity).
+    */
+  def textCcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scores = Analytics.textLmScore(spark, dir)
+    val cuts = scores.agg(
+      expr("percentile(lm_score, cast(1 as double)/3)").as("t1"),
+      expr("percentile(lm_score, cast(2 as double)/3)").as("t2"))
+    scores.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when($"lm_score" > $"t2", "head")
+          .when($"lm_score" > $"t1", "middle")
+          .otherwise("tail"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        (round(sum(round($"lm_score" * 10000).cast("long")).cast("double") /
+          count(lit(1))) / 10000.0).as("mean_score"),
+        min($"lm_score").as("min_score"),
+        max($"lm_score").as("max_score"))
+      .orderBy($"bucket")
+  }
+
+  private val textCcnetBucketsSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(${QueryDef.toksSql()}) AS tok FROM documents),
+       |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+       |lm AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY tok),
+       |total AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM lm),
+       |scores AS (
+       |  SELECT doc_id, round(sum(tf * ln(c / n)) / sum(tf), 4) AS lm_score
+       |  FROM tf JOIN lm USING (tok) CROSS JOIN total GROUP BY doc_id),
+       |cuts AS (
+       |  SELECT quantile_cont(lm_score, CAST(1 AS DOUBLE)/3) AS t1,
+       |    quantile_cont(lm_score, CAST(2 AS DOUBLE)/3) AS t2
+       |  FROM scores)
+       |SELECT CASE WHEN lm_score > t2 THEN 'head'
+       |  WHEN lm_score > t1 THEN 'middle' ELSE 'tail' END AS bucket,
+       |  count(*) AS n_docs,
+       |  round(CAST(sum(CAST(round(lm_score * 10000) AS BIGINT)) AS DOUBLE)
+       |    / count(*)) / 10000 AS mean_score,
+       |  min(lm_score) AS min_score, max(lm_score) AS max_score
+       |FROM scores, cuts GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("text_ccnet_buckets", textCcnetBuckets _, textCcnetBucketsSql),
     QueryDef.sql("text_c4_rules", textC4Rules _, textC4RulesSql),
     QueryDef.sql("text_gopher_rules", textGopherRules _, textGopherRulesSql),
     QueryDef.sql("text_bm25", textBm25 _, textBm25Sql))

@@ -205,6 +205,21 @@ class SequenceSpec extends GraftSuite {
     assert(locf.exceptAll(interp).count() === 0)
   }
 
+  // ---- CCNet buckets ----
+
+  test("ccnet buckets: terciles partition the corpus, head scores above tail") {
+    val rows = TextFilters.textCcnetBuckets(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.keySet === Set("head", "middle", "tail"))
+    val n = rows.values.map(_._1).sum
+    assert(n === 500)
+    // terciles: each bucket within one doc of n/3 modulo score ties
+    rows.values.foreach { case (c, _) => assert(c >= n / 3 - 5 && c <= n / 3 + 5) }
+    // ordering: head mean > middle mean > tail mean
+    assert(rows("head")._2 > rows("middle")._2)
+    assert(rows("middle")._2 > rows("tail")._2)
+  }
+
   // ---- Token budget ----
 
   test("token budget: shares sum to 1 and cumulate monotonically") {
