@@ -60,6 +60,12 @@ object BinaryOps {
     else if (Bmp.isBmp(bytes))
       try Png.features(Bmp.decode(bytes))
       catch { case scala.util.control.NonFatal(_) => fakeDecode(bytes) }
+    else if (Gif.isGif(bytes))
+      try {
+        val a = Gif.decode(bytes)
+        if (a.frames.isEmpty) fakeDecode(bytes)
+        else Png.features(Gif.toImage(a.frames(0)))
+      } catch { case scala.util.control.NonFatal(_) => fakeDecode(bytes) }
     else fakeDecode(bytes)
 
   final case class FrameSample(doc_id: Long, n_frames: Long, sampled: Array[Array[Byte]])
@@ -127,6 +133,50 @@ object BinaryOps {
           val mean = if (kept.isEmpty) 0.0
                      else kept.map(_.meanLuma).sum / kept.length
           VideoSample(id, v.width, v.height, v.frames.length.toLong, kept.length.toLong, mean)
+        } catch {
+          case scala.util.control.NonFatal(_) => VideoSample(id, 0, 0, 0L, 0L, -1.0)
+        }
+      }
+  }
+
+  /** Pack corpus bytes as animated GIFs: each document becomes one
+    * GIF of 8×8 grayscale frames carrying its next 64 content bytes
+    * (zero-padded tail) through REAL LZW compression — the payload is
+    * genuinely entropy-coded, so sampling must invert the coder
+    * bit-exactly ([[Gif.encodeGray]]/[[Gif.decode]]).
+    */
+  def packGif(docs: DataFrame, width: Int = 8, height: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fSize = width * height
+    docs.select(col("doc_id"), col("text").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val frames = bytes.grouped(fSize)
+          .map(g => if (g.length == fSize) g else java.util.Arrays.copyOf(g, fSize))
+          .toSeq
+        (id, Gif.encodeGray(width, height, frames))
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** REAL GIF frame sampling: parse + LZW-decode the animation, keep
+    * every `stride`-th frame, reduce kept frames to their mean red
+    * value (grayscale payloads: the mean original byte). Same per-row
+    * map + corrupt-payload armor contract as [[videoFrameSample]].
+    */
+  def gifFrameSample(packed: DataFrame, stride: Int): Dataset[VideoSample] = {
+    require(stride > 0, s"stride must be positive, got $stride")
+    val spark = packed.sparkSession
+    import spark.implicits._
+    packed.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        try {
+          val a = Gif.decode(bytes)
+          val kept = a.frames.zipWithIndex.collect { case (f, i) if i % stride == 0 => f }
+          val mean = if (kept.isEmpty) 0.0
+                     else kept.map(_.meanRed).sum / kept.length
+          VideoSample(id, a.width, a.height, a.frames.length.toLong, kept.length.toLong, mean)
         } catch {
           case scala.util.control.NonFatal(_) => VideoSample(id, 0, 0, 0L, 0L, -1.0)
         }

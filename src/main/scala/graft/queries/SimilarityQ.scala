@@ -315,6 +315,43 @@ object SimilarityQ {
     * ASCII-ness at every SF so a future generator change surfaces as
     * a named spec failure, not a silent oracle divergence.
     */
+  /** GIF frame sampling through the REAL LZW decoder
+    * ([[graft.multimodal.Gif]]): documents pack into animated GIFs
+    * whose 8×8 grayscale frames carry the content bytes through
+    * genuine entropy coding, then every 3rd frame decodes back and
+    * reduces to its mean gray value. The oracle recomputes the means
+    * from the raw text — so a single wrong bit anywhere in the
+    * LZW round trip (dictionary growth, KwKwK, width bumps,
+    * sub-block reassembly) breaks the hash match. Per-row map, no
+    * shuffle; corrupt payloads degrade to mean −1 (the PNG armor
+    * contract).
+    */
+  def mmGifFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    BinaryOps.gifFrameSample(
+        BinaryOps.packGif(Tables(spark, dir).documents), stride = 3)
+      .toDF()
+      .select($"doc_id", $"width", $"height", $"n_frames", $"n_sampled",
+        (floor($"mean_luma" * 1e4) / 1e4).as("mean_gray_t"))
+      .orderBy($"doc_id")
+  }
+
+  private val mmGifFramesSql =
+    """WITH f AS (
+      |  SELECT doc_id, text,
+      |    CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames,
+      |    CAST(ceil(ceil(octet_length(encode(text)) / 64.0) / 3.0) AS BIGINT) AS n_sampled
+      |  FROM documents)
+      |SELECT doc_id, CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+      |  n_frames, n_sampled,
+      |  floor(coalesce(
+      |    list_sum(list_transform(range(0, n_sampled), k ->
+      |      coalesce(list_sum(list_transform(
+      |        string_split(substr(text, CAST(k * 192 AS INTEGER) + 1, 64), ''),
+      |        c -> ascii(c))), 0) / 64.0)) / n_sampled,
+      |    CAST(0.0 AS DOUBLE)) * 1e4) / 1e4 AS mean_gray_t
+      |FROM f ORDER BY doc_id""".stripMargin
+
   def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     BinaryOps.videoFrameSample(
@@ -428,6 +465,7 @@ object SimilarityQ {
     QueryDef.sql("mm_binary_stats", mmBinaryStats _, mmBinaryStatsSql),
     QueryDef.sql("mm_featurize", mmFeaturize _, mmFeaturizeSql),
     QueryDef.sql("mm_frame_sample", mmFrameSample _, mmFrameSampleSql),
+    QueryDef.sql("mm_gif_frames", mmGifFrames _, mmGifFramesSql),
     QueryDef.sql("text_rolling_fp", textRollingFp _, textRollingFpSql),
     QueryDef.sql("stream_window_counts", streamWindowCounts _, streamWindowCountsSql),
     QueryDef.sql("stream_top_event", streamTopEvent _, streamTopEventSql),

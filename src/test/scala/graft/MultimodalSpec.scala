@@ -246,4 +246,85 @@ class MultimodalSpec extends GraftSuite {
     val cut = png.take(png.length - 20)
     assert(BinaryOps.decodeFeatures(cut).length == 8)
   }
+
+  // ---- GIF (LZW) ----
+
+  test("GIF LZW round-trips literal, dictionary-match and KwKwK inputs") {
+    import graft.multimodal.Gif
+    val cases = Seq(
+      Array.tabulate(64)(i => i.toByte),                   // all-distinct pairs: literals
+      Array.fill(64)(7.toByte),                            // aaaa…: immediate KwKwK chain
+      Array.tabulate(64)(i => (i % 3).toByte),             // short cycle: dictionary matches
+      ("the quick brown fox " * 4).getBytes.take(64))      // text-like
+    cases.foreach { px =>
+      val gif = Gif.encodeGray(8, 8, Seq(px))
+      val a = Gif.decode(gif)
+      assert(a.width == 8 && a.height == 8 && a.frames.length == 1)
+      assert(a.frames(0).indices.toSeq == px.toSeq, "LZW round trip mismatch")
+      // grayscale palette: meanRed = mean byte value
+      val expected = px.map(_ & 0xff).sum.toDouble / 64
+      assert(math.abs(a.frames(0).meanRed - expected) < 1e-9)
+    }
+  }
+
+  test("GIF LZW survives dictionary growth across width bumps (long input)") {
+    import graft.multimodal.Gif
+    // one 64x64 frame of structured bytes: enough distinct digrams to
+    // push the dictionary through several code-width bumps
+    val px = Array.tabulate(4096)(i => ((i * 31 + (i >> 5)) % 251).toByte)
+    val a = Gif.decode(Gif.encodeGray(64, 64, Seq(px)))
+    assert(a.frames(0).indices.toSeq == px.toSeq)
+  }
+
+  test("GIF animation: frames and delays parse in order") {
+    import graft.multimodal.Gif
+    val frames = (0 until 5).map(f => Array.fill(64)((40 * f).toByte))
+    val a = Gif.decode(Gif.encodeGray(8, 8, frames, delayCs = 12))
+    assert(a.frames.length == 5)
+    a.frames.zipWithIndex.foreach { case (fr, i) =>
+      assert(fr.delayCs == 12)
+      assert(fr.indices.forall(_ == (40 * i).toByte))
+    }
+  }
+
+  test("GIF interlaced frames de-interlace to the original rows") {
+    import graft.multimodal.Gif
+    // rows carry their own index; pre-permute into interlace order and
+    // set the interlace flag, decode must restore row order
+    val h = 8; val w = 8
+    val rows = Array.tabulate(h)(r => Array.fill(w)(r.toByte))
+    val interlaceRows =
+      (0 until h by 8) ++ (4 until h by 8) ++ (2 until h by 4) ++ (1 until h by 2)
+    val permuted = interlaceRows.flatMap(r => rows(r)).toArray
+    val gif = Gif.encodeGray(w, h, Seq(permuted))
+    // image descriptor: header(13) + GCT(768) + graphic-control(8);
+    // indexOf(0x2C) would hit the gray palette byte 44 first
+    val idPos = 13 + 768 + 8
+    assert(gif(idPos) == 0x2c.toByte)
+    gif(idPos + 9) = (gif(idPos + 9) | 0x40).toByte
+    val a = Gif.decode(gif)
+    (0 until h).foreach { r =>
+      (0 until w).foreach { c =>
+        assert(a.frames(0).indices(r * w + c) == r.toByte,
+          s"row $r col $c after de-interlace")
+      }
+    }
+  }
+
+  test("corrupt GIFs degrade instead of failing the batch") {
+    import graft.multimodal.Gif
+    val good = Gif.encodeGray(8, 8, Seq(Array.fill(64)(9.toByte)))
+    // truncated mid-stream
+    assert(BinaryOps.decodeFeatures(good.take(good.length / 2)).length == 8)
+    // bad magic
+    val bad = good.clone(); bad(0) = 'X'.toByte
+    assert(BinaryOps.decodeFeatures(bad).length == 8)
+    // featurize on a VALID gif produces real pixel stats (f0 = width >= 1)
+    val feats = BinaryOps.decodeFeatures(good)
+    assert(feats(0) >= 1.0, "real GIF decode should report width in f0")
+    // direct decode of garbage raises Unsupported (callers armor)
+    intercept[graft.multimodal.Png.Unsupported] {
+      Gif.decode("GIF89a___definitely_not_valid".getBytes)
+    }
+  }
 }
