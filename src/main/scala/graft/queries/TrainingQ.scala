@@ -181,6 +181,92 @@ object TrainingQ {
     * one content-hash shuffle, one pack window per source, narrow
     * everything else).
     */
+  /** Per-stage funnel report over the curation chain — the
+    * observability table every production pipeline publishes next to
+    * its output: how many documents survive each filter, with the
+    * running retention. Stage predicates reuse the gated operators'
+    * exact semantics (C4 scalar rules → Gopher stopword floor →
+    * exact-dedup keepers → md5 quality sampling), composed as
+    * CUMULATIVE filters; the scalar stages fold into ONE conditional
+    * aggregate over one scan, the dedup stage adds its one
+    * content-hash shuffle. Retention divides exact integers.
+    */
+  def pipelineFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    val enriched = docs
+      .withColumn("lt", lower($"text"))
+      .withColumn("ts", TextFns.toks($"text"))
+      .withColumn("c4_keep",
+        !($"lt".contains("{") || $"lt".contains("}")) &&
+          !$"lt".contains("lorem ipsum") &&
+          !array_contains($"ts", "javascript") &&
+          size($"ts") >= 5 &&
+          array_max(transform($"ts", t => length(t))) <= 100)
+      .withColumn("stop_hits",
+        size(filter($"ts", t => t.isin("the", "a", "and", "of", "to", "in", "is", "it"))))
+      .withColumn("gopher_keep", $"c4_keep" && $"stop_hits" >= 2)
+      .withColumn("keeper",
+        $"doc_id" === min($"doc_id").over(
+          org.apache.spark.sql.expressions.Window.partitionBy(md5($"text"))))
+      .withColumn("dedup_keep", $"gopher_keep" && $"keeper")
+      .withColumn("sample_keep", $"dedup_keep" &&
+        Sample.md5Bucket($"doc_id") < 800000)
+    val agg = enriched.agg(
+      count(lit(1)).as("raw"),
+      sum(when($"c4_keep", 1L).otherwise(0L)).as("c4"),
+      sum(when($"gopher_keep", 1L).otherwise(0L)).as("gopher"),
+      sum(when($"dedup_keep", 1L).otherwise(0L)).as("dedup"),
+      sum(when($"sample_keep", 1L).otherwise(0L)).as("sampled"))
+    agg.select(explode(array(
+        struct(lit(1L).as("stage_no"), lit("raw").as("stage"), $"raw".as("n_docs"), $"raw".as("base")),
+        struct(lit(2L).as("stage_no"), lit("c4_rules").as("stage"), $"c4".as("n_docs"), $"raw".as("base")),
+        struct(lit(3L).as("stage_no"), lit("gopher_stopwords").as("stage"), $"gopher".as("n_docs"), $"raw".as("base")),
+        struct(lit(4L).as("stage_no"), lit("exact_dedup").as("stage"), $"dedup".as("n_docs"), $"raw".as("base")),
+        struct(lit(5L).as("stage_no"), lit("quality_sample").as("stage"), $"sampled".as("n_docs"), $"raw".as("base"))
+      )).as("s"))
+      .select($"s.stage_no", $"s.stage", $"s.n_docs",
+        round($"s.n_docs" / $"s.base", 4).as("retention"))
+      .orderBy($"stage_no")
+  }
+
+  private val pipelineFunnelSql =
+    s"""WITH e AS (
+       |  SELECT doc_id, text, lower(text) AS lt, ${QueryDef.toksSql()} AS ts
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, text,
+       |    (NOT (lt LIKE '%{%' OR lt LIKE '%}%') AND NOT lt LIKE '%lorem ipsum%'
+       |      AND NOT list_contains(ts, 'javascript') AND len(ts) >= 5
+       |      AND list_max(list_transform(ts, x -> length(x))) <= 100) AS c4_keep,
+       |    len(list_filter(ts, x -> list_contains(
+       |      ['the','a','and','of','to','in','is','it'], x))) AS stop_hits,
+       |    doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+       |  FROM e),
+       |g AS (
+       |  SELECT *, c4_keep AND stop_hits >= 2 AS gopher_keep FROM f),
+       |h AS (
+       |  SELECT *, gopher_keep AND keeper AS dedup_keep,
+       |    gopher_keep AND keeper AND
+       |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |        % 1000000 < 800000 AS sample_keep
+       |  FROM g),
+       |agg AS (
+       |  SELECT count(*) AS raw,
+       |    CAST(sum(CASE WHEN c4_keep THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+       |    CAST(sum(CASE WHEN gopher_keep THEN 1 ELSE 0 END) AS BIGINT) AS gopher,
+       |    CAST(sum(CASE WHEN dedup_keep THEN 1 ELSE 0 END) AS BIGINT) AS dedup,
+       |    CAST(sum(CASE WHEN sample_keep THEN 1 ELSE 0 END) AS BIGINT) AS sampled
+       |  FROM h)
+       |SELECT stage_no, stage, n_docs, round(n_docs / base, 4) AS retention
+       |FROM (
+       |  SELECT CAST(1 AS BIGINT) AS stage_no, 'raw' AS stage, raw AS n_docs, raw AS base FROM agg
+       |  UNION ALL SELECT 2, 'c4_rules', c4, raw FROM agg
+       |  UNION ALL SELECT 3, 'gopher_stopwords', gopher, raw FROM agg
+       |  UNION ALL SELECT 4, 'exact_dedup', dedup, raw FROM agg
+       |  UNION ALL SELECT 5, 'quality_sample', sampled, raw FROM agg)
+       |ORDER BY stage_no""".stripMargin
+
   def pipelineCorpus(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables(spark, dir).documents
@@ -222,5 +308,6 @@ object TrainingQ {
     QueryDef.sql("corpus_source_divergence", corpusSourceDivergence _, corpusSourceDivergenceSql),
     QueryDef.sql("text_pack", textPack _, textPackSql),
     QueryDef.sql("q_salted_join", qSaltedJoin _, qSaltedJoinSql),
-    QueryDef.sql("pipeline_corpus", pipelineCorpus _, pipelineCorpusSql))
+    QueryDef.sql("pipeline_corpus", pipelineCorpus _, pipelineCorpusSql),
+    QueryDef.sql("pipeline_funnel", pipelineFunnel _, pipelineFunnelSql))
 }

