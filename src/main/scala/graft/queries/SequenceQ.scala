@@ -207,7 +207,50 @@ object SequenceQ {
       |  min(lag_hours) AS min_lag_h, max(lag_hours) AS max_lag_h
       |FROM f GROUP BY cohort_week ORDER BY cohort_week""".stripMargin
 
+  /** Native `session_window` sessionization — the built-in operator
+    * tier next to the custom window-based `q_sessionize` (same
+    * 30-minute gap semantics; this is Spark's own merging session
+    * aggregate, which also runs STREAMING with watermarked state —
+    * StreamingSpec pins that parity). Session end = last event + gap
+    * by definition; the oracle restates sessions via the
+    * gaps-and-islands window, pinning the two formulations equal.
+    */
+  def qSessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).events
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 4).as("session_value"))
+      .select($"user_id",
+        unix_micros($"session_window.start").as("start_us"),
+        unix_micros($"session_window.end").as("end_us"),
+        $"n_events", $"session_value")
+      .orderBy($"user_id", $"start_us")
+  }
+
+  private val qSessionWindowSql =
+    """WITH marked AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |    THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_session) OVER (
+      |      PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM marked)
+      |SELECT user_id,
+      |  min(epoch_us(ts)) AS start_us,
+      |  max(epoch_us(ts)) + 1800000000 AS end_us,
+      |  count(*) AS n_events,
+      |  round(sum(value), 4) AS session_value
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, start_us""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("q_session_window", qSessionWindow _, qSessionWindowSql),
     QueryDef.sql("ts_resample_ohlc", tsResampleOhlc _, tsResampleOhlcSql),
     QueryDef.sql("q_conversion_lag", qConversionLag _, qConversionLagSql),
     QueryDef.sql("q_markov_transitions", qMarkovTransitions _, qMarkovTransitionsSql),

@@ -37,6 +37,42 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("native session_window through readStream+watermark matches the batch plan") {
+    import org.apache.spark.sql.functions.{session_window => sw}
+    def sessions(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("user_id"), sw(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("v"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("s"),
+          unix_micros(col("session_window.end")).as("e"),
+          col("n"), col("v"))
+    val batch = sessions(Tables(spark, sf0001).events)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_stream_sess")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      stageDir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(schema)
+      .parquet(stageDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+    val q = sessions(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("native_sessions").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("native_sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("OHLC bars through readStream+watermark match the batch plan") {
     // min_by/max_by are declarative aggregates, so the identical OHLC
     // plan runs streaming (one bar of state per open window × type)
