@@ -249,7 +249,38 @@ object SequenceQ {
       |FROM sess GROUP BY user_id, session_id
       |ORDER BY user_id, start_us""".stripMargin
 
+  /** Typed JSON parsing via `from_json` — the schema-on-read tier
+    * above `etl_json_extract`'s path probe (`get_json_object`):
+    * parse once into a typed struct (codegen'd Jackson, one parse
+    * per row however many fields), aggregate on the typed column.
+    * Malformed documents become NULL structs (PERMISSIVE) and are
+    * counted — the corrupt-record accounting a lake intake needs.
+    */
+  def etlJsonSchema(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parsed = Tables(spark, dir).events
+      .withColumn("j", from_json($"props",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))))
+    parsed.groupBy(($"j.k" % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"),
+        sum(when($"j".isNull || $"j.k".isNull, 1L).otherwise(0L)).as("n_bad"),
+        min($"j.k").as("k_min"), max($"j.k").as("k_max"))
+      .orderBy($"k_mod")
+  }
+
+  private val etlJsonSchemaSql =
+    """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+      |  count(*) AS n,
+      |  CAST(sum(CASE WHEN json_extract(props, '$.k') IS NULL
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+      |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
+      |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
+      |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("etl_json_schema", etlJsonSchema _, etlJsonSchemaSql),
     QueryDef.sql("q_session_window", qSessionWindow _, qSessionWindowSql),
     QueryDef.sql("ts_resample_ohlc", tsResampleOhlc _, tsResampleOhlcSql),
     QueryDef.sql("q_conversion_lag", qConversionLag _, qConversionLagSql),
