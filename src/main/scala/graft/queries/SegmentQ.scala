@@ -1,0 +1,194 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 wave 4 — segmentation and dependence analytics: a
+  * chi-square independence test, frequent event-trigram mining and
+  * RFM customer segmentation. Sufficient-statistics shapes
+  * throughout: integer contingency cells, lag-window n-grams,
+  * percentile fences.
+  */
+object SegmentQ {
+
+  /** Chi-square independence test of event type × user-parity cohort:
+    * the categorical sibling of `q_ab_test`. The contingency table is
+    * ONE map-side-combinable aggregate (types × 2 integer cells);
+    * expected counts and per-cell χ² contributions compute from exact
+    * integers, each contribution quantizes to integer ten-thousandths
+    * BEFORE the cross-cell sum (the q_ab_test recipe), so the
+    * statistic is bit-identical on both engines.
+    */
+  def qCrosstabChi2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val observed = Tables(spark, dir).events
+      .groupBy($"event_type", ($"user_id" % 2 === 0).as("cohort_a"))
+      .agg(count(lit(1)).as("o"))
+    // fill EMPTY cells explicitly — a groupBy-only table omits them,
+    // silently understating chi² on sparse contingencies (the zero
+    // cells carry e worth of evidence each)
+    val cells = observed.select($"event_type").distinct()
+      .crossJoin(observed.select($"cohort_a").distinct())
+      .join(observed, Seq("event_type", "cohort_a"), "left")
+      .withColumn("o", coalesce($"o", lit(0L)))
+    val margins = cells
+      .withColumn("row_n", sum($"o").over(Window.partitionBy($"event_type")))
+      .withColumn("col_n", sum($"o").over(Window.partitionBy($"cohort_a")))
+      .crossJoin(broadcast(cells.agg(sum($"o").as("total"))))
+    val contrib = margins
+      .withColumn("e", $"row_n" * $"col_n" / $"total")
+      .withColumn("c1e4",
+        round(($"o" - $"e") * ($"o" - $"e") / $"e" * 10000).cast("long"))
+    contrib.agg(
+        sum($"o").as("n_events"),
+        countDistinct($"event_type").as("n_types"),
+        round(sum($"c1e4") / 10000.0, 4).as("chi2"))
+      .select($"n_events", $"n_types",
+        ($"n_types" - 1).as("dof"), $"chi2")
+  }
+
+  private val qCrosstabChi2Sql =
+    """WITH observed AS (
+      |  SELECT event_type, user_id % 2 = 0 AS cohort_a, count(*) AS o
+      |  FROM events GROUP BY 1, 2),
+      |cells AS (
+      |  SELECT t.event_type, c.cohort_a, coalesce(o.o, 0) AS o
+      |  FROM (SELECT DISTINCT event_type FROM observed) t
+      |  CROSS JOIN (SELECT DISTINCT cohort_a FROM observed) c
+      |  LEFT JOIN observed o
+      |    ON o.event_type = t.event_type AND o.cohort_a = c.cohort_a),
+      |m AS (
+      |  SELECT *,
+      |    sum(o) OVER (PARTITION BY event_type) AS row_n,
+      |    sum(o) OVER (PARTITION BY cohort_a) AS col_n,
+      |    sum(o) OVER () AS total
+      |  FROM cells),
+      |c AS (
+      |  SELECT o, event_type,
+      |    CAST(round((o - row_n * col_n / total) * (o - row_n * col_n / total)
+      |      / (row_n * col_n / total) * 10000) AS BIGINT) AS c1e4
+      |  FROM m)
+      |SELECT CAST(sum(o) AS BIGINT) AS n_events,
+      |  count(DISTINCT event_type) AS n_types,
+      |  count(DISTINCT event_type) - 1 AS dof,
+      |  round(CAST(sum(c1e4) AS BIGINT) / 10000.0, 4) AS chi2
+      |FROM c""".stripMargin
+
+  /** Frequent event trigrams: the top-20 3-event sequences across
+    * user streams — sequence mining's first rung above
+    * `q_markov_transitions`' bigrams. Two lag windows over the one
+    * user_id shuffle produce the trigram stream in place (no
+    * explode), one aggregate counts, TakeOrderedAndProject keeps the
+    * top-k. Output bounded by |states|³.
+    */
+  def qSequenceTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+    Tables(spark, dir).events
+      .select($"user_id", $"event_id", $"event_type".as("e3"))
+      .withColumn("e2", lag($"e3", 1).over(w))
+      .withColumn("e1", lag($"e3", 2).over(w))
+      .filter($"e1".isNotNull)
+      .groupBy($"e1", $"e2", $"e3").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"e1", $"e2", $"e3")
+      .limit(20)
+  }
+
+  private val qSequenceTrigramsSql =
+    """WITH t AS (
+      |  SELECT user_id,
+      |    lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY event_id) AS e1,
+      |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS e2,
+      |    event_type AS e3
+      |  FROM events)
+      |SELECT e1, e2, e3, count(*) AS n
+      |FROM t WHERE e1 IS NOT NULL
+      |GROUP BY e1, e2, e3
+      |ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin
+
+  /** RFM segmentation: recency / frequency / monetary per purchasing
+    * user, scored 1–3 by exact tercile fences and labeled. One
+    * per-user aggregate (integer day recency via `div`, counts, cent
+    * sums), one percentile aggregate to a six-number fence table
+    * (broadcast — genuinely bounded), scoring in codegen. The fences
+    * compare on identical interpolated doubles (q_percentiles
+    * parity); monetary sums are integer cents.
+    */
+  def qRfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).events.filter($"event_type" === "purchase")
+    val maxDay = e.agg(max(expr("unix_micros(ts) div 86400000000")).as("d_max"))
+    val peru = e.groupBy($"user_id")
+      .agg(max(expr("unix_micros(ts) div 86400000000")).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(round($"value" * 100).cast("long")).as("monetary_cents"))
+      .crossJoin(broadcast(maxDay))
+      .withColumn("recency_days", $"d_max" - $"last_day")
+    val fences = peru.agg(
+      expr("percentile(recency_days, cast(1 as double)/3)").as("r1"),
+      expr("percentile(recency_days, cast(2 as double)/3)").as("r2"),
+      expr("percentile(frequency, cast(1 as double)/3)").as("f1"),
+      expr("percentile(frequency, cast(2 as double)/3)").as("f2"),
+      expr("percentile(monetary_cents, cast(1 as double)/3)").as("m1"),
+      expr("percentile(monetary_cents, cast(2 as double)/3)").as("m2"))
+    peru.crossJoin(broadcast(fences))
+      .select($"user_id", $"recency_days", $"frequency", $"monetary_cents",
+        // low recency is GOOD: score descends as recency grows
+        when($"recency_days" <= $"r1", 3L).when($"recency_days" <= $"r2", 2L)
+          .otherwise(1L).as("r_score"),
+        when($"frequency" > $"f2", 3L).when($"frequency" > $"f1", 2L)
+          .otherwise(1L).as("f_score"),
+        when($"monetary_cents" > $"m2", 3L).when($"monetary_cents" > $"m1", 2L)
+          .otherwise(1L).as("m_score"))
+      .withColumn("segment",
+        when($"r_score" === 3 && $"f_score" === 3, "champion")
+          .when($"r_score" >= 2 && $"f_score" >= 2, "loyal")
+          .when($"r_score" === 1 && $"f_score" >= 2, "at_risk")
+          .otherwise("casual"))
+      .orderBy($"user_id")
+  }
+
+  private val qRfmSegmentsSql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |mx AS (SELECT max(day) AS d_max FROM e),
+      |peru AS (
+      |  SELECT user_id, mx.d_max - max(day) AS recency_days,
+      |    count(*) AS frequency,
+      |    CAST(sum(cents) AS BIGINT) AS monetary_cents
+      |  FROM e, mx GROUP BY user_id, mx.d_max),
+      |f AS (
+      |  SELECT quantile_cont(recency_days, CAST(1 AS DOUBLE)/3) AS r1,
+      |    quantile_cont(recency_days, CAST(2 AS DOUBLE)/3) AS r2,
+      |    quantile_cont(frequency, CAST(1 AS DOUBLE)/3) AS f1,
+      |    quantile_cont(frequency, CAST(2 AS DOUBLE)/3) AS f2,
+      |    quantile_cont(monetary_cents, CAST(1 AS DOUBLE)/3) AS m1,
+      |    quantile_cont(monetary_cents, CAST(2 AS DOUBLE)/3) AS m2
+      |  FROM peru),
+      |s AS (
+      |  SELECT user_id, recency_days, frequency, monetary_cents,
+      |    CASE WHEN recency_days <= r1 THEN 3 WHEN recency_days <= r2 THEN 2
+      |      ELSE 1 END AS r_score,
+      |    CASE WHEN frequency > f2 THEN 3 WHEN frequency > f1 THEN 2
+      |      ELSE 1 END AS f_score,
+      |    CASE WHEN monetary_cents > m2 THEN 3 WHEN monetary_cents > m1 THEN 2
+      |      ELSE 1 END AS m_score
+      |  FROM peru, f)
+      |SELECT user_id, recency_days, frequency, monetary_cents,
+      |  CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+      |  CAST(m_score AS BIGINT) AS m_score,
+      |  CASE WHEN r_score = 3 AND f_score = 3 THEN 'champion'
+      |    WHEN r_score >= 2 AND f_score >= 2 THEN 'loyal'
+      |    WHEN r_score = 1 AND f_score >= 2 THEN 'at_risk'
+      |    ELSE 'casual' END AS segment
+      |FROM s ORDER BY user_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("q_crosstab_chi2", qCrosstabChi2 _, qCrosstabChi2Sql),
+    QueryDef.sql("q_sequence_trigrams", qSequenceTrigrams _, qSequenceTrigramsSql),
+    QueryDef.sql("q_rfm_segments", qRfmSegments _, qRfmSegmentsSql))
+}
