@@ -391,6 +391,24 @@ object ScaleProbe {
       dir => graft.queries.StatsQ.qSurvivalCurve(spark, dir))
     probeGrowth("skew_profile", base, out,
       dir => graft.queries.AuditQ.qSkewProfile(spark, dir))
+    // late-wave families: per-key windows and metadata aggregates —
+    // output bounded (sessions/users/states³/buckets), time tracks scan
+    probeGrowth("session_window", base, events2,
+      dir => graft.queries.SequenceQ.qSessionWindow(spark, dir))
+    probeGrowth("sequence_trigrams", base, events2,
+      dir => graft.queries.SegmentQ.qSequenceTrigrams(spark, dir))
+    probeGrowth("rfm_segments", base, events2,
+      dir => graft.queries.SegmentQ.qRfmSegments(spark, dir))
+    probeGrowth("ccnet_buckets", base, docs2,
+      dir => graft.queries.TextFilters.textCcnetBuckets(spark, dir))
+    probeGrowth("pipeline_funnel", base, docs2,
+      dir => graft.queries.TrainingQ.pipelineFunnel(spark, dir))
+    // GIF frame sampling under 2× docs: per-row LZW decode — map-only
+    probeGrowth("gif_frames", base, docs2, { dir =>
+      graft.multimodal.BinaryOps.gifFrameSample(
+        graft.multimodal.BinaryOps.packGif(
+          spark.read.parquet(s"$dir/documents.parquet")), stride = 3).toDF()
+    })
     spark.stop()
   }
 }

@@ -304,6 +304,25 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("native session windows plan as a merging session aggregate, not a sort join") {
+    val p = plan(graft.queries.SequenceQ.qSessionWindow(spark, sf001))
+    // Spark's session_window plans UpdatingSessionsExec + merging
+    // aggregate keyed on (user, session) — one shuffle, no self-join
+    assert(p.contains("session_window"), s"no session window in plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"quadratic operator in session plan:\n$p")
+  }
+
+  test("rfm fences and trigram top-k keep their bounded shapes") {
+    val rfm = plan(graft.queries.SegmentQ.qRfmSegments(spark, sf001))
+    // the six-number fence table joins as a broadcast, never a shuffle
+    assert(rfm.contains("BroadcastNestedLoopJoin") || rfm.contains("BroadcastExchange"),
+      s"fence table not broadcast:\n$rfm")
+    val tri = plan(graft.queries.SegmentQ.qSequenceTrigrams(spark, sf001))
+    // top-20 plans as ordered take, not a global sort of all trigrams
+    assert(tri.contains("TakeOrderedAndProject"), s"trigram top-k global-sorts:\n$tri")
+  }
+
   test("binpack windows over the aggregated stats table, not the data") {
     val p = plan(graft.queries.AuditQ.etlBinpack(spark, sf001))
     // exactly one (global) window, fed by the group-by stats — the
