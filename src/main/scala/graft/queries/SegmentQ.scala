@@ -187,7 +187,74 @@ object SegmentQ {
       |    ELSE 'casual' END AS segment
       |FROM s ORDER BY user_id""".stripMargin
 
+  /** Quantile binning: each purchase lands in its event-type decile —
+    * the generic feature-engineering discretizer (the fences are the
+    * same exact-percentile machinery as winsorize/RFM, the bin
+    * assignment one codegen comparison chain against a broadcast
+    * 9-number-per-type table). Output: per (type, bin) counts and
+    * integer-cent value sums — pure integers after the fence compare,
+    * which runs on identical interpolated doubles in both engines.
+    */
+  def qDecileBins(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).events
+    val fences = e.groupBy($"event_type")
+      .agg(expr("percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+        .as("fs"))
+    e.join(broadcast(fences), "event_type")
+      .withColumn("bin",
+        (lit(1L) + expr("size(filter(fs, f -> value > f))")).cast("long"))
+      .groupBy($"event_type", $"bin")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"value" * 100).cast("long")).as("cents"))
+      .orderBy($"event_type", $"bin")
+  }
+
+  private val qDecileBinsSql =
+    """WITH f AS (
+      |  SELECT event_type,
+      |    quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS fs
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_type,
+      |  CAST(1 + len(list_filter(f.fs, x -> e.value > x)) AS BIGINT) AS bin,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM events e JOIN f USING (event_type)
+      |GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin
+
+  /** Day-of-week seasonality of purchase revenue. The weekday derives
+    * from integer epoch-day arithmetic (`(day + 4) % 7` — the epoch
+    * fell on a Thursday) instead of each engine's calendar function,
+    * whose week-start conventions differ (Spark counts Sunday = 1,
+    * DuckDB Sunday = 0 — a classic silent cross-engine drift). One
+    * map-side-combinable aggregate; the share divides exact cents.
+    */
+  def qWeekdaySeasonality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables(spark, dir).events
+      .filter($"event_type" === "purchase")
+      .groupBy(expr("(unix_micros(ts) div 86400000000 + 4) % 7").as("weekday"))
+      .agg(count(lit(1)).as("n"),
+        sum(round($"value" * 100).cast("long")).as("cents"))
+    per.crossJoin(broadcast(per.agg(sum($"cents").as("total"))))
+      .select($"weekday", $"n", $"cents",
+        round($"cents" / $"total", 6).as("rev_share"))
+      .orderBy($"weekday")
+  }
+
+  private val qWeekdaySeasonalitySql =
+    """WITH per AS (
+      |  SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS weekday,
+      |    count(*) AS n,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM per)
+      |SELECT weekday, n, cents, round(cents / total, 6) AS rev_share
+      |FROM per, t ORDER BY weekday""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("q_decile_bins", qDecileBins _, qDecileBinsSql),
+    QueryDef.sql("q_weekday_seasonality", qWeekdaySeasonality _, qWeekdaySeasonalitySql),
     QueryDef.sql("q_crosstab_chi2", qCrosstabChi2 _, qCrosstabChi2Sql),
     QueryDef.sql("q_sequence_trigrams", qSequenceTrigrams _, qSequenceTrigramsSql),
     QueryDef.sql("q_rfm_segments", qRfmSegments _, qRfmSegmentsSql))

@@ -7,6 +7,34 @@ import graft.queries.SegmentQ
 class SegmentSpec extends GraftSuite {
   import spark.implicits._
 
+  test("decile bins hold ~10% of each type and partition every event") {
+    val rows = SegmentQ.qDecileBins(spark, sf001).collect()
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (t, rs) =>
+      assert(rs.length === 10, s"$t has ${rs.length} bins")
+      val total = rs.map(_.getLong(2)).sum
+      rs.foreach { r =>
+        // deciles: each bin within ±30% of total/10 (ties distort a little)
+        assert(math.abs(r.getLong(2) - total / 10.0) < total * 0.03 + 5,
+          s"$t bin ${r.getLong(1)} holds ${r.getLong(2)} of $total")
+      }
+    }
+    val n = rows.map(_.getLong(2)).sum
+    assert(n === Tables(spark, sf001).events.count())
+  }
+
+  test("weekday seasonality shares sum to 1 over exactly 7 days") {
+    val rows = SegmentQ.qWeekdaySeasonality(spark, sf001).collect()
+    assert(rows.length === 7)
+    assert(rows.map(_.getLong(0)).toSet === (0L to 6L).toSet)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    // cents reconcile with a direct recomputation
+    val direct = Tables(spark, sf001).events
+      .filter($"event_type" === "purchase")
+      .agg(sum(round($"value" * 100).cast("long"))).collect().head.getLong(0)
+    assert(rows.map(_.getLong(2)).sum === direct)
+  }
+
   test("chi2: near-uniform cohorts give a small statistic, skewed cells a large one") {
     val gate = SegmentQ.qCrosstabChi2(spark, sf001).collect().head
     assert(gate.getLong(2) === 4L) // 5 event types -> dof 4
