@@ -136,7 +136,72 @@ object AuditQ {
       |  round(max_cnt * n_keys / total, 4) AS skew_factor
       |FROM cnt, stats ORDER BY cnt DESC, key LIMIT 10""".stripMargin
 
+  /** Functional-dependency discovery: does determinant column A fix
+    * dependent column B? `A → B` holds iff |distinct A| = |distinct
+    * (A,B)| — the constraint-mining audit that surfaces undocumented
+    * keys before a dedup or upsert keys on the wrong column. One
+    * multi-distinct aggregate per table (Catalyst plans the Expand +
+    * partial-distinct shape — fully map-side-combinable), candidate
+    * rows stacked by an explode over the single result row.
+    */
+  def etlFdDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    def fd(tbl: String, det: String, dep: String,
+           d: Column, p: Column): Column =
+      struct(lit(tbl).as("tbl"), lit(det).as("det"), lit(dep).as("dep"),
+        d.as("n_det"), p.as("n_pair"))
+    val o = t.orders.agg(
+      countDistinct($"o_orderkey").as("d1"),
+      countDistinct($"o_orderkey", $"o_custkey").as("p1"),
+      countDistinct($"o_custkey").as("d2"),
+      countDistinct($"o_custkey", $"o_orderpriority").as("p2"),
+      countDistinct($"o_orderstatus").as("d3"),
+      countDistinct($"o_orderstatus", $"o_orderpriority").as("p3"))
+      .select(explode(array(
+        fd("orders", "o_orderkey", "o_custkey", $"d1", $"p1"),
+        fd("orders", "o_custkey", "o_orderpriority", $"d2", $"p2"),
+        fd("orders", "o_orderstatus", "o_orderpriority", $"d3", $"p3")))
+        .as("fd"))
+    val n = t.nation.agg(
+      countDistinct($"n_nationkey").as("d1"),
+      countDistinct($"n_nationkey", $"n_regionkey").as("p1"))
+      .select(explode(array(
+        fd("nation", "n_nationkey", "n_regionkey", $"d1", $"p1"))).as("fd"))
+    o.union(n).select($"fd.*")
+      .withColumn("holds", $"n_det" === $"n_pair")
+      .orderBy($"tbl", $"det", $"dep")
+  }
+
+  private val etlFdDiscoverySql =
+    """SELECT * FROM (
+      |  SELECT 'orders' AS tbl, 'o_orderkey' AS det, 'o_custkey' AS dep,
+      |    count(DISTINCT o_orderkey) AS n_det,
+      |    count(DISTINCT (o_orderkey, o_custkey)) AS n_pair,
+      |    count(DISTINCT o_orderkey) = count(DISTINCT (o_orderkey, o_custkey)) AS holds
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'orders', 'o_custkey', 'o_orderpriority',
+      |    count(DISTINCT o_custkey),
+      |    count(DISTINCT (o_custkey, o_orderpriority)),
+      |    count(DISTINCT o_custkey) = count(DISTINCT (o_custkey, o_orderpriority))
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'orders', 'o_orderstatus', 'o_orderpriority',
+      |    count(DISTINCT o_orderstatus),
+      |    count(DISTINCT (o_orderstatus, o_orderpriority)),
+      |    count(DISTINCT o_orderstatus) = count(DISTINCT (o_orderstatus, o_orderpriority))
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'nation', 'n_nationkey', 'n_regionkey',
+      |    count(DISTINCT n_nationkey),
+      |    count(DISTINCT (n_nationkey, n_regionkey)),
+      |    count(DISTINCT n_nationkey) = count(DISTINCT (n_nationkey, n_regionkey))
+      |  FROM nation)
+      |ORDER BY tbl, det, dep""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("etl_fd_discovery", etlFdDiscovery _, etlFdDiscoverySql),
     QueryDef.sql("etl_fk_integrity", etlFkIntegrity _, etlFkIntegritySql),
     QueryDef.sql("etl_binpack", etlBinpack _, etlBinpackSql),
     QueryDef.sql("q_skew_profile", qSkewProfile _, qSkewProfileSql))

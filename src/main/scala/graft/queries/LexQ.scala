@@ -1,0 +1,171 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFns._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 wave 5 — lexical profiling over `documents`: a readability
+  * score, cross-source vocabulary overlap, and the hashing-trick
+  * featurizer. All three are scan-shaped (explode → count), share the
+  * canonical tokenizer with every other text gate, and keep the
+  * arithmetic on exact integer counts until a final rounded division.
+  */
+object LexQ {
+
+  private def nonEmptyToks(c: Column): Column =
+    filter(toks(c), t => t =!= "")
+
+  /** Flesch-style readability per document — the classic quality
+    * filter dimension next to `text_quality`'s ratio features.
+    * Words/sentences/syllables are integer regex counts (the syllable
+    * heuristic is vowel-group counting — deterministic and identical
+    * under Java regex and RE2, unlike dictionary syllabification);
+    * the score stays an UNROUNDED double: every term is a
+    * deterministic IEEE op on exact integers in a fixed evaluation
+    * order, so both engines produce the identical bit pattern —
+    * whereas round(x, 2) is the one step whose half-case rule
+    * DIFFERS cross-engine (Spark rounds the exact binary value via
+    * BigDecimal HALF_UP; DuckDB rounds x·100 after its own FP
+    * rounding — they disagree whenever x·100 lands within one ulp of
+    * a half, which one sf0.001 doc hit). Pure map — scales with the
+    * scan.
+    */
+  def textReadability(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select($"doc_id",
+        size(nonEmptyToks($"text")).cast("long").as("words"),
+        greatest(lit(1L),
+          size(regexp_extract_all($"text", lit("[.!?]+"), lit(0))).cast("long"))
+          .as("sentences"),
+        greatest(lit(1L),
+          size(regexp_extract_all(lower($"text"), lit("[aeiouy]+"), lit(0))).cast("long"))
+          .as("syllables"))
+      .filter($"words" > 0)
+      .withColumn("flesch",
+        lit(206.835) - lit(1.015) * ($"words".cast("double") / $"sentences") -
+          lit(84.6) * ($"syllables".cast("double") / $"words"))
+      .withColumn("level",
+        when($"flesch" >= 70, "easy")
+          .when($"flesch" >= 50, "medium").otherwise("hard"))
+      .select($"doc_id", $"words", $"sentences", $"syllables", $"flesch", $"level")
+      .orderBy($"doc_id")
+  }
+
+  private val textReadabilitySql = {
+    val t = QueryDef.toksSql()
+    s"""WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter($t, t -> t <> '')) AS BIGINT) AS words,
+      |    greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS sentences,
+      |    greatest(1, CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)) AS syllables
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, words, sentences, syllables,
+      |    206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences) -
+      |      84.6 * (CAST(syllables AS DOUBLE) / words) AS flesch
+      |  FROM m WHERE words > 0)
+      |SELECT doc_id, words, sentences, syllables, flesch,
+      |  CASE WHEN flesch >= 70 THEN 'easy'
+      |       WHEN flesch >= 50 THEN 'medium' ELSE 'hard' END AS level
+      |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** Vocabulary overlap between corpus sources: Jaccard of each
+    * source pair's top-100 token sets — the cheap "are these sources
+    * the same register?" probe before a full KL/perplexity read. The
+    * per-source top-100 is a bounded GroupTopK-shaped window (ties
+    * broken by token — exact in both engines); the pair frame comes
+    * from a crossJoin of the DISTINCT source list (a handful of rows)
+    * so zero-overlap pairs still appear; Jaccard divides exact set
+    * cardinalities.
+    */
+  def corpusVocabOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cnt = Tables(spark, dir).documents
+      .select($"source", explode(nonEmptyToks($"text")).as("token"))
+      .groupBy($"source", $"token").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"source").orderBy($"n".desc, $"token")
+    val top = cnt.withColumn("rk", row_number().over(w)).filter($"rk" <= 100)
+      .select($"source", $"token")
+    val sizes = top.groupBy($"source").agg(count(lit(1)).as("sz"))
+    val srcs = sizes.select($"source", $"sz")
+    val pairs = srcs.as("a").crossJoin(broadcast(srcs.as("b")))
+      .filter($"a.source" < $"b.source")
+      .select($"a.source".as("source_a"), $"b.source".as("source_b"),
+        $"a.sz".as("sz_a"), $"b.sz".as("sz_b"))
+    val inter = top.as("x").join(top.as("y"),
+        $"x.token" === $"y.token" && $"x.source" < $"y.source")
+      .groupBy($"x.source".as("source_a"), $"y.source".as("source_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs.join(inter, Seq("source_a", "source_b"), "left")
+      .withColumn("inter", coalesce($"inter", lit(0L)))
+      .select($"source_a", $"source_b", $"inter",
+        round($"inter" / ($"sz_a" + $"sz_b" - $"inter"), 4).as("jaccard"))
+      .orderBy($"source_a", $"source_b")
+  }
+
+  private val corpusVocabOverlapSql = {
+    val t = QueryDef.toksSql()
+    s"""WITH cnt AS (
+      |  SELECT source, token, count(*) AS n
+      |  FROM (SELECT source, unnest(list_filter($t, t -> t <> '')) AS token
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |top AS (
+      |  SELECT source, token FROM (
+      |    SELECT source, token,
+      |      row_number() OVER (PARTITION BY source ORDER BY n DESC, token) AS rk
+      |    FROM cnt) WHERE rk <= 100),
+      |sizes AS (SELECT source, count(*) AS sz FROM top GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    a.sz AS sz_a, b.sz AS sz_b
+      |  FROM sizes a, sizes b WHERE a.source < b.source),
+      |i AS (
+      |  SELECT x.source AS source_a, y.source AS source_b,
+      |    CAST(count(*) AS BIGINT) AS inter
+      |  FROM top x JOIN top y ON x.token = y.token AND x.source < y.source
+      |  GROUP BY 1, 2)
+      |SELECT p.source_a, p.source_b,
+      |  coalesce(i.inter, 0) AS inter,
+      |  round(coalesce(i.inter, 0) / (p.sz_a + p.sz_b - coalesce(i.inter, 0)), 4) AS jaccard
+      |FROM pairs p LEFT JOIN i USING (source_a, source_b)
+      |ORDER BY source_a, source_b""".stripMargin
+  }
+
+  /** Hashing-trick featurizer: each token maps to one of 64 buckets
+    * via md5 (the engine-replayable hash every sketch gate uses), and
+    * a document's feature vector is its per-bucket token counts —
+    * the fixed-dimension text representation that needs NO vocabulary
+    * table, no broadcast, no fit step: the unbounded-vocab
+    * scale-killer the tfidf gate documents simply never appears.
+    * Explode → hash → count: scales with the scan.
+    */
+  def textFeatureHash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select($"doc_id", explode(nonEmptyToks($"text")).as("token"))
+      .withColumn("bucket",
+        conv(substring(md5($"token"), 1, 8), 16, 10).cast("long") % 64)
+      .groupBy($"doc_id", $"bucket").agg(count(lit(1)).as("weight"))
+      .orderBy($"doc_id", $"bucket")
+  }
+
+  private val textFeatureHashSql = {
+    val t = QueryDef.toksSql()
+    s"""SELECT doc_id,
+      |  CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 64 AS bucket,
+      |  count(*) AS weight
+      |FROM (SELECT doc_id, unnest(list_filter($t, t -> t <> '')) AS token
+      |      FROM documents)
+      |GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("text_readability", textReadability _, textReadabilitySql),
+    QueryDef.sql("corpus_vocab_overlap", corpusVocabOverlap _, corpusVocabOverlapSql),
+    QueryDef.sql("text_feature_hash", textFeatureHash _, textFeatureHashSql))
+}

@@ -279,7 +279,58 @@ object SequenceQ {
       |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
       |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin
 
+  /** Top-10 session-opening paths: the first three event types of
+    * every 30-minute session, joined into an `a>b>c` path string —
+    * the product-analytics "how do sessions start" read. Reuses the
+    * shared `Sessionize` operator (one user_id shuffle; windows
+    * tie-break on event_id), truncates to rank ≤ 3 BEFORE the path
+    * aggregation so the collect is 3-bounded per session, and the
+    * final top-10 is a TakeOrderedAndProject heap over the
+    * (paths)-cardinality count table. Ties break on the path string.
+    */
+  def qUserPaths(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = graft.operators.Sessionize(Tables(spark, dir).events,
+      "user_id", "ts", "event_id", gapMicros = 30L * 60 * 1000000)
+    val w = Window.partitionBy($"user_id", $"session_num")
+      .orderBy($"ts", $"event_id")
+    s.withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+      .groupBy($"user_id", $"session_num")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct($"rn", $"event_type"))),
+          c => c.getField("event_type")), ">").as("path"))
+      .groupBy($"path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy($"n_sessions".desc, $"path").limit(10)
+  }
+
+  private val qUserPathsSql =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |numbered AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_num
+      |  FROM flagged),
+      |ranked AS (
+      |  SELECT user_id, session_num, event_type,
+      |    row_number() OVER (PARTITION BY user_id, session_num
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM numbered),
+      |paths AS (
+      |  SELECT user_id, session_num,
+      |    string_agg(event_type, '>' ORDER BY rn) AS path
+      |  FROM ranked WHERE rn <= 3 GROUP BY 1, 2)
+      |SELECT path, count(*) AS n_sessions
+      |FROM paths GROUP BY path
+      |ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("q_user_paths", qUserPaths _, qUserPathsSql),
     QueryDef.sql("etl_json_schema", etlJsonSchema _, etlJsonSchemaSql),
     QueryDef.sql("q_session_window", qSessionWindow _, qSessionWindowSql),
     QueryDef.sql("ts_resample_ohlc", tsResampleOhlc _, tsResampleOhlcSql),
