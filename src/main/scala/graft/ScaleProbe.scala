@@ -409,6 +409,42 @@ object ScaleProbe {
         graft.multimodal.BinaryOps.packGif(
           spark.read.parquet(s"$dir/documents.parquet")), stride = 3).toDF()
     })
+
+    // ---- round-6 late-wave families, same 2× methodology ----
+    // PrefixSum-backed gates: work tracks the distinct-value count,
+    // never a single-partition window
+    probeGrowth("ks_test", base, events2,
+      dir => graft.queries.TsQ.qKsTest(spark, dir))
+    probeGrowth("gini", base, out,
+      dir => graft.queries.TsQ.qGini(spark, dir))
+    probeGrowth("zscore_anomaly", base, events2,
+      dir => graft.queries.TsQ.tsZscoreAnomaly(spark, dir))
+    // scan-shaped text gates: time must track the scan, rows 2×
+    probeGrowth("readability", base, docs2,
+      dir => graft.queries.LexQ.textReadability(spark, dir))
+    probeGrowth("feature_hash", base, docs2,
+      dir => graft.queries.LexQ.textFeatureHash(spark, dir))
+    probeGrowth("vocab_overlap", base, docs2,
+      dir => graft.queries.LexQ.corpusVocabOverlap(spark, dir))
+    probeGrowth("token_entropy", base, docs2,
+      dir => graft.queries.DriftQ.corpusTokenEntropy(spark, dir))
+    probeGrowth("simpson_index", base, docs2,
+      dir => graft.queries.BasketQ.corpusSimpsonIndex(spark, dir))
+    // trigram novelty: shuffle keys on the trigram — 2× docs doubles
+    // the explosion, output stays top-50
+    probeGrowth("ngram_novelty", base, docs2,
+      dir => graft.queries.BasketQ.textNgramNovelty(spark, dir))
+    // basket rules under 10× facts: pair fan-out stays basket-bounded
+    probeGrowth("basket_rules", base, out,
+      dir => graft.queries.BasketQ.qBasketRules(spark, dir))
+    probeGrowth("user_paths", base, events2,
+      dir => graft.queries.SequenceQ.qUserPaths(spark, dir))
+    probeGrowth("changepoint", base, events2,
+      dir => graft.queries.DriftQ.tsChangepoint(spark, dir))
+    probeGrowth("emb_quantize", base, emb2,
+      dir => graft.queries.DriftQ.embQuantizeInt8(spark, dir))
+    probeGrowth("fd_discovery", base, out,
+      dir => graft.queries.AuditQ.etlFdDiscovery(spark, dir))
     spark.stop()
   }
 }

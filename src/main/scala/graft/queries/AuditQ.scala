@@ -200,7 +200,44 @@ object AuditQ {
       |  FROM nation)
       |ORDER BY tbl, det, dep""".stripMargin
 
+  /** Encoding-health audit per source: docs containing non-ASCII
+    * codepoints, stray control characters (excluding \t \n \r) and
+    * U+FFFD replacement chars — the mojibake tripwire run before any
+    * tokenizer sees the corpus. Three codegen'd rlike counts in ONE
+    * scan-shaped aggregate; the char classes behave identically
+    * under Java regex and RE2 (both codepoint-based). Rates divide
+    * exact integers, unrounded.
+    */
+  def etlEncodingAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"text".rlike("[^\\x00-\\x7F]"), 1L).otherwise(0L))
+          .as("n_non_ascii"),
+        sum(when($"text".rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"), 1L)
+          .otherwise(0L)).as("n_control"),
+        sum(when($"text".contains("�"), 1L).otherwise(0L))
+          .as("n_replacement"))
+      .withColumn("non_ascii_rate",
+        $"n_non_ascii".cast("double") / $"n_docs")
+      .orderBy($"source")
+  }
+
+  private val etlEncodingAuditSql =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN regexp_matches(text, '[^\x00-\x7F]')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_non_ascii,
+      |  CAST(sum(CASE WHEN regexp_matches(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+      |  CAST(sum(CASE WHEN contains(text, chr(65533))
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_replacement,
+      |  CAST(sum(CASE WHEN regexp_matches(text, '[^\x00-\x7F]')
+      |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS non_ascii_rate
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("etl_encoding_audit", etlEncodingAudit _, etlEncodingAuditSql),
     QueryDef.sql("etl_fd_discovery", etlFdDiscovery _, etlFdDiscoverySql),
     QueryDef.sql("etl_fk_integrity", etlFkIntegrity _, etlFkIntegritySql),
     QueryDef.sql("etl_binpack", etlBinpack _, etlBinpackSql),

@@ -377,7 +377,31 @@ object DedupQ {
       |  round(sum(CASE WHEN dup THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS dup_ratio
       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Per-source duplication rate: docs, distinct contents (md5) and
+    * the dup share — the "which feed is flooding us with copies"
+    * read that decides where dedup spend goes. One count-distinct
+    * aggregate per source; the rate divides exact integers,
+    * unrounded.
+    */
+  def corpusDupRate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5($"text")).as("n_unique"))
+      .select($"source", $"n_docs", $"n_unique",
+        (lit(1.0) - $"n_unique".cast("double") / $"n_docs").as("dup_rate"))
+      .orderBy($"source")
+  }
+
+  private val corpusDupRateSql =
+    """SELECT source, count(*) AS n_docs,
+      |  count(DISTINCT md5(text)) AS n_unique,
+      |  1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*) AS dup_rate
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("corpus_dup_rate", corpusDupRate _, corpusDupRateSql),
     QueryDef.sql("dedup_chunks", dedupChunks _, dedupChunksSql),
     QueryDef.sql("dedup_exact", dedupExact _, dedupExactSql),
     QueryDef.sql("dedup_exact_norm", dedupExactNorm _, dedupExactNormSql),

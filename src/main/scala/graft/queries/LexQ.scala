@@ -164,7 +164,51 @@ object LexQ {
       |GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin
   }
 
+  /** Zipf's-law fit over the top-1000 corpus tokens: OLS slope of
+    * ln(freq) on ln(rank) — natural text sits near −1, templated or
+    * synthetic corpora drift off it. The top-1000 comes from a
+    * TakeOrderedAndProject heap (never a vocabulary sort); the rank
+    * window then runs over 1000 rows of metadata. Both ln inputs are
+    * NANO-QUANTIZED (round·1e9 → long → /1e9) so the regression
+    * consumes bit-identical doubles in both engines, and the slope
+    * rounds to 4 (the q_corr_stats co-moment precedent).
+    */
+  def textZipfFit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cnt = Tables(spark, dir).documents
+      .select(explode(nonEmptyToks($"text")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("n"))
+    val top = cnt.orderBy($"n".desc, $"token").limit(1000)
+    val ranked = top.withColumn("rk",
+      row_number().over(Window.orderBy($"n".desc, $"token")).cast("long"))
+    ranked.agg(count(lit(1)).as("n_terms"),
+      round(expr("regr_slope(cast(round(ln(n) * 1e9) as bigint) / 1e9," +
+        " cast(round(ln(rk) * 1e9) as bigint) / 1e9)"), 4).as("zipf_slope"),
+      round(expr("regr_r2(cast(round(ln(n) * 1e9) as bigint) / 1e9," +
+        " cast(round(ln(rk) * 1e9) as bigint) / 1e9)"), 4).as("r2"))
+  }
+
+  private val textZipfFitSql = {
+    val t = QueryDef.toksSql()
+    s"""WITH cnt AS (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS n
+      |  FROM (SELECT unnest(list_filter($t, t -> t <> '')) AS token
+      |        FROM documents)
+      |  GROUP BY token),
+      |top AS (SELECT token, n FROM cnt ORDER BY n DESC, token LIMIT 1000),
+      |ranked AS (
+      |  SELECT n, CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rk
+      |  FROM top)
+      |SELECT count(*) AS n_terms,
+      |  round(regr_slope(CAST(round(ln(n) * 1e9) AS BIGINT) / 1e9,
+      |    CAST(round(ln(rk) * 1e9) AS BIGINT) / 1e9), 4) AS zipf_slope,
+      |  round(regr_r2(CAST(round(ln(n) * 1e9) AS BIGINT) / 1e9,
+      |    CAST(round(ln(rk) * 1e9) AS BIGINT) / 1e9), 4) AS r2
+      |FROM ranked""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("text_zipf_fit", textZipfFit _, textZipfFitSql),
     QueryDef.sql("text_readability", textReadability _, textReadabilitySql),
     QueryDef.sql("corpus_vocab_overlap", corpusVocabOverlap _, corpusVocabOverlapSql),
     QueryDef.sql("text_feature_hash", textFeatureHash _, textFeatureHashSql))

@@ -252,7 +252,88 @@ object SegmentQ {
       |SELECT weekday, n, cents, round(cents / total, 6) AS rev_share
       |FROM per, t ORDER BY weekday""".stripMargin
 
+  /** Stickiness (DAU/MAU) per month — the engagement-quality ratio
+    * next to q_rolling_dau's absolute counts. Numerator: mean of the
+    * month's daily distinct-user counts; denominator: the month's
+    * distinct users. Two count-distinct aggregates on integer
+    * epoch-day/month keys (no calendar functions — the
+    * q_weekday_seasonality rule); the ratio divides exact integers,
+    * unrounded (deterministic IEEE — the text_readability lesson).
+    */
+  def qStickiness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).events
+      .select(expr("unix_micros(ts) div 86400000000").as("day"), $"user_id")
+      .withColumn("month", expr("day div 30"))
+    val daily = e.groupBy($"month", $"day")
+      .agg(countDistinct($"user_id").as("dau"))
+      .groupBy($"month")
+      .agg(count(lit(1)).as("n_days"), sum($"dau").as("dau_sum"))
+    val monthly = e.groupBy($"month")
+      .agg(countDistinct($"user_id").as("mau"))
+    daily.join(monthly, "month")
+      .select($"month", $"n_days", $"dau_sum", $"mau",
+        ($"dau_sum".cast("double") / $"n_days" / $"mau").as("stickiness"))
+      .orderBy($"month")
+  }
+
+  private val qStickinessSql =
+    """WITH e AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+      |m AS (SELECT day // 30 AS month, day, user_id FROM e),
+      |daily AS (
+      |  SELECT month, count(*) AS n_days,
+      |    CAST(sum(dau) AS BIGINT) AS dau_sum
+      |  FROM (SELECT month, day, count(DISTINCT user_id) AS dau
+      |        FROM m GROUP BY 1, 2)
+      |  GROUP BY month),
+      |monthly AS (SELECT month, count(DISTINCT user_id) AS mau FROM m GROUP BY 1)
+      |SELECT month, n_days, dau_sum, mau,
+      |  CAST(dau_sum AS DOUBLE) / n_days / mau AS stickiness
+      |FROM daily JOIN monthly USING (month)
+      |ORDER BY month""".stripMargin
+
+  /** Inter-purchase interval distribution: exact p25/median/p75 of
+    * the day gaps between a user's consecutive purchases — the
+    * repeat-behavior read that prices retention campaigns. One lag
+    * window per user (the single user_id shuffle), gaps in exact
+    * integer days, exact percentile interpolation on identical
+    * integer inputs (the RFM fence parity precedent).
+    */
+  def qPurchaseIntervals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"day", $"event_id")
+    val gaps = Tables(spark, dir).events
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id",
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .withColumn("gap", $"day" - lag($"day", 1).over(w))
+      .filter($"gap".isNotNull)
+    gaps.agg(count(lit(1)).as("n_gaps"),
+      expr("percentile(gap, 0.25)").as("p25"),
+      expr("percentile(gap, 0.5)").as("median"),
+      expr("percentile(gap, 0.75)").as("p75"),
+      max($"gap").as("max_gap"))
+  }
+
+  private val qPurchaseIntervalsSql =
+    """WITH p AS (
+      |  SELECT user_id, event_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events WHERE event_type = 'purchase'),
+      |g AS (
+      |  SELECT day - lag(day) OVER (PARTITION BY user_id
+      |    ORDER BY day, event_id) AS gap
+      |  FROM p)
+      |SELECT count(*) AS n_gaps,
+      |  quantile_cont(gap, 0.25) AS p25,
+      |  quantile_cont(gap, 0.5) AS median,
+      |  quantile_cont(gap, 0.75) AS p75,
+      |  max(gap) AS max_gap
+      |FROM g WHERE gap IS NOT NULL""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("q_stickiness", qStickiness _, qStickinessSql),
+    QueryDef.sql("q_purchase_intervals", qPurchaseIntervals _, qPurchaseIntervalsSql),
     QueryDef.sql("q_decile_bins", qDecileBins _, qDecileBinsSql),
     QueryDef.sql("q_weekday_seasonality", qWeekdaySeasonality _, qWeekdaySeasonalitySql),
     QueryDef.sql("q_crosstab_chi2", qCrosstabChi2 _, qCrosstabChi2Sql),

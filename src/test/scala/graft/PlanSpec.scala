@@ -330,4 +330,53 @@ class PlanSpec extends GraftSuite {
     assert("Window".r.findAllIn(p).size === 1, s"expected one window stage:\n$p")
     assert(!p.contains("text#"), s"binpack reads document text:\n$p")
   }
+
+  test("feature hash plans joinless: no vocabulary table anywhere") {
+    // the hashing trick's whole point — fixed dims with NO fit step,
+    // so the plan must contain no join and no broadcast at all
+    val p = plan(graft.queries.LexQ.textFeatureHash(spark, sf001))
+    assert(!p.contains("Join"), s"feature hash grew a join:\n$p")
+    assert(!p.contains("BroadcastExchange"), s"feature hash broadcasts:\n$p")
+  }
+
+  test("basket rules pair join keys on the order: no quadratic operator") {
+    withSQLConf(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p = plan(graft.queries.BasketQ.qBasketRules(spark, sf001))
+      assert(!p.contains("CartesianProduct"),
+        s"basket pair join went cartesian:\n$p")
+      // the one nested-loop allowed is the scalar n_orders broadcast
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+        s"unexpected nested-loop joins:\n$p")
+    }
+  }
+
+  test("ngram novelty joins on the trigram with no broadcast hint") {
+    withSQLConf(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // the first-seen table is vocabulary-sized (unbounded) — the
+      // tfidf rule: hinting it broadcast would ship the vocabulary to
+      // every executor at 100 TB
+      val p = plan(graft.queries.BasketQ.textNgramNovelty(spark, sf001))
+      assert(!p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"),
+        s"novelty first-seen join must shuffle, not broadcast:\n$p")
+    }
+  }
+
+  test("int8 quantization broadcasts the 64-row range table") {
+    val p = plan(graft.queries.DriftQ.embQuantizeInt8(spark, sf001))
+    assert(p.contains("BroadcastHashJoin"), s"range table not broadcast:\n$p")
+  }
+
+  test("changepoint windows run over the daily aggregate, not events") {
+    val p = plan(graft.queries.DriftQ.tsChangepoint(spark, sf001))
+    // both window stages sit above the daily group-by; the raw value
+    // column is consumed by the aggregate and never reaches a window
+    val windowLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.nonEmpty, s"no window stage:\n$p")
+    assert(windowLines.forall(!_.contains("value#")),
+      s"changepoint windows over raw events:\n$p")
+  }
 }
