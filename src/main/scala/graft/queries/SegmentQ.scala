@@ -331,7 +331,44 @@ object SegmentQ {
       |  max(gap) AS max_gap
       |FROM g WHERE gap IS NOT NULL""".stripMargin
 
+  /** New-vs-returning actives per month: a user counts as "new" in
+    * their first-seen month, "returning" after — the growth-
+    * accounting read on any activity stream. First-seen is one
+    * min-aggregate per user; the monthly split joins it back on the
+    * user shuffle key. Integer epoch months, exact integer counts,
+    * one unrounded division.
+    */
+  def qNewReturning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = Tables(spark, dir).events
+      .select($"user_id", expr("unix_micros(ts) div 86400000000 div 30").as("month"))
+      .distinct()
+    val firstSeen = m.groupBy($"user_id").agg(min($"month").as("first_month"))
+    m.join(firstSeen, "user_id")
+      .groupBy($"month")
+      .agg(sum(when($"month" === $"first_month", 1L).otherwise(0L)).as("n_new"),
+        sum(when($"month" =!= $"first_month", 1L).otherwise(0L)).as("n_returning"))
+      .withColumn("returning_share",
+        $"n_returning".cast("double") / ($"n_new" + $"n_returning"))
+      .orderBy($"month")
+  }
+
+  private val qNewReturningSql =
+    """WITH m AS (
+      |  SELECT DISTINCT user_id,
+      |    epoch_us(ts) // 86400000000 // 30 AS month
+      |  FROM events),
+      |f AS (SELECT user_id, min(month) AS first_month FROM m GROUP BY 1)
+      |SELECT month,
+      |  CAST(sum(CASE WHEN month = first_month THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |  CAST(sum(CASE WHEN month <> first_month THEN 1 ELSE 0 END) AS BIGINT) AS n_returning,
+      |  CAST(sum(CASE WHEN month <> first_month THEN 1 ELSE 0 END) AS DOUBLE) /
+      |    count(*) AS returning_share
+      |FROM m JOIN f USING (user_id)
+      |GROUP BY month ORDER BY month""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("q_new_returning", qNewReturning _, qNewReturningSql),
     QueryDef.sql("q_stickiness", qStickiness _, qStickinessSql),
     QueryDef.sql("q_purchase_intervals", qPurchaseIntervals _, qPurchaseIntervalsSql),
     QueryDef.sql("q_decile_bins", qDecileBins _, qDecileBinsSql),

@@ -232,11 +232,50 @@ object StatsQ {
       |  round(wq / z, 6) AS t_share
       |FROM powed, z ORDER BY lang""".stripMargin
 
+  /** k-anonymity ENFORCEMENT — the fix to `etl_k_anonymity`'s audit:
+    * quasi-identifier groups smaller than k get their market segment
+    * generalized to 'ALL' (suppression to the parent of the
+    * generalization hierarchy), then re-aggregated. The at-risk set
+    * is a (nation × segment)-bounded broadcast; the rewrite is one
+    * codegen'd conditional — the whole repair costs one extra scan.
+    * Post-condition (specced): every surviving group has n ≥ k OR is
+    * already fully generalized.
+    */
+  def etlKAnonymize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables(spark, dir).customer
+    val risky = c.groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+      .filter($"n" < 10)
+      .select($"c_nationkey".as("r_nat"), $"c_mktsegment".as("r_seg"))
+    c.join(broadcast(risky),
+        $"c_nationkey" === $"r_nat" && $"c_mktsegment" === $"r_seg", "left")
+      .withColumn("segment_out",
+        when($"r_nat".isNotNull, lit("ALL")).otherwise($"c_mktsegment"))
+      .groupBy($"c_nationkey", $"segment_out")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"c_nationkey", $"segment_out")
+  }
+
+  private val etlKAnonymizeSql =
+    """WITH risky AS (
+      |  SELECT c_nationkey AS r_nat, c_mktsegment AS r_seg
+      |  FROM customer GROUP BY 1, 2 HAVING count(*) < 10)
+      |SELECT c_nationkey,
+      |  CASE WHEN r_nat IS NOT NULL THEN 'ALL' ELSE c_mktsegment END AS segment_out,
+      |  count(*) AS n
+      |FROM customer LEFT JOIN risky
+      |  ON c_nationkey = r_nat AND c_mktsegment = r_seg
+      |GROUP BY 1, 2 ORDER BY c_nationkey, segment_out""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("etl_right_to_forget", etlRightToForget _, etlRightToForgetSql),
     QueryDef.sql("corpus_temperature_mix", corpusTemperatureMix _, corpusTemperatureMixSql),
     QueryDef.sql("q_forecast_linreg", qForecastLinreg _, qForecastLinregSql),
     QueryDef.sql("q_ab_test", qAbTest _, qAbTestSql),
     QueryDef.sql("etl_k_anonymity", etlKAnonymity _, etlKAnonymitySql),
+    QueryDef.sql("etl_k_anonymize", etlKAnonymize _, etlKAnonymizeSql),
     QueryDef.sql("q_survival_curve", qSurvivalCurve _, qSurvivalCurveSql))
+
+
 }

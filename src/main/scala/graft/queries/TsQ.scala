@@ -244,7 +244,53 @@ object TsQ {
       |JOIN daily b ON b.day = a.day - lag
       |GROUP BY lag ORDER BY lag""".stripMargin
 
+  /** Lorenz curve companion to q_gini: cumulative spend share at
+    * each population decile — the "top 10% hold X%" readout. Reuses
+    * the PrefixSum global rank (bucket-offset two-pass, no
+    * single-partition window); the decile assignment is integer
+    * arithmetic on the rank (ceil(10·i/n) via (10·i + n − 1) div n),
+    * and shares divide exact integer cents.
+    */
+  def qLorenzCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables(spark, dir).orders
+      .groupBy($"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+    val ranked = PrefixSum.running(per,
+      orderCol = struct($"cents", $"o_custkey"),
+      bucket = ($"cents" / 1000000L).cast("long"),
+      sumCols = Seq("one" -> lit(1L), "cents" -> $"cents"))
+    val tot = per.agg(count(lit(1)).as("n"), sum($"cents").as("total"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("decile", expr("(10 * cum_one + n - 1) div n"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_customers"),
+        max($"cum_cents").as("cum_cents"),
+        first($"total").as("total"))
+      .select($"decile", $"n_customers", $"cum_cents",
+        ($"cum_cents".cast("double") / $"total").as("cum_share"))
+      .orderBy($"decile")
+  }
+
+  private val qLorenzCurveSql =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS total FROM per),
+      |r AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS i,
+      |    CAST(sum(cents) OVER (ORDER BY cents, o_custkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+      |  FROM per)
+      |SELECT (10 * i + n - 1) // n AS decile,
+      |  count(*) AS n_customers,
+      |  CAST(max(cum_cents) AS BIGINT) AS cum_cents,
+      |  CAST(max(cum_cents) AS DOUBLE) / total AS cum_share
+      |FROM r, t GROUP BY 1, total ORDER BY decile""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("q_lorenz_curve", qLorenzCurve _, qLorenzCurveSql),
     QueryDef.sql("ts_zscore_anomaly", tsZscoreAnomaly _, tsZscoreAnomalySql),
     QueryDef.sql("q_gini", qGini _, qGiniSql),
     QueryDef.sql("q_ks_test", qKsTest _, qKsTestSql),
