@@ -54,4 +54,26 @@ object PrefixSum {
     }
     cum.drop("__bucket" +: sumCols.indices.map(i => s"__off$i"): _*)
   }
+
+  /** Appends `runmax_<name>`: the running MAXIMUM of `maxCol` over
+    * the global `orderCol` ordering (inclusive of the current row) —
+    * same bucket-offset two-pass as [[running]], with max as the
+    * (also associative) combine. The serial pass again touches only
+    * per-bucket maxima.
+    */
+  def runningMax(df: DataFrame, orderCol: Column, bucket: Column,
+                 name: String, maxCol: Column): DataFrame = {
+    val b = df.withColumn("__bucket", bucket)
+    val totals = b.groupBy(col("__bucket")).agg(max(maxCol).as("__m"))
+    val wOff = Window.orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = totals.select(col("__bucket"),
+      max(col("__m")).over(wOff).as("__moff"))
+    val w = Window.partitionBy(col("__bucket")).orderBy(orderCol)
+    b.join(broadcast(off), "__bucket")
+      .withColumn(s"runmax_$name",
+        greatest(coalesce(col("__moff"), max(maxCol).over(w)),
+          max(maxCol).over(w)))
+      .drop("__bucket", "__moff")
+  }
 }

@@ -236,7 +236,74 @@ object AuditQ {
       |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS non_ascii_rate
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** Watermark-lateness audit: how far behind the running event-time
+    * high-water mark does each arriving event sit (arrival order =
+    * event_id), bucketed into an operations histogram — the number
+    * that SIZES a streaming job's watermark delay before deploy. The
+    * running max uses the PrefixSum bucket-offset two-pass (per-bucket
+    * maxima → serial prefix over bucket metadata → within-bucket
+    * parallel window), never a single-partition global window.
+    * Lateness stays integer microseconds; bucket edges are integer
+    * second compares.
+    */
+  def etlWatermarkAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // the synthetic stream arrives perfectly ordered (event_id is the
+    // ts order), so a deterministic md5 jitter displaces each event
+    // by up to 1000 arrival slots — the audit then has real work and
+    // the oracle replays the identical jitter (the text_redact_pii
+    // synthesize-then-verify recipe)
+    val e = Tables(spark, dir).events
+      .select($"event_id", unix_micros($"ts").as("us"))
+      .withColumn("arrival", $"event_id" +
+        conv(substring(md5($"event_id".cast("string")), 1, 4), 16, 10)
+          .cast("long") % 1000)
+    val rm = graft.operators.PrefixSum.runningMax(e,
+      orderCol = struct($"arrival", $"event_id"),
+      bucket = expr("arrival div 100000"),
+      name = "us", maxCol = $"us")
+    // integer `div`, not `/`+cast — the Triangles wedge-math rule
+    val lat = rm.select(expr("(runmax_us - us) div 1000000").as("late_s"))
+    lat.select(
+      when($"late_s" === 0, 0L).when($"late_s" <= 60, 1L)
+        .when($"late_s" <= 3600, 2L).when($"late_s" <= 86400, 3L)
+        .otherwise(4L).as("bucket"),
+      $"late_s")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"), max($"late_s").as("max_late_s"))
+      .withColumn("label",
+        when($"bucket" === 0, "on_time").when($"bucket" === 1, "<=1m")
+          .when($"bucket" === 2, "<=1h").when($"bucket" === 3, "<=1d")
+          .otherwise(">1d"))
+      .select($"bucket", $"label", $"n", $"max_late_s")
+      .orderBy($"bucket")
+  }
+
+  private val etlWatermarkAuditSql =
+    """WITH j AS (
+      |  SELECT event_id, epoch_us(ts) AS us,
+      |    event_id + CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4))
+      |      AS BIGINT) % 1000 AS arrival
+      |  FROM events),
+      |rm AS (
+      |  SELECT us,
+      |    max(us) OVER (ORDER BY arrival, event_id) AS runmax_us
+      |  FROM j),
+      |lat AS (SELECT (runmax_us - us) // 1000000 AS late_s FROM rm),
+      |b AS (
+      |  SELECT CASE WHEN late_s = 0 THEN 0 WHEN late_s <= 60 THEN 1
+      |    WHEN late_s <= 3600 THEN 2 WHEN late_s <= 86400 THEN 3
+      |    ELSE 4 END AS bucket, late_s
+      |  FROM lat)
+      |SELECT CAST(bucket AS BIGINT) AS bucket,
+      |  CASE WHEN bucket = 0 THEN 'on_time' WHEN bucket = 1 THEN '<=1m'
+      |    WHEN bucket = 2 THEN '<=1h' WHEN bucket = 3 THEN '<=1d'
+      |    ELSE '>1d' END AS label,
+      |  count(*) AS n, max(late_s) AS max_late_s
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("etl_watermark_audit", etlWatermarkAudit _, etlWatermarkAuditSql),
     QueryDef.sql("etl_encoding_audit", etlEncodingAudit _, etlEncodingAuditSql),
     QueryDef.sql("etl_fd_discovery", etlFdDiscovery _, etlFdDiscoverySql),
     QueryDef.sql("etl_fk_integrity", etlFkIntegrity _, etlFkIntegritySql),

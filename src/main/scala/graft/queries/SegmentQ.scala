@@ -367,7 +367,58 @@ object SegmentQ {
       |FROM m JOIN f USING (user_id)
       |GROUP BY month ORDER BY month""".stripMargin
 
+  /** Cohort LTV curves: cumulative revenue per purchase-cohort user
+    * at each month offset — the unit-economics read over
+    * q_retention_cohort's activity grid. First-purchase month per
+    * user (one min-aggregate on the user shuffle), per-(cohort,
+    * offset) integer-cent sums, a window partitioned BY COHORT over
+    * the bounded offset axis, and a broadcast cohort-size table.
+    * LTV divides exact integers twice, unrounded.
+    */
+  def qCohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables(spark, dir).events
+      .filter($"event_type" === "purchase")
+      .select($"user_id",
+        expr("unix_micros(ts) div 86400000000 div 30").as("month"),
+        round($"value" * 100).cast("long").as("cents"))
+    val cohort = p.groupBy($"user_id").agg(min($"month").as("cohort"))
+    val sizes = cohort.groupBy($"cohort").agg(count(lit(1)).as("cohort_users"))
+    val per = p.join(cohort, "user_id")
+      .groupBy($"cohort", ($"month" - $"cohort").as("offset"))
+      .agg(sum($"cents").as("cents"))
+    val w = Window.partitionBy($"cohort").orderBy($"offset")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    per.withColumn("cum_cents", sum($"cents").over(w))
+      .join(broadcast(sizes), "cohort")
+      .select($"cohort", $"offset", $"cents", $"cum_cents", $"cohort_users",
+        ($"cum_cents".cast("double") / $"cohort_users" / 100.0).as("ltv"))
+      .orderBy($"cohort", $"offset")
+  }
+
+  private val qCohortLtvSql =
+    """WITH p AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 // 30 AS month,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, min(month) AS cohort FROM p GROUP BY 1),
+      |sz AS (SELECT cohort, count(*) AS cohort_users FROM c GROUP BY 1),
+      |per AS (
+      |  SELECT cohort, month - cohort AS "offset",
+      |    CAST(sum(cents) AS BIGINT) AS cents
+      |  FROM p JOIN c USING (user_id) GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT cohort, "offset", cents,
+      |    CAST(sum(cents) OVER (PARTITION BY cohort ORDER BY "offset"
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+      |  FROM per)
+      |SELECT cohort, "offset", cents, cum_cents, cohort_users,
+      |  CAST(cum_cents AS DOUBLE) / cohort_users / 100.0 AS ltv
+      |FROM cum JOIN sz USING (cohort)
+      |ORDER BY cohort, "offset"""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("q_cohort_ltv", qCohortLtv _, qCohortLtvSql),
     QueryDef.sql("q_new_returning", qNewReturning _, qNewReturningSql),
     QueryDef.sql("q_stickiness", qStickiness _, qStickinessSql),
     QueryDef.sql("q_purchase_intervals", qPurchaseIntervals _, qPurchaseIntervalsSql),
