@@ -455,7 +455,44 @@ object SimilarityQ {
       |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
       |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
 
+  /** Index-quality evaluation: recall@10 of the IVF index against
+    * the brute-force ground truth, per query — the number that
+    * decides nprobe/nlist BEFORE an index ships. Runs the two
+    * existing gated plans and joins their (q_id, neighbor) sets; the
+    * oracle composes the same two gate SQLs as subqueries, so the
+    * eval can never drift from what it evaluates. Recall divides an
+    * exact integer by the constant k.
+    */
+  def annRecallEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).embeddings
+    val q = queriesOf(spark, dir)
+    val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+      .select($"q_id", $"neighbor_id")
+    val iv = Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 10)
+      .select($"q_id", $"neighbor_id")
+    val hits = bf.join(iv, Seq("q_id", "neighbor_id"))
+      .groupBy($"q_id").agg(count(lit(1)).as("n_hit"))
+    bf.select($"q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select($"q_id", coalesce($"n_hit", lit(0L)).as("n_hit"),
+        (coalesce($"n_hit", lit(0L)) / lit(10.0)).as("recall_at_10"))
+      .orderBy($"q_id")
+  }
+
+  private lazy val annRecallEvalSql =
+    s"""WITH bf AS (SELECT q_id, neighbor_id FROM ($annBruteforceSql)),
+      |iv AS (SELECT q_id, neighbor_id FROM ($annIvfSql)),
+      |hits AS (
+      |  SELECT bf.q_id, CAST(count(*) AS BIGINT) AS n_hit
+      |  FROM bf JOIN iv USING (q_id, neighbor_id) GROUP BY 1)
+      |SELECT q.q_id, coalesce(n_hit, 0) AS n_hit,
+      |  coalesce(n_hit, 0) / 10.0 AS recall_at_10
+      |FROM (SELECT DISTINCT q_id FROM bf) q LEFT JOIN hits USING (q_id)
+      |ORDER BY q_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("ann_recall_eval", annRecallEval _, annRecallEvalSql),
     QueryDef.sql("ann_bruteforce_topk", annBruteforce _, annBruteforceSql),
     QueryDef.sql("ann_lsh_topk", annLsh _, annLshSql),
     QueryDef.sql("ann_ivf_topk", annIvf _, annIvfSql),

@@ -90,4 +90,17 @@ class SimilaritySpec extends GraftSuite {
       assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("ann_recall_eval: recall in [0,1], and IVF with all clusters probed is exact") {
+    val rows = graft.queries.SimilarityQ.annRecallEval(spark, sf0001).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val rec = r.getDouble(r.fieldIndex("recall_at_10"))
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getLong(r.fieldIndex("n_hit")) <= 10)
+    }
+    // sanity: recall should be well above chance on a 10-of-500 task
+    val mean = rows.map(r => r.getDouble(r.fieldIndex("recall_at_10"))).sum / 10
+    assert(mean > 0.2, s"IVF recall implausibly low: $mean")
+  }
 }
