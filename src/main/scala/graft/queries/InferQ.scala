@@ -1,0 +1,466 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.PrefixSum
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 wave — inferential + concentration statistics, and the
+  * bucketed-join layout demo. The statistical gates all follow the
+  * exact-sufficient-statistics discipline: quantize inputs to
+  * integers ONCE (cents / 1e-4 dollars), reduce with map-side-
+  * combinable integer sums (100 TB → a handful of longs), and only
+  * then run the final-mile double arithmetic — written as the
+  * IDENTICAL expression in both engines, so the results agree
+  * bit-for-bit (the q_ab_test / q_ks_test recipe).
+  */
+object InferQ {
+
+  /** Per-row lineitem revenue in exact 1e-4 dollars: cents × (100 −
+    * discount basis points), both integer.
+    */
+  private def revE4 = round(col("l_extendedprice") * 100).cast("long") *
+    (lit(100L) - round(col("l_discount") * 100).cast("long"))
+
+  private val revE4Sql =
+    "CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))"
+
+  // ---------------------------------------------------------------- q_hhi
+
+  /** Herfindahl–Hirschman concentration of supplier revenue within
+    * each nation — the market-structure audit next to `q_gini`. Per-
+    * supplier revenue reduces to exact 1e-4-dollar longs; shares are
+    * divisions of identical longs (IEEE-deterministic); each share²
+    * quantizes to 1e-12 units BEFORE the cross-supplier sum (a cross-
+    * group double sum is addition-order-dependent — the
+    * corpus_temperature_mix rule). Output stays integer-only: hhi_e12
+    * is the index in 1e-12 units (10 000 × HHI-points × 1e8), so the
+    * gate has NO final-mile rounding at all.
+    */
+  def qHhi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val perSupp = t.lineitem
+      .groupBy($"l_suppkey").agg(sum(revE4).as("rev_e4"))
+      .join(t.supplier.select($"s_suppkey", $"s_nationkey"),
+        $"l_suppkey" === $"s_suppkey")
+    // Nation totals come from a nation-PARTITIONED window over the
+    // supplier-cardinality aggregate — parallel across nations, and
+    // lineitem is scanned exactly once (a self-join for the totals
+    // would print, and pre-AQE execute, a second scan).
+    val w = Window.partitionBy($"s_nationkey")
+    perSupp
+      .withColumn("n_suppliers", count(lit(1)).over(w))
+      .withColumn("total_e4", sum($"rev_e4").over(w))
+      .withColumn("wq",
+        round(($"rev_e4" / $"total_e4") * ($"rev_e4" / $"total_e4") * 1e12).cast("long"))
+      .groupBy($"s_nationkey")
+      .agg(max($"n_suppliers").as("n_suppliers"), max($"total_e4").as("total_e4"),
+        sum($"wq").as("hhi_e12"))
+      .orderBy($"s_nationkey")
+  }
+
+  private val qHhiSql =
+    s"""WITH per_supp AS (
+       |  SELECT l_suppkey, CAST(sum($revE4Sql) AS BIGINT) AS rev_e4
+       |  FROM lineitem GROUP BY 1),
+       |j AS (
+       |  SELECT s_nationkey, rev_e4,
+       |    count(*) OVER (PARTITION BY s_nationkey) AS n_suppliers,
+       |    CAST(sum(rev_e4) OVER (PARTITION BY s_nationkey) AS BIGINT) AS total_e4
+       |  FROM per_supp JOIN supplier ON l_suppkey = s_suppkey)
+       |SELECT s_nationkey, max(n_suppliers) AS n_suppliers, max(total_e4) AS total_e4,
+       |  CAST(sum(CAST(round((rev_e4 / total_e4) * (rev_e4 / total_e4) * 1e12) AS BIGINT)) AS BIGINT) AS hhi_e12
+       |FROM j GROUP BY 1 ORDER BY s_nationkey""".stripMargin
+
+  // ---------------------------------------------------------- q_theil_index
+
+  /** Theil T inequality of customer spend within each market segment
+    * — the decomposable complement to `q_gini` (Theil is additive
+    * across subgroups; Gini is not, which is why an inequality
+    * dashboard wants both). Per-customer spend is exact cents; the
+    * ratio r = x·n/T is built from identical longs in both engines;
+    * each r·ln(r) term nano-quantizes before the cross-customer sum
+    * (the corpus_token_entropy ln recipe). At 100 TB the per-segment
+    * term sum is one map-side-combinable long aggregate.
+    */
+  def qTheilIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val perCust = t.orders
+      .join(t.customer.select($"c_custkey", $"c_mktsegment"),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment", $"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+    val segStats = perCust.groupBy($"c_mktsegment".as("s_seg"))
+      .agg(count(lit(1)).as("n"), sum($"cents").as("t"))
+    perCust.join(broadcast(segStats), $"c_mktsegment" === $"s_seg")
+      .withColumn("r", $"cents".cast("double") * $"n" / $"t")
+      .withColumn("tq", round($"r" * log($"r") * 1e9).cast("long"))
+      .groupBy($"c_mktsegment")
+      .agg(max($"n").as("n_customers"), sum($"tq").as("sum_term_e9"))
+      .select($"c_mktsegment", $"n_customers", $"sum_term_e9",
+        round($"sum_term_e9".cast("double") / ($"n_customers" * 1e9), 6).as("theil"))
+      .orderBy($"c_mktsegment")
+  }
+
+  private val qTheilIndexSql =
+    """WITH pc AS (
+      |  SELECT c_mktsegment, o_custkey,
+      |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |s AS (SELECT c_mktsegment AS s_seg, count(*) AS n, CAST(sum(cents) AS BIGINT) AS t
+      |  FROM pc GROUP BY 1),
+      |terms AS (
+      |  SELECT c_mktsegment, n,
+      |    CAST(round((CAST(cents AS DOUBLE) * n / t) * ln(CAST(cents AS DOUBLE) * n / t) * 1e9) AS BIGINT) AS tq
+      |  FROM pc JOIN s ON c_mktsegment = s_seg)
+      |SELECT c_mktsegment, max(n) AS n_customers, CAST(sum(tq) AS BIGINT) AS sum_term_e9,
+      |  round(CAST(sum(tq) AS DOUBLE) / (max(n) * 1e9), 6) AS theil
+      |FROM terms GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+
+  // -------------------------------------------------------- q_spearman_corr
+
+  /** Spearman rank correlation (average-tie ranks) between account
+    * balance and realized spend, per nation — the monotone-
+    * association read Pearson (`q_corr_stats`) misses. The tie-safe
+    * trick: 2·avgRank = 2·rank() + tieCount − 1 is always an INTEGER,
+    * so ranks and all five co-moment sums stay exact longs and ρ is
+    * one deterministic double expression at the end (Spearman is
+    * scale-invariant, so ρ on 2× ranks equals ρ on ranks). Ranks are
+    * windowed PER NATION — partition-parallel, never a global sort.
+    */
+  def qSpearmanCorr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val spend = t.orders.groupBy($"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("ycents"))
+    val base = t.customer
+      .select($"c_custkey", $"c_nationkey", round($"c_acctbal" * 100).cast("long").as("x"))
+      .join(spend, $"c_custkey" === $"o_custkey", "left")
+      .select($"c_nationkey", $"x", coalesce($"ycents", lit(0L)).as("y"))
+    val xr = lit(2L) * rank().over(Window.partitionBy($"c_nationkey").orderBy($"x")) +
+      count(lit(1)).over(Window.partitionBy($"c_nationkey", $"x")) - 1
+    val yr = lit(2L) * rank().over(Window.partitionBy($"c_nationkey").orderBy($"y")) +
+      count(lit(1)).over(Window.partitionBy($"c_nationkey", $"y")) - 1
+    val s = base.select($"c_nationkey", xr.as("xr"), yr.as("yr"))
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n"), sum($"xr").as("sx"), sum($"yr").as("sy"),
+        sum($"xr" * $"yr").as("sxy"), sum($"xr" * $"xr").as("sxx"),
+        sum($"yr" * $"yr").as("syy"))
+    s.select($"c_nationkey", $"n".as("n_customers"),
+        when(($"n" * $"sxx" - $"sx" * $"sx" > 0) && ($"n" * $"syy" - $"sy" * $"sy" > 0),
+          round(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+            sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double") *
+              ($"n" * $"syy" - $"sy" * $"sy").cast("double")), 6))
+          .as("spearman"))
+      .orderBy($"c_nationkey")
+  }
+
+  private val qSpearmanCorrSql =
+    """WITH spend AS (
+      |  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS ycents
+      |  FROM orders GROUP BY 1),
+      |b AS (
+      |  SELECT c_nationkey, CAST(round(c_acctbal*100) AS BIGINT) AS x,
+      |    coalesce(ycents, 0) AS y
+      |  FROM customer LEFT JOIN spend ON c_custkey = o_custkey),
+      |r AS (
+      |  SELECT c_nationkey,
+      |    2*rank() OVER (PARTITION BY c_nationkey ORDER BY x)
+      |      + count(*) OVER (PARTITION BY c_nationkey, x) - 1 AS xr,
+      |    2*rank() OVER (PARTITION BY c_nationkey ORDER BY y)
+      |      + count(*) OVER (PARTITION BY c_nationkey, y) - 1 AS yr
+      |  FROM b),
+      |s AS (
+      |  SELECT c_nationkey, count(*) AS n, CAST(sum(xr) AS BIGINT) AS sx,
+      |    CAST(sum(yr) AS BIGINT) AS sy, CAST(sum(xr*yr) AS BIGINT) AS sxy,
+      |    CAST(sum(xr*xr) AS BIGINT) AS sxx, CAST(sum(yr*yr) AS BIGINT) AS syy
+      |  FROM r GROUP BY 1)
+      |SELECT c_nationkey, n AS n_customers,
+      |  CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
+      |    round(CAST(n*sxy - sx*sy AS DOUBLE) /
+      |      sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6)
+      |  END AS spearman
+      |FROM s ORDER BY c_nationkey""".stripMargin
+
+  // -------------------------------------------------------- q_mann_whitney
+
+  /** Mann-Whitney U between the two experiment cohorts (even vs odd
+    * user id) on purchase value — the nonparametric sibling of
+    * `q_ab_test` (no normality assumption; what an experimentation
+    * platform reports when values are heavy-tailed). The global
+    * ranking never materializes per-row: purchases reduce map-side to
+    * per-distinct-cent counts, the cumulative count runs through the
+    * PrefixSum bucket-offset two-pass over that value-cardinality
+    * table, and 2·R_a (tie-averaged, ×2 to stay integer) folds in one
+    * exact long sum. u2_a = 2·U_a is emitted exactly; only the
+    * tie-corrected z is final-mile double arithmetic.
+    */
+  def qMannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables(spark, dir).events
+      .filter($"event_type" === "purchase")
+      .select(round($"value" * 100).cast("long").as("v"),
+        ($"user_id" % 2 === 0).as("a"))
+      .groupBy($"v")
+      .agg(sum(when($"a", 1L).otherwise(0L)).as("na"), count(lit(1)).as("n"))
+    val cum = PrefixSum.running(per, $"v", expr("v div 10000"), Seq(("n", $"n")))
+    val s = cum.agg(
+      sum($"na").as("n_a"), sum($"n" - $"na").as("n_b"),
+      sum($"na" * (lit(2L) * ($"cum_n" - $"n") + $"n" + 1)).as("r2_a"),
+      sum($"n" * $"n" * $"n" - $"n").as("t3"))
+    s.select($"n_a", $"n_b",
+        ($"r2_a" - $"n_a" * ($"n_a" + 1)).as("u2_a"),
+        round((($"r2_a" - $"n_a" * ($"n_a" + 1)) / 2.0 -
+            $"n_a".cast("double") * $"n_b" / 2.0) /
+          sqrt(($"n_a".cast("double") * $"n_b" / 12.0) *
+            (($"n_a" + $"n_b" + 1) - $"t3".cast("double") /
+              (($"n_a" + $"n_b").cast("double") * ($"n_a" + $"n_b" - 1)))), 4)
+          .as("z_stat"))
+  }
+
+  private val qMannWhitneySql =
+    """WITH p AS (
+      |  SELECT CAST(round(value*100) AS BIGINT) AS v, user_id % 2 = 0 AS a
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT v, CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |    count(*) AS n
+      |  FROM p GROUP BY v),
+      |w AS (SELECT v, na, n, CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS cum_n FROM c),
+      |s AS (
+      |  SELECT CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(n - na) AS BIGINT) AS n_b,
+      |    CAST(sum(na * (2*(cum_n - n) + n + 1)) AS BIGINT) AS r2_a,
+      |    CAST(sum(n*n*n - n) AS BIGINT) AS t3
+      |  FROM w)
+      |SELECT n_a, n_b, r2_a - n_a*(n_a + 1) AS u2_a,
+      |  round(((r2_a - n_a*(n_a + 1)) / 2.0 - CAST(n_a AS DOUBLE) * n_b / 2.0) /
+      |    sqrt((CAST(n_a AS DOUBLE) * n_b / 12.0) *
+      |      ((n_a + n_b + 1) - CAST(t3 AS DOUBLE) /
+      |        (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))), 4) AS z_stat
+      |FROM s""".stripMargin
+
+  // ------------------------------------------------------------ q_anova_f
+
+  /** One-way ANOVA F across event types on event value — the k-group
+    * generalization of `q_ab_test`'s two-cohort t. Per-group
+    * count/mean/variance reduce map-side (100 TB → 3k numbers), each
+    * PRE-ROUNDED to 4 decimals so the moment inputs are identical in
+    * both engines; the rounded moments then re-quantize to exact
+    * integer 1e-4 units so the CROSS-GROUP sums (grand mean, SSW,
+    * SSB) are order-independent longs, and F is one deterministic
+    * division at the end.
+    */
+  def qAnovaF(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // The totals come from an unpartitioned window over the k-row
+    // grouped-moments table (metadata — the binpack rule), so events
+    // is scanned exactly once.
+    val wAll = Window.partitionBy()
+    val ssb = Tables(spark, dir).events
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        round(avg($"value"), 4).as("mean4"),
+        round(var_samp($"value"), 4).as("var4"))
+      .withColumn("m4", round($"mean4" * 1e4).cast("long"))
+      .withColumn("v4", round($"var4" * 1e4).cast("long"))
+      .withColumn("n_total", sum($"n").over(wAll))
+      .withColumn("k", count(lit(1)).over(wAll))
+      .withColumn("nm4", sum($"n" * $"m4").over(wAll))
+      .withColumn("ssw_e4", sum(($"n" - 1) * $"v4").over(wAll))
+      .withColumn("grand", $"nm4".cast("double") / ($"n_total" * 1e4))
+      .withColumn("bq",
+        round($"n" * ($"mean4" - $"grand") * ($"mean4" - $"grand") * 1e4).cast("long"))
+      .agg(max($"n_total").as("n_total"), max($"k").as("k_groups"),
+        max($"ssw_e4").as("ssw_e4"), sum($"bq").as("ssb_e4"))
+    ssb.select($"k_groups", $"n_total", $"ssb_e4", $"ssw_e4",
+      round(($"ssb_e4".cast("double") / ($"k_groups" - 1)) /
+        ($"ssw_e4".cast("double") / ($"n_total" - $"k_groups")), 4).as("f_stat"))
+  }
+
+  private val qAnovaFSql =
+    """WITH g AS (
+      |  SELECT event_type, count(*) AS n,
+      |    round(avg(value), 4) AS mean4, round(var_samp(value), 4) AS var4
+      |  FROM events GROUP BY 1),
+      |q AS (
+      |  SELECT n, mean4, CAST(round(mean4 * 1e4) AS BIGINT) AS m4,
+      |    CAST(round(var4 * 1e4) AS BIGINT) AS v4
+      |  FROM g),
+      |w AS (
+      |  SELECT n, mean4,
+      |    CAST(sum(n) OVER () AS BIGINT) AS n_total,
+      |    count(*) OVER () AS k,
+      |    CAST(sum(n * m4) OVER () AS BIGINT) AS nm4,
+      |    CAST(sum((n - 1) * v4) OVER () AS BIGINT) AS ssw_e4
+      |  FROM q),
+      |b AS (
+      |  SELECT n_total, k, ssw_e4,
+      |    CAST(round(n * (mean4 - CAST(nm4 AS DOUBLE) / (n_total * 1e4))
+      |      * (mean4 - CAST(nm4 AS DOUBLE) / (n_total * 1e4)) * 1e4) AS BIGINT) AS bq
+      |  FROM w)
+      |SELECT max(k) AS k_groups, max(n_total) AS n_total,
+      |  CAST(sum(bq) AS BIGINT) AS ssb_e4, max(ssw_e4) AS ssw_e4,
+      |  round((CAST(sum(bq) AS DOUBLE) / (max(k) - 1)) /
+      |    (CAST(max(ssw_e4) AS DOUBLE) / (max(n_total) - max(k))), 4) AS f_stat
+      |FROM b""".stripMargin
+
+  // ---------------------------------------------------------- q_runs_test
+
+  /** Wald-Wolfowitz runs test on the daily-revenue series: is the
+    * above/below-mean sign sequence random, or does it trend/cluster
+    * (the cheap pre-check before `ts_changepoint`)? The sign compares
+    * CROSS-MULTIPLIED integers (rev·n vs total — no division, the
+    * q_ks_test rule); the run count is one lag over the
+    * days-cardinality daily aggregate (metadata, never the events);
+    * expectation and z are deterministic doubles from exact ints.
+    */
+  def qRunsTest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // Totals via an unpartitioned window over the days-cardinality
+    // daily aggregate (metadata — the changepoint-scan rule): one
+    // events scan, no self-join.
+    val wAll = Window.partitionBy()
+    val signed = Tables(spark, dir).events
+      .filter($"event_type" === "purchase")
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(round($"value" * 1e4).cast("long")).as("rev_e4"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("t", sum($"rev_e4").over(wAll))
+      .withColumn("pos", $"rev_e4" * $"n" >= $"t")
+    val lagPos = lag($"pos", 1).over(Window.orderBy($"day"))
+    val s = signed
+      .select($"n", $"pos", (lagPos.isNotNull && lagPos =!= $"pos").cast("long").as("flip"))
+      .groupBy($"n")
+      .agg(sum(when($"pos", 1L).otherwise(0L)).as("n_plus"),
+        sum(when(!$"pos", 1L).otherwise(0L)).as("n_minus"),
+        (sum($"flip") + 1).as("n_runs"))
+    val twoPM = lit(2.0) * $"n_plus" * $"n_minus"
+    s.select($"n".as("n_days"), $"n_plus", $"n_minus", $"n_runs",
+        round(lit(1.0) + twoPM / $"n", 4).as("exp_runs"),
+        round(($"n_runs" - (lit(1.0) + twoPM / $"n")) /
+          sqrt((twoPM * (twoPM - $"n")) /
+            ($"n".cast("double") * $"n" * ($"n" - 1))), 4).as("z_stat"))
+  }
+
+  private val qRunsTestSql =
+    """WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day,
+      |    CAST(sum(CAST(round(value*1e4) AS BIGINT)) AS BIGINT) AS rev_e4
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |signed AS (
+      |  SELECT day, count(*) OVER () AS n,
+      |    rev_e4 * CAST(count(*) OVER () AS BIGINT)
+      |      >= CAST(sum(rev_e4) OVER () AS BIGINT) AS pos
+      |  FROM daily),
+      |f AS (
+      |  SELECT n, pos,
+      |    CASE WHEN lag(pos) OVER (ORDER BY day) IS NOT NULL
+      |      AND lag(pos) OVER (ORDER BY day) <> pos THEN 1 ELSE 0 END AS flip
+      |  FROM signed),
+      |s AS (
+      |  SELECT n, CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_plus,
+      |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_minus,
+      |    CAST(sum(flip) + 1 AS BIGINT) AS n_runs
+      |  FROM f GROUP BY n)
+      |SELECT n AS n_days, n_plus, n_minus, n_runs,
+      |  round(1.0 + 2.0 * n_plus * n_minus / n, 4) AS exp_runs,
+      |  round((n_runs - (1.0 + 2.0 * n_plus * n_minus / n)) /
+      |    sqrt((2.0 * n_plus * n_minus * (2.0 * n_plus * n_minus - n)) /
+      |      (CAST(n AS DOUBLE) * n * (n - 1))), 4) AS z_stat
+      |FROM s""".stripMargin
+
+  // ------------------------------------------------------------- ts_cusum
+
+  /** CUSUM drift curve over daily purchase revenue: the running sum
+    * of deviations from the series mean — where |CUSUM| peaks is the
+    * classic change-point estimate, and the full curve is what a
+    * drift monitor plots. Deviations cross-multiply to stay integer
+    * (rev·n − total, in 1e-4·n units), and the running sum goes
+    * through the PrefixSum bucket-offset two-pass (bucketed by
+    * 32-day epoch), not a single-partition window. Integer-only
+    * output — bit-exact.
+    */
+  def tsCusum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wAll = Window.partitionBy()
+    val dev = Tables(spark, dir).events
+      .filter($"event_type" === "purchase")
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(round($"value" * 1e4).cast("long")).as("rev_e4"))
+      .withColumn("dev",
+        $"rev_e4" * count(lit(1)).over(wAll) - sum($"rev_e4").over(wAll))
+    PrefixSum.running(dev, $"day", expr("day div 32"), Seq(("dev", $"dev")))
+      .select($"day", $"rev_e4", $"dev", $"cum_dev")
+      .orderBy($"day")
+  }
+
+  private val tsCusumSql =
+    """WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day,
+      |    CAST(sum(CAST(round(value*1e4) AS BIGINT)) AS BIGINT) AS rev_e4
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |dev AS (
+      |  SELECT day, rev_e4,
+      |    rev_e4 * CAST(count(*) OVER () AS BIGINT)
+      |      - CAST(sum(rev_e4) OVER () AS BIGINT) AS dev
+      |  FROM daily)
+      |SELECT day, rev_e4, dev,
+      |  CAST(sum(dev) OVER (ORDER BY day) AS BIGINT) AS cum_dev
+      |FROM dev ORDER BY day""".stripMargin
+
+  // ----------------------------------------------------- etl_bucketed_join
+
+  /** Bucketed-layout join — the shuffle-free co-located join every
+    * 100 TB fact-to-fact plan wants: both sides are WRITTEN
+    * pre-hashed into the same number of buckets on the join key, so
+    * the join reads bucket i against bucket i with NO exchange on
+    * either side (InferSpec pins the no-Exchange plan with broadcast
+    * disabled). At cluster scale the bucket count is the write-time
+    * knob that amortizes one shuffle across every future join on that
+    * key. The gate proves the layout changes nothing semantically:
+    * revenue per priority matches the plain-join oracle exactly
+    * (integer 1e-4 revenue units).
+    */
+  def etlBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = s"/tmp/graft_bucketed/$tag"
+    val t = Tables(spark, dir)
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_buck LOCATION '/tmp/graft_bucketed/warehouse'")
+    val ot = s"graft_buck.orders_$tag"
+    val lt = s"graft_buck.lineitem_$tag"
+    spark.sql(s"DROP TABLE IF EXISTS $ot")
+    spark.sql(s"DROP TABLE IF EXISTS $lt")
+    t.orders.select($"o_orderkey", $"o_orderpriority")
+      .write.format("parquet").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$base/orders").mode("overwrite").saveAsTable(ot)
+    t.lineitem.select($"l_orderkey", revE4.as("rev_e4"))
+      .write.format("parquet").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$base/lineitem").mode("overwrite").saveAsTable(lt)
+    spark.table(ot)
+      .join(spark.table(lt), col("o_orderkey") === col("l_orderkey"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), sum($"rev_e4").as("rev_e4"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val etlBucketedJoinSql =
+    s"""SELECT o_orderpriority, count(*) AS n_items,
+       |  CAST(sum($revE4Sql) AS BIGINT) AS rev_e4
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("q_hhi", qHhi _, qHhiSql),
+    QueryDef.sql("q_theil_index", qTheilIndex _, qTheilIndexSql),
+    QueryDef.sql("q_spearman_corr", qSpearmanCorr _, qSpearmanCorrSql),
+    QueryDef.sql("q_mann_whitney", qMannWhitney _, qMannWhitneySql),
+    QueryDef.sql("q_anova_f", qAnovaF _, qAnovaFSql),
+    QueryDef.sql("q_runs_test", qRunsTest _, qRunsTestSql),
+    QueryDef.sql("ts_cusum", tsCusum _, tsCusumSql),
+    QueryDef.sql("etl_bucketed_join", etlBucketedJoin _, etlBucketedJoinSql))
+}
