@@ -454,7 +454,136 @@ object InferQ {
        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------- q_prop_ztest
+
+  /** Two-proportion z-test on user conversion between the even/odd
+    * experiment cohorts — the completion of the experimentation kit
+    * (t on means: `q_ab_test`; U on distributions: `q_mann_whitney`;
+    * χ² on contingency: `q_crosstab_chi2`; z on rates: here).
+    * "Conversion" = ≥ 14 purchases (the per-user purchase-count
+    * median, which is scale-invariant in this lake — "any purchase"
+    * saturates at rate 1.0 and the pooled variance degenerates to
+    * 0/0). One per-user aggregate, one cohort aggregate — 100 TB
+    * reduces to four integers — and the pooled-variance z is a single
+    * deterministic double expression mirrored in both engines, CASE-
+    * guarded against the all-convert/none-convert degenerate pool.
+    */
+  def qPropZtest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = Tables(spark, dir).events
+      .groupBy($"user_id")
+      .agg(when(sum(when($"event_type" === "purchase", 1L).otherwise(0L)) >= 14, 1L)
+        .otherwise(0L).as("conv"))
+      .withColumn("a", $"user_id" % 2 === 0)
+      .agg(sum(when($"a", 1L).otherwise(0L)).as("n_a"),
+        sum(when($"a", $"conv").otherwise(0L)).as("x_a"),
+        sum(when(!$"a", 1L).otherwise(0L)).as("n_b"),
+        sum(when(!$"a", $"conv").otherwise(0L)).as("x_b"))
+    s.select($"n_a", $"x_a", $"n_b", $"x_b",
+      round($"x_a".cast("double") / $"n_a", 6).as("rate_a"),
+      round($"x_b".cast("double") / $"n_b", 6).as("rate_b"),
+      when($"x_a" + $"x_b" > 0 && $"x_a" + $"x_b" < $"n_a" + $"n_b",
+        round(($"x_a".cast("double") / $"n_a" - $"x_b".cast("double") / $"n_b") /
+          sqrt((($"x_a" + $"x_b").cast("double") / ($"n_a" + $"n_b")) *
+            (lit(1.0) - ($"x_a" + $"x_b").cast("double") / ($"n_a" + $"n_b")) *
+            (lit(1.0) / $"n_a" + lit(1.0) / $"n_b")), 4)).as("z_stat"))
+  }
+
+  private val qPropZtestSql =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+      |      THEN 1 ELSE 0 END AS conv
+      |  FROM events GROUP BY user_id),
+      |s AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS BIGINT) AS x_a,
+      |    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN conv ELSE 0 END) AS BIGINT) AS x_b
+      |  FROM u)
+      |SELECT n_a, x_a, n_b, x_b,
+      |  round(CAST(x_a AS DOUBLE) / n_a, 6) AS rate_a,
+      |  round(CAST(x_b AS DOUBLE) / n_b, 6) AS rate_b,
+      |  CASE WHEN x_a + x_b > 0 AND x_a + x_b < n_a + n_b THEN
+      |    round((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b) /
+      |      sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) *
+      |        (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) *
+      |        (1.0 / n_a + 1.0 / n_b)), 4)
+      |  END AS z_stat
+      |FROM s""".stripMargin
+
+  // --------------------------------------------------------- q_bootstrap_ci
+
+  /** Bootstrap 95% CI for mean daily revenue — 200 deterministic
+    * resamples whose Poisson(1)-approximating weights derive from
+    * md5(replicate, day), so the oracle replays the identical
+    * resampling (the etl_watermark_audit jitter recipe; a seeded RNG
+    * would never match across engines). The ×200 fan-out explodes the
+    * days-cardinality DAILY aggregate — metadata, never the events —
+    * and each replicate mean is an exact integer floor-division, so
+    * the order statistics that form the CI compare exact longs.
+    */
+  def qBootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables(spark, dir).events
+      .filter($"event_type" === "purchase")
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(round($"value" * 100).cast("long")).as("cents"))
+      .withColumn("point_c", expr("sum(cents) over () div count(1) over ()"))
+    val reps = daily
+      .select($"day", $"cents", $"point_c",
+        explode(sequence(lit(1), lit(200))).as("b"))
+      .withColumn("h",
+        conv(substring(md5(concat($"b".cast("string"), lit("_"),
+          $"day".cast("string"))), 1, 4), 16, 10).cast("long") % 1000)
+      // Poisson(1) pmf ≈ .368/.368/.184/.080 → thresholds on h∈[0,1000)
+      .withColumn("w",
+        when($"h" < 368, 0L).when($"h" < 736, 1L).when($"h" < 920, 2L).otherwise(3L))
+      .groupBy($"b")
+      .agg(max($"point_c").as("point_c"),
+        expr("sum(w * cents) div sum(w)").as("mean_c"))
+      .withColumn("r", rank().over(Window.orderBy($"mean_c", $"b")))
+    reps.agg(count(lit(1)).as("n_reps"), max($"point_c").as("point_mean_c"),
+      max(when($"r" === 5, $"mean_c")).as("ci_lo_c"),
+      max(when($"r" === 196, $"mean_c")).as("ci_hi_c"))
+  }
+
+  private val qBootstrapCiSql =
+    """WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |d2 AS (
+      |  SELECT day, cents,
+      |    CAST(sum(cents) OVER () AS BIGINT) // count(*) OVER () AS point_c
+      |  FROM daily),
+      |reps AS (
+      |  SELECT day, cents, point_c, unnest(range(1, 201)) AS b FROM d2),
+      |wts AS (
+      |  SELECT b, cents, point_c,
+      |    CAST(('0x' || substr(md5(CAST(b AS VARCHAR) || '_' || CAST(day AS VARCHAR)), 1, 4))
+      |      AS BIGINT) % 1000 AS h
+      |  FROM reps),
+      |ws AS (
+      |  SELECT b, cents, point_c,
+      |    CASE WHEN h < 368 THEN 0 WHEN h < 736 THEN 1
+      |      WHEN h < 920 THEN 2 ELSE 3 END AS w
+      |  FROM wts),
+      |means AS (
+      |  SELECT b, max(point_c) AS point_c,
+      |    CAST(sum(w * cents) AS BIGINT) // CAST(sum(w) AS BIGINT) AS mean_c
+      |  FROM ws GROUP BY b),
+      |ranked AS (
+      |  SELECT b, point_c, mean_c, rank() OVER (ORDER BY mean_c, b) AS r FROM means)
+      |SELECT count(*) AS n_reps, CAST(max(point_c) AS BIGINT) AS point_mean_c,
+      |  CAST(max(CASE WHEN r = 5 THEN mean_c END) AS BIGINT) AS ci_lo_c,
+      |  CAST(max(CASE WHEN r = 196 THEN mean_c END) AS BIGINT) AS ci_hi_c
+      |FROM ranked""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("q_prop_ztest", qPropZtest _, qPropZtestSql),
+    QueryDef.sql("q_bootstrap_ci", qBootstrapCi _, qBootstrapCiSql),
     QueryDef.sql("q_hhi", qHhi _, qHhiSql),
     QueryDef.sql("q_theil_index", qTheilIndex _, qTheilIndexSql),
     QueryDef.sql("q_spearman_corr", qSpearmanCorr _, qSpearmanCorrSql),

@@ -207,7 +207,75 @@ object LexQ {
       |FROM ranked""".stripMargin
   }
 
+  /** Collocation mining: pointwise mutual information of the top-20
+    * adjacent token pairs — PMI is what separates a true collocation
+    * ("new york") from a merely-frequent pair ("of the"). All counts
+    * are exact integers; corpus totals come from ONE extra
+    * documents scan that only reads token-array lengths (no second
+    * explode); PMI's log argument is assembled in double from exact
+    * longs (overflow-safe) so both engines run ln on the identical
+    * IEEE value (the text_zipf_fit precedent). Unigram lookups join
+    * the 20-row top list against the vocabulary — broadcast the 20,
+    * stream the vocab, never the reverse (the unbounded-vocabulary
+    * broadcast is the round-3 scale-killer class).
+    */
+  def textBigramPmi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    val toksArr = toks($"text")
+    val uni = docs.select(explode(toksArr).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("uc"))
+    val bi = docs
+      .select(toksArr.as("t"))
+      // sequence(1, 0) would count DOWN in Spark — guard 1-token docs
+      .filter(size($"t") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> struct(element_at(t, i) as w1, element_at(t, i + 1) as w2))")).as("p"))
+      .select($"p.w1", $"p.w2")
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("bc"))
+    val top = bi.orderBy($"bc".desc, $"w1", $"w2").limit(20)
+    val totals = docs.select(size(toksArr).as("len"))
+      .agg(sum($"len".cast("long")).as("t"),
+        sum(greatest($"len" - 1, lit(0)).cast("long")).as("bt"))
+    top
+      .join(uni.select($"tok".as("w1"), $"uc".as("uc1")), Seq("w1"))
+      .join(uni.select($"tok".as("w2"), $"uc".as("uc2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select($"w1", $"w2", $"bc", $"uc1", $"uc2",
+        round(log(($"bc".cast("double") * $"t" * $"t") /
+          ($"bt".cast("double") * $"uc1" * $"uc2")), 6).as("pmi"))
+      .orderBy($"bc".desc, $"w1", $"w2")
+  }
+
+  private val textBigramPmiSql = {
+    val tk = QueryDef.toksSql()
+    s"""WITH t AS (SELECT $tk AS t FROM documents),
+       |uni AS (
+       |  SELECT tok, count(*) AS uc
+       |  FROM (SELECT unnest(t) AS tok FROM t) GROUP BY 1),
+       |bi AS (
+       |  SELECT w1, w2, count(*) AS bc FROM (
+       |    SELECT unnest([{'w1': t[i], 'w2': t[i+1]} for i in range(1, len(t))], recursive := true)
+       |    FROM t)
+       |  GROUP BY 1, 2),
+       |top AS (SELECT * FROM bi ORDER BY bc DESC, w1, w2 LIMIT 20),
+       |totals AS (
+       |  SELECT CAST(sum(len(t)) AS BIGINT) AS tt,
+       |    CAST(sum(greatest(len(t) - 1, 0)) AS BIGINT) AS bt
+       |  FROM t)
+       |SELECT w1, w2, bc, u1.uc AS uc1, u2.uc AS uc2,
+       |  round(ln((CAST(bc AS DOUBLE) * tt * tt) /
+       |    (CAST(bt AS DOUBLE) * u1.uc * u2.uc)), 6) AS pmi
+       |FROM top
+       |JOIN uni u1 ON u1.tok = top.w1
+       |JOIN uni u2 ON u2.tok = top.w2
+       |CROSS JOIN totals
+       |ORDER BY bc DESC, w1, w2""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("text_bigram_pmi", textBigramPmi _, textBigramPmiSql),
     QueryDef.sql("text_zipf_fit", textZipfFit _, textZipfFitSql),
     QueryDef.sql("text_readability", textReadability _, textReadabilitySql),
     QueryDef.sql("corpus_vocab_overlap", corpusVocabOverlap _, corpusVocabOverlapSql),

@@ -302,7 +302,73 @@ object TrainingQ {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT) AS seq_id
       |FROM sampled ORDER BY doc_id""".stripMargin
 
+  /** Jensen-Shannon divergence of each source's top-token
+    * distribution from the corpus-wide one — the bounded (≤ ln 2),
+    * symmetric companion to `corpus_source_divergence`'s TV distance
+    * (JS weights the same gaps by information content, so a source
+    * missing a rare token scores differently than one missing "the").
+    * Same source × top-30 grid; each p·ln(p/m) + q·ln(q/m) cell
+    * nano-quantizes to a long BEFORE the cross-token sum (the
+    * corpus_token_entropy ln recipe), so the reduction is
+    * order-independent and bit-exact.
+    */
+  def corpusJsDivergence(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toksDf = Tables(spark, dir).documents
+      .select($"source", explode(TextFns.toks($"text")).as("tok"))
+    val top = toksDf.groupBy($"tok").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"tok").limit(30).select($"tok")
+    val f = toksDf.join(broadcast(top), "tok")
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("sc"))
+    val st = f.groupBy($"source").agg(sum($"sc").as("st"))
+    val g = f.groupBy($"tok").agg(sum($"sc").as("gc"))
+    val gt = g.agg(sum($"gc").as("gt"))
+    val grid = st.crossJoin(broadcast(top))
+    grid.join(f, Seq("source", "tok"), "left")
+      .join(broadcast(g), "tok")
+      .crossJoin(broadcast(gt))
+      .withColumn("p", coalesce($"sc", lit(0L)).cast("double") / $"st".cast("double"))
+      .withColumn("q", $"gc".cast("double") / $"gt".cast("double"))
+      .withColumn("m", ($"p" + $"q") / 2.0)
+      .withColumn("cell",
+        when($"p" > 0, $"p" * log($"p" / $"m")).otherwise(lit(0.0)) +
+          $"q" * log($"q" / $"m"))
+      .withColumn("cq", round($"cell" * 1e9).cast("long"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_top_tokens"), sum($"cq").as("js_2e9"),
+        round(sum($"cq").cast("double") / 2e9, 6).as("js_div"))
+      .orderBy($"source")
+  }
+
+  private val corpusJsDivergenceSql =
+    s"""WITH tk AS (SELECT source, unnest(${QueryDef.toksSql()}) AS tok FROM documents),
+       |top AS (SELECT tok FROM (
+       |  SELECT tok, count(*) AS c FROM tk GROUP BY tok
+       |  ORDER BY c DESC, tok LIMIT 30)),
+       |f AS (SELECT source, tok, count(*) AS sc
+       |      FROM tk JOIN top USING (tok) GROUP BY source, tok),
+       |st AS (SELECT source, CAST(sum(sc) AS BIGINT) AS st FROM f GROUP BY source),
+       |g AS (SELECT tok, CAST(sum(sc) AS BIGINT) AS gc FROM f GROUP BY tok),
+       |gt AS (SELECT CAST(sum(gc) AS BIGINT) AS gt FROM g),
+       |grid AS (SELECT st.source, st.st, top.tok FROM st CROSS JOIN top),
+       |cells AS (
+       |  SELECT grid.source,
+       |    CAST(coalesce(f.sc, 0) AS DOUBLE) / CAST(grid.st AS DOUBLE) AS p,
+       |    CAST(g.gc AS DOUBLE) / CAST(gt.gt AS DOUBLE) AS q
+       |  FROM grid
+       |  LEFT JOIN f ON f.source = grid.source AND f.tok = grid.tok
+       |  JOIN g ON g.tok = grid.tok CROSS JOIN gt),
+       |terms AS (
+       |  SELECT source,
+       |    CAST(round((CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END
+       |      + q * ln(q / ((p + q) / 2.0))) * 1e9) AS BIGINT) AS cq
+       |  FROM cells)
+       |SELECT source, count(*) AS n_top_tokens, CAST(sum(cq) AS BIGINT) AS js_2e9,
+       |  round(CAST(sum(cq) AS DOUBLE) / 2e9, 6) AS js_div
+       |FROM terms GROUP BY source ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("corpus_js_divergence", corpusJsDivergence _, corpusJsDivergenceSql),
     QueryDef.sql("etl_stratified_sample", etlStratifiedSample _, etlStratifiedSampleSql),
     QueryDef.sql("corpus_quality_sample", corpusQualitySample _, corpusQualitySampleSql),
     QueryDef.sql("corpus_source_divergence", corpusSourceDivergence _, corpusSourceDivergenceSql),

@@ -289,7 +289,97 @@ object TsQ {
       |  CAST(max(cum_cents) AS DOUBLE) / total AS cum_share
       |FROM r, t GROUP BY 1, total ORDER BY decile""".stripMargin
 
+  /** Cross-correlation function between the purchase and view daily
+    * revenue series at lags −3…+3 — does engagement LEAD revenue (and
+    * by how many days), the companion read to `ts_acf`'s self-memory.
+    * ONE events scan produces both series as conditional sums per day
+    * (exact cents); the ±3 lag fan-out joins the days-cardinality
+    * daily aggregate against its broadcast self, and `corr` reduces
+    * each lag to co-moments (the ts_acf / q_corr_stats parity
+    * precedent).
+    */
+  def tsCcf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables(spark, dir).events
+      .filter($"event_type".isin("purchase", "view"))
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(when($"event_type" === "purchase", round($"value" * 100).cast("long"))
+          .otherwise(0L)).as("p_cents"),
+        sum(when($"event_type" === "view", round($"value" * 100).cast("long"))
+          .otherwise(0L)).as("v_cents"))
+    val lags = spark.range(-3, 4).select($"id".as("lag"))
+    daily.as("a")
+      .crossJoin(broadcast(lags))
+      .join(broadcast(daily.as("b")), expr("b.day = a.day - lag"))
+      .groupBy($"lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(corr($"a.p_cents", $"b.v_cents"), 4).as("ccf"))
+      .orderBy($"lag")
+  }
+
+  private val tsCcfSql =
+    """WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day,
+      |    CAST(sum(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS p_cents,
+      |    CAST(sum(CASE WHEN event_type = 'view'
+      |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS v_cents
+      |  FROM events WHERE event_type IN ('purchase', 'view') GROUP BY 1),
+      |lags AS (SELECT range AS lag FROM range(-3, 4))
+      |SELECT lag, count(*) AS n_pairs,
+      |  round(corr(a.p_cents, b.v_cents), 4) AS ccf
+      |FROM daily a CROSS JOIN lags
+      |JOIN daily b ON b.day = a.day - lag
+      |GROUP BY lag ORDER BY lag""".stripMargin
+
+  /** STL-lite weekly seasonal decomposition of daily revenue: a
+    * centered 7-row moving trend, the detrended residual, and a
+    * per-weekday seasonal index — all in EXACT integer units
+    * (detrended = 7·rev − trendSum, the cross-multiplication rule, so
+    * no division ever happens; windows only span a ROWS frame whose
+    * day-span is verified == 6, so a gap in the series nulls the
+    * estimate instead of silently averaging the wrong week). The
+    * frame runs over the days-cardinality daily aggregate — metadata,
+    * never the events (the changepoint-scan rule).
+    */
+  def tsSeasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w7 = Window.orderBy($"day").rowsBetween(-3, 3)
+    val d = dailyCents(spark, dir)
+      .withColumn("span_ok", count(lit(1)).over(w7) === 7 &&
+        max($"day").over(w7) - min($"day").over(w7) === 6)
+      .withColumn("trend7_c", when($"span_ok", sum($"cents").over(w7)))
+      .withColumn("detr7_c", when($"span_ok", $"cents" * 7 - $"trend7_c"))
+    d.filter($"detr7_c".isNotNull)
+      .groupBy(($"day" % 7).as("weekday"))
+      .agg(count(lit(1)).as("n_days"), sum($"detr7_c").as("sum_detr7_c"),
+        round(sum($"detr7_c").cast("double") / (count(lit(1)) * 700.0), 4)
+          .as("seasonal_idx_dollars"))
+      .orderBy($"weekday")
+  }
+
+  private val tsSeasonalDecomposeSql =
+    """WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |t AS (
+      |  SELECT day, cents,
+      |    count(*) OVER w = 7 AND max(day) OVER w - min(day) OVER w = 6 AS span_ok,
+      |    CAST(sum(cents) OVER w AS BIGINT) AS trend7_c
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |r AS (
+      |  SELECT day % 7 AS weekday, cents * 7 - trend7_c AS detr7_c
+      |  FROM t WHERE span_ok)
+      |SELECT weekday, count(*) AS n_days, CAST(sum(detr7_c) AS BIGINT) AS sum_detr7_c,
+      |  round(CAST(sum(detr7_c) AS DOUBLE) / (count(*) * 700.0), 4)
+      |    AS seasonal_idx_dollars
+      |FROM r GROUP BY 1 ORDER BY weekday""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("ts_ccf", tsCcf _, tsCcfSql),
+    QueryDef.sql("ts_seasonal_decompose", tsSeasonalDecompose _, tsSeasonalDecomposeSql),
     QueryDef.sql("q_lorenz_curve", qLorenzCurve _, qLorenzCurveSql),
     QueryDef.sql("ts_zscore_anomaly", tsZscoreAnomaly _, tsZscoreAnomalySql),
     QueryDef.sql("q_gini", qGini _, qGiniSql),

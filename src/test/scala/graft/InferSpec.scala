@@ -94,6 +94,52 @@ class InferSpec extends GraftSuite {
     assert(u2a + u2b == 2 * na * nb, s"u2a=$u2a u2b=$u2b na=$na nb=$nb")
   }
 
+  test("bigram totals reconcile with the lengths-only corpus scan") {
+    // The PMI denominator totals come from a no-explode lengths scan;
+    // they must equal what the exploded pair/token tables sum to —
+    // this pins the transform() pair construction exactly.
+    val docs = Tables(spark, sf0001).documents
+    val arr = graft.functions.TextFns.toks($"text")
+    val nTokens = docs.select(explode(arr).as("t")).count()
+    val nPairs = docs.select(arr.as("t")).filter(size($"t") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> element_at(t, i))")).as("x")).count()
+    val totals = docs.select(size(arr).as("len"))
+      .agg(sum($"len".cast("long")), sum(greatest($"len" - 1, lit(0)).cast("long")))
+      .collect().head
+    assert(totals.getLong(0) == nTokens)
+    assert(totals.getLong(1) == nPairs)
+  }
+
+  test("js divergence is bounded by ln 2; ccf at lag 0 is the aligned corr") {
+    graft.queries.TrainingQ.corpusJsDivergence(spark, sf0001).collect().foreach { r =>
+      val js = r.getDouble(3)
+      assert(js >= -1e-9 && js <= math.log(2) + 1e-9, s"js out of range: $js")
+    }
+    val ccf0 = graft.queries.TsQ.tsCcf(spark, sf0001)
+      .filter($"lag" === 0).collect().head.getDouble(2)
+    val daily = Tables(spark, sf0001).events
+      .filter($"event_type".isin("purchase", "view"))
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(when($"event_type" === "purchase", round($"value" * 100).cast("long"))
+          .otherwise(0L)).as("p"),
+        sum(when($"event_type" === "view", round($"value" * 100).cast("long"))
+          .otherwise(0L)).as("v"))
+    val direct = daily.agg(round(corr($"p", $"v"), 4)).collect().head.getDouble(0)
+    assert(ccf0 == direct)
+  }
+
+  test("bootstrap CI brackets the point estimate and is deterministic") {
+    val a = InferQ.qBootstrapCi(spark, sf0001).collect().head
+    val b = InferQ.qBootstrapCi(spark, sf0001).collect().head
+    assert(a == b)
+    assert(a.getLong(0) == 200L)
+    val (point, lo, hi) = (a.getLong(1), a.getLong(2), a.getLong(3))
+    assert(lo <= hi)
+    assert(lo <= point && point <= hi,
+      s"point $point outside CI [$lo, $hi] — resampling is degenerate")
+  }
+
   test("anova and runs-test stats reduce over metadata, not events") {
     // Both plans must aggregate events ONCE; every later stage runs
     // over group-cardinality metadata (a second scan of events would
