@@ -192,6 +192,17 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       perms: Int, bands: Int, tau: Double): DataFrame = {
+    val candidates = lshCandidates(df, idCol, textCol, perms, bands)
+    val sets = tokenSets(df, idCol, textCol)
+    verifyJaccard(candidates, sets, tau)
+      .select($("id_a"), $("id_b"), round($("jaccard"), 4).as("jaccard"))
+  }
+
+  /** The banding stage of [[minhashLshPairs]], exposed so the index-
+    * quality eval can count candidates before verification.
+    */
+  private[graft] def lshCandidates(df: DataFrame, idCol: String, textCol: String,
+                                   perms: Int, bands: Int): DataFrame = {
     require(perms % bands == 0,
       s"perms ($perms) must be divisible by bands ($bands) — trailing permutations would be paid for but never banded")
     val rows = perms / bands
@@ -214,14 +225,23 @@ object Dedup {
         s"substr(md5(array_join(transform(slice(sig, b * $rows + 1, $rows), " +
         s"x -> cast(x as string)), ',')), 1, 16))")).as(Seq("band", "bsig")))
       .persist()
-    val candidates = bandSigs.as("a").join(bandSigs.as("b"), Seq("band", "bsig"))
+    bandSigs.as("a").join(bandSigs.as("b"), Seq("band", "bsig"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // exact verification on pre-sorted token sets (codegen'd merge
-    // intersect — see SortedIntersectSize)
-    val sets = df.select(col(idCol).as("id"),
+  }
+
+  /** Pre-sorted distinct-token sets, the verification operand. */
+  private[graft] def tokenSets(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
       array_sort(distinctToks(col(textCol))).as("toks")).persist()
+
+  /** Exact token-set Jaccard over candidate pairs (codegen'd merge
+    * intersect — see SortedIntersectSize); keeps pairs >= tau with
+    * the unrounded jaccard column.
+    */
+  private[graft] def verifyJaccard(candidates: DataFrame, sets: DataFrame,
+                                   tau: Double): DataFrame =
     candidates
       .join(sets.select($("id").as("id_a"), $("toks").as("toks_a")), "id_a")
       .join(sets.select($("id").as("id_b"), $("toks").as("toks_b")), "id_b")
@@ -230,8 +250,6 @@ object Dedup {
       .withColumn("jaccard",
         $("inter") / (size($("toks_a")) + size($("toks_b")) - $("inter")))
       .filter($("jaccard") >= tau)
-      .select($("id_a"), $("id_b"), round($("jaccard"), 4).as("jaccard"))
-  }
 
   /** 64-bit SimHash per doc: each token hashes to 64 bits; bit b of
     * the signature is the sign of the count-weighted ±1 vote.

@@ -147,7 +147,12 @@ object DedupQ {
     * a·x mod 2^64 = al·xl + ((al·xh + ah·xl) mod 2^32)·2^32 (mod 2^64),
     * and mod 2^63 of that sum equals Java's `& Long.MaxValue`.
     */
-  private val dedupMinhashLshSql =
+  /** The shared CTE pipeline (signatures → banding → candidates →
+    * token sets), interpolated into BOTH the pair gate and the
+    * index-quality eval so the two oracles can never drift apart
+    * (the ann_recall_eval composition rule).
+    */
+  private val minhashCtes =
     s"""WITH tk AS (
       |  SELECT doc_id, unnest(list_distinct(${QueryDef.toksSql()})) AS tok
       |  FROM documents),
@@ -177,7 +182,10 @@ object DedupQ {
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM bs a JOIN bs b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
-      |ts AS (SELECT doc_id, list_distinct(${QueryDef.toksSql()}) AS toks FROM documents),
+      |ts AS (SELECT doc_id, list_distinct(${QueryDef.toksSql()}) AS toks FROM documents)""".stripMargin
+
+  private val dedupMinhashLshSql =
+    s"""$minhashCtes,
       |j AS (
       |  SELECT id_a, id_b,
       |    len(list_intersect(a.toks, b.toks)) * 1.0 /
@@ -185,6 +193,54 @@ object DedupQ {
       |  FROM cand JOIN ts a ON a.doc_id = id_a JOIN ts b ON b.doc_id = id_b)
       |SELECT id_a, id_b, round(jaccard, 4) AS jaccard
       |FROM j WHERE jaccard >= 0.9 ORDER BY id_a, id_b""".stripMargin
+
+  /** MinHash-LSH index-quality evaluation: candidate count, verified
+    * count, and the brute-force ground-truth pair count at the same
+    * τ = 0.9 — precision says how much verify work the banding wastes,
+    * recall says what the banding MISSES (the number no production
+    * dedup should fly blind on; `ann_recall_eval` is the embedding-
+    * side sibling). The truth side is the all-pairs exact Jaccard —
+    * quadratic BY DESIGN, run on a sampled slice in production; the
+    * oracle composes the same CTE pipeline as the pair gate so the
+    * eval can never drift from what it evaluates.
+    */
+  def dedupMinhashEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    val cand = Dedup.lshCandidates(docs, "doc_id", "text", perms = 128, bands = 16)
+    val sets = Dedup.tokenSets(docs, "doc_id", "text")
+    val verified = Dedup.verifyJaccard(cand, sets, tau = 0.9)
+    val truth = Dedup.verifyJaccard(
+      sets.select($"id".as("id_a")).crossJoin(sets.select($"id".as("id_b")))
+        .filter($"id_a" < $"id_b"),
+      sets, tau = 0.9)
+    cand.agg(count(lit(1)).as("n_candidates"))
+      .crossJoin(verified.agg(count(lit(1)).as("n_verified")))
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .select($"n_candidates", $"n_verified", $"n_truth",
+        round($"n_verified".cast("double") / $"n_candidates", 4).as("precision"),
+        round($"n_verified".cast("double") / $"n_truth", 4).as("recall"))
+  }
+
+  private val dedupMinhashEvalSql =
+    s"""$minhashCtes,
+      |ver AS (
+      |  SELECT count(*) AS n_verified FROM (
+      |    SELECT len(list_intersect(a.toks, b.toks)) * 1.0 /
+      |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+      |    FROM cand JOIN ts a ON a.doc_id = id_a JOIN ts b ON b.doc_id = id_b)
+      |  WHERE jaccard >= 0.9),
+      |truth AS (
+      |  SELECT count(*) AS n_truth FROM (
+      |    SELECT len(list_intersect(a.toks, b.toks)) * 1.0 /
+      |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+      |    FROM ts a JOIN ts b ON a.doc_id < b.doc_id)
+      |  WHERE jaccard >= 0.9),
+      |c AS (SELECT count(*) AS n_candidates FROM cand)
+      |SELECT n_candidates, n_verified, n_truth,
+      |  round(CAST(n_verified AS DOUBLE) / n_candidates, 4) AS precision,
+      |  round(CAST(n_verified AS DOUBLE) / n_truth, 4) AS recall
+      |FROM c CROSS JOIN ver CROSS JOIN truth""".stripMargin
 
   /** SimHash-64 near-dup pairs (Hamming <= 6) via 4×16-bit band
     * blocking. Fully deterministic — the token hash is the first 8
@@ -410,6 +466,7 @@ object DedupQ {
     QueryDef.sql("dedup_ngram_jaccard", dedupNgramJaccard _, dedupNgramJaccardSql),
     QueryDef.sql("dedup_containment", dedupContainment _, dedupContainmentSql),
     QueryDef.sql("dedup_minhash_lsh", dedupMinhashLsh _, dedupMinhashLshSql),
+    QueryDef.sql("dedup_minhash_eval", dedupMinhashEval _, dedupMinhashEvalSql),
     QueryDef.sql("dedup_simhash", dedupSimhash _, dedupSimhashSql),
     QueryDef.sql("dedup_embedding", dedupEmbedding _, dedupEmbeddingSql),
     QueryDef.sql("dedup_embedding_lsh", dedupEmbeddingLsh _, dedupEmbeddingLshSql),

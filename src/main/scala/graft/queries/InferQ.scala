@@ -581,7 +581,114 @@ object InferQ {
       |  CAST(max(CASE WHEN r = 196 THEN mean_c END) AS BIGINT) AS ci_hi_c
       |FROM ranked""".stripMargin
 
+  // -------------------------------------------------------- q_diff_in_diff
+
+  /** Difference-in-differences: the 2×2 (cohort × pre/post) grid of
+    * mean purchase value and the DiD interaction estimate — the
+    * quasi-experimental read when there is no randomized control.
+    * The period split is the midpoint day derived from the DAILY
+    * cohort aggregate (a window over day-cardinality metadata, never
+    * the events); each cell mean divides exact integer cents by an
+    * exact count, pre-ROUNDED to 4 decimals before the final
+    * subtraction chain (the q_ab_test recipe).
+    */
+  def qDiffInDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables(spark, dir).events
+      .filter($"event_type" === "purchase")
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"),
+        ($"user_id" % 2 === 0).as("a"))
+      .agg(count(lit(1)).as("n"), sum(round($"value" * 100).cast("long")).as("cents"))
+      .withColumn("split", expr("(min(day) over () + max(day) over ()) div 2"))
+      .withColumn("post", $"day" > $"split")
+      .groupBy($"a", $"post")
+      .agg(max($"split").as("split"), sum($"n").as("n"), sum($"cents").as("cents"))
+      .withColumn("mean4", round($"cents".cast("double") / (lit(100.0) * $"n"), 4))
+    cells.agg(
+        max($"split").as("split_day"),
+        max(when($"a" && !$"post", $"mean4")).as("mean_a_pre"),
+        max(when($"a" && $"post", $"mean4")).as("mean_a_post"),
+        max(when(!$"a" && !$"post", $"mean4")).as("mean_b_pre"),
+        max(when(!$"a" && $"post", $"mean4")).as("mean_b_post"))
+      .select($"split_day", $"mean_a_pre", $"mean_a_post", $"mean_b_pre", $"mean_b_post",
+        round(($"mean_a_post" - $"mean_a_pre") - ($"mean_b_post" - $"mean_b_pre"), 4)
+          .as("did_estimate"))
+  }
+
+  private val qDiffInDiffSql =
+    """WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day, user_id % 2 = 0 AS a,
+      |    count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |sp AS (
+      |  SELECT a, day > split AS post, n, cents, split FROM (
+      |    SELECT *, (min(day) OVER () + max(day) OVER ()) // 2 AS split FROM daily)),
+      |cells AS (
+      |  SELECT a, post, max(split) AS split, CAST(sum(n) AS BIGINT) AS n,
+      |    CAST(sum(cents) AS BIGINT) AS cents
+      |  FROM sp GROUP BY 1, 2),
+      |m AS (
+      |  SELECT a, post, split,
+      |    round(CAST(cents AS DOUBLE) / (100.0 * n), 4) AS mean4
+      |  FROM cells)
+      |SELECT max(split) AS split_day,
+      |  max(CASE WHEN a AND NOT post THEN mean4 END) AS mean_a_pre,
+      |  max(CASE WHEN a AND post THEN mean4 END) AS mean_a_post,
+      |  max(CASE WHEN NOT a AND NOT post THEN mean4 END) AS mean_b_pre,
+      |  max(CASE WHEN NOT a AND post THEN mean4 END) AS mean_b_post,
+      |  round((max(CASE WHEN a AND post THEN mean4 END)
+      |    - max(CASE WHEN a AND NOT post THEN mean4 END))
+      |    - (max(CASE WHEN NOT a AND post THEN mean4 END)
+      |    - max(CASE WHEN NOT a AND NOT post THEN mean4 END)), 4) AS did_estimate
+      |FROM m""".stripMargin
+
+  // ---------------------------------------------------- q_price_elasticity
+
+  /** Price elasticity of demand per part brand: the log-log
+    * regression slope of quantity on realized unit price across that
+    * brand's line items — the econometric pricing read. Unit price is
+    * an exact integer floor-division (cents div quantity — never a
+    * double divide), both ln inputs nano-quantize BEFORE the
+    * regression (the text_zipf_fit recipe), and `regr_slope`/`regr_r2`
+    * reduce to map-side-combinable co-moments. The part join carries
+    * only (partkey, brand) — pruned to two columns at the scan.
+    */
+  def qPriceElasticity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    t.lineitem
+      .select($"l_partkey", round($"l_quantity").cast("long").as("qty"),
+        (round($"l_extendedprice" * 100).cast("long")).as("cents"))
+      .filter($"qty" > 0)
+      .withColumn("unit_c", expr("cents div qty"))
+      .join(t.part.select($"p_partkey", $"p_brand"), $"l_partkey" === $"p_partkey")
+      .withColumn("lnq", round(log($"qty".cast("double")) * 1e9).cast("long") / 1e9)
+      .withColumn("lnp", round(log($"unit_c".cast("double")) * 1e9).cast("long") / 1e9)
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_lines"),
+        round(expr("regr_slope(lnq, lnp)"), 4).as("elasticity"),
+        round(expr("regr_r2(lnq, lnp)"), 4).as("r2"))
+      .orderBy($"p_brand")
+  }
+
+  private val qPriceElasticitySql =
+    """WITH li AS (
+      |  SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS qty,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      |  FROM lineitem WHERE CAST(round(l_quantity) AS BIGINT) > 0),
+      |u AS (
+      |  SELECT p_brand,
+      |    CAST(round(ln(CAST(qty AS DOUBLE)) * 1e9) AS BIGINT) / 1e9 AS lnq,
+      |    CAST(round(ln(CAST(cents // qty AS DOUBLE)) * 1e9) AS BIGINT) / 1e9 AS lnp
+      |  FROM li JOIN part ON l_partkey = p_partkey)
+      |SELECT p_brand, count(*) AS n_lines,
+      |  round(regr_slope(lnq, lnp), 4) AS elasticity,
+      |  round(regr_r2(lnq, lnp), 4) AS r2
+      |FROM u GROUP BY 1 ORDER BY p_brand""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("q_diff_in_diff", qDiffInDiff _, qDiffInDiffSql),
+    QueryDef.sql("q_price_elasticity", qPriceElasticity _, qPriceElasticitySql),
     QueryDef.sql("q_prop_ztest", qPropZtest _, qPropZtestSql),
     QueryDef.sql("q_bootstrap_ci", qBootstrapCi _, qBootstrapCiSql),
     QueryDef.sql("q_hhi", qHhi _, qHhiSql),

@@ -149,6 +149,19 @@ class DedupSpec extends GraftSuite {
     assert(got(13L)._1 === 0L && !got(13L)._3)   // same cluster, below tau
   }
 
+  test("minhash eval counts reconcile with the pair gate and the truth set") {
+    val r = graft.queries.DedupQ.dedupMinhashEval(spark, sf0001).collect().head
+    val (cand, ver, truth) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(ver <= cand, "verified pairs must be a subset of candidates")
+    assert(ver <= truth, "verified pairs are exact-jaccard matches, so <= truth")
+    // the verified set IS the pair gate's output
+    val gate = graft.queries.DedupQ.dedupMinhashLsh(spark, sf0001).count()
+    assert(gate == ver)
+    // 128/16 banding at tau=0.9 should not miss more than a few percent
+    assert(truth == 0 || ver.toDouble / truth >= 0.9,
+      s"LSH recall collapsed: $ver / $truth")
+  }
+
   test("semantic dedup flags exactly the same-cluster exact pairs") {
     val emb = Tables(spark, sf0001).embeddings
     val out = Dedup.semantic(emb, "vec_id", "embedding", tau = 0.45)
