@@ -445,6 +445,49 @@ object ScaleProbe {
       dir => graft.queries.DriftQ.embQuantizeInt8(spark, dir))
     probeGrowth("fd_discovery", base, out,
       dir => graft.queries.AuditQ.etlFdDiscovery(spark, dir))
+
+    // ---- round-6 continuation: inference + divergence families ----
+    // sufficient-statistics gates: 10×/2× input must reduce to the
+    // same handful of moments — time tracks the scan, rows constant
+    probeGrowth("hhi", base, out,
+      dir => graft.queries.InferQ.qHhi(spark, dir))
+    probeGrowth("theil_index", base, out,
+      dir => graft.queries.InferQ.qTheilIndex(spark, dir))
+    probeGrowth("spearman", base, out,
+      dir => graft.queries.InferQ.qSpearmanCorr(spark, dir))
+    probeGrowth("price_elasticity", base, out,
+      dir => graft.queries.InferQ.qPriceElasticity(spark, dir))
+    probeGrowth("mann_whitney", base, events2,
+      dir => graft.queries.InferQ.qMannWhitney(spark, dir))
+    probeGrowth("anova_f", base, events2,
+      dir => graft.queries.InferQ.qAnovaF(spark, dir))
+    probeGrowth("runs_test", base, events2,
+      dir => graft.queries.InferQ.qRunsTest(spark, dir))
+    probeGrowth("prop_ztest", base, events2,
+      dir => graft.queries.InferQ.qPropZtest(spark, dir))
+    probeGrowth("diff_in_diff", base, events2,
+      dir => graft.queries.InferQ.qDiffInDiff(spark, dir))
+    probeGrowth("cusum", base, events2,
+      dir => graft.queries.InferQ.tsCusum(spark, dir))
+    probeGrowth("bootstrap_ci", base, events2,
+      dir => graft.queries.InferQ.qBootstrapCi(spark, dir))
+    probeGrowth("ccf", base, events2,
+      dir => graft.queries.TsQ.tsCcf(spark, dir))
+    probeGrowth("seasonal_decompose", base, events2,
+      dir => graft.queries.TsQ.tsSeasonalDecompose(spark, dir))
+    probeGrowth("bigram_pmi", base, docs2,
+      dir => graft.queries.LexQ.textBigramPmi(spark, dir))
+    probeGrowth("js_divergence", base, docs2,
+      dir => graft.queries.TrainingQ.corpusJsDivergence(spark, dir))
+    // bucketed join under 10× facts: write amortizes, join stays
+    // exchange-free — time must track the rewrite scan
+    probeGrowth("bucketed_join", base, out,
+      dir => graft.queries.InferQ.etlBucketedJoin(spark, dir))
+    // minhash eval doubles docs where every replica pair is a true
+    // dup: truth pairs grow ~4× BY DESIGN (all-pairs ground truth) —
+    // the number to watch is candidate growth staying ~pair-bounded
+    probeGrowth("minhash_eval", base, docs2,
+      dir => graft.queries.DedupQ.dedupMinhashEval(spark, dir))
     spark.stop()
   }
 }

@@ -329,7 +329,86 @@ object SequenceQ {
       |FROM paths GROUP BY path
       |ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin
 
+  /** Shapley-value channel attribution — the game-theoretic upgrade
+    * of `q_attribution`'s positional rules: each channel's credit is
+    * its average marginal contribution over every exposure coalition.
+    * The characteristic function v(S) = converted users whose channel
+    * set ⊆ S reduces map-side to ≤16 subset counts (one per channel
+    * bitmask), and EVERYTHING downstream runs on that 16-row
+    * metadata: the subset-sum lattice, the 4!-weighted marginals
+    * (×24 keeps the factorial weights integer — shapley24 is exact),
+    * the final share. 100 TB of events → 16 longs before any game
+    * theory happens.
+    */
+  def qShapleyAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val peru = Tables(spark, dir).events
+      .groupBy($"user_id")
+      .agg((max(when($"event_type" === "click", 1L).otherwise(0L)) +
+        lit(2L) * max(when($"event_type" === "error", 1L).otherwise(0L)) +
+        lit(4L) * max(when($"event_type" === "signup", 1L).otherwise(0L)) +
+        lit(8L) * max(when($"event_type" === "view", 1L).otherwise(0L))).as("mask"),
+        max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("conv"))
+    val cm = peru.groupBy($"mask").agg(sum($"conv").as("convs"))
+    val masks = spark.range(16).select($"id".as("s"))
+    val v = masks.join(cm, cm("mask").bitwiseAND($"s") === cm("mask"), "left")
+      .groupBy($"s").agg(coalesce(sum($"convs"), lit(0L)).as("v"))
+    val ch = Seq(("click", 1L), ("error", 2L), ("signup", 4L), ("view", 8L))
+      .toDF("channel", "bit")
+    val pairs = ch.crossJoin(masks)
+      .filter($"s".bitwiseAND($"bit") === 0)
+      .withColumn("pc", ($"s".bitwiseAND(1) + expr("(s div 2) & 1") +
+        expr("(s div 4) & 1") + expr("(s div 8) & 1")))
+      .withColumn("w", when($"pc" === 0, 6L).when($"pc" === 1, 2L)
+        .when($"pc" === 2, 2L).otherwise(6L))
+    val marg = pairs
+      .join(v.select($"s", $"v".as("v_s")), "s")
+      .join(v.select($"s".as("si"), $"v".as("v_si")), $"si" === $"s" + $"bit")
+      .groupBy($"channel")
+      .agg(sum($"w" * ($"v_si" - $"v_s")).as("shapley24"))
+    val tot = v.agg((max(when($"s" === 15, $"v")) - max(when($"s" === 0, $"v")))
+      .as("gains"))
+    marg.crossJoin(broadcast(tot))
+      .select($"channel", $"shapley24",
+        when($"gains" > 0,
+          round($"shapley24".cast("double") / (lit(24.0) * $"gains"), 6)).as("share"))
+      .orderBy($"channel")
+  }
+
+  private val qShapleyAttributionSql =
+    """WITH peru AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |    + 2 * max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |    + 4 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+      |    + 8 * max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS mask,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY 1),
+      |cm AS (SELECT mask, CAST(sum(conv) AS BIGINT) AS convs FROM peru GROUP BY 1),
+      |masks AS (SELECT range AS s FROM range(0, 16)),
+      |v AS (
+      |  SELECT s, CAST(coalesce(sum(convs), 0) AS BIGINT) AS v
+      |  FROM masks LEFT JOIN cm ON (mask & s) = mask GROUP BY s),
+      |ch AS (SELECT * FROM (VALUES ('click', 1), ('error', 2), ('signup', 4), ('view', 8)) AS t(channel, bit)),
+      |pairs AS (
+      |  SELECT channel, bit, s,
+      |    (s & 1) + ((s // 2) & 1) + ((s // 4) & 1) + ((s // 8) & 1) AS pc
+      |  FROM ch CROSS JOIN masks WHERE (s & bit) = 0),
+      |marg AS (
+      |  SELECT channel,
+      |    CAST(sum((CASE pc WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END)
+      |      * (vi.v - vs.v)) AS BIGINT) AS shapley24
+      |  FROM pairs JOIN v vs ON vs.s = pairs.s JOIN v vi ON vi.s = pairs.s + bit
+      |  GROUP BY channel),
+      |tot AS (
+      |  SELECT (SELECT v FROM v WHERE s = 15) - (SELECT v FROM v WHERE s = 0) AS gains)
+      |SELECT channel, shapley24,
+      |  CASE WHEN gains > 0
+      |    THEN round(CAST(shapley24 AS DOUBLE) / (24.0 * gains), 6) END AS share
+      |FROM marg CROSS JOIN tot ORDER BY channel""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("q_shapley_attribution", qShapleyAttribution _, qShapleyAttributionSql),
     QueryDef.sql("q_user_paths", qUserPaths _, qUserPathsSql),
     QueryDef.sql("etl_json_schema", etlJsonSchema _, etlJsonSchemaSql),
     QueryDef.sql("q_session_window", qSessionWindow _, qSessionWindowSql),

@@ -5,6 +5,7 @@ import graft.multimodal.BinaryOps
 import graft.operators.Similarity
 import graft.streaming.EventStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search (§2.4), multimodal (§2.6) and streaming-shape
@@ -491,7 +492,55 @@ object SimilarityQ {
       |FROM (SELECT DISTINCT q_id FROM bf) q LEFT JOIN hits USING (q_id)
       |ORDER BY q_id""".stripMargin
 
+  /** kNN label classification accuracy over the corpus-wide LSH
+    * kNN join: every vector is classified by the majority label of
+    * its 5 approximate neighbors (ties → smallest label), scored
+    * against its own label — the standard sanity check that an
+    * embedding space and its ANN index are good enough to power
+    * downstream labeling. The oracle embeds the ann_knn_join SQL as a
+    * subquery (the composition rule: the eval can never drift from
+    * the index it evaluates); the vote and accuracy are pure integer
+    * counts.
+    */
+  def annKnnClassify(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).embeddings
+    val knn = Similarity.knnJoin(e, "vec_id", "embedding", k = 5)
+    val lab = e.select($"vec_id", $"label")
+    val votes = knn
+      .join(lab.select($"vec_id".as("neighbor_id"), $"label"), "neighbor_id")
+      .groupBy($"q_id", $"label").agg(count(lit(1)).as("c"))
+    val pick = votes
+      .withColumn("r", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"c".desc, $"label")))
+      .filter($"r" === 1)
+      .select($"q_id", $"label".as("pred"))
+    pick.join(lab.select($"vec_id".as("q_id"), $"label".as("truth")), "q_id")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when($"pred" === $"truth", 1L).otherwise(0L)).as("n_correct"))
+      .select($"n_vecs", $"n_correct",
+        round($"n_correct".cast("double") / $"n_vecs", 4).as("accuracy"))
+  }
+
+  private val annKnnClassifySql =
+    s"""WITH knn AS (SELECT * FROM ($annKnnJoinSql)),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |votes AS (
+       |  SELECT q_id, l.label, count(*) AS c
+       |  FROM knn JOIN lab l ON l.vec_id = knn.neighbor_id GROUP BY 1, 2),
+       |pick AS (
+       |  SELECT q_id, label AS pred FROM (
+       |    SELECT q_id, label,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY c DESC, label) AS r
+       |    FROM votes) WHERE r = 1)
+       |SELECT count(*) AS n_vecs,
+       |  CAST(sum(CASE WHEN pred = o.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |  round(sum(CASE WHEN pred = o.label THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+       |    AS accuracy
+       |FROM pick JOIN lab o ON o.vec_id = pick.q_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("ann_knn_classify", annKnnClassify _, annKnnClassifySql),
     QueryDef.sql("ann_recall_eval", annRecallEval _, annRecallEvalSql),
     QueryDef.sql("ann_bruteforce_topk", annBruteforce _, annBruteforceSql),
     QueryDef.sql("ann_lsh_topk", annLsh _, annLshSql),
