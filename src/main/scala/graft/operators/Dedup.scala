@@ -16,6 +16,31 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Ledger of every DataFrame any Dedup operator has persisted in
+    * this JVM. The operators return LAZY plans, so they cannot
+    * unpersist their own intermediates (the caller has not executed
+    * anything yet); a long-lived library session calls [[release]]
+    * once its outputs are materialized to free the pinned blocks
+    * without the bluntness of `spark.catalog.clearCache()` (which
+    * would also drop the caller's own caches). Verify/Bench sweeps
+    * use clearCache per gate and never accumulate either way.
+    */
+  private val cacheLedger = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+  private def persistTracked(df: DataFrame): DataFrame = {
+    val p = df.persist()
+    cacheLedger.add(p)
+    p
+  }
+
+  /** Unpersists every intermediate tracked in the ledger (blocking =
+    * false — eviction proceeds asynchronously like ContextCleaner's).
+    */
+  def release(): Unit = {
+    var d = cacheLedger.poll()
+    while (d != null) { d.unpersist(); d = cacheLedger.poll() }
+  }
+
   /** Exact dedup on a key expression: one survivor (min id) per key. */
   def exact(df: DataFrame, idCol: String, key: Column): DataFrame =
     df.groupBy(key.as("__key"))
@@ -164,8 +189,8 @@ object Dedup {
     import graft.functions.SortedIntersectSize
     val sets = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("shs"))
     // persisted: feeds the df-count, the self-join sides and the hot sets
-    val sh = sets.select($("id"), size($("shs")).as("sz"), explode($("shs")).as("sh"))
-      .persist()
+    val sh = persistTracked(
+      sets.select($("id"), size($("shs")).as("sz"), explode($("shs")).as("sh")))
     val hot = sh.groupBy($("sh")).agg(count(lit(1)).as("df_"))
       .filter($("df_") > maxShingleDf).select($("sh"))
     val rare = sh.join(hot, Seq("sh"), "left_anti")
@@ -224,7 +249,7 @@ object Dedup {
       s"transform(sequence(0, ${bands - 1}), b -> " +
         s"substr(md5(array_join(transform(slice(sig, b * $rows + 1, $rows), " +
         s"x -> cast(x as string)), ',')), 1, 16))")).as(Seq("band", "bsig")))
-      .persist()
+      .transform(persistTracked)
     bandSigs.as("a").join(bandSigs.as("b"), Seq("band", "bsig"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -233,8 +258,8 @@ object Dedup {
 
   /** Pre-sorted distinct-token sets, the verification operand. */
   private[graft] def tokenSets(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"),
-      array_sort(distinctToks(col(textCol))).as("toks")).persist()
+    persistTracked(df.select(col(idCol).as("id"),
+      array_sort(distinctToks(col(textCol))).as("toks")))
 
   /** Exact token-set Jaccard over candidate pairs (codegen'd merge
     * intersect — see SortedIntersectSize); keeps pairs >= tau with
@@ -299,9 +324,9 @@ object Dedup {
                         bands: Int = 112, rowsPerBand: Int = 8): DataFrame = {
     import graft.functions.{HyperplaneBands, VecFns}
     // persisted: banding + both verify sides read it
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val v = persistTracked(df.select(col(idCol).as("id"), col(vecCol).as("v"),
       VecFns.norm(col(vecCol)).as("nrm"),
-      HyperplaneBands(col(vecCol), bands, rowsPerBand).as("bsigs")).persist()
+      HyperplaneBands(col(vecCol), bands, rowsPerBand).as("bsigs")))
     val banded = v.select($("id"), posexplode($("bsigs")).as(Seq("band", "bsig")))
     val candidates = banded.as("a").join(banded.as("b"), Seq("band", "bsig"))
       .filter(col("a.id") < col("b.id"))
@@ -361,7 +386,7 @@ object Dedup {
         .withColumn("c_cos", VecFns.cosine($("v"), $("c_v"))),
       Seq($("id")), Seq($("c_cos").desc, $("c_id")), 1)
       .select($("id"), $("v"), $("nrm"), $("c_id").as("cluster"))
-      .persist() // pair join reads both sides; released by clearCache
+      .transform(persistTracked) // pair join reads both sides; released by release()/clearCache
     val pairs = assigned.as("a").join(assigned.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
       .withColumn("cos", VecFns.cosinePrenormed(

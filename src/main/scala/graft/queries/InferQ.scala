@@ -427,8 +427,14 @@ object InferQ {
     */
   def etlBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val base = s"/tmp/graft_bucketed/$tag"
+    // app-scoped layout root: two concurrent runs over the same data
+    // dir get disjoint paths and table names (no DROP race), and the
+    // whole per-app tree is best-effort deleted at JVM exit so gate
+    // runs leave no artifacts behind
+    val app = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val tag = app + "_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = s"/tmp/graft_bucketed/$app/$tag"
+    BucketedJoinCleanup.register(s"/tmp/graft_bucketed/$app")
     val t = Tables(spark, dir)
     spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_buck LOCATION '/tmp/graft_bucketed/warehouse'")
     val ot = s"graft_buck.orders_$tag"
@@ -661,6 +667,10 @@ object InferQ {
         (round($"l_extendedprice" * 100).cast("long")).as("cents"))
       .filter($"qty" > 0)
       .withColumn("unit_c", expr("cents div qty"))
+      // unit_c = 0 is possible on data without TPC-H's price floor
+      // (cents < qty); ln(0) = -Inf would cast to Long.MinValue in
+      // Spark but ERROR in DuckDB's CAST — guard both engines out
+      .filter($"unit_c" > 0)
       .join(t.part.select($"p_partkey", $"p_brand"), $"l_partkey" === $"p_partkey")
       .withColumn("lnq", round(log($"qty".cast("double")) * 1e9).cast("long") / 1e9)
       .withColumn("lnp", round(log($"unit_c".cast("double")) * 1e9).cast("long") / 1e9)
@@ -680,7 +690,8 @@ object InferQ {
       |  SELECT p_brand,
       |    CAST(round(ln(CAST(qty AS DOUBLE)) * 1e9) AS BIGINT) / 1e9 AS lnq,
       |    CAST(round(ln(CAST(cents // qty AS DOUBLE)) * 1e9) AS BIGINT) / 1e9 AS lnp
-      |  FROM li JOIN part ON l_partkey = p_partkey)
+      |  FROM li JOIN part ON l_partkey = p_partkey
+      |  WHERE cents // qty > 0)
       |SELECT p_brand, count(*) AS n_lines,
       |  round(regr_slope(lnq, lnp), 4) AS elasticity,
       |  round(regr_r2(lnq, lnp), 4) AS r2
@@ -699,4 +710,25 @@ object InferQ {
     QueryDef.sql("q_runs_test", qRunsTest _, qRunsTestSql),
     QueryDef.sql("ts_cusum", tsCusum _, tsCusumSql),
     QueryDef.sql("etl_bucketed_join", etlBucketedJoin _, etlBucketedJoinSql))
+}
+
+/** One JVM-exit cleanup of the app-scoped bucketed-layout root —
+  * registered (once) by [[InferQ.etlBucketedJoin]]. Deletion cannot
+  * happen inside the gate itself: the returned plan is lazy and reads
+  * the bucketed tables when the CALLER materializes it, so the files
+  * must outlive the call. Best-effort by design (a shared /tmp may
+  * outrace us); the per-app path guarantees we only ever delete our
+  * own artifacts.
+  */
+private[queries] object BucketedJoinCleanup {
+  private val registered = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def register(root: String): Unit =
+    if (registered.add(root)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => delete(new java.io.File(root))))
+    }
+  private def delete(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(delete)
+    f.delete(): Unit
+  }
 }

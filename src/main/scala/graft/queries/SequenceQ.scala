@@ -229,7 +229,7 @@ object SequenceQ {
 
   private val qSessionWindowSql =
     """WITH marked AS (
-      |  SELECT user_id, ts, value,
+      |  SELECT user_id, ts, event_id, value,
       |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
       |      PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
       |      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -238,7 +238,7 @@ object SequenceQ {
       |sess AS (
       |  SELECT user_id, ts, value,
       |    sum(new_session) OVER (
-      |      PARTITION BY user_id ORDER BY ts
+      |      PARTITION BY user_id ORDER BY ts, event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       |  FROM marked)
       |SELECT user_id,

@@ -178,4 +178,18 @@ class DedupSpec extends GraftSuite {
     assert(got === expect)
     assert(got.nonEmpty)
   }
+
+  test("release() frees every intermediate a dedup run persisted") {
+    spark.catalog.clearCache() // isolate from earlier suites' caches
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // materialize two cache-pinning operators (minhash: bandSigs +
+    // tokenSets; embedding LSH: the signature table)
+    Dedup.minhashLshPairs(docs, "doc_id", "text", perms = 128, bands = 16, tau = 0.9).count()
+    Dedup.embeddingPairsLsh(Tables(spark, sf0001).embeddings, "vec_id", "embedding", 0.45).count()
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "operators should have pinned intermediates while running")
+    Dedup.release()
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      "release() must unpersist every ledger entry")
+  }
 }
