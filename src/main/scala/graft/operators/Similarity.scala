@@ -117,6 +117,37 @@ object Similarity {
         round(col("cos"), 4).as("cosine"), col("rk").cast("long").as("rk"))
   }
 
+  /** One exact Lloyd iteration over the corpus: assign every vector
+    * to its nearest seed centroid (max cosine, ties by centroid id —
+    * the [[ivfTopK]] assignment), then recompute each centroid
+    * component as the mean of its members. The 100 TB shape: the
+    * k-vector centroid table broadcasts, assignment is map-side, and
+    * the update is ONE aggregation of (cluster, dim) cells — k·d
+    * cells however big the corpus. Component values quantize to
+    * integer micros BEFORE the cross-member sum (float→double is
+    * exact, so the longs are identical in any engine and the mean is
+    * a deterministic division of exact integers) — a full k-means
+    * fit is this step iterated, each iteration exactly replayable.
+    */
+  def kmeansStep(vectors: DataFrame, idCol: String, vecCol: String,
+                 numCentroids: Int): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val cents = vectors.orderBy(col(idCol)).limit(numCentroids)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_v"))
+    val assigned = TopK(
+      v.crossJoin(broadcast(cents))
+        .withColumn("c_cos", VecFns.cosine(col("v"), col("c_v"))),
+      Seq(col("id")), Seq(col("c_cos").desc, col("c_id")), 1)
+      .select(col("id"), col("v"), col("c_id").as("cluster"))
+    assigned
+      .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+      .withColumn("x6", round(col("x").cast("double") * 1e6).cast("long"))
+      .groupBy(col("cluster"), col("dim"))
+      .agg(count(lit(1)).as("n_members"), sum(col("x6")).as("sum_e6"))
+      .select(col("cluster"), col("dim").cast("long").as("dim"), col("n_members"),
+        round(col("sum_e6") / (col("n_members") * 1e6), 6).as("new_c"))
+  }
+
   /** Corpus-wide kNN JOIN — every vector's top-k neighbors (the kNN
     * graph behind retrieval-augmented dedup, graph clustering and
     * kNN-LM), not just a query set's. Unlike [[lshTopK]], the probe

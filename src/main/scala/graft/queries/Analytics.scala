@@ -472,6 +472,49 @@ object Analytics {
       |FROM deg LEFT JOIN cr ON cr.x = deg.x
       |ORDER BY n_tri DESC, node LIMIT 20""".stripMargin
 
+  /** Degree assortativity of the co-purchase graph — the one-number
+    * answer to "do hubs link to hubs?" (positive: social-like;
+    * negative: hub-and-spoke), next to the local view q_clustering_coef
+    * gives per node. Pearson's r over the (deg(u), deg(v)) pairs of
+    * every edge endpoint, BOTH directions (the standard undirected
+    * convention). Degrees are exact integers, the five co-moment sums
+    * are map-side-combinable longs, and r's final-mile arithmetic
+    * runs on exact longs cast to double — the q_ols_multi recipe on a
+    * graph. Scale: one groupBy for degrees, one join edge→degree per
+    * side, one global aggregate; no step exceeds O(edges).
+    */
+  def qAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = bulkCoPurchaseEdges(spark, dir)
+    val both = e.select($"u".as("src"), $"v".as("dst"))
+      .unionByName(e.select($"v".as("src"), $"u".as("dst")))
+    val deg = both.groupBy($"src".as("x")).agg(count(lit(1)).as("d"))
+    val pairs = both
+      .join(deg.select($"x".as("src"), $"d".as("dx")), "src")
+      .join(deg.select($"x".as("dst"), $"d".as("dy")), "dst")
+    pairs.agg(count(lit(1)).as("m2"),
+        sum($"dx").as("sx"), sum($"dx" * $"dy").as("sxy"),
+        sum($"dx" * $"dx").as("sxx"))
+      .select(($"m2" / 2).cast("long").as("n_edges"),
+        round((($"m2" * $"sxy" - $"sx" * $"sx").cast("double") /
+          ($"m2" * $"sxx" - $"sx" * $"sx").cast("double")), 6).as("assortativity"))
+  }
+
+  private val qAssortativitySql =
+    """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem WHERE l_quantity >= 40),
+      |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+      |both_dir AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+      |deg AS (SELECT src AS x, count(*) AS d FROM both_dir GROUP BY 1),
+      |p AS (
+      |  SELECT du.d AS dx, dv.d AS dy
+      |  FROM both_dir JOIN deg du ON du.x = both_dir.src
+      |  JOIN deg dv ON dv.x = both_dir.dst),
+      |s AS (SELECT count(*) AS m2, CAST(sum(dx) AS BIGINT) AS sx,
+      |  CAST(sum(dx * dy) AS BIGINT) AS sxy, CAST(sum(dx * dx) AS BIGINT) AS sxx FROM p)
+      |SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
+      |  round(CAST(m2 * sxy - sx * sx AS DOUBLE) / CAST(m2 * sxx - sx * sx AS DOUBLE), 6) AS assortativity
+      |FROM s""".stripMargin
+
   /** Multi-source BFS hop distances over the same co-purchase graph
     * (r6, [[graft.operators.Bfs]]): the 3 lowest-id nodes seed at
     * distance 0, four frontier-expansion rounds settle everything
@@ -592,6 +635,7 @@ object Analytics {
     QueryDef.sql("q_clustering_coef", qClusteringCoef _, qClusteringCoefSql),
     QueryDef.sql("q_shortest_paths", qShortestPaths _, qShortestPathsSql),
     QueryDef.sql("q_kcore", qKcore _, qKcoreSql),
+    QueryDef.sql("q_assortativity", qAssortativity _, qAssortativitySql),
     QueryDef.sql("q_array_ops", qArrayOps _, qArrayOpsSql),
     QueryDef.sql("q_unpivot", qUnpivot _, qUnpivotSql),
     QueryDef.sql("etl_merge_schema", etlMergeSchema _, etlMergeSchemaSql),

@@ -92,6 +92,41 @@ object SimilarityQ {
       .orderBy($"q_id", $"rk")
   }
 
+  /** One exact Lloyd iteration (assign + centroid update) with the
+    * IVF seed centroids — the training step behind every centroid-
+    * based index here (IVF's coarse lists, PQ's codebooks, SemDeDup's
+    * clusters all improve by iterating it). Component sums quantize
+    * to integer micros before aggregation, so the DuckDB oracle
+    * replays assignment AND the 8×64 updated centroid table
+    * bit-for-bit.
+    */
+  def embKmeansStep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.kmeansStep(Tables(spark, dir).embeddings, "vec_id", "embedding",
+      numCentroids = 8)
+      .orderBy($"cluster", $"dim")
+  }
+
+  private val embKmeansStepSql =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |cents AS (SELECT vec_id AS c_id, e AS ce FROM v ORDER BY vec_id LIMIT 8),
+      |ac AS (
+      |  SELECT vec_id, c_id,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY
+      |      list_dot_product(e, ce) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))) DESC, c_id) AS rn
+      |  FROM v, cents),
+      |assigned AS (
+      |  SELECT v.vec_id, c_id AS cluster, e
+      |  FROM v JOIN ac ON v.vec_id = ac.vec_id WHERE rn = 1),
+      |cells AS (
+      |  SELECT cluster, j AS dim,
+      |    count(*) AS n_members,
+      |    CAST(sum(CAST(round(e[CAST(j + 1 AS INTEGER)] * 1e6) AS BIGINT)) AS BIGINT) AS sum_e6
+      |  FROM assigned, range(0, 64) d(j) GROUP BY 1, 2)
+      |SELECT cluster, dim, n_members,
+      |  round(sum_e6 / (n_members * 1e6), 6) AS new_c
+      |FROM cells ORDER BY cluster, dim""".stripMargin
+
   private val annIvfSql =
     """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       |cents AS (SELECT vec_id AS c_id, e AS ce FROM v ORDER BY vec_id LIMIT 10),
@@ -545,6 +580,7 @@ object SimilarityQ {
     QueryDef.sql("ann_bruteforce_topk", annBruteforce _, annBruteforceSql),
     QueryDef.sql("ann_lsh_topk", annLsh _, annLshSql),
     QueryDef.sql("ann_ivf_topk", annIvf _, annIvfSql),
+    QueryDef.sql("emb_kmeans_step", embKmeansStep _, embKmeansStepSql),
     QueryDef.sql("ann_pq_topk", annPq _, annPqSql),
     QueryDef.sql("ann_ivf_pq_topk", annIvfPq _, annIvfPqSql),
     QueryDef.sql("ann_knn_join", annKnnJoin _, annKnnJoinSql),
