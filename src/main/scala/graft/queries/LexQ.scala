@@ -274,7 +274,91 @@ object LexQ {
        |ORDER BY bc DESC, w1, w2""".stripMargin
   }
 
+  /** Lexical richness per source: vocabulary size, hapax legomena
+    * (corpus-frequency-1 tokens — on natural text roughly half the
+    * vocabulary, so a COLLAPSED hapax share is the signature of
+    * templated/boilerplate text, and an inflated one flags OCR noise
+    * or mojibake), type-token ratio, and the dis legomena count the
+    * Zipf diagnostics want. One vocabulary-cardinality aggregate per
+    * source — the same shuffle `corpus_vocab_overlap` already pays;
+    * no broadcast anywhere (the q_tfidf vocabulary rule). Ratios are
+    * divisions of exact longs, rounded once.
+    */
+  def textHapax(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select($"source", explode(nonEmptyToks($"text")).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"source")
+      .agg(sum($"c").as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(when($"c" === 1, 1L).otherwise(0L)).as("hapax"),
+        sum(when($"c" === 2, 1L).otherwise(0L)).as("dis"))
+      .select($"source", $"n_tokens", $"vocab", $"hapax", $"dis",
+        round($"vocab" / $"n_tokens".cast("double"), 6).as("ttr"),
+        round($"hapax" / $"vocab".cast("double"), 6).as("hapax_share"))
+      .orderBy($"source")
+  }
+
+  private val textHapaxSql = {
+    val t = QueryDef.toksSql()
+    s"""WITH cnt AS (
+      |  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT source, unnest(list_filter($t, x -> x <> '')) AS tok
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS vocab,
+      |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+      |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis
+      |  FROM cnt GROUP BY 1)
+      |SELECT source, n_tokens, vocab, hapax, dis,
+      |  round(vocab / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+      |  round(hapax / CAST(vocab AS DOUBLE), 6) AS hapax_share
+      |FROM agg ORDER BY source""".stripMargin
+  }
+
+  /** Log₂-bucketed document-length histogram per source — the length
+    * distribution read every curation recipe starts from (C4 drops
+    * short docs; Gopher fences both tails; a bimodal length profile
+    * flags a mixed crawl). Power-of-two buckets make the histogram
+    * scale-free: `floor(log2(n_chars))` computes EXACTLY via the
+    * bit length of an integer, so the gate needs no FP at all until
+    * the final share division. One scan, one tiny aggregate.
+    */
+  def corpusLengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // floor(log2(n)) = length of the binary representation - 1 —
+    // exact integer arithmetic in both engines, no FP log anywhere
+    val docs = Tables(spark, dir).documents
+      .select($"source", $"n_chars",
+        when($"n_chars" <= 0, lit(-1L))
+          .otherwise((length(conv($"n_chars", 10, 2)) - 1).cast("long")).as("bucket"))
+    docs.groupBy($"source", $"bucket")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      .withColumn("share",
+        round($"n_docs" / sum($"n_docs").over(Window.partitionBy($"source")).cast("double"), 6))
+      .select($"source", $"bucket", ($"bucket" >= 0).as("valid"),
+        $"n_docs", $"sum_chars", $"share")
+      .orderBy($"source", $"bucket")
+  }
+
+  private val corpusLengthBucketsSql =
+    """WITH b AS (
+      |  SELECT source, n_chars,
+      |    CASE WHEN n_chars <= 0 THEN -1
+      |         ELSE CAST(length(bin(n_chars)) - 1 AS BIGINT) END AS bucket
+      |  FROM documents),
+      |g AS (
+      |  SELECT source, bucket, count(*) AS n_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |  FROM b GROUP BY 1, 2)
+      |SELECT source, bucket, bucket >= 0 AS valid, n_docs, sum_chars,
+      |  round(n_docs / CAST(sum(n_docs) OVER (PARTITION BY source) AS DOUBLE), 6) AS share
+      |FROM g ORDER BY source, bucket""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("text_hapax", textHapax _, textHapaxSql),
+    QueryDef.sql("corpus_length_buckets", corpusLengthBuckets _, corpusLengthBucketsSql),
     QueryDef.sql("text_bigram_pmi", textBigramPmi _, textBigramPmiSql),
     QueryDef.sql("text_zipf_fit", textZipfFit _, textZipfFitSql),
     QueryDef.sql("text_readability", textReadability _, textReadabilitySql),
