@@ -302,7 +302,84 @@ object AuditQ {
       |  count(*) AS n, max(late_s) AS max_late_s
       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Incremental view maintenance of a revenue-by-priority aggregate:
+    * the lake's standing aggregate is MAINTAINED by merging the
+    * previous state (orders before the refresh horizon) with a delta
+    * aggregate (the trailing 30 days), never re-scanning history —
+    * the shape that turns a nightly 100 TB recompute into a
+    * delta-sized one. The merge is a full-outer union of partial
+    * aggregates (counts and integer cent sums are associative,
+    * re-aggregable partials). The gate's point: the DuckDB oracle
+    * computes the SAME table DIRECTLY from the full table, so the
+    * hash-match PROVES state + delta ≡ full recompute against an
+    * independent engine. The horizon derives from max(o_orderdate),
+    * never wall-clock (replayable on any snapshot).
+    */
+  def qIvmAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables(spark, dir).orders
+      .select($"o_orderpriority",
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("day"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+    val horizon = orders.agg((max($"day") - 30).as("h"))
+    val tagged = orders.crossJoin(broadcast(horizon))
+    // standing state: everything before the horizon (in production
+    // this is a table read back, not recomputed — recomputed here so
+    // the gate is self-contained on one snapshot)
+    val state = tagged.filter($"day" < $"h")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("cents"))
+    val delta = tagged.filter($"day" >= $"h")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("cents"))
+    state.select($"o_orderpriority", $"n", $"cents")
+      .unionByName(delta.select($"o_orderpriority", $"n", $"cents"))
+      .groupBy($"o_orderpriority")
+      .agg(sum($"n").as("n_orders"), sum($"cents").as("rev_cents"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val qIvmAggSql =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
+  /** Rollup cascade: the monthly aggregate is computed FROM the daily
+    * aggregate's partials (sums of sums, counts of counts), not from
+    * raw rows — the materialized-hierarchy pattern where each coarser
+    * tier reads the finer tier, so raw data is scanned exactly once
+    * however many tiers exist. The oracle computes the monthly table
+    * DIRECTLY from raw events, proving re-aggregation legality
+    * end-to-end. `n_days` additionally pins that the daily tier
+    * really was the source (a direct monthly scan could not produce
+    * it without a second pass).
+    */
+  def qRollupCascade(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables(spark, dir).events
+      .filter($"event_type" === "purchase")
+      .groupBy($"event_type", expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"), sum(round($"value" * 100).cast("long")).as("cents"))
+    daily
+      .groupBy($"event_type", expr("day div 30").as("month"))
+      .agg(count(lit(1)).as("n_days"), sum($"n").as("n_events"), sum($"cents").as("cents"))
+      .orderBy($"month")
+  }
+
+  private val qRollupCascadeSql =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    count(*) AS n,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT event_type, day // 30 AS month,
+      |  count(*) AS n_days, CAST(sum(n) AS BIGINT) AS n_events,
+      |  CAST(sum(cents) AS BIGINT) AS cents
+      |FROM daily GROUP BY 1, 2 ORDER BY month""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("q_ivm_agg", qIvmAgg _, qIvmAggSql),
+    QueryDef.sql("q_rollup_cascade", qRollupCascade _, qRollupCascadeSql),
     QueryDef.sql("etl_watermark_audit", etlWatermarkAudit _, etlWatermarkAuditSql),
     QueryDef.sql("etl_encoding_audit", etlEncodingAudit _, etlEncodingAuditSql),
     QueryDef.sql("etl_fd_discovery", etlFdDiscovery _, etlFdDiscoverySql),
