@@ -271,7 +271,109 @@ object AssocQ {
       |    sqrt(CAST(n_pairs - tied_x AS DOUBLE) * CAST(n_pairs - tied_y AS DOUBLE)), 6) AS tau_b
       |FROM cnt, nd""".stripMargin
 
+  // --------------------------------------------------------- q_levene_test
+
+  /** Brown–Forsythe (median-based Levene) test of variance
+    * homogeneity across order priorities — the assumption check
+    * `q_anova_f` silently makes. The integer trick: deviations from
+    * the group median stay EXACT by working in doubled whole-dollar
+    * units (the median of longs is either a long or a half-integer,
+    * so 2·|x − med| is always integer); the per-group sufficient
+    * statistics (n, Σz, Σz²) are then map-side-combinable longs and
+    * the F arithmetic runs once on exact longs cast to double,
+    * identically in both engines. Group medians use the
+    * percentile ↔ quantile_cont parity the q_percentiles gate pins.
+    */
+  def qLeveneTest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables(spark, dir).orders
+      .select($"o_orderpriority".as("grp"), round($"o_totalprice").cast("long").as("v"))
+    val med = o.groupBy($"grp")
+      .agg(round(percentile($"v", lit(0.5)) * 2).cast("long").as("med2"))
+    val z = o.join(med, "grp")
+      .withColumn("z", abs($"v" * 2 - $"med2"))
+    val perGrp = z.groupBy($"grp")
+      .agg(count(lit(1)).as("n"), sum($"z").as("s"), sum($"z" * $"z").as("ss"))
+    perGrp.agg(
+        sum($"n").as("n_total"), count(lit(1)).as("k"),
+        sum($"s").as("s_tot"), sum($"ss").as("ss_tot"),
+        sum($"s".cast("double") * $"s".cast("double") / $"n").as("sum_si2_over_n"))
+      .select($"n_total", $"k",
+        round(((($"sum_si2_over_n" - $"s_tot".cast("double") * $"s_tot".cast("double") / $"n_total") / ($"k" - 1)) /
+          (($"ss_tot" - $"sum_si2_over_n") / ($"n_total" - $"k"))), 4).as("f_levene"))
+  }
+
+  private val qLeveneTestSql =
+    """WITH o AS (
+      |  SELECT o_orderpriority AS grp, CAST(round(o_totalprice) AS BIGINT) AS v
+      |  FROM orders),
+      |med AS (
+      |  SELECT grp, CAST(round(quantile_cont(v, 0.5) * 2) AS BIGINT) AS med2
+      |  FROM o GROUP BY 1),
+      |z AS (
+      |  SELECT o.grp, abs(v * 2 - med2) AS z FROM o JOIN med ON o.grp = med.grp),
+      |pg AS (
+      |  SELECT grp, count(*) AS n, CAST(sum(z) AS BIGINT) AS s,
+      |    CAST(sum(z * z) AS BIGINT) AS ss
+      |  FROM z GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(sum(n) AS BIGINT) AS n_total, count(*) AS k,
+      |    CAST(sum(s) AS BIGINT) AS s_tot, CAST(sum(ss) AS BIGINT) AS ss_tot,
+      |    sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS sum_si2_over_n
+      |  FROM pg)
+      |SELECT n_total, k,
+      |  round(((sum_si2_over_n - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / n_total) / (k - 1)) /
+      |    ((ss_tot - sum_si2_over_n) / (n_total - k)), 4) AS f_levene
+      |FROM t""".stripMargin
+
+  // ---------------------------------------------------------- ts_theil_sen
+
+  /** Theil–Sen robust slope of daily revenue — the median of all
+    * pairwise slopes, immune to the outlier days that drag
+    * `q_forecast_linreg`'s OLS line. Same scale shape as
+    * q_kendall_tau: the quadratic pair step runs over the AGGREGATED
+    * daily series (bounded by calendar, not data volume). Each slope
+    * is one division of exact longs (cents over days — IEEE-
+    * deterministic), and the median uses the percentile ↔
+    * quantile_cont parity. OLS slope rides along for the
+    * robust-vs-classical comparison.
+    */
+  def tsTheilSen(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables(spark, dir).orders
+      .groupBy(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("y"))
+    val slopes = daily.select($"day".as("d1"), $"y".as("y1"))
+      .join(daily.select($"day".as("d2"), $"y".as("y2")), $"d1" < $"d2")
+      .select((($"y2" - $"y1").cast("double") / ($"d2" - $"d1").cast("double")).as("slope"))
+    val ols = daily.agg(round(expr("regr_slope(cast(y as double), cast(day as double))"), 6)
+      .as("ols_slope"))
+    slopes.agg(count(lit(1)).as("n_pairs"),
+        round(percentile($"slope", lit(0.5)), 6).as("theil_sen_slope"))
+      .crossJoin(broadcast(daily.agg(count(lit(1)).as("n_days"))))
+      .crossJoin(broadcast(ols))
+      .select($"n_days", $"n_pairs", $"theil_sen_slope", $"ols_slope")
+  }
+
+  private val tsTheilSenSql =
+    """WITH daily AS (
+      |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      |sl AS (
+      |  SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
+      |  FROM daily a JOIN daily b ON a.day < b.day),
+      |agg AS (
+      |  SELECT count(*) AS n_pairs,
+      |    round(quantile_cont(slope, 0.5), 6) AS theil_sen_slope
+      |  FROM sl),
+      |nd AS (SELECT count(*) AS n_days FROM daily),
+      |ols AS (SELECT round(regr_slope(CAST(y AS DOUBLE), CAST(day AS DOUBLE)), 6) AS ols_slope FROM daily)
+      |SELECT n_days, n_pairs, theil_sen_slope, ols_slope FROM agg, nd, ols""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("q_levene_test", qLeveneTest _, qLeveneTestSql),
+    QueryDef.sql("ts_theil_sen", tsTheilSen _, tsTheilSenSql),
     QueryDef.sql("q_cramers_v", qCramersV _, qCramersVSql),
     QueryDef.sql("q_mutual_info", qMutualInfo _, qMutualInfoSql),
     QueryDef.sql("q_ols_multi", qOlsMulti _, qOlsMultiSql),

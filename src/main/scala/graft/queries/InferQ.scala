@@ -425,14 +425,21 @@ object InferQ {
     * revenue per priority matches the plain-join oracle exactly
     * (integer 1e-4 revenue units).
     */
+  /** App-scoped identifier for the bucketed-layout tables: two
+    * concurrent runs over the same data dir get disjoint names (no
+    * DROP race). Exposed so specs can address the tables this
+    * session wrote.
+    */
+  private[graft] def bucketedTag(spark: SparkSession, dir: String): String =
+    spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+
   def etlBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // app-scoped layout root: two concurrent runs over the same data
-    // dir get disjoint paths and table names (no DROP race), and the
-    // whole per-app tree is best-effort deleted at JVM exit so gate
-    // runs leave no artifacts behind
+    // the whole per-app tree is best-effort deleted at JVM exit so
+    // gate runs leave no artifacts behind
     val app = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val tag = app + "_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tag = bucketedTag(spark, dir)
     val base = s"/tmp/graft_bucketed/$app/$tag"
     BucketedJoinCleanup.register(s"/tmp/graft_bucketed/$app")
     val t = Tables(spark, dir)

@@ -221,7 +221,44 @@ object TextFilters {
        |  min(lm_score) AS min_score, max(lm_score) AS max_score
        |FROM scores, cuts GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** Code-vs-prose detection — the filter behind every "what fraction
+    * of the crawl is code?" mixing decision in LLM data recipes. Two
+    * deterministic integer features per document: code-symbol count
+    * (braces/semicolons/operators via a fixed char class — identical
+    * under Java regex and RE2) and a symbol-per-character ratio
+    * thresholded at 2%. Scan-shaped: one regexp count per row, one
+    * tiny per-source aggregate; no shuffle beyond the final groupBy.
+    */
+  def textCodeDetect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = Tables(spark, dir).documents
+      .select($"source", $"n_chars",
+        expr("regexp_count(text, '[{}();=<>\\\\[\\\\]]')").as("sym"))
+      .withColumn("is_code", $"n_chars" > 0 && $"sym" * 50 >= $"n_chars")
+    scored.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"is_code", 1L).otherwise(0L)).as("n_code"),
+        sum($"sym").as("n_symbols"))
+      .select($"source", $"n_docs", $"n_code", $"n_symbols",
+        round($"n_code" / $"n_docs".cast("double"), 6).as("code_share"))
+      .orderBy($"source")
+  }
+
+  private val textCodeDetectSql =
+    """WITH s AS (
+      |  SELECT source, n_chars,
+      |    CAST(len(regexp_extract_all(text, '[{}();=<>\[\]]')) AS BIGINT) AS sym
+      |  FROM documents),
+      |f AS (SELECT source, sym,
+      |  (n_chars > 0 AND sym * 50 >= n_chars) AS is_code FROM s)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN is_code THEN 1 ELSE 0 END) AS BIGINT) AS n_code,
+      |  CAST(sum(sym) AS BIGINT) AS n_symbols,
+      |  round(sum(CASE WHEN is_code THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS code_share
+      |FROM f GROUP BY 1 ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("text_code_detect", textCodeDetect _, textCodeDetectSql),
     QueryDef.sql("text_ccnet_buckets", textCcnetBuckets _, textCcnetBucketsSql),
     QueryDef.sql("text_c4_rules", textC4Rules _, textC4RulesSql),
     QueryDef.sql("text_gopher_rules", textGopherRules _, textGopherRulesSql),

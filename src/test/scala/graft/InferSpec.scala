@@ -18,8 +18,9 @@ class InferSpec extends GraftSuite {
     withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.enabled" -> "false") {
       val df = InferQ.etlBucketedJoin(spark, sf0001)
-      val joined = spark.table("graft_buck.orders__root_testdata_sf0_001")
-        .join(spark.table("graft_buck.lineitem__root_testdata_sf0_001"),
+      val tag = InferQ.bucketedTag(spark, sf0001)
+      val joined = spark.table(s"graft_buck.orders_$tag")
+        .join(spark.table(s"graft_buck.lineitem_$tag"),
           col("o_orderkey") === col("l_orderkey"))
       val p = joined.queryExecution.executedPlan.toString
       assert(!p.contains("Exchange hashpartitioning"),
