@@ -345,14 +345,43 @@ object AssocQ {
       .agg(sum(round($"o_totalprice" * 100).cast("long")).as("y"))
     val slopes = daily.select($"day".as("d1"), $"y".as("y1"))
       .join(daily.select($"day".as("d2"), $"y".as("y2")), $"d1" < $"d2")
-      .select((($"y2" - $"y1").cast("double") / ($"d2" - $"d1").cast("double")).as("slope"))
+      // try_divide: Spark 4 fuses the BNLJ condition and this
+      // projection into one codegen stage and can evaluate the
+      // division on pairs the d1<d2 condition later rejects — a
+      // plain ANSI divide then throws on the d1=d2 diagonal even
+      // though no such row survives. try_divide is NULL there and
+      // the join condition drops the row either way.
+      .select(expr("try_divide(cast(y2 - y1 as double), cast(d2 - d1 as double))").as("slope"))
+    // Exact median WITHOUT the built-in percentile aggregate: that
+    // one funnels every distinct slope (≈ all of n_pairs) into a
+    // single reducer's hash map — 11 s at sf0.1 and the classic
+    // driver-side scale-killer. Instead: value-grouped counts, a
+    // PrefixSum global running count (bucketed by floor(asinh·8) —
+    // monotone, log-spaced, bounded), and selection of the two
+    // order statistics the continuous-quantile definition needs.
+    // The interpolation lo + (hi − lo)·0.5 is written EXACTLY as
+    // both engines' quantile implementations compute it.
+    val grouped = slopes.groupBy($"slope").agg(count(lit(1)).as("cnt"))
+    val cum = graft.operators.PrefixSum.running(grouped, $"slope",
+      floor(asinh($"slope") * 8).cast("long"), Seq("cnt" -> $"cnt"))
+    val n = grouped.agg(sum($"cnt").as("np"))
+    val med = cum.crossJoin(broadcast(n))
+      .withColumn("lo", expr("(np - 1) div 2"))
+      .withColumn("hi", expr("np div 2"))
+      .filter(($"cum_cnt" - $"cnt" <= $"lo" && $"lo" < $"cum_cnt") ||
+        ($"cum_cnt" - $"cnt" <= $"hi" && $"hi" < $"cum_cnt"))
+      .agg(
+        min(when($"cum_cnt" - $"cnt" <= $"lo" && $"lo" < $"cum_cnt", $"slope")).as("vlo"),
+        min(when($"cum_cnt" - $"cnt" <= $"hi" && $"hi" < $"cum_cnt", $"slope")).as("vhi"))
+      .select(round($"vlo" + ($"vhi" - $"vlo") * 0.5, 6).as("theil_sen_slope"))
     val ols = daily.agg(round(expr("regr_slope(cast(y as double), cast(day as double))"), 6)
       .as("ols_slope"))
-    slopes.agg(count(lit(1)).as("n_pairs"),
-        round(percentile($"slope", lit(0.5)), 6).as("theil_sen_slope"))
-      .crossJoin(broadcast(daily.agg(count(lit(1)).as("n_days"))))
+    // n_pairs = C(n_days, 2) — arithmetic, not a second pair join
+    daily.agg(count(lit(1)).as("n_days"))
+      .crossJoin(broadcast(med))
       .crossJoin(broadcast(ols))
-      .select($"n_days", $"n_pairs", $"theil_sen_slope", $"ols_slope")
+      .select($"n_days", ($"n_days" * ($"n_days" - 1) / 2).cast("long").as("n_pairs"),
+        $"theil_sen_slope", $"ols_slope")
   }
 
   private val tsTheilSenSql =
@@ -364,12 +393,12 @@ object AssocQ {
       |  SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
       |  FROM daily a JOIN daily b ON a.day < b.day),
       |agg AS (
-      |  SELECT count(*) AS n_pairs,
-      |    round(quantile_cont(slope, 0.5), 6) AS theil_sen_slope
+      |  SELECT round(quantile_cont(slope, 0.5), 6) AS theil_sen_slope
       |  FROM sl),
       |nd AS (SELECT count(*) AS n_days FROM daily),
       |ols AS (SELECT round(regr_slope(CAST(y AS DOUBLE), CAST(day AS DOUBLE)), 6) AS ols_slope FROM daily)
-      |SELECT n_days, n_pairs, theil_sen_slope, ols_slope FROM agg, nd, ols""".stripMargin
+      |SELECT n_days, CAST(n_days * (n_days - 1) // 2 AS BIGINT) AS n_pairs,
+      |  theil_sen_slope, ols_slope FROM agg, nd, ols""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q_levene_test", qLeveneTest _, qLeveneTestSql),
