@@ -488,6 +488,54 @@ object ScaleProbe {
     // the number to watch is candidate growth staying ~pair-bounded
     probeGrowth("minhash_eval", base, docs2,
       dir => graft.queries.DedupQ.dedupMinhashEval(spark, dir))
+
+    // ---- round-7 families ----
+    // pair-over-aggregated-series gates: 10× facts aggregate to the
+    // SAME ~2400-day series, so the quadratic pair step is constant
+    // and time must track only the pre-aggregation scan
+    probeGrowth("kendall_tau", base, out,
+      dir => graft.queries.AssocQ.qKendallTau(spark, dir))
+    probeGrowth("theil_sen", base, out,
+      dir => graft.queries.AssocQ.tsTheilSen(spark, dir))
+    // sufficient-statistics gates: rows constant, time tracks scan
+    probeGrowth("ols_multi", base, out,
+      dir => graft.queries.AssocQ.qOlsMulti(spark, dir))
+    probeGrowth("levene", base, out,
+      dir => graft.queries.AssocQ.qLeveneTest(spark, dir))
+    probeGrowth("cramers_v", base, events2,
+      dir => graft.queries.AssocQ.qCramersV(spark, dir))
+    probeGrowth("mutual_info", base, docs2,
+      dir => graft.queries.AssocQ.qMutualInfo(spark, dir))
+    // graph moments: both-direction degree join stays O(edges)
+    probeGrowth("assortativity", base, out,
+      dir => graft.queries.Analytics.qAssortativity(spark, dir))
+    // corpus profiling: vocabulary-cardinality aggregates, no
+    // broadcast — time tracks the explode scan
+    probeGrowth("hapax", base, docs2,
+      dir => graft.queries.LexQ.textHapax(spark, dir))
+    probeGrowth("length_buckets", base, docs2,
+      dir => graft.queries.LexQ.corpusLengthBuckets(spark, dir))
+    probeGrowth("code_detect", base, docs2,
+      dir => graft.queries.TextFilters.textCodeDetect(spark, dir))
+    // k-means step under 2× vectors: broadcast centroids constant,
+    // the (cluster, dim) update table stays k×d — rows constant
+    probeGrowth("kmeans_step", base, emb2,
+      dir => graft.queries.SimilarityQ.embKmeansStep(spark, dir))
+    // materialization gates: state+delta merge and the daily→monthly
+    // cascade both reduce to priority-/month-cardinality outputs
+    probeGrowth("ivm_agg", base, out,
+      dir => graft.queries.AuditQ.qIvmAgg(spark, dir))
+    probeGrowth("rollup_cascade", base, events2,
+      dir => graft.queries.AuditQ.qRollupCascade(spark, dir))
+    probeGrowth("mom_growth", base, events2,
+      dir => graft.queries.OpsQ.qMomGrowth(spark, dir))
+    // ABC under 10× facts: distinct revenue values grow with parts
+    // (dimension reused, so values densify) but the serial pass stays
+    // per-bucket totals; time must track the lineitem scan
+    probeGrowth("abc_analysis", base, out,
+      dir => graft.queries.OpsQ.qAbcAnalysis(spark, dir))
+    probeGrowth("ship_latency", base, out,
+      dir => graft.queries.OpsQ.qShipLatency(spark, dir))
     spark.stop()
   }
 }

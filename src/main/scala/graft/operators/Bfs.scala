@@ -25,7 +25,7 @@ object Bfs {
   def distances(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
     val sym = edges.select(col("u"), col("v"))
       .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
-      .persist() // probed every round; released by the session's clearCache
+      .transform(CacheLedger.persist) // probed every round; released by CacheLedger.release()/clearCache
     var dist = sources.select(col("node"), lit(0L).as("dist"))
     var frontier = dist.select(col("node"))
     for (r <- 1 to rounds) {

@@ -16,30 +16,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Ledger of every DataFrame any Dedup operator has persisted in
-    * this JVM. The operators return LAZY plans, so they cannot
-    * unpersist their own intermediates (the caller has not executed
-    * anything yet); a long-lived library session calls [[release]]
-    * once its outputs are materialized to free the pinned blocks
-    * without the bluntness of `spark.catalog.clearCache()` (which
-    * would also drop the caller's own caches). Verify/Bench sweeps
-    * use clearCache per gate and never accumulate either way.
+  /** Every persist below goes through the shared [[CacheLedger]];
+    * [[release]] frees this JVM's tracked intermediates (all graft
+    * operators', not just Dedup's).
     */
-  private val cacheLedger = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+  private def persistTracked(df: DataFrame): DataFrame = CacheLedger.persist(df)
 
-  private def persistTracked(df: DataFrame): DataFrame = {
-    val p = df.persist()
-    cacheLedger.add(p)
-    p
-  }
-
-  /** Unpersists every intermediate tracked in the ledger (blocking =
-    * false — eviction proceeds asynchronously like ContextCleaner's).
+  /** Unpersists every operator intermediate tracked in the shared
+    * ledger — see [[CacheLedger.release]].
     */
-  def release(): Unit = {
-    var d = cacheLedger.poll()
-    while (d != null) { d.unpersist(); d = cacheLedger.poll() }
-  }
+  def release(): Unit = CacheLedger.release()
 
   /** Exact dedup on a key expression: one survivor (min id) per key. */
   def exact(df: DataFrame, idCol: String, key: Column): DataFrame =

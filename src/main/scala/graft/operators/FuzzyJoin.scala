@@ -36,7 +36,7 @@ object FuzzyJoin {
             maxDist: Int, maxGramDf: Long = 200): DataFrame = {
     // persisted: df-count + both self-join sides
     val g = df.select(col(idCol).as("id"), col(strCol).as("s"),
-      explode(trigrams(col(strCol))).as("gram")).persist()
+      explode(trigrams(col(strCol))).as("gram")).transform(CacheLedger.persist)
     val rare = g.join(
       g.groupBy(col("gram")).agg(count(lit(1)).as("df_"))
         .filter(col("df_") <= maxGramDf).select(col("gram")),

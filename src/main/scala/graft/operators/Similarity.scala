@@ -164,7 +164,7 @@ object Similarity {
     val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
       VecFns.norm(col(vecCol)).as("nrm"),
       planeSig(vecCol, planes).as("bucket"))
-      .persist() // both join sides read it; released by clearCache
+      .transform(CacheLedger.persist) // both join sides read it; released by CacheLedger.release()/clearCache
     val probes = v
       .select(col("id").as("q_id"), col("v").as("q_v"),
         col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
