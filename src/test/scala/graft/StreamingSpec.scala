@@ -184,6 +184,46 @@ class StreamingSpec extends GraftSuite {
     replayedOnce.foreach { case (win, v) => assert(batchTop(win) == v) }
   }
 
+  test("foreachBatch incremental aggregate maintenance equals the full recompute") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)] // (priority, cents)
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_ivm_state").toString
+    def readState() =
+      try spark.read.parquet(stateDir)
+      catch { case _: Throwable =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("prio", StringType),
+            StructField("n", LongType), StructField("cents", LongType))))
+      }
+    val q = input.toDF().toDF("prio", "cents")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val delta = batch.groupBy(col("prio"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        val merged = graft.streaming.IncrementalAgg
+          .merge(readState(), delta, Seq("prio"), Seq("n", "cents"))
+          .collect() // materialize before overwriting what it reads
+        spark.createDataFrame(spark.sparkContext.parallelize(merged.toSeq),
+            readState().schema)
+          .write.mode("overwrite").parquet(stateDir)
+        ()
+      }
+      .start()
+    val all = Seq(
+      Seq(("HIGH", 100L), ("LOW", 10L), ("HIGH", 50L)),
+      Seq(("LOW", 20L), ("MED", 7L)),
+      Seq(("HIGH", 1L), ("MED", 3L), ("LOW", 30L)))
+    try {
+      all.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = readState().collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val direct = all.flatten.groupBy(_._1).map { case (k, vs) =>
+      k -> ((vs.size.toLong, vs.map(_._2).sum)) }
+    assert(got === direct)
+  }
+
   test("stream-static join enriches the stream with a broadcast dim") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
