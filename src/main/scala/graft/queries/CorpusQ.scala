@@ -347,7 +347,50 @@ object CorpusQ {
        |    / total, 6) AS cum_share
        |FROM per, tot ORDER BY n_tokens DESC, source""".stripMargin
 
+  /** Within-source dedup savings report: what exact dedup would
+    * reclaim, BEFORE running it — the sizing read that decides
+    * whether a dedup pass is worth scheduling. One aggregate per
+    * (source, content digest); the survivor is min_by(doc_id) (the
+    * OHLC min_by precedent — a DeclarativeAggregate in both
+    * engines), chars_saved is the group's total minus the survivor's,
+    * and everything stays integer until the final share division.
+    */
+  def corpusDedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dg = md5(graft.functions.TextFns.normalized($"text"))
+    Tables(spark, dir).documents
+      .select($"source", dg.as("digest"), $"doc_id", $"n_chars")
+      .groupBy($"source", $"digest")
+      .agg(count(lit(1)).as("copies"), sum($"n_chars").as("sum_chars"),
+        expr("min_by(n_chars, doc_id)").as("survivor_chars"))
+      .groupBy($"source")
+      .agg(sum($"copies").as("n_docs"), count(lit(1)).as("n_unique"),
+        sum($"sum_chars" - $"survivor_chars").as("chars_saved"),
+        sum($"sum_chars").as("total_chars"))
+      .select($"source", $"n_docs", $"n_unique",
+        ($"n_docs" - $"n_unique").as("n_dup"),
+        $"chars_saved",
+        round($"chars_saved" / $"total_chars".cast("double"), 6).as("savings_share"))
+      .orderBy($"source")
+  }
+
+  private val corpusDedupSavingsSql =
+    """WITH g AS (
+      |  SELECT source, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g'))) AS digest,
+      |    count(*) AS copies, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |    CAST(min_by(n_chars, doc_id) AS BIGINT) AS survivor_chars
+      |  FROM documents GROUP BY 1, 2),
+      |s AS (
+      |  SELECT source, CAST(sum(copies) AS BIGINT) AS n_docs, count(*) AS n_unique,
+      |    CAST(sum(sum_chars - survivor_chars) AS BIGINT) AS chars_saved,
+      |    CAST(sum(sum_chars) AS BIGINT) AS total_chars
+      |  FROM g GROUP BY 1)
+      |SELECT source, n_docs, n_unique, n_docs - n_unique AS n_dup, chars_saved,
+      |  round(chars_saved / CAST(total_chars AS DOUBLE), 6) AS savings_share
+      |FROM s ORDER BY source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("corpus_dedup_savings", corpusDedupSavings _, corpusDedupSavingsSql),
     QueryDef.sql("corpus_token_budget", corpusTokenBudget _, corpusTokenBudgetSql),
     QueryDef.sql("corpus_url_parse", corpusUrlParse _, corpusUrlParseSql),
     QueryDef.sql("corpus_domain_cap", corpusDomainCap _, corpusDomainCapSql),

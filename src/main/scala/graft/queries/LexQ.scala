@@ -356,7 +356,61 @@ object LexQ {
       |  round(n_docs / CAST(sum(n_docs) OVER (PARTITION BY source) AS DOUBLE), 6) AS share
       |FROM g ORDER BY source, bucket""".stripMargin
 
+  /** Per-document bigram language-model score with add-one smoothing
+    * — the sequence-aware step past `text_lm_score`'s unigram model
+    * (a doc of common words in impossible ORDER scores low here and
+    * average there; the pair is the fluency filter). Corpus bigram
+    * and unigram tables are vocabulary²-/vocabulary-cardinality and
+    * deliberately carry NO broadcast hint (the tfidf rule — AQE
+    * decides); only the 1-row vocabulary size broadcasts. Scoring
+    * follows the lm_score arithmetic precedent: ln on exact-integer
+    * ratios, per-doc weighted mean, one final rounding.
+    */
+  def textBigramLm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    val toksArr = toks($"text")
+    val bg = docs.select($"doc_id", toksArr.as("t"))
+      .filter(size($"t") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> struct(element_at(t, i) as w1, element_at(t, i + 1) as w2))")).as("p"))
+      .select($"doc_id", $"p.w1", $"p.w2")
+      .groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("tf"))
+    val cb = bg.groupBy($"w1", $"w2").agg(sum($"tf").as("cb"))
+    val cu = docs.select(explode(toksArr).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("cu"))
+    val v = cu.agg(count(lit(1)).as("v"))
+    bg.join(cb, Seq("w1", "w2"))
+      .join(cu.select($"tok".as("w1"), $"cu"), "w1")
+      .crossJoin(broadcast(v))
+      .groupBy($"doc_id")
+      .agg(round(sum($"tf" * log(($"cb" + 1).cast("double") / ($"cu" + $"v"))) / sum($"tf"), 4)
+        .as("bigram_lm"))
+      .orderBy($"doc_id")
+  }
+
+  private val textBigramLmSql = {
+    val tk = QueryDef.toksSql()
+    s"""WITH t AS (SELECT doc_id, $tk AS t FROM documents),
+       |bg AS (
+       |  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id, unnest([{'w1': t[i], 'w2': t[i+1]} for i in range(1, len(t))], recursive := true)
+       |    FROM t WHERE len(t) >= 2)
+       |  GROUP BY 1, 2, 3),
+       |cb AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS cb FROM bg GROUP BY 1, 2),
+       |cu AS (
+       |  SELECT tok, count(*) AS cu
+       |  FROM (SELECT unnest(t) AS tok FROM t) GROUP BY 1),
+       |v AS (SELECT count(*) AS v FROM cu)
+       |SELECT doc_id,
+       |  round(sum(tf * ln(CAST(cb + 1 AS DOUBLE) / (cu + v))) / sum(tf), 4) AS bigram_lm
+       |FROM bg JOIN cb USING (w1, w2) JOIN cu ON cu.tok = bg.w1 CROSS JOIN v
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("text_bigram_lm", textBigramLm _, textBigramLmSql),
     QueryDef.sql("text_hapax", textHapax _, textHapaxSql),
     QueryDef.sql("corpus_length_buckets", corpusLengthBuckets _, corpusLengthBucketsSql),
     QueryDef.sql("text_bigram_pmi", textBigramPmi _, textBigramPmiSql),
