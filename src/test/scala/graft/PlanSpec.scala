@@ -379,4 +379,35 @@ class PlanSpec extends GraftSuite {
     assert(windowLines.forall(!_.contains("value#")),
       s"changepoint windows over raw events:\n$p")
   }
+
+  test("bigram LM vocabulary joins carry no broadcast hint (the tfidf rule)") {
+    // bigram (vocab²) and unigram (vocab) tables are unbounded on web
+    // text; only the 1-row vocabulary size may broadcast by hint
+    withSQLConf(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p = plan(graft.queries.LexQ.textBigramLm(spark, sf001))
+      assert(p.contains("SortMergeJoin"),
+        s"bigram LM: vocabulary join is not sort-merge — a broadcast hint is forcing it:\n$p")
+    }
+  }
+
+  test("kmeans step broadcasts only the centroid table; update is one aggregate") {
+    val p = plan(graft.queries.SimilarityQ.embKmeansStep(spark, sf001))
+    // assignment: the k-row centroid table rides a broadcast nested
+    // loop against the corpus — the corpus itself must never broadcast
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"kmeans: centroid assignment lost its broadcast:\n$p")
+    // no sort anywhere: assignment is heap-based top-1, the update a
+    // hash aggregate — a Sort would mean a window plan crept in
+    assert(!p.contains("WindowExec"), s"kmeans: window plan crept in:\n$p")
+  }
+
+  test("abc classification serial pass runs over bucket totals, not parts") {
+    val p = plan(graft.queries.OpsQ.qAbcAnalysis(spark, sf001))
+    val unpartitioned = p.split("\n").filter(l =>
+      l.contains("windowspecdefinition(") && !l.contains("windowspecdefinition(__bucket"))
+    assert(unpartitioned.forall(_.contains("__t0")),
+      s"abc: unpartitioned window over row-level data:\n${unpartitioned.mkString("\n")}")
+  }
 }
