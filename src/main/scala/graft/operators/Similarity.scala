@@ -148,6 +148,55 @@ object Similarity {
         round(col("sum_e6") / (col("n_members") * 1e6), 6).as("new_c"))
   }
 
+  /** Full Lloyd k-means fit: [[kmeansStep]] iterated. Per iteration
+    * the corpus is touched exactly twice (assign, update); the ONLY
+    * driver-side state is the k×d centroid table — aggregated
+    * metadata, bounded regardless of corpus size (the
+    * plan-serially/execute-parallel rule), re-broadcast each round.
+    * Centroid components stay micro-quantized longs between rounds,
+    * so every iteration — and therefore the whole fit — is exactly
+    * replayable cross-engine. Returns the final (cluster, dim,
+    * n_members, new_c) table, same shape as one step.
+    */
+  def kmeansFit(vectors: DataFrame, idCol: String, vecCol: String,
+                numCentroids: Int, iters: Int): DataFrame = {
+    require(iters >= 1, "kmeansFit needs at least one iteration")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    var cents = vectors.orderBy(col(idCol)).limit(numCentroids)
+      .select(col(idCol).as("c_id"),
+        expr(s"transform($vecCol, x -> cast(round(cast(x as double) * 1e6) as long))").as("c_q"))
+    var out: DataFrame = null
+    for (_ <- 1 to iters) {
+      val cd = cents.select(col("c_id"),
+        expr("transform(c_q, q -> cast(q as double) / 1e6)").as("c_v"))
+      val assigned = TopK(
+        v.crossJoin(broadcast(cd))
+          .withColumn("c_cos", VecFns.cosine(col("v"), col("c_v"))),
+        Seq(col("id")), Seq(col("c_cos").desc, col("c_id")), 1)
+        .select(col("id"), col("v"), col("c_id").as("cluster"))
+      out = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .withColumn("x6", round(col("x").cast("double") * 1e6).cast("long"))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(count(lit(1)).as("n_members"), sum(col("x6")).as("sum_e6"))
+        .select(col("cluster"), col("dim").cast("long").as("dim"), col("n_members"),
+          round(col("sum_e6") / (col("n_members") * 1e6), 6).as("new_c"))
+      // k×d quantized means back to the driver — the only serial state
+      val updated = out
+        .select(col("cluster"), col("dim"),
+          (col("new_c") * 1e6).cast("long").as("q"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (c, rows) =>
+          (c, rows.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq)
+        }.toSeq.sortBy(_._1)
+      cents = updated.toDF("c_id", "c_q")
+    }
+    out
+  }
+
   /** Corpus-wide kNN JOIN — every vector's top-k neighbors (the kNN
     * graph behind retrieval-augmented dedup, graph clustering and
     * kNN-LM), not just a query set's. Unlike [[lshTopK]], the probe

@@ -51,6 +51,38 @@ class AssocSpec extends GraftSuite {
     assert(out.count() === 8L * 64)
   }
 
+  test("kmeans fit improves the clustering objective over iterations") {
+    import graft.functions.VecFns
+    val emb = Tables(spark, sf0001).embeddings
+    // objective: mean best-cosine to the centroid table
+    def objective(cents: org.apache.spark.sql.DataFrame): Double = {
+      val v = emb.select($"vec_id".as("id"), $"embedding".as("v"))
+      v.crossJoin(broadcast(cents))
+        .withColumn("c_cos", VecFns.cosine($"v", $"c_v"))
+        .groupBy($"id").agg(max($"c_cos").as("best"))
+        .agg(avg($"best")).collect().head.getDouble(0)
+    }
+    def centsOf(step: org.apache.spark.sql.DataFrame) =
+      step.groupBy($"cluster")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, new_c))), s -> s.new_c)").as("c_v"))
+        .select($"cluster".as("c_id"), $"c_v")
+    val seed = emb.orderBy($"vec_id").limit(8)
+      .select($"vec_id".as("c_id"), expr("transform(embedding, x -> cast(x as double))").as("c_v"))
+    val one = Similarity.kmeansFit(emb, "vec_id", "embedding", 8, iters = 1)
+    val three = Similarity.kmeansFit(emb, "vec_id", "embedding", 8, iters = 3)
+    val oSeed = objective(seed)
+    val o1 = objective(centsOf(one))
+    val o3 = objective(centsOf(three))
+    assert(o1 >= oSeed - 1e-9, s"one update worsened the objective: $oSeed -> $o1")
+    assert(o3 >= o1 - 1e-9, s"more iterations worsened the objective: $o1 -> $o3")
+    // fit(1) must equal the single exported step exactly
+    val stepRows = Similarity.kmeansStep(emb, "vec_id", "embedding", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val fitRows = one
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(fitRows === stepRows)
+  }
+
   test("ols_multi residuals are orthogonal to both regressors (normal equations hold)") {
     // b solves X'Xb = X'y exactly => X'(y - Xb) = 0; check via the
     // gate's own sufficient statistics re-derived here for one segment
