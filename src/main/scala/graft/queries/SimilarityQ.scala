@@ -574,7 +574,63 @@ object SimilarityQ {
        |    AS accuracy
        |FROM pick JOIN lab o ON o.vec_id = pick.q_id""".stripMargin
 
+  /** Local Outlier Factor over the deterministic kNN graph
+    * ([[Similarity.knnJoin]], k=5): k-distance and reachability
+    * distances derive from the published 1e-4-quantized cosine (d =
+    * 10000 − round(cos·1e4), an exact long), local reachability
+    * density nano-quantizes BEFORE the cross-neighbor sum (the
+    * order-independence rule for double reductions), and the final
+    * LOF ratio divides exact longs identically in both engines.
+    * Top-20 outliers publish through TakeOrderedAndProject — at
+    * 100 TB only n·k bounded-size aggregate rows shuffle, never
+    * vectors.
+    */
+  def annLofOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val knn = Similarity.knnJoin(Tables(spark, dir).embeddings, "vec_id", "embedding", k = 5)
+    val dd = knn.select($"q_id", $"neighbor_id",
+        (lit(10000L) - round($"cosine" * 10000).cast("long")).as("d"))
+      .transform(graft.operators.CacheLedger.persist) // k-dist, reach and LOF stages all read it
+    val kd = dd.groupBy($"q_id")
+      .agg(max($"d").as("kdist"), count(lit(1)).as("cnt"))
+    val reach = dd.join(kd.select($"q_id".as("neighbor_id"), $"kdist"), "neighbor_id")
+      .select($"q_id", greatest($"kdist", $"d").as("r"))
+    val lrd = reach.groupBy($"q_id").agg(sum($"r").as("sr"))
+      .join(kd.select($"q_id", $"cnt"), "q_id")
+      .select($"q_id", $"cnt",
+        round($"cnt" * 1000000000.0 / greatest($"sr", lit(1L))).cast("long").as("lrd9"))
+    dd.join(lrd.select($"q_id".as("neighbor_id"), $"lrd9".as("nb_lrd9")), "neighbor_id")
+      .groupBy($"q_id").agg(sum($"nb_lrd9").as("s9"))
+      .join(lrd, "q_id")
+      .select($"q_id", $"cnt".as("n_neighbors"),
+        round($"s9" / ($"cnt" * 1.0 * $"lrd9"), 6).as("lof"))
+      .orderBy($"lof".desc, $"q_id").limit(20)
+  }
+
+  private val annLofOutliersSql =
+    s"""WITH knn AS (SELECT * FROM ($annKnnJoinSql)),
+       |dd AS (SELECT q_id, neighbor_id,
+       |    10000 - CAST(round(cosine * 10000) AS BIGINT) AS d FROM knn),
+       |kd AS (SELECT q_id, max(d) AS kdist, count(*) AS cnt FROM dd GROUP BY q_id),
+       |reach AS (
+       |  SELECT dd.q_id, greatest(kb.kdist, dd.d) AS r
+       |  FROM dd JOIN kd kb ON kb.q_id = dd.neighbor_id),
+       |lrd AS (
+       |  SELECT s.q_id, kq.cnt,
+       |    CAST(round(kq.cnt * 1000000000.0 / greatest(s.sr, 1)) AS BIGINT) AS lrd9
+       |  FROM (SELECT q_id, CAST(sum(r) AS BIGINT) AS sr FROM reach GROUP BY q_id) s
+       |  JOIN kd kq ON kq.q_id = s.q_id),
+       |lof AS (
+       |  SELECT dd.q_id, max(lq.cnt) AS n_neighbors,
+       |    round(CAST(sum(lb.lrd9) AS BIGINT) / (max(lq.cnt) * 1.0 * max(lq.lrd9)), 6) AS lof
+       |  FROM dd JOIN lrd lb ON lb.q_id = dd.neighbor_id
+       |  JOIN lrd lq ON lq.q_id = dd.q_id
+       |  GROUP BY dd.q_id)
+       |SELECT q_id, n_neighbors, lof FROM lof
+       |ORDER BY lof DESC, q_id LIMIT 20""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("ann_lof_outliers", annLofOutliers _, annLofOutliersSql),
     QueryDef.sql("ann_knn_classify", annKnnClassify _, annKnnClassifySql),
     QueryDef.sql("ann_recall_eval", annRecallEval _, annRecallEvalSql),
     QueryDef.sql("ann_bruteforce_topk", annBruteforce _, annBruteforceSql),
