@@ -81,6 +81,167 @@ object MlQ {
       |FROM v ee LEFT JOIN asg a ON a.id = ee.vec_id
       |ORDER BY id""".stripMargin
 
+  // ------------------------------------------------------- emb_cov_matrix
+
+  private val Dims = 8
+  private val pairsUpper: Seq[(Int, Int)] =
+    for { i <- 0 until Dims; j <- i until Dims } yield (i, j)
+
+  /** Quantized dim value: floor(x·2^20) — the repo-wide embedding
+    * quantization, exact in both engines.
+    */
+  private def qcol(d: Int) =
+    floor(element_at(col("embedding"), d + 1).cast("double") * 1048576.0).cast("long")
+
+  /** One-pass wide aggregate of exact co-moments over the first 8
+    * dims: n, Σq_i, Σq_i·q_j for i ≤ j — 45 map-side-combinable longs
+    * regardless of corpus size.
+    */
+  private def covAgg(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      (0 until Dims).map(i => sum(qcol(i)).as(s"s_$i")) ++
+      pairsUpper.map { case (i, j) => sum(qcol(i) * qcol(j)).as(s"p_${i}_$j") }
+    Tables(spark, dir).embeddings.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Exact covariance/correlation structure of the first 8 embedding
+    * dims in long form: cov_q = n·Σq_iq_j − Σq_i·Σq_j is an EXACT
+    * long in quantized units (no double reduction anywhere), and
+    * corr divides it by the exact diagonal cross-moments as the
+    * identical double expression in both engines. At 100 TB this is
+    * one scan producing d(d+1)/2 + d + 1 longs — the sufficient-
+    * statistics shape every downstream ML step (PCA, whitening,
+    * Mahalanobis) reuses.
+    */
+  def embCovMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val withC = pairsUpper.foldLeft(covAgg(spark, dir)) { case (df, (i, j)) =>
+      df.withColumn(s"c_${i}_$j", $"n" * col(s"p_${i}_$j") - col(s"s_$i") * col(s"s_$j"))
+    }
+    val stackArgs = pairsUpper
+      .map { case (i, j) => s"${i}L, ${j}L, c_${i}_$j, c_${i}_$i, c_${j}_$j" }
+      .mkString(", ")
+    withC
+      .selectExpr("n", s"stack(${pairsUpper.size}, $stackArgs) AS (i, j, cov_q, cii, cjj)")
+      .select($"i", $"j", $"n".as("n_vecs"), $"cov_q",
+        round($"cov_q".cast("double") / sqrt($"cii".cast("double") * $"cjj".cast("double")), 6)
+          .as("corr"))
+      .orderBy($"i", $"j")
+  }
+
+  private val embCovMatrixSql =
+    """WITH x AS (
+      |  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+      |    y -> CAST(floor(y * 1048576.0) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |d AS (SELECT i.range AS i, j.range AS j
+      |  FROM range(0, 8) i, range(0, 8) j WHERE i <= j),
+      |s AS (SELECT d.i, d.j, count(*) AS n,
+      |    CAST(sum(x.q[d.i + 1]) AS BIGINT) AS si,
+      |    CAST(sum(x.q[d.j + 1]) AS BIGINT) AS sj,
+      |    CAST(sum(x.q[d.i + 1] * x.q[d.j + 1]) AS BIGINT) AS sij
+      |  FROM x, d GROUP BY d.i, d.j),
+      |c AS (SELECT i, j, n, n * sij - si * sj AS c FROM s)
+      |SELECT c.i, c.j, c.n AS n_vecs, c.c AS cov_q,
+      |  round(CAST(c.c AS DOUBLE) / sqrt(CAST(ci.c AS DOUBLE) * CAST(cj.c AS DOUBLE)), 6) AS corr
+      |FROM c
+      |JOIN c ci ON ci.i = c.i AND ci.j = c.i
+      |JOIN c cj ON cj.i = c.j AND cj.j = c.j
+      |ORDER BY c.i, c.j""".stripMargin
+
+  // -------------------------------------------------------- emb_pca_power
+
+  /** Round-half-away-from-zero — DuckDB's round() semantics, applied
+    * on the driver so both engines quantize identically (Math.round
+    * rounds −2.5 to −2, DuckDB to −3).
+    */
+  private def rnd(d: Double): Long =
+    (if (d >= 0) Math.floor(d + 0.5) else Math.ceil(d - 0.5)).toLong
+
+  /** Top principal component of the 8-dim correlation matrix by
+    * power iteration — the PCA shape that actually scales: ONE
+    * distributed pass reduces 100 TB to the d×d exact co-moment
+    * table ([[covAgg]]), and the iteration runs on the driver over
+    * d² = 64 longs (the bounded-driver-state contract of
+    * [[graft.operators.Similarity.kmeansFit]]). Every iterate is
+    * max-abs-normalized and quantized to 1e-6 (integers throughout:
+    * r6·v6 sums stay < 2^53, so the oracle's double list arithmetic
+    * is exact), and the Rayleigh quotient divides order-free integer
+    * dot products. The oracle replays all 40 iterations in a
+    * recursive CTE over the same quantized matrix.
+    */
+  def embPcaPower(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val row = pairsUpper.foldLeft(covAgg(spark, dir)) { case (df, (i, j)) =>
+      df.withColumn(s"c_${i}_$j", $"n" * col(s"p_${i}_$j") - col(s"s_$i") * col(s"s_$j"))
+    }.collect()(0)
+    val c = Array.ofDim[Long](Dims, Dims)
+    pairsUpper.foreach { case (i, j) =>
+      val v = row.getAs[Long](s"c_${i}_$j"); c(i)(j) = v; c(j)(i) = v
+    }
+    val r6 = Array.tabulate(Dims, Dims) { (i, j) =>
+      rnd(c(i)(j).toDouble / math.sqrt(c(i)(i).toDouble * c(j)(j).toDouble) * 1000000)
+    }
+    def mul(v: Array[Long]): Array[Long] =
+      Array.tabulate(Dims)(j => (0 until Dims).map(k => r6(j)(k) * v(k)).sum)
+    var v = Array.fill(Dims)(353553L) // round(1e6/√8): the deterministic start
+    for (_ <- 0 until 40) {
+      val u = mul(v)
+      val mx = math.max(u.map(x => math.abs(x).toDouble).max, 1.0)
+      v = u.map(x => rnd(x.toDouble * 1000000.0 / mx))
+    }
+    val u = mul(v)
+    val w = v.map(Math.floorDiv(_, 1000L))
+    val p = u.map(Math.floorDiv(_, 1000L))
+    val num = (0 until Dims).map(j => w(j) * p(j)).sum.toDouble
+    val den = w.map(x => x * x).sum.toDouble
+    val lambda = rnd(num / (den * 1000000.0) * 1000000).toDouble / 1000000.0
+    (0 until Dims).map(j => (j.toLong, v(j), lambda))
+      .toDF("j", "loading6", "lambda")
+  }
+
+  private val embPcaPowerSql =
+    """WITH RECURSIVE x AS (
+      |  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+      |    y -> CAST(floor(y * 1048576.0) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |d AS (SELECT i.range AS i, j.range AS j FROM range(0, 8) i, range(0, 8) j),
+      |s AS (SELECT d.i, d.j, count(*) AS n,
+      |    CAST(sum(x.q[d.i + 1]) AS BIGINT) AS si,
+      |    CAST(sum(x.q[d.j + 1]) AS BIGINT) AS sj,
+      |    CAST(sum(x.q[d.i + 1] * x.q[d.j + 1]) AS BIGINT) AS sij
+      |  FROM x, d GROUP BY d.i, d.j),
+      |c AS (SELECT i, j, n * sij - si * sj AS c FROM s),
+      |r AS (SELECT c.i, c.j,
+      |    CAST(round(CAST(c.c AS DOUBLE) / sqrt(CAST(ci.c AS DOUBLE) * CAST(cj.c AS DOUBLE)) * 1000000) AS BIGINT) AS r6
+      |  FROM c JOIN c ci ON ci.i = c.i AND ci.j = c.i
+      |  JOIN c cj ON cj.i = c.j AND cj.j = c.j),
+      |mat AS (SELECT list(rowv ORDER BY i) AS m FROM (
+      |  SELECT i, list(CAST(r6 AS DOUBLE) ORDER BY j) AS rowv FROM r GROUP BY i)),
+      |it(iter, v) AS (
+      |  SELECT 0, CAST([353553, 353553, 353553, 353553, 353553, 353553, 353553, 353553] AS DOUBLE[])
+      |  UNION ALL
+      |  SELECT iter + 1,
+      |    list_transform(
+      |      list_transform(m, rw -> list_dot_product(rw, v)),
+      |      u0 -> round(u0 * 1000000.0 / greatest(
+      |        list_max(list_transform(list_transform(m, rw -> list_dot_product(rw, v)),
+      |          z -> abs(z))), 1.0)))
+      |  FROM it, mat WHERE iter < 40),
+      |uf AS (SELECT list_transform(m, rw -> list_dot_product(rw, v)) AS u, v
+      |  FROM it, mat WHERE iter = 40),
+      |lam AS (SELECT v,
+      |    list_dot_product(list_transform(v, a -> CAST(floor(a / 1000.0) AS DOUBLE)),
+      |      list_transform(u, b -> CAST(floor(b / 1000.0) AS DOUBLE))) AS num,
+      |    list_dot_product(list_transform(v, a -> CAST(floor(a / 1000.0) AS DOUBLE)),
+      |      list_transform(v, a -> CAST(floor(a / 1000.0) AS DOUBLE))) AS den
+      |  FROM uf)
+      |SELECT k.range AS j, CAST(v[k.range + 1] AS BIGINT) AS loading6,
+      |  round(num / (den * 1000000.0), 6) AS lambda
+      |FROM lam, range(0, 8) k ORDER BY j""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef.sql("emb_dbscan", embDbscan _, embDbscanSql))
+    QueryDef.sql("emb_dbscan", embDbscan _, embDbscanSql),
+    QueryDef.sql("emb_cov_matrix", embCovMatrix _, embCovMatrixSql),
+    QueryDef.sql("emb_pca_power", embPcaPower _, embPcaPowerSql))
 }

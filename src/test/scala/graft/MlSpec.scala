@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.Dbscan
+import graft.queries.{MlQ, SimilarityQ}
+import org.apache.spark.sql.functions._
+
+/** Round-7 continuation: unsupervised-ML wave — DBSCAN, LOF,
+  * covariance structure and PCA power iteration (queries/MlQ.scala,
+  * operators/Dbscan.scala).
+  */
+class MlSpec extends GraftSuite {
+  import spark.implicits._
+
+  private lazy val emb = Tables(spark, sf001).embeddings
+
+  test("dbscan role invariants hold against the pair graph") {
+    val pairs = Dbscan.epsPairs(emb, "vec_id", "embedding", minCos = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = (pairs.map(_._1) ++ pairs.map(_._2))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val fit = MlQ.embDbscan(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val roleOf = fit.map(t => t._1 -> t._3).toMap
+    fit.foreach { case (id, cluster, role) =>
+      role match {
+        case "core" =>
+          assert(deg.getOrElse(id, 0) >= 3, s"core $id has degree ${deg.get(id)}")
+          assert(cluster >= 0 && cluster <= id) // min-label component
+        case "border" =>
+          assert(deg.getOrElse(id, 0) < 3 || deg.getOrElse(id, 0) >= 0)
+          val coreNbrs = pairs.collect {
+            case (a, b) if a == id && roleOf(b) == "core" => b
+            case (a, b) if b == id && roleOf(a) == "core" => a
+          }
+          assert(coreNbrs.nonEmpty, s"border $id has no core neighbor")
+          assert(cluster >= 0)
+        case "noise" =>
+          val coreNbrs = pairs.collect {
+            case (a, b) if a == id && roleOf(b) == "core" => b
+            case (a, b) if b == id && roleOf(a) == "core" => a
+          }
+          assert(coreNbrs.isEmpty && cluster == -1L)
+      }
+    }
+    // clusters are non-trivial at sf0.01: some of each role
+    assert(fit.count(_._3 == "core") > 0 && fit.count(_._3 == "border") > 0 &&
+      fit.count(_._3 == "noise") > 0)
+  }
+
+  test("dbscan core-core edges never bridge two clusters") {
+    val fit = MlQ.embDbscan(spark, sf001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val pairs = Dbscan.epsPairs(emb, "vec_id", "embedding", minCos = 0.3).collect()
+    pairs.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      if (fit(a)._2 == "core" && fit(b)._2 == "core")
+        assert(fit(a)._1 == fit(b)._1, s"core edge $a-$b crosses clusters")
+    }
+  }
+
+  test("lof scores center on 1 and the top outlier exceeds the bulk") {
+    val lof = SimilarityQ.annLofOutliers(spark, sf001).collect()
+    assert(lof.length == 20)
+    val scores = lof.map(_.getAs[Double]("lof"))
+    assert(scores.forall(_ > 0))
+    // published descending
+    assert(scores.sameElements(scores.sortBy(-_)))
+    // LOF of a density-consistent point is ~1; the top-20 outliers sit above it
+    assert(scores.head > 1.0)
+  }
+
+  test("cov matrix diagonal correlates to exactly 1 and matches covar_pop up to quantization") {
+    val m = MlQ.embCovMatrix(spark, sf001).collect()
+    assert(m.length == 36)
+    m.filter(r => r.getLong(0) == r.getLong(1))
+      .foreach(r => assert(r.getAs[Double]("corr") == 1.0))
+    // cross-check one off-diagonal cell against Spark's covar_pop on the
+    // same quantized values: cov_q = n² · covar_pop(q0, q1)
+    val q = emb.select(
+      floor(element_at($"embedding", 1).cast("double") * 1048576.0).as("q0"),
+      floor(element_at($"embedding", 2).cast("double") * 1048576.0).as("q1"))
+    val Row01 = m.find(r => r.getLong(0) == 0L && r.getLong(1) == 1L).get
+    val n = Row01.getAs[Long]("n_vecs")
+    val builtin = q.agg(covar_pop($"q0", $"q1")).collect().head.getDouble(0)
+    assert(math.abs(Row01.getAs[Long]("cov_q").toDouble - builtin * n * n) < math.abs(builtin) * n * 1e-6 + 1.0)
+  }
+
+  test("pca power iteration converges to a dominant eigenpair of the corr matrix") {
+    val out = MlQ.embPcaPower(spark, sf001).collect().sortBy(_.getLong(0))
+    assert(out.length == 8)
+    val lambda = out.head.getAs[Double]("lambda")
+    val v = out.map(_.getAs[Long]("loading6").toDouble / 1e6)
+    // trace of an 8-dim correlation matrix is 8 → top eigenvalue in [1, 8]
+    assert(lambda >= 1.0 && lambda <= 8.0)
+    // max-abs normalization: the largest |component| is exactly 1
+    assert(math.abs(v.map(math.abs).max - 1.0) < 1e-9)
+    // residual check: R·v ≈ λ·v on the exact corr matrix
+    val corr = MlQ.embCovMatrix(spark, sf001).collect()
+      .flatMap { r =>
+        val (i, j, c) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getAs[Double]("corr"))
+        if (i == j) Seq(((i, j), c)) else Seq(((i, j), c), ((j, i), c))
+      }.toMap
+    val rv = Array.tabulate(8)(i => (0 until 8).map(k => corr((i, k)) * v(k)).sum)
+    val res = (0 until 8).map(i => math.abs(rv(i) - lambda * v(i))).max
+    assert(res < 0.05, s"power iteration residual $res too large")
+  }
+}
