@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dbscan, Similarity}
+import graft.functions.VecFns
+import graft.operators.{Dbscan, Similarity, TopK}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -172,6 +173,18 @@ object MlQ {
     */
   def embPcaPower(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val (v, lambda) = pcaLoadings(spark, dir)
+    (0 until Dims).map(j => (j.toLong, v(j), lambda))
+      .toDF("j", "loading6", "lambda")
+  }
+
+  /** Driver-side power iteration shared by [[embPcaPower]] and
+    * [[embPcaProject]]: one distributed co-moment pass, then 40
+    * quantized iterations over the 8×8 correlation matrix. Returns
+    * (loading6 per dim, Rayleigh-quotient eigenvalue).
+    */
+  private def pcaLoadings(spark: SparkSession, dir: String): (Array[Long], Double) = {
+    import spark.implicits._
     val row = pairsUpper.foldLeft(covAgg(spark, dir)) { case (df, (i, j)) =>
       df.withColumn(s"c_${i}_$j", $"n" * col(s"p_${i}_$j") - col(s"s_$i") * col(s"s_$j"))
     }.collect()(0)
@@ -195,12 +208,15 @@ object MlQ {
     val p = u.map(Math.floorDiv(_, 1000L))
     val num = (0 until Dims).map(j => w(j) * p(j)).sum.toDouble
     val den = w.map(x => x * x).sum.toDouble
-    val lambda = rnd(num / (den * 1000000.0) * 1000000).toDouble / 1000000.0
-    (0 until Dims).map(j => (j.toLong, v(j), lambda))
-      .toDF("j", "loading6", "lambda")
+    (v, rnd(num / (den * 1000000.0) * 1000000).toDouble / 1000000.0)
   }
 
-  private val embPcaPowerSql =
+  /** Shared oracle CTE chain: quantized embeddings → exact co-moments
+    * → 1e-6-quantized correlation matrix → 40 power-iteration rounds;
+    * `uf(u, v)` is the (unnormalized next iterate, final loading)
+    * pair both PCA oracles consume.
+    */
+  private val pcaCtePrefix =
     """WITH RECURSIVE x AS (
       |  SELECT list_transform(CAST(embedding AS DOUBLE[]),
       |    y -> CAST(floor(y * 1048576.0) AS BIGINT)) AS q
@@ -229,7 +245,10 @@ object MlQ {
       |          z -> abs(z))), 1.0)))
       |  FROM it, mat WHERE iter < 40),
       |uf AS (SELECT list_transform(m, rw -> list_dot_product(rw, v)) AS u, v
-      |  FROM it, mat WHERE iter = 40),
+      |  FROM it, mat WHERE iter = 40)""".stripMargin
+
+  private val embPcaPowerSql = pcaCtePrefix +
+    """,
       |lam AS (SELECT v,
       |    list_dot_product(list_transform(v, a -> CAST(floor(a / 1000.0) AS DOUBLE)),
       |      list_transform(u, b -> CAST(floor(b / 1000.0) AS DOUBLE))) AS num,
@@ -240,8 +259,101 @@ object MlQ {
       |  round(num / (den * 1000000.0), 6) AS lambda
       |FROM lam, range(0, 8) k ORDER BY j""".stripMargin
 
+  // ------------------------------------------------------ emb_pca_project
+
+  /** Corpus projected onto the top principal component, published as
+    * a bounded histogram: per-vector score = Σ q_j·loading6_j is an
+    * exact long (8 products ≤ 2^40), bucketed at 0.25 width. The
+    * 100 TB shape: the d loadings come from the bounded driver
+    * iteration ([[pcaLoadings]]) and fold into the scan as literals —
+    * scoring is pure map-side codegen, the only shuffle is the ~30-row
+    * bucket aggregate. Divisions by 2^20 are exact in IEEE double, so
+    * floor() agrees bit-for-bit cross-engine.
+    */
+  def embPcaProject(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (l, _) = pcaLoadings(spark, dir)
+    val score = (0 until Dims).map(i => qcol(i) * lit(l(i))).reduce(_ + _)
+    Tables(spark, dir).embeddings
+      .select(floor(score / 1048576.0).cast("long").as("score6"))
+      .groupBy(floor($"score6" / 250000.0).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum($"score6") / (count(lit(1)) * 1e6), 6).as("mean_score"))
+      .orderBy($"bucket")
+  }
+
+  private val embPcaProjectSql = pcaCtePrefix +
+    """,
+      |sc AS (SELECT CAST(floor(list_dot_product(
+      |    list_transform(x.q[1:8], z -> CAST(z AS DOUBLE)), uf.v) / 1048576.0) AS BIGINT) AS score6
+      |  FROM x, uf)
+      |SELECT CAST(floor(score6 / 250000.0) AS BIGINT) AS bucket,
+      |  count(*) AS n_vecs,
+      |  round(CAST(sum(score6) AS BIGINT) / (count(*) * 1e6), 6) AS mean_score
+      |FROM sc GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ------------------------------------------------------- emb_silhouette
+
+  /** Centroid-based silhouette of the seed clustering (the
+    * [[graft.operators.Similarity.kmeansStep]] assignment): per
+    * vector a = quantized cosine distance to its own centroid, b =
+    * distance to the best OTHER centroid (ranks 1 and 2 of the same
+    * broadcast-centroid scoring every IVF/k-means gate uses), s =
+    * (b−a)/max(a,b) in exact 1e-6 integer units. Publishes per-cluster
+    * mean silhouette — the standard "are these clusters real" gauge.
+    * At 100 TB: k centroids broadcast, one map-side pass, k-row
+    * output; the cross-row mean sums exact longs.
+    */
+  def embSilhouette(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).embeddings
+    val v = e.select($"vec_id".as("id"), $"embedding".as("v"))
+    val cents = e.orderBy($"vec_id").limit(10)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_v"))
+    val ranked = TopK(
+      v.crossJoin(broadcast(cents))
+        .withColumn("c_cos", VecFns.cosine(col("v"), col("c_v"))),
+      Seq(col("id")), Seq(col("c_cos").desc, col("c_id")), 2)
+      .withColumn("d4", lit(10000L) - round($"c_cos" * 10000).cast("long"))
+    ranked.groupBy($"id").agg(
+        max(when($"rk" === 1, $"c_id")).as("cluster"),
+        max(when($"rk" === 1, $"d4")).as("a4"),
+        max(when($"rk" === 2, $"d4")).as("b4"))
+      .select($"cluster",
+        round(($"b4" - $"a4") * 1e6 / greatest(greatest($"a4", $"b4"), lit(1L)))
+          .cast("long").as("s6"))
+      .groupBy($"cluster")
+      .agg(count(lit(1)).as("n_members"),
+        round(sum($"s6") / (count(lit(1)) * 1e6), 6).as("mean_sil"))
+      .orderBy($"cluster")
+  }
+
+  private val embSilhouetteSql =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |cents AS (SELECT vec_id AS c_id, e AS ce FROM v ORDER BY vec_id LIMIT 10),
+      |ac AS (
+      |  SELECT vec_id, c_id,
+      |    list_dot_product(e, ce) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))) AS cc,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY
+      |      list_dot_product(e, ce) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))) DESC, c_id) AS rn
+      |  FROM v, cents),
+      |per AS (
+      |  SELECT vec_id,
+      |    max(CASE WHEN rn = 1 THEN c_id END) AS cluster,
+      |    max(CASE WHEN rn = 1 THEN 10000 - CAST(round(cc * 10000) AS BIGINT) END) AS a4,
+      |    max(CASE WHEN rn = 2 THEN 10000 - CAST(round(cc * 10000) AS BIGINT) END) AS b4
+      |  FROM ac WHERE rn <= 2 GROUP BY vec_id),
+      |s AS (SELECT cluster,
+      |    CAST(round((b4 - a4) * 1e6 / greatest(greatest(a4, b4), 1)) AS BIGINT) AS s6
+      |  FROM per)
+      |SELECT cluster, count(*) AS n_members,
+      |  round(CAST(sum(s6) AS BIGINT) / (count(*) * 1e6), 6) AS mean_sil
+      |FROM s GROUP BY cluster ORDER BY cluster""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("emb_dbscan", embDbscan _, embDbscanSql),
     QueryDef.sql("emb_cov_matrix", embCovMatrix _, embCovMatrixSql),
-    QueryDef.sql("emb_pca_power", embPcaPower _, embPcaPowerSql))
+    QueryDef.sql("emb_pca_power", embPcaPower _, embPcaPowerSql),
+    QueryDef.sql("emb_pca_project", embPcaProject _, embPcaProjectSql),
+    QueryDef.sql("emb_silhouette", embSilhouette _, embSilhouetteSql))
 }

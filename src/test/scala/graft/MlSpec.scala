@@ -85,6 +85,29 @@ class MlSpec extends GraftSuite {
     assert(math.abs(Row01.getAs[Long]("cov_q").toDouble - builtin * n * n) < math.abs(builtin) * n * 1e-6 + 1.0)
   }
 
+  test("pca projection histogram buckets are consistent and cover the corpus") {
+    val total = emb.count()
+    val h = MlQ.embPcaProject(spark, sf001).collect()
+    assert(h.map(_.getAs[Long]("n_vecs")).sum == total)
+    h.foreach { r =>
+      val b = r.getLong(0); val m = r.getAs[Double]("mean_score")
+      // every bucket's mean lies inside the bucket's [0.25·b, 0.25·(b+1)) range
+      assert(m >= b * 0.25 - 1e-6 && m < (b + 1) * 0.25 + 1e-6,
+        s"bucket $b mean $m outside its range")
+    }
+  }
+
+  test("silhouette covers the corpus and scores stay in [-1, 1]") {
+    val total = emb.count()
+    val s = MlQ.embSilhouette(spark, sf001).collect()
+    assert(s.length == 10) // one row per seed centroid
+    assert(s.map(_.getAs[Long]("n_members")).sum == total)
+    s.foreach { r =>
+      val m = r.getAs[Double]("mean_sil")
+      assert(m >= -1.0 && m <= 1.0, s"cluster ${r.getLong(0)} mean_sil $m")
+    }
+  }
+
   test("pca power iteration converges to a dominant eigenpair of the corr matrix") {
     val out = MlQ.embPcaPower(spark, sf001).collect().sortBy(_.getLong(0))
     assert(out.length == 8)
