@@ -26,6 +26,10 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS); read as long, converted
       // back to micros in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // micros-lake variant: naive parquet timestamps read as TIMESTAMP
+      // (session is UTC, so instants are identical) — keeps filter
+      // pushdown on date columns instead of a plan-side NTZ cast
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.ui.enabled", "false")
 

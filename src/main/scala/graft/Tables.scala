@@ -27,10 +27,20 @@ final case class Tables(spark: SparkSession, dir: String) {
     * double precision.
     */
   def events: DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val raw = load("events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) lake read under nanosAsLong
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => // TIMESTAMP(MICROS, isAdjustedToUTC=false) lake:
+        // naive micros ≡ UTC instants under the session's UTC zone —
+        // the cast is value-preserving and restores the TIMESTAMP type
+        // the whole operator surface (unix_micros etc.) consumes
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents: DataFrame  = load("documents")
   def embeddings: DataFrame = load("embeddings")

@@ -14,6 +14,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // micros-lake variant: naive parquet timestamps read as TIMESTAMP
+      // (session is UTC, so instants are identical) — keeps filter
+      // pushdown on date columns instead of a plan-side NTZ cast
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -12,9 +12,9 @@ class StreamingSpec extends GraftSuite {
     val batch = EventStream.windowCounts(Tables(spark, sf0001).events)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
 
-    // file-source streaming over the same parquet (nanos ts arrives as long)
+    // file-source streaming over the same parquet (micros ts arrives as timestamp)
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     // the streaming file source needs a directory; stage the single file
@@ -24,7 +24,6 @@ class StreamingSpec extends GraftSuite {
       stageDir.resolve("events.parquet"))
     val stream = spark.readStream.schema(schema)
       .parquet(stageDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "10 minutes")
     val q = EventStream.windowCounts(stream)
       .writeStream.outputMode("complete")
@@ -50,7 +49,7 @@ class StreamingSpec extends GraftSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getDouble(4))).toSet
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     val stageDir = java.nio.file.Files.createTempDirectory("graft_stream_sess")
@@ -59,7 +58,6 @@ class StreamingSpec extends GraftSuite {
       stageDir.resolve("events.parquet"))
     val stream = spark.readStream.schema(schema)
       .parquet(stageDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "1 hour")
     val q = sessions(stream)
       .writeStream.outputMode("complete")
@@ -80,7 +78,7 @@ class StreamingSpec extends GraftSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
         r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     val stageDir = java.nio.file.Files.createTempDirectory("graft_stream_ohlc")
@@ -89,7 +87,6 @@ class StreamingSpec extends GraftSuite {
       stageDir.resolve("events.parquet"))
     val stream = spark.readStream.schema(schema)
       .parquet(stageDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "10 minutes")
     val q = EventStream.ohlcBars(stream)
       .writeStream.outputMode("complete")
@@ -108,7 +105,7 @@ class StreamingSpec extends GraftSuite {
     // the rank step runs over each finalized batch (foreachBatch) —
     // here over the complete-mode table, which holds the same rows
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     val stageDir = java.nio.file.Files.createTempDirectory("graft_stream_top")
@@ -117,7 +114,6 @@ class StreamingSpec extends GraftSuite {
       stageDir.resolve("events.parquet"))
     val stream = spark.readStream.schema(schema)
       .parquet(stageDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "10 minutes")
     val q = EventStream.windowCounts(stream)
       .writeStream.outputMode("complete")
@@ -138,7 +134,7 @@ class StreamingSpec extends GraftSuite {
 
   test("foreachBatch sink writes finalized-window top events idempotently end to end") {
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     val stageDir = java.nio.file.Files.createTempDirectory("graft_fb_src")
@@ -149,7 +145,6 @@ class StreamingSpec extends GraftSuite {
     val ckDir = java.nio.file.Files.createTempDirectory("graft_fb_ck").toString
     val stream = spark.readStream.schema(schema)
       .parquet(stageDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "10 minutes")
     val q = EventStream.startTopEventSink(stream, outDir, ckDir)
     try q.processAllAvailable() finally q.stop()
@@ -309,7 +304,7 @@ class StreamingSpec extends GraftSuite {
     val batch = EventStream.slidingCounts(Tables(spark, sf0001).events)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     val stageDir = java.nio.file.Files.createTempDirectory("graft_stream_slide")
@@ -318,7 +313,6 @@ class StreamingSpec extends GraftSuite {
       stageDir.resolve("events.parquet"))
     val stream = spark.readStream.schema(schema)
       .parquet(stageDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "10 minutes")
     val q = EventStream.slidingCounts(stream)
       .writeStream.outputMode("complete")
