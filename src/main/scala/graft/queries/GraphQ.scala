@@ -1,0 +1,160 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VecFns
+import graft.operators.LabelProp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-7 graph/retrieval wave: synchronous label-propagation
+  * communities (the third iterative graph primitive), triplet
+  * hard-negative mining over the embeddings (the contrastive-training
+  * data step), and windowed running-distinct emulation (the
+  * COUNT(DISTINCT) OVER Spark and most engines refuse).
+  */
+object GraphQ {
+
+  // ------------------------------------------------------------ q_label_prop
+
+  /** Community detection by SYNCHRONOUS label propagation over the
+    * high-volume supplier↔customer trade graph, 3 rounds through
+    * [[graft.operators.LabelProp]]: every node adopts its neighbors'
+    * most frequent label, ties to the smallest — deterministic where
+    * classic async LPA is run-order-dependent, so the oracle unrolls
+    * the identical rounds (the q_pagerank pattern). Each round is one
+    * shuffle on the neighbor key + one per-node argmax window; the
+    * edge list persists once.
+    */
+  def qLabelProp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val edges = t.lineitem
+      .filter($"l_quantity" >= 45)
+      .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .select(concat(lit("s"), $"l_suppkey").as("src"),
+        concat(lit("c"), $"o_custkey").as("dst"))
+      .distinct()
+    LabelProp.run(edges, rounds = 3).orderBy($"node")
+  }
+
+  private val qLabelPropSql = {
+    def round(k: Int) =
+      s"""c$k AS (
+         |  SELECT e.u AS n, l.label, count(*) AS c
+         |  FROM e JOIN l${k - 1} l ON l.node = e.v GROUP BY 1, 2),
+         |r$k AS (
+         |  SELECT n, label, row_number() OVER (PARTITION BY n ORDER BY c DESC, label) AS rk
+         |  FROM c$k),
+         |l$k AS (SELECT n AS node, label FROM r$k WHERE rk = 1)""".stripMargin
+    s"""WITH d AS (
+       |  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+       |                  'c' || CAST(o_custkey AS VARCHAR) AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE l_quantity >= 45),
+       |e AS (SELECT src AS u, dst AS v FROM d UNION SELECT dst, src FROM d),
+       |l0 AS (SELECT DISTINCT u AS node, u AS label FROM e),
+       |${(1 to 3).map(round).mkString(",\n")}
+       |SELECT node, label FROM l3 ORDER BY node""".stripMargin
+  }
+
+  // ------------------------------------------------------ emb_hard_negatives
+
+  /** Triplet hard-negative mining — the contrastive-training data
+    * step: for each anchor (the ANN query set), the hardest positive
+    * (most-similar SAME label) and hardest negative (most-similar
+    * OTHER label) with the triplet margin. One broadcast of 20
+    * anchors against the corpus, cosine the same IEEE expression as
+    * the ANN gates, one (anchor × side) argmax window over scores —
+    * at 100 TB this is exactly the brute-force-scoring shape the IVF
+    * gates shard, so the candidate-generation path swaps in
+    * unchanged.
+    */
+  def embHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).embeddings
+    val anchors = e.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"label".as("q_label"), $"embedding".as("qv"))
+    val best = e.crossJoin(broadcast(anchors))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("cos", VecFns.cosine($"embedding", $"qv"))
+      .withColumn("same", $"label" === $"q_label")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"q_id", $"same").orderBy($"cos".desc, $"vec_id")))
+      .filter($"rk" === 1)
+    best.groupBy($"q_id")
+      .agg(max(when($"same", $"vec_id")).as("pos_id"),
+        max(when($"same", round($"cos", 4))).as("pos_cos"),
+        max(when(!$"same", $"vec_id")).as("neg_id"),
+        max(when(!$"same", round($"cos", 4))).as("neg_cos"))
+      .withColumn("margin", round($"pos_cos" - $"neg_cos", 4))
+      .orderBy($"q_id")
+  }
+
+  private val embHardNegativesSql =
+    """WITH a AS (
+      |  SELECT vec_id AS q_id, label AS q_label, CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id < 20),
+      |p AS (
+      |  SELECT q_id, e.vec_id AS vec_id, e.label = q_label AS same,
+      |    list_dot_product(CAST(e.embedding AS DOUBLE[]), qv) /
+      |      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+      |       sqrt(list_dot_product(qv, qv))) AS cos
+      |  FROM a, embeddings e WHERE e.vec_id <> q_id),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id, same ORDER BY cos DESC, vec_id) AS rk
+      |  FROM p)
+      |SELECT q_id,
+      |  max(CASE WHEN same THEN vec_id END) AS pos_id,
+      |  max(CASE WHEN same THEN round(cos, 4) END) AS pos_cos,
+      |  max(CASE WHEN NOT same THEN vec_id END) AS neg_id,
+      |  max(CASE WHEN NOT same THEN round(cos, 4) END) AS neg_cos,
+      |  round(max(CASE WHEN same THEN round(cos, 4) END)
+      |    - max(CASE WHEN NOT same THEN round(cos, 4) END), 4) AS margin
+      |FROM r WHERE rk = 1 GROUP BY q_id ORDER BY q_id""".stripMargin
+
+  // ------------------------------------------------------ q_running_distinct
+
+  /** Cumulative distinct users by day — COUNT(DISTINCT) OVER, which
+    * Spark (and most engines) refuse inside a window, emulated
+    * exactly: a user counts once, on their FIRST day (one aggregate),
+    * and the running sum of new users over the day-cardinality
+    * metadata table IS the running distinct (the binpack window
+    * rule). DAU rides along from the distinct-pairs aggregate.
+    */
+  def qRunningDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Tables(spark, dir).events
+      .select($"user_id", expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val dau = pairs.groupBy($"day").agg(count(lit(1)).as("dau"))
+    val firsts = pairs.groupBy($"user_id").agg(min($"day").as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("new_users"))
+    dau.join(firsts, Seq("day"), "left")
+      .select($"day", $"dau", coalesce($"new_users", lit(0L)).as("new_users"))
+      .withColumn("cum_distinct_users",
+        sum($"new_users").over(Window.orderBy($"day")))
+      .orderBy($"day")
+  }
+
+  private val qRunningDistinctSql =
+    """WITH pairs AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |dau AS (SELECT day, count(*) AS dau FROM pairs GROUP BY day),
+      |firsts AS (
+      |  SELECT day, count(*) AS new_users FROM (
+      |    SELECT user_id, min(day) AS day FROM pairs GROUP BY user_id)
+      |  GROUP BY day)
+      |SELECT d.day, d.dau, coalesce(f.new_users, 0) AS new_users,
+      |  CAST(sum(coalesce(f.new_users, 0)) OVER (ORDER BY d.day) AS BIGINT)
+      |    AS cum_distinct_users
+      |FROM dau d LEFT JOIN firsts f ON d.day = f.day
+      |ORDER BY d.day""".stripMargin
+
+  // ---------------------------------------------------------------- registry
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("q_label_prop", qLabelProp _, qLabelPropSql),
+    QueryDef.sql("emb_hard_negatives", embHardNegatives _, embHardNegativesSql),
+    QueryDef.sql("q_running_distinct", qRunningDistinct _, qRunningDistinctSql))
+}
