@@ -536,6 +536,58 @@ object ScaleProbe {
       dir => graft.queries.OpsQ.qAbcAnalysis(spark, dir))
     probeGrowth("ship_latency", base, out,
       dir => graft.queries.OpsQ.qShipLatency(spark, dir))
+
+    // ---- round-7 continuation families ----
+    // stump: 10× facts fold to the SAME ≤50-row value table — the
+    // cumulative/argmax tail is constant, time tracks the scan
+    probeGrowth("tree_stump", base, out,
+      dir => graft.queries.LearnQ.qTreeStump(spark, dir))
+    // permutation test: the 101× explode is a fixed scan multiplier;
+    // 2× events → ~2× time, shuffle stays 202 rows
+    probeGrowth("permutation_test", base, events2,
+      dir => graft.queries.LearnQ.qPermutationTest(spark, dir))
+    // JL projection: 2× vectors → 2× cells, sign table constant
+    probeGrowth("rand_proj", base, emb2,
+      dir => graft.queries.LearnQ.embRandProj(spark, dir))
+    // RAKE: phrase windows are per-doc; word-score table is
+    // vocabulary-sized (saturates on doc replicas)
+    probeGrowth("keywords", base, docs2,
+      dir => graft.queries.MineQ.textKeywords(spark, dir))
+    // BPE pairs explode over the VOCAB: doc replicas leave the
+    // vocabulary unchanged, so only the count pass grows
+    probeGrowth("bpe_pairs", base, docs2,
+      dir => graft.queries.PatternQ.textBpePairs(spark, dir))
+    // bitmap distinct: word table is keyspace/63 — constant under
+    // 10× facts over the same customer universe
+    probeGrowth("bitmap_distinct", base, out,
+      dir => graft.queries.OptimQ.qBitmapDistinct(spark, dir))
+    // synopsis estimation: per-key count table doubles with keys
+    probeGrowth("join_size_est", base, events2,
+      dir => graft.queries.OptimQ.qJoinSizeEst(spark, dir))
+    // Holt: 10× orders aggregate to the SAME daily series; the HOF
+    // fold is calendar-bounded
+    probeGrowth("holt", base, out,
+      dir => graft.queries.MineQ.tsHolt(spark, dir))
+    // gaps-and-islands: per-user distinct-day tables double with keys
+    probeGrowth("streaks", base, events2,
+      dir => graft.queries.PatternQ.qStreaks(spark, dir))
+    // label propagation: replicated orders repeat the same
+    // supplier-customer pairs, so the distinct edge set saturates —
+    // time tracks the edge-derivation scan (the kcore rule)
+    probeGrowth("label_prop", base, out,
+      dir => graft.queries.GraphQ.qLabelProp(spark, dir))
+    // hard negatives: 2× corpus → 2× scored pairs per anchor, the
+    // argmax window stays (anchors × 2)-partitioned
+    probeGrowth("hard_negatives", base, emb2,
+      dir => graft.queries.GraphQ.embHardNegatives(spark, dir))
+    // temporal join: fact side 10×, dim history constant — hash join
+    // with residual interval predicate
+    probeGrowth("temporal_join", base, out,
+      dir => graft.queries.TemporalQ.qTemporalJoin(spark, dir))
+    // Mahalanobis: 2× vectors → 2× scored cells, 8×3 moment table
+    // constant
+    probeGrowth("mahalanobis", base, emb2,
+      dir => graft.queries.OptimQ.embMahalanobis(spark, dir))
     spark.stop()
   }
 }
