@@ -191,6 +191,55 @@ object BinaryOps {
     if (bytes.isEmpty) new Array[Byte](outBytes)
     else Array.tabulate(outBytes)(i => bytes((i.toLong * bytes.length / outBytes).toInt))
 
+  final case class AudioStats(
+      doc_id: Long, sample_rate: Int, n_samples: Long,
+      n_frames: Long, peak_abs: Long, sum_sq: Long)
+
+  /** Pack corpus bytes as honest WAV payloads: each byte becomes one
+    * centered PCM16 sample ((b − 128) · 256), mono 8 kHz, with a
+    * decoy LIST chunk planted before `data` so the decode path must
+    * genuinely walk the RIFF chunks ([[Wav]]).
+    */
+  def packWav(docs: DataFrame, sampleRate: Int = 8000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val samples = bytes.map(b => (((b & 0xff) - 128) * 256).toShort)
+        (id, Wav.encode(sampleRate, samples, decoyChunk = true))
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** REAL audio analysis: parse the RIFF stream, frame the PCM into
+    * 64-sample windows, and reduce to exact integer statistics (peak
+    * magnitude, energy Σs² as a long — no FP until the caller's final
+    * RMS). Per-row map, no shuffle; malformed payloads degrade to a
+    * marked row (peak −1), the PNG armor contract.
+    */
+  def audioStats(packed: DataFrame, frame: Int = 64): Dataset[AudioStats] = {
+    require(frame > 0, s"frame must be positive, got $frame")
+    val spark = packed.sparkSession
+    import spark.implicits._
+    packed.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        try {
+          val a = Wav.decode(bytes)
+          var peak = 0L; var ss = 0L
+          a.samples.foreach { s =>
+            val v = math.abs(s.toLong)
+            if (v > peak) peak = v
+            ss += s.toLong * s.toLong
+          }
+          AudioStats(id, a.sampleRate, a.samples.length.toLong,
+            (a.samples.length.toLong + frame - 1) / frame, peak, ss)
+        } catch {
+          case scala.util.control.NonFatal(_) => AudioStats(id, 0, 0L, 0L, -1L, 0L)
+        }
+      }
+  }
+
   /** Batched feature extraction: executors process fixed-size batches
     * inside each partition (amortizes per-batch codec setup exactly
     * like mapInPandas batches do).

@@ -414,6 +414,43 @@ object SimilarityQ {
       |    CAST(0.0 AS DOUBLE)) * 1e4) / 1e4 AS mean_luma_t
       |FROM f ORDER BY doc_id""".stripMargin
 
+  /** Audio statistics through a REAL RIFF/WAVE codec
+    * ([[graft.multimodal.Wav]]): corpus bytes pack as centered PCM16
+    * mono (with a decoy LIST chunk planted before `data`, so decode
+    * must genuinely walk the RIFF chunks), and the operator reduces
+    * each stream to exact integer statistics — peak magnitude and
+    * energy Σs² as longs — with RMS the one floor-truncated double.
+    * Per-row map, no shuffle; malformed payloads degrade to peak −1
+    * (the PNG armor contract). **Exact oracle**: samples are an
+    * affine map of the content bytes, so DuckDB recomputes the same
+    * integers straight from the text.
+    */
+  def mmAudioEnergy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    BinaryOps.audioStats(BinaryOps.packWav(Tables(spark, dir).documents))
+      .toDF()
+      .select($"doc_id", $"sample_rate", $"n_samples", $"n_frames", $"peak_abs",
+        when($"n_samples" > 0,
+          floor(sqrt($"sum_sq".cast("double") / $"n_samples") * 1e4) / 1e4)
+          .otherwise(0.0).as("rms_t"))
+      .orderBy($"doc_id")
+  }
+
+  private val mmAudioEnergySql =
+    """WITH f AS (
+      |  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+      |s AS (
+      |  SELECT doc_id, n,
+      |    list_transform(string_split(text, ''), c -> CAST((ascii(c) - 128) * 256 AS BIGINT)) AS sm
+      |  FROM f)
+      |SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate, CAST(n AS BIGINT) AS n_samples,
+      |  CAST((n + 63) // 64 AS BIGINT) AS n_frames,
+      |  CAST(coalesce(list_max(list_transform(sm, x -> abs(x))), 0) AS BIGINT) AS peak_abs,
+      |  CASE WHEN n > 0
+      |    THEN floor(sqrt(CAST(list_sum(list_transform(sm, x -> x * x)) AS DOUBLE) / n) * 1e4) / 1e4
+      |    ELSE 0.0 END AS rms_t
+      |FROM s ORDER BY doc_id""".stripMargin
+
   /** Tumbling 1-hour windows over the event stream — the identical
     * plan StreamingSpec drives through readStream+watermark; DuckDB
     * time_bucket oracle.
@@ -643,6 +680,7 @@ object SimilarityQ {
     QueryDef.sql("mm_binary_stats", mmBinaryStats _, mmBinaryStatsSql),
     QueryDef.sql("mm_featurize", mmFeaturize _, mmFeaturizeSql),
     QueryDef.sql("mm_frame_sample", mmFrameSample _, mmFrameSampleSql),
+    QueryDef.sql("mm_audio_energy", mmAudioEnergy _, mmAudioEnergySql),
     QueryDef.sql("mm_gif_frames", mmGifFrames _, mmGifFramesSql),
     QueryDef.sql("text_rolling_fp", textRollingFp _, textRollingFpSql),
     QueryDef.sql("stream_window_counts", streamWindowCounts _, streamWindowCountsSql),

@@ -327,4 +327,41 @@ class MultimodalSpec extends GraftSuite {
       Gif.decode("GIF89a___definitely_not_valid".getBytes)
     }
   }
+
+  import graft.multimodal.Wav
+
+  test("WAV round-trips PCM16 through the RIFF chunk walk, decoy included") {
+    val samples = Array.tabulate(200)(i => ((i * 331) % 65536 - 32768).toShort)
+    for (decoy <- Seq(false, true)) {
+      val a = Wav.decode(Wav.encode(8000, samples, decoyChunk = decoy))
+      assert(a.sampleRate === 8000)
+      assert(a.samples.toSeq === samples.toSeq)
+    }
+  }
+
+  test("WAV rejects malformed payloads; audioStats armors them") {
+    val good = Wav.encode(8000, Array[Short](1, 2, 3))
+    intercept[IllegalArgumentException](Wav.decode("nope".getBytes))
+    // stereo payload: patch the channel count in the fmt chunk
+    val stereo = good.clone(); stereo(22) = 2
+    intercept[IllegalArgumentException](Wav.decode(stereo))
+    // truncated mid-data
+    intercept[Exception](Wav.decode(good.take(good.length - 2)))
+    val armored = BinaryOps.audioStats(
+      BinaryOps.packWav(Seq((1L, "hello")).toDF("doc_id", "text"))
+        .unionByName(Seq((2L, "broken".getBytes)).toDF("doc_id", "payload")))
+      .collect().sortBy(_.doc_id)
+    assert(armored(0).peak_abs >= 0 && armored(1).peak_abs === -1L)
+  }
+
+  test("packWav + audioStats computes exact integer energy over content bytes") {
+    val text = "abc"
+    val out = BinaryOps.audioStats(
+      BinaryOps.packWav(Seq((7L, text)).toDF("doc_id", "text"))).collect().head
+    val samples = text.getBytes.map(b => ((b & 0xff) - 128) * 256L)
+    assert(out.n_samples === 3L)
+    assert(out.n_frames === 1L)
+    assert(out.peak_abs === samples.map(math.abs).max)
+    assert(out.sum_sq === samples.map(s => s * s).sum)
+  }
 }
