@@ -210,10 +210,7 @@ object DedupQ {
     val cand = Dedup.lshCandidates(docs, "doc_id", "text", perms = 128, bands = 16)
     val sets = Dedup.tokenSets(docs, "doc_id", "text")
     val verified = Dedup.verifyJaccard(cand, sets, tau = 0.9)
-    val truth = Dedup.verifyJaccard(
-      sets.select($"id".as("id_a")).crossJoin(sets.select($"id".as("id_b")))
-        .filter($"id_a" < $"id_b"),
-      sets, tau = 0.9)
+    val truth = Dedup.allPairsJaccard(sets, tau = 0.9)
     cand.agg(count(lit(1)).as("n_candidates"))
       .crossJoin(verified.agg(count(lit(1)).as("n_verified")))
       .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
