@@ -266,8 +266,11 @@ object MineQ {
       .orderBy($"day")
   }
 
-  private val tsHoltSql =
-    """WITH RECURSIVE daily AS (
+  /** The Holt recursion as a reusable CTE block — `ts_backtest`
+    * (RobustQ) replays the identical smoother before scoring it.
+    */
+  private[queries] val holtCoreSql =
+    """daily AS (
       |  SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
       |  FROM orders GROUP BY 1),
@@ -280,7 +283,10 @@ object MineQ {
       |  SELECT t.i, t.day, t.cents,
       |    0.5 * CAST(t.cents AS DOUBLE) + 0.5 * (r.l + r.b),
       |    0.5 * ((0.5 * CAST(t.cents AS DOUBLE) + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
-      |  FROM rec r JOIN idx t ON t.i = r.i + 1)
+      |  FROM rec r JOIN idx t ON t.i = r.i + 1)""".stripMargin
+
+  private val tsHoltSql =
+    s"""WITH RECURSIVE $holtCoreSql
       |SELECT day, cents, round(l / 100, 4) AS level, round(b / 100, 4) AS trend,
       |  round((l + b) / 100, 4) AS forecast_next
       |FROM rec ORDER BY day""".stripMargin

@@ -150,4 +150,36 @@ object SniffCsv {
       case _ => df
     }
   }
+
+  /** Quarantine read — the at-scale complement of [[read]]'s
+    * FAILFAST: PERMISSIVE with a `_corrupt` column, so malformed rows
+    * land in quarantine WITH their raw line while clean rows flow.
+    * The reference (single files, human in the loop) aborts; a
+    * 100 TB intake can't let one bad line park a petabyte — it
+    * quarantines and accounts. Returns the frame with `_corrupt`
+    * (NULL for clean rows); callers split/count. The corrupt column
+    * must be materialized in the same projection as the data columns
+    * (Spark requires selecting the raw column with the parsed ones).
+    */
+  def readQuarantine(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val d = sniff(spark, path)
+    def opts(r: org.apache.spark.sql.DataFrameReader) = r
+      .option("header", "true")
+      .option("delimiter", d.delimiter.toString)
+      .option("encoding", d.charset)
+      .option("inferSchema", "false")
+    // pass 1: headers only (all-string schema from the header line);
+    // pass 2: same schema + the corrupt sink — Spark only routes
+    // malformed records when the user schema CONTAINS the field.
+    // Ragged rows in BOTH directions (token deficit and surplus)
+    // quarantine with their raw line (RobustQSpec pins this).
+    val base = opts(spark.read).csv(path).schema
+    val schema = StructType(base.fields :+ StructField("_corrupt", StringType))
+    opts(spark.read)
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(path)
+  }
 }
