@@ -256,11 +256,98 @@ object LearnQ {
       |FROM cells JOIN signs USING (i)
       |GROUP BY vec_id, j ORDER BY vec_id, j""".stripMargin
 
+  // ---------------------------------------------------------- emb_proj_recall
+
+  /** Recall@10 of the JL sketch: top-10 neighbors in the PROJECTED
+    * 8-dim space (exact integer dots over `emb_rand_proj`'s cells,
+    * cosine as the one double expression) scored against the
+    * full-space brute-force truth — the eval that licenses running
+    * ANN/clustering on the 8× cheaper sketch (the `ann_recall_eval`
+    * pattern, applied to dimensionality reduction instead of an
+    * index). Everything deterministic: md5 signs, exact long dots,
+    * identical-expression cosines, id tie-breaks.
+    */
+  def embProjRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).embeddings
+    val truth = graft.operators.Similarity
+      .bruteForceTopK(e, e.filter($"vec_id" < 10), "vec_id", "embedding", k = 10)
+      .select($"q_id", $"neighbor_id")
+    val proj = embRandProj(spark, dir)
+      .groupBy($"vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(j, y))), x -> x.y)").as("py"))
+      .withColumn("nn", expr("aggregate(zip_with(py, py, (p, q) -> p * q), 0L, (s, x) -> s + x)"))
+    val q = proj.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"py".as("qy"), $"nn".as("qnn"))
+    val scored = proj.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("dotp",
+        expr("aggregate(zip_with(py, qy, (p, q) -> p * q), 0L, (s, x) -> s + x)"))
+      .withColumn("cos",
+        $"dotp".cast("double") / (sqrt($"nn".cast("double")) * sqrt($"qnn".cast("double"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")))
+      .filter($"rk" <= 10)
+      .select($"q_id", $"vec_id".as("neighbor_id"))
+    truth.join(scored, Seq("q_id", "neighbor_id"), "left_semi")
+      .groupBy($"q_id").agg(count(lit(1)).as("n_overlap"))
+      .select($"q_id", $"n_overlap",
+        round($"n_overlap".cast("double") / 10, 4).as("recall_at_10"))
+      .orderBy($"q_id")
+  }
+
+  private val embProjRecallSql =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |truth AS (
+      |  SELECT q_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS q_id, b.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        list_dot_product(b.e, q.e) /
+      |          (sqrt(list_dot_product(b.e, b.e)) * sqrt(list_dot_product(q.e, q.e))) DESC,
+      |        b.vec_id) AS rk
+      |    FROM v q JOIN v b ON b.vec_id <> q.vec_id
+      |    WHERE q.vec_id < 10)
+      |  WHERE rk <= 10),
+      |signs AS (
+      |  SELECT i, j,
+      |    CASE WHEN CAST(('0x' || substr(md5('rp:' || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 4))
+      |      AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS s
+      |  FROM range(0, 64) a(i), range(0, 8) b(j)),
+      |cells AS (
+      |  SELECT vec_id, i, CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+      |  FROM embeddings, range(0, 64) t(i)),
+      |proj AS (
+      |  SELECT vec_id, list(y ORDER BY j) AS py FROM (
+      |    SELECT vec_id, j, CAST(sum(s * q) AS BIGINT) AS y
+      |    FROM cells JOIN signs USING (i) GROUP BY vec_id, j)
+      |  GROUP BY vec_id),
+      |pn AS (
+      |  SELECT vec_id, py,
+      |    CAST(list_reduce([py[k] * py[k] for k in range(1, 9)], (x, y) -> x + y) AS BIGINT) AS nn
+      |  FROM proj),
+      |ps AS (
+      |  SELECT q.vec_id AS q_id, b.vec_id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |      CAST(list_reduce([b.py[k] * q.py[k] for k in range(1, 9)], (x, y) -> x + y) AS DOUBLE)
+      |        / (sqrt(CAST(b.nn AS DOUBLE)) * sqrt(CAST(q.nn AS DOUBLE))) DESC,
+      |      b.vec_id) AS rk
+      |  FROM pn q JOIN pn b ON b.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 10),
+      |hits AS (
+      |  SELECT t.q_id, count(*) AS n_overlap
+      |  FROM truth t JOIN ps ON ps.q_id = t.q_id AND ps.neighbor_id = t.neighbor_id
+      |    AND ps.rk <= 10
+      |  GROUP BY t.q_id)
+      |SELECT q_id, n_overlap, round(CAST(n_overlap AS DOUBLE) / 10, 4) AS recall_at_10
+      |FROM hits ORDER BY q_id""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q_tree_stump", qTreeStump _, qTreeStumpSql),
     QueryDef.sql("q_welch_ttest", qWelchTtest _, qWelchTtestSql),
     QueryDef.sql("q_permutation_test", qPermutationTest _, qPermutationTestSql),
-    QueryDef.sql("emb_rand_proj", embRandProj _, embRandProjSql))
+    QueryDef.sql("emb_rand_proj", embRandProj _, embRandProjSql),
+    QueryDef.sql("emb_proj_recall", embProjRecall _, embProjRecallSql))
 }

@@ -51,6 +51,19 @@ class LearnSpec extends GraftSuite {
     assert(out.agg(sum(abs($"y"))).collect().head.getLong(0) > 0)
   }
 
+  test("projection recall is bounded and the sketch finds real neighbors") {
+    val rows = LearnQ.embProjRecall(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_overlap")
+      assert(n >= 1 && n <= 10)
+      assert(r.getAs[Double]("recall_at_10") === n / 10.0)
+    }
+    // 8 of 64 dims is a LOSSY sketch — the eval exists to measure
+    // that; the bar is beating chance (10/500 per query), not fidelity
+    assert(rows.map(_.getAs[Long]("n_overlap")).sum >= rows.length)
+  }
+
   test("type inference recovers the orders schema from strings") {
     val m = MineQ.etlTypeInfer(spark, sf0001).collect()
       .map(r => r.getAs[String]("col_name") -> r.getAs[String]("inferred_type")).toMap
