@@ -410,4 +410,37 @@ class PlanSpec extends GraftSuite {
     assert(unpartitioned.forall(_.contains("__t0")),
       s"abc: unpartitioned window over row-level data:\n${unpartitioned.mkString("\n")}")
   }
+
+  test("bitmap distinct is aggregate-only: no sort, no window, no join before the merge") {
+    val p = plan(graft.queries.OptimQ.qBitmapDistinct(spark, sf001))
+    // the word fold and popcount are hash aggregates; the only join is
+    // the 5-row summary merge against the count(distinct) contract side
+    assert(!p.contains("WindowExec"), s"bitmap: window crept in:\n$p")
+    assert(p.contains("HashAggregate"), s"bitmap: no hash aggregate:\n$p")
+  }
+
+  test("RAKE word-score join carries no broadcast hint (the vocabulary rule)") {
+    withSQLConf(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p = plan(graft.queries.MineQ.textKeywords(spark, sf001))
+      // with hints impossible (thresholds off), a broadcast join could
+      // only come from an explicit hint on the vocabulary-sized
+      // word-score table — pin its absence
+      assert(!p.contains("BroadcastHashJoin"),
+        s"keywords: vocabulary table carries a broadcast hint:\n$p")
+    }
+  }
+
+  test("temporal join keys on the customer: a hash join, never a cross product") {
+    val p = plan(graft.queries.TemporalQ.qTemporalJoin(spark, sf001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"temporal join degenerated to a cross product:\n$p")
+  }
+
+  test("rendezvous sharding is map-side until the 5-row summary") {
+    val p = plan(graft.queries.ShardQ.etlRendezvousShard(spark, sf001))
+    // one explode + argmax aggregate; no join anywhere in the plan
+    assert(!p.contains("Join"), s"rendezvous: unexpected join:\n$p")
+  }
 }
