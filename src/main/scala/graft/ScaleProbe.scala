@@ -588,6 +588,22 @@ object ScaleProbe {
     // constant
     probeGrowth("mahalanobis", base, emb2,
       dir => graft.queries.OptimQ.embMahalanobis(spark, dir))
+    // WAV energy: per-row codec map — strictly scan-proportional
+    probeGrowth("audio_energy", base, docs2,
+      dir => graft.queries.SimilarityQ.mmAudioEnergy(spark, dir))
+    // rendezvous: per-doc explode + argmax, no join — scan-bound
+    probeGrowth("rendezvous_shard", base, docs2,
+      dir => graft.queries.ShardQ.etlRendezvousShard(spark, dir))
+    // partition digest: map-side XOR fold to month-cardinality rows
+    probeGrowth("partition_digest", base, out,
+      dir => graft.queries.ShardQ.etlPartitionDigest(spark, dir))
+    // PACF: the lag join runs over the day-cardinality aggregate;
+    // 2× events only grow the pre-aggregation scan
+    probeGrowth("pacf", base, events2,
+      dir => graft.queries.ShardQ.tsPacf(spark, dir))
+    // backtest: calendar-bounded like holt; 10× orders same series
+    probeGrowth("backtest", base, out,
+      dir => graft.queries.RobustQ.tsBacktest(spark, dir))
     spark.stop()
   }
 }
