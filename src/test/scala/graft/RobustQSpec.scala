@@ -43,4 +43,16 @@ class RobustQSpec extends GraftSuite {
     assert(r.getAs[Long]("n_not_in_nullfree") === r.getAs[Long]("n_not_exists"))
     assert(r.getAs[Long]("n_not_exists") > 0L)
   }
+
+  test("header mapping recovers every canonical column despite typos") {
+    val rows = graft.queries.HeaderQ.etlHeaderMap(spark, sf0001).collect()
+    val orders = Tables(spark, sf0001).orders.columns.toSet
+    assert(rows.length === orders.size)
+    // every corrupted header maps back to a distinct canonical column
+    assert(rows.map(_.getAs[String]("mapped_to")).toSet === orders)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("accepted"))
+      assert(r.getAs[Long]("distance") >= 1) // the corruption really happened
+    }
+  }
 }
