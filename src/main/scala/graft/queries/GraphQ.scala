@@ -38,7 +38,11 @@ object GraphQ {
     LabelProp.run(edges, rounds = 3).orderBy($"node")
   }
 
-  private val qLabelPropSql = {
+  /** Shared oracle prefix: the trade-graph edge list + 3 unrolled LPA
+    * rounds, ending with labels in CTE `l3` — consumed by both
+    * q_label_prop and q_modularity so the two gates can never drift.
+    */
+  private val lpaRoundsSql: String = {
     def round(k: Int) =
       s"""c$k AS (
          |  SELECT e.u AS n, l.label, count(*) AS c
@@ -47,16 +51,87 @@ object GraphQ {
          |  SELECT n, label, row_number() OVER (PARTITION BY n ORDER BY c DESC, label) AS rk
          |  FROM c$k),
          |l$k AS (SELECT n AS node, label FROM r$k WHERE rk = 1)""".stripMargin
-    s"""WITH d AS (
+    s"""d AS (
        |  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
        |                  'c' || CAST(o_custkey AS VARCHAR) AS dst
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |  WHERE l_quantity >= 45),
        |e AS (SELECT src AS u, dst AS v FROM d UNION SELECT dst, src FROM d),
        |l0 AS (SELECT DISTINCT u AS node, u AS label FROM e),
-       |${(1 to 3).map(round).mkString(",\n")}
-       |SELECT node, label FROM l3 ORDER BY node""".stripMargin
+       |${(1 to 3).map(round).mkString(",\n")}""".stripMargin
   }
+
+  private val qLabelPropSql =
+    s"""WITH $lpaRoundsSql
+       |SELECT node, label FROM l3 ORDER BY node""".stripMargin
+
+  // ------------------------------------------------------------ q_modularity
+
+  /** Newman modularity of the label-propagation communities — the
+    * quality score that tells you whether the partition the LPA gate
+    * found actually means anything. Q = Σ_c (e_c/m − (d_c/2m)²) is
+    * evaluated in EXACT integer units as 4m²Q = Σ_c (4·m·e_c − d_c²)
+    * (one final division to the rounded double), so the gate
+    * hash-matches however the doubles would have associated. Shape:
+    * the edge list is consumed three times (labels, degrees,
+    * intra-community count) but each pass is one aggregate; every
+    * table after the LPA rounds is community-cardinality metadata.
+    * Edge count rides along in-plan as a one-row cross join (the q22
+    * scalar rule) — no collect.
+    */
+  def qModularity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val d = t.lineitem
+      .filter($"l_quantity" >= 45)
+      .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .select(concat(lit("s"), $"l_suppkey").as("src"),
+        concat(lit("c"), $"o_custkey").as("dst"))
+      .distinct()
+    val lab = LabelProp.run(d, rounds = 3)
+    val sym = d.select($"src".as("u")).union(d.select($"dst"))
+    val deg = sym.groupBy($"u".as("node")).agg(count(lit(1)).as("deg"))
+    val dc = deg.join(lab, "node")
+      .groupBy($"label").agg(sum($"deg").as("d_c"))
+    val ec = d
+      .join(lab.select($"node".as("src"), $"label".as("ls")), "src")
+      .join(lab.select($"node".as("dst"), $"label".as("ld")), "dst")
+      .filter($"ls" === $"ld")
+      .groupBy($"ls".as("label")).agg(count(lit(1)).as("e_c"))
+    val m = d.agg(count(lit(1)).as("m"))
+    dc.join(ec, Seq("label"), "left")
+      .crossJoin(m)
+      .select($"label",
+        (lit(4L) * $"m" * coalesce($"e_c", lit(0L)) - $"d_c" * $"d_c").as("contrib"),
+        $"m")
+      .agg(count(lit(1)).as("n_communities"), max($"m").as("m_edges"),
+        sum($"contrib").as("q_times_4m2"))
+      .select($"n_communities", $"m_edges", $"q_times_4m2",
+        round($"q_times_4m2".cast("double") /
+          (lit(4.0) * $"m_edges" * $"m_edges"), 6).as("modularity"))
+  }
+
+  private val qModularitySql =
+    s"""WITH $lpaRoundsSql,
+       |deg AS (SELECT u AS node, count(*) AS deg FROM (
+       |    SELECT src AS u FROM d UNION ALL SELECT dst FROM d) GROUP BY 1),
+       |dc AS (
+       |  SELECT l.label, CAST(sum(deg) AS BIGINT) AS d_c
+       |  FROM deg JOIN l3 l ON deg.node = l.node GROUP BY 1),
+       |ec AS (
+       |  SELECT ls.label, count(*) AS e_c
+       |  FROM d JOIN l3 ls ON d.src = ls.node JOIN l3 ld ON d.dst = ld.node
+       |  WHERE ls.label = ld.label GROUP BY 1),
+       |m AS (SELECT count(*) AS m FROM d),
+       |per AS (
+       |  SELECT dc.label,
+       |    4 * m.m * coalesce(ec.e_c, 0) - dc.d_c * dc.d_c AS contrib, m.m
+       |  FROM dc LEFT JOIN ec ON dc.label = ec.label, m)
+       |SELECT count(*) AS n_communities, max(m) AS m_edges,
+       |  CAST(sum(contrib) AS BIGINT) AS q_times_4m2,
+       |  round(CAST(sum(contrib) AS BIGINT) /
+       |    (4.0 * max(m) * max(m)), 6) AS modularity
+       |FROM per""".stripMargin
 
   // ------------------------------------------------------ emb_hard_negatives
 
@@ -155,6 +230,7 @@ object GraphQ {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q_label_prop", qLabelProp _, qLabelPropSql),
+    QueryDef.sql("q_modularity", qModularity _, qModularitySql),
     QueryDef.sql("emb_hard_negatives", embHardNegatives _, embHardNegativesSql),
     QueryDef.sql("q_running_distinct", qRunningDistinct _, qRunningDistinctSql))
 }
