@@ -604,6 +604,45 @@ object ScaleProbe {
     // backtest: calendar-bounded like holt; 10× orders same series
     probeGrowth("backtest", base, out,
       dir => graft.queries.RobustQ.tsBacktest(spark, dir))
+
+    // ---- round-7 session-3 waves (K/L/M) ----
+    // CDC compaction under 10× facts: one shuffle on the key, window
+    // per key — time must track input, never input²
+    probeGrowth("cdc_apply", base, out,
+      dir => graft.queries.CurateQ.etlCdcApply(spark, dir))
+    // expectations: one scan + one distinct agg, constant output
+    probeGrowth("expectations", base, out,
+      dir => graft.queries.CurateQ.etlExpectations(spark, dir))
+    // NB classifier: vocabulary saturates under 2× docs (the bpe rule)
+    probeGrowth("naive_bayes", base, docs2,
+      dir => graft.queries.CurateQ.qNaiveBayes(spark, dir))
+    probeGrowth("distinctive_terms", base, docs2,
+      dir => graft.queries.CurateQ.corpusDistinctiveTerms(spark, dir))
+    // DTW / AR / periodogram / seasonality: day-cardinality state —
+    // 2× events changes the counts, not the series length
+    probeGrowth("dtw", base, events2,
+      dir => graft.queries.CurateQ.tsDtw(spark, dir))
+    probeGrowth("ar_forecast", base, events2,
+      dir => graft.queries.InsightQ.tsArForecast(spark, dir))
+    probeGrowth("periodogram", base, events2,
+      dir => graft.queries.InsightQ.tsPeriodogram(spark, dir))
+    probeGrowth("seasonality", base, events2,
+      dir => graft.queries.EvalQ.qSeasonalityStrength(spark, dir))
+    probeGrowth("power_analysis", base, events2,
+      dir => graft.queries.EvalQ.qPowerAnalysis(spark, dir))
+    // modularity: LPA rounds + community metadata over the trade graph
+    probeGrowth("modularity", base, out,
+      dir => graft.queries.GraphQ.qModularity(spark, dir))
+    probeGrowth("revenue_bridge", base, out,
+      dir => graft.queries.InsightQ.qRevenueBridge(spark, dir))
+    probeGrowth("train_holdout", base, docs2,
+      dir => graft.queries.InsightQ.corpusTrainHoldout(spark, dir))
+    probeGrowth("bpe_train", base, docs2,
+      dir => graft.queries.EvalQ.textBpeTrain(spark, dir))
+    probeGrowth("cluster_purity", base, emb2,
+      dir => graft.queries.EvalQ.embClusterPurity(spark, dir))
+    probeGrowth("freshness_audit", base, out,
+      dir => graft.queries.EvalQ.etlFreshnessAudit(spark, dir))
     spark.stop()
   }
 }

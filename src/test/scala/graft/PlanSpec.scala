@@ -194,6 +194,36 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("naive-bayes/distinctive-terms vocabulary joins carry no broadcast hint") {
+    // the class-count and document-frequency tables are vocabulary-
+    // cardinality (the tfidf rule): with AQE and auto-broadcast off,
+    // only a hint could broadcast, so the token joins must be able to
+    // plan sort-merge
+    withSQLConf(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      for ((name, df) <- Seq(
+          "q_naive_bayes" -> graft.queries.CurateQ.qNaiveBayes(spark, sf001),
+          "corpus_distinctive_terms" ->
+            graft.queries.CurateQ.corpusDistinctiveTerms(spark, sf001))) {
+        val p = plan(df)
+        assert(p.contains("SortMergeJoin"),
+          s"$name: vocabulary join is not sort-merge — a broadcast hint is forcing it:\n$p")
+      }
+    }
+  }
+
+  test("CDC apply plans exactly one shuffle for the compaction window") {
+    val p = plan(graft.queries.CurateQ.etlCdcApply(spark, sf001))
+    // the four log branches union WITHOUT a shuffle; the key-window
+    // compaction and the status rollup are the only exchanges
+    assert(p.contains("Window"), s"no compaction window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"quadratic operator in CDC apply:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 3, s"CDC apply plans $exchanges exchanges (expected <= 3):\n$p")
+  }
+
   test("skyline plans two window stages: salted local pass before the global pass") {
     val df = graft.operators.Skyline.pareto(
       Tables(spark, sf001).part
