@@ -226,11 +226,65 @@ object GraphQ {
       |FROM dau d LEFT JOIN firsts f ON d.day = f.day
       |ORDER BY d.day""".stripMargin
 
+  // ---------------------------------------------------------------- q_hits
+  /** HITS hubs-and-authorities over the bipartite customer→part
+    * purchase graph, two full update rounds (h←Σa, a←Σh), max-
+    * normalized to e6 INTEGERS between rounds so every score is
+    * exact and the oracle unrolls the identical arithmetic (the
+    * q_pagerank/q_label_prop pattern — no float drift across
+    * iterations). Top-20 authority parts surface.
+    *
+    * Scale shape: the distinct edge list builds with one shuffle;
+    * each half-round is one equi-join of edges against the
+    * node-cardinality score table plus a key-grouped sum; the
+    * normalizer is a broadcast 1-row max. With a₀ constant the first
+    * hub update collapses to a degree count — computed directly.
+    */
+  def qHits(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val e = t.orders.select($"o_orderkey", $"o_custkey")
+      .join(t.lineitem.select($"l_orderkey", $"l_partkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("c"), $"l_partkey".as("p"))
+      .distinct()
+    def normed(df: DataFrame, col0: String): DataFrame = {
+      val m = df.agg(max(expr(col0)).as("mx"))
+      df.crossJoin(broadcast(m))
+        .withColumn(col0 + "n", expr(s"($col0 * 1000000) div mx"))
+        .drop("mx", col0)
+    }
+    val h1 = normed(e.groupBy($"c")
+      .agg((count(lit(1)) * lit(1000000L)).as("h")), "h")
+    val a1 = normed(e.join(h1, "c").groupBy($"p").agg(sum($"hn").as("a")), "a")
+    val h2 = normed(e.join(a1, "p").groupBy($"c").agg(sum($"an").as("h")), "h")
+    val a2 = normed(e.join(h2, "c").groupBy($"p").agg(sum($"hn").as("a")), "a")
+    a2.select($"p".as("p_partkey"), $"an".as("auth_e6"),
+        expr("round(an / 1e6, 6)").as("auth"))
+      .orderBy($"auth_e6".desc, $"p_partkey").limit(20)
+  }
+
+  private val qHitsSql =
+    """WITH e AS (
+      |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |h1 AS (SELECT c, count(*) * 1000000 AS h FROM e GROUP BY c),
+      |h1n AS (SELECT c, (h * 1000000) // (SELECT max(h) FROM h1) AS hn FROM h1),
+      |a1 AS (SELECT p, CAST(sum(hn) AS BIGINT) AS a FROM e JOIN h1n USING (c) GROUP BY p),
+      |a1n AS (SELECT p, (a * 1000000) // (SELECT max(a) FROM a1) AS an FROM a1),
+      |h2 AS (SELECT c, CAST(sum(an) AS BIGINT) AS h FROM e JOIN a1n USING (p) GROUP BY c),
+      |h2n AS (SELECT c, (h * 1000000) // (SELECT max(h) FROM h2) AS hn FROM h2),
+      |a2 AS (SELECT p, CAST(sum(hn) AS BIGINT) AS a FROM e JOIN h2n USING (c) GROUP BY p),
+      |a2n AS (SELECT p, (a * 1000000) // (SELECT max(a) FROM a2) AS an FROM a2)
+      |SELECT p AS p_partkey, an AS auth_e6, round(an / 1e6, 6) AS auth
+      |FROM a2n ORDER BY auth_e6 DESC, p_partkey LIMIT 20""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q_label_prop", qLabelProp _, qLabelPropSql),
     QueryDef.sql("q_modularity", qModularity _, qModularitySql),
     QueryDef.sql("emb_hard_negatives", embHardNegatives _, embHardNegativesSql),
-    QueryDef.sql("q_running_distinct", qRunningDistinct _, qRunningDistinctSql))
+    QueryDef.sql("q_running_distinct", qRunningDistinct _, qRunningDistinctSql),
+    QueryDef.sql("q_hits", qHits _, qHitsSql))
 }

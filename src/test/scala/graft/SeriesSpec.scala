@@ -1,0 +1,87 @@
+package graft
+
+import graft.queries.SeriesQ
+import org.apache.spark.sql.functions._
+
+/** Round-7 wave R (queries/SeriesQ.scala) — SAX / Bollinger / rolling corr. */
+class SeriesSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def dailyRevenue(dir: String): Array[(Long, Long)] =
+    Tables(spark, dir).lineitem
+      .select(expr("unix_micros(l_shipdate) div 86400000000").as("day"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
+      .groupBy($"day").agg(expr("sum(c) div 100").as("y"))
+      .orderBy($"day")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+  test("sax: valid alphabet, symbol agrees with paa, weighted paa sums to ~0") {
+    val rows = SeriesQ.tsSax(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sym = r.getAs[String]("sym"); val paa = r.getAs[Double]("paa")
+      assert(Set("a", "b", "c", "d").contains(sym))
+      val expected =
+        if (paa < -0.6745) "a" else if (paa < 0) "b"
+        else if (paa < 0.6745) "c" else "d"
+      assert(sym === expected, s"paa $paa")
+    }
+    // z-scores average to zero, so the day-weighted PAA mean must too
+    val weighted = rows.map(r => r.getAs[Long]("n_days") * r.getAs[Double]("paa")).sum
+    val nDays = rows.map(_.getAs[Long]("n_days")).sum
+    assert(math.abs(weighted / nDays) < 1e-3)
+  }
+
+  test("bollinger bands match a direct rolling recomputation") {
+    val daily = dailyRevenue(sf0001)
+    val expected = daily.sliding(20).map { w =>
+      val day = w.last._1; val y = w.last._2
+      val s = w.map(_._2).sum; val q = w.map(v => v._2 * v._2).sum
+      val mean = s.toDouble / 20
+      val sd = math.sqrt((20.0 * q - s.toDouble * s) / (20.0 * 19))
+      (day, y, mean, math.abs(y - mean) > 2 * sd)
+    }.toArray
+    val rows = SeriesQ.tsBollinger(spark, sf0001).collect()
+    assert(rows.length === expected.length)
+    rows.zip(expected).foreach { case (r, (day, y, mean, breach)) =>
+      assert(r.getAs[Long]("day") === day)
+      assert(r.getAs[Long]("y") === y)
+      assert(math.abs(r.getAs[Double]("mean") - mean) < 1e-3)
+      assert(r.getAs[Double]("lower") <= r.getAs[Double]("mean"))
+      assert(r.getAs[Double]("upper") >= r.getAs[Double]("mean"))
+      val flagged = r.getAs[Boolean]("breach_hi") || r.getAs[Boolean]("breach_lo")
+      assert(flagged === breach, s"day $day")
+      assert(!(r.getAs[Boolean]("breach_hi") && r.getAs[Boolean]("breach_lo")))
+    }
+  }
+
+  test("rolling correlation matches a direct recomputation and stays in [-1,1]") {
+    val daily = Tables(spark, sf0001).events
+      .select(expr("unix_micros(ts) div 86400000000").as("day"), $"event_type")
+      .groupBy($"day")
+      .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)).as("a"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("b"))
+      .orderBy($"day")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = daily.sliding(14).map { w =>
+      val c = 14.0
+      val sa = w.map(_._2).sum; val sb = w.map(_._3).sum
+      val saa = w.map(v => v._2 * v._2).sum; val sbb = w.map(v => v._3 * v._3).sum
+      val sab = w.map(v => v._2 * v._3).sum
+      val den = math.sqrt(c * saa - sa.toDouble * sa) * math.sqrt(c * sbb - sb.toDouble * sb)
+      (w.last._1, if (den == 0) None else Some((c * sab - sa.toDouble * sb) / den))
+    }.toArray
+    val rows = SeriesQ.tsRollingCorr(spark, sf0001).collect()
+    assert(rows.length === expected.length)
+    rows.zip(expected).foreach { case (r, (day, corr)) =>
+      assert(r.getAs[Long]("day") === day)
+      val got = Option(r.getAs[Any]("corr14")).map(_.asInstanceOf[Double])
+      (got, corr) match {
+        case (Some(g), Some(e)) =>
+          assert(math.abs(g - e) < 1e-4); assert(g >= -1.0 && g <= 1.0)
+        case (None, None) =>
+        case other => fail(s"day $day: $other")
+      }
+    }
+  }
+}
