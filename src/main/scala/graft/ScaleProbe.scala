@@ -123,8 +123,13 @@ object ScaleProbe {
     // generic 2×-corpus probe: time + output rows at base and doubled
     // input; compute tracks OUTPUT on a scale-safe plan, input² on a
     // broken one
+    // SPARK_GRAFT_PROBE_ONLY=a,b,c restricts the growth probes by
+    // label (iteration aid, mirrors SPARK_GRAFT_VERIFY_ONLY)
+    val probeOnly = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     def probeGrowth(label: String, baseDir: String, bigDir: String,
                     run: String => org.apache.spark.sql.DataFrame): Unit = {
+      if (!probeOnly.forall(_.contains(label))) return
       def one(dir: String): (Double, Long) = {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
@@ -643,6 +648,70 @@ object ScaleProbe {
       dir => graft.queries.EvalQ.embClusterPurity(spark, dir))
     probeGrowth("freshness_audit", base, out,
       dir => graft.queries.EvalQ.etlFreshnessAudit(spark, dir))
+
+    // ---- round-7 session-4 waves (O/P/Q/R/S) ----
+    // rank metrics: distinct-score state is bounded by the e4 score
+    // domain (≤10k rows) — 2× docs grow the scan, never the windows
+    probeGrowth("roc_auc", base, docs2,
+      dir => graft.queries.MetricsQ.qRocAuc(spark, dir))
+    probeGrowth("pr_curve", base, docs2,
+      dir => graft.queries.MetricsQ.qPrCurve(spark, dir))
+    probeGrowth("log_loss", base, docs2,
+      dir => graft.queries.MetricsQ.qLogLoss(spark, dir))
+    // retrieval eval: queries stay label-cardinality; scoring is
+    // map-side per vector — 2× vectors ⇒ ~2× scored rows
+    probeGrowth("ndcg", base, emb2,
+      dir => graft.queries.RankQ.qNdcg(spark, dir))
+    probeGrowth("mrr", base, emb2,
+      dir => graft.queries.RankQ.qMrr(spark, dir))
+    probeGrowth("rrf_fusion", base, emb2,
+      dir => graft.queries.RankQ.qRrfFusion(spark, dir))
+    // regression diagnostics: day-cardinality sufficient statistics;
+    // 10× facts grow only the first map-side reduction
+    probeGrowth("regression_diag", base, out,
+      dir => graft.queries.DiagQ.qRegressionDiagnostics(spark, dir))
+    probeGrowth("breusch_pagan", base, out,
+      dir => graft.queries.DiagQ.qBreuschPagan(spark, dir))
+    // series analytics: calendar-bounded windows (the holt rule)
+    probeGrowth("sax", base, out,
+      dir => graft.queries.SeriesQ.tsSax(spark, dir))
+    probeGrowth("bollinger", base, out,
+      dir => graft.queries.SeriesQ.tsBollinger(spark, dir))
+    probeGrowth("rolling_corr", base, events2,
+      dir => graft.queries.SeriesQ.tsRollingCorr(spark, dir))
+    // governance: map-side tokens + key-cardinality proofs
+    probeGrowth("pseudonymize", base, out,
+      dir => graft.queries.GovQ.etlPseudonymize(spark, dir))
+    probeGrowth("retention_sweep", base, out,
+      dir => graft.queries.GovQ.etlRetentionSweep(spark, dir))
+    // HITS: replicated orders repeat the same (customer, part) pairs —
+    // the distinct edge set saturates (the label_prop/kcore rule)
+    probeGrowth("hits", base, out,
+      dir => graft.queries.GraphQ.qHits(spark, dir))
+    // experimentation: user-cardinality sufficient stats (cuped),
+    // day-cardinality trajectory (msprt) — 2× events grow the scan only
+    probeGrowth("cuped", base, events2,
+      dir => graft.queries.ExperimentQ.qCuped(spark, dir))
+    probeGrowth("msprt", base, events2,
+      dir => graft.queries.ExperimentQ.qMsprt(spark, dir))
+    // KMV sketch: bounded 64-value heap per group — constant state
+    probeGrowth("theta_sketch", base, events2,
+      dir => graft.queries.InfraQ.qThetaSketch(spark, dir))
+    // zone maps / Little's law: month-cardinality metadata outputs
+    probeGrowth("zone_map", base, out,
+      dir => graft.queries.InfraQ.etlZoneMap(spark, dir))
+    probeGrowth("little_law", base, out,
+      dir => graft.queries.InfraQ.qLittleLaw(spark, dir))
+    // survey sampling: map-side md5 membership + stratum-cardinality
+    // sufficient statistics
+    probeGrowth("horvitz_thompson", base, out,
+      dir => graft.queries.SamplingQ.qHorvitzThompson(spark, dir))
+    probeGrowth("neyman_allocation", base, out,
+      dir => graft.queries.SamplingQ.qNeymanAllocation(spark, dir))
+    probeGrowth("importance_weights", base, docs2,
+      dir => graft.queries.SamplingQ.corpusImportanceWeights(spark, dir))
+    probeGrowth("cohens_kappa", base, docs2,
+      dir => graft.queries.SamplingQ.qCohensKappa(spark, dir))
     spark.stop()
   }
 }

@@ -473,4 +473,58 @@ class PlanSpec extends GraftSuite {
     // one explode + argmax aggregate; no join anywhere in the plan
     assert(!p.contains("Join"), s"rendezvous: unexpected join:\n$p")
   }
+
+  test("roc auc / pr curve: unpartitioned windows touch only PrefixSum bucket totals") {
+    for (df <- Seq(graft.queries.MetricsQ.qRocAuc(spark, sf001),
+        graft.queries.MetricsQ.qPrCurve(spark, sf001))) {
+      val p = plan(df)
+      val unpartitioned = p.split("\n").filter(l =>
+        l.contains("windowspecdefinition(") && !l.contains("windowspecdefinition(__bucket"))
+      assert(unpartitioned.forall(_.contains("__t0")),
+        s"rank metric: unpartitioned window over row-level data:\n${unpartitioned.mkString("\n")}")
+    }
+  }
+
+  test("confusion matrix and log loss are single-aggregate plans: no join, no window") {
+    for (df <- Seq(graft.queries.MetricsQ.qConfusionMetrics(spark, sf001),
+        graft.queries.MetricsQ.qLogLoss(spark, sf001))) {
+      val p = plan(df)
+      assert(!p.contains("Join"), s"pointwise metric: unexpected join:\n$p")
+      assert(!p.contains("WindowExec"), s"pointwise metric: unexpected window:\n$p")
+    }
+  }
+
+  test("ndcg rankings run through bounded GroupTopK heaps, queries broadcast") {
+    val p = plan(graft.queries.RankQ.qNdcg(spark, sf001))
+    assert(p.contains("GroupTopK"), s"ndcg: TopK did not rewrite to the native heap:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"ndcg: query set lost its broadcast:\n$p")
+  }
+
+  test("mrr derives first-relevant rank with no window at all") {
+    val p = plan(graft.queries.RankQ.qMrr(spark, sf001))
+    assert(!p.contains("WindowExec") && !p.contains("GroupTopK"),
+      s"mrr: ranking operator crept in — the count-based plan regressed:\n$p")
+  }
+
+  test("sax is aggregate-only; bollinger windows never see row-level lineitem") {
+    val ps = plan(graft.queries.SeriesQ.tsSax(spark, sf001))
+    assert(!ps.contains("WindowExec"), s"sax: window crept in:\n$ps")
+    val pb = plan(graft.queries.SeriesQ.tsBollinger(spark, sf001))
+    val windowLines = pb.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(!_.contains("l_")),
+      s"bollinger: window over raw lineitem columns:\n${windowLines.mkString("\n")}")
+  }
+
+  test("pseudonymize proof joins stay hash joins on the token") {
+    val p = plan(graft.queries.GovQ.etlPseudonymize(spark, sf001))
+    assert(!p.contains("CartesianProduct"),
+      s"pseudonymize: token join degenerated to a cross product:\n$p")
+  }
+
+  test("hits rounds join edges to node-cardinality score tables, never quadratic") {
+    val p = plan(graft.queries.GraphQ.qHits(spark, sf001))
+    assert(!p.contains("CartesianProduct"), s"hits: cross product crept in:\n$p")
+    assert(p.contains("HashAggregate"), s"hits: no hash aggregate:\n$p")
+  }
 }
