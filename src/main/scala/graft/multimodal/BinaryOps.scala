@@ -240,6 +240,66 @@ object BinaryOps {
       }
   }
 
+  final case class TarShard(
+      source: String, n_members: Long, member_bytes: Long,
+      shard_bytes: Long, headers_ok: Boolean, members_md5: String)
+
+  /** Pack each source's documents into ONE ustar shard (members named
+    * `doc_<id>.txt`, id ascending) — the WebDataset shard-writer
+    * shape. One shuffle on the shard key; at 100 TB the shard key
+    * comes from `etl_binpack`'s planner so every shard is
+    * target-sized, and members stream through a shard writer instead
+    * of materializing per group (the group here is test-SF bounded).
+    */
+  def packTarShards(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("source"), col("doc_id"), col("text").cast("binary"))
+      .as[(String, Long, Array[Byte])]
+      .groupByKey(_._1)
+      .mapGroups { (src, it) =>
+        val members = it.toArray.sortBy(_._2)
+          .map { case (_, id, bytes) => Tar.Entry(s"doc_$id.txt", bytes) }
+        (src, Tar.encode(members.toIndexedSeq))
+      }
+      .toDF("source", "payload")
+  }
+
+  /** REAL shard read-back: walk the ustar archive (magic + checksum
+    * validated per member), reduce to exact accounting — member
+    * count, member bytes, container bytes — plus an order-sensitive
+    * content digest (md5 over the concatenated member md5s). The
+    * container arithmetic (512-byte headers, block padding, two-block
+    * end marker) is independently recomputable from the member sizes,
+    * so the oracle catches any layout drift. Per-row map, no shuffle;
+    * malformed shards degrade to a marked row (n_members −1), the
+    * PNG armor contract.
+    */
+  def tarShardStats(packed: DataFrame): Dataset[TarShard] = {
+    val spark = packed.sparkSession
+    import spark.implicits._
+    packed.select(col("source"), col("payload")).as[(String, Array[Byte])]
+      .map { case (src, bytes) =>
+        try {
+          val entries = Tar.decode(bytes)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hexes = entries.map { e =>
+            md.reset()
+            md.digest(e.data).map(b => f"${b & 0xff}%02x").mkString
+          }
+          md.reset()
+          val digest = md.digest(hexes.mkString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+            .map(b => f"${b & 0xff}%02x").mkString
+          TarShard(src, entries.length.toLong,
+            entries.map(_.data.length.toLong).sum,
+            bytes.length.toLong, headers_ok = true, digest)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            TarShard(src, -1L, 0L, bytes.length.toLong, headers_ok = false, "")
+        }
+      }
+  }
+
   /** Batched feature extraction: executors process fixed-size batches
     * inside each partition (amortizes per-batch codec setup exactly
     * like mapInPandas batches do).

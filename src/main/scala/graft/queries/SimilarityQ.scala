@@ -451,6 +451,34 @@ object SimilarityQ {
       |    ELSE 0.0 END AS rms_t
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** Training-shard containers through a REAL ustar (tar) codec
+    * ([[graft.multimodal.Tar]]) — the WebDataset layout: each source's
+    * documents pack into one tar shard (members `doc_<id>.txt`, id
+    * ascending), then the operator WALKS the archive back — magic and
+    * header checksum validated per member, octal sizes parsed, block
+    * padding skipped — and reduces each shard to exact accounting
+    * plus an order-sensitive member digest. **Exact oracle**: member
+    * bytes are the doc texts, so DuckDB recomputes the member totals,
+    * the container arithmetic (512·(1+⌈len/512⌉) per member + the
+    * 1024-byte end marker — any header/padding drift breaks it) and
+    * the md5-of-member-md5s digest straight from `documents`.
+    */
+  def mmTarShards(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    BinaryOps.tarShardStats(BinaryOps.packTarShards(Tables(spark, dir).documents))
+      .toDF()
+      .orderBy($"source")
+  }
+
+  private val mmTarShardsSql =
+    """SELECT source,
+      |  count(*) AS n_members,
+      |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS member_bytes,
+      |  CAST(sum(512 * (1 + (octet_length(encode(text)) + 511) // 512)) + 1024 AS BIGINT) AS shard_bytes,
+      |  TRUE AS headers_ok,
+      |  md5(string_agg(md5(text), '' ORDER BY doc_id)) AS members_md5
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   /** Tumbling 1-hour windows over the event stream — the identical
     * plan StreamingSpec drives through readStream+watermark; DuckDB
     * time_bucket oracle.
@@ -681,6 +709,7 @@ object SimilarityQ {
     QueryDef.sql("mm_featurize", mmFeaturize _, mmFeaturizeSql),
     QueryDef.sql("mm_frame_sample", mmFrameSample _, mmFrameSampleSql),
     QueryDef.sql("mm_audio_energy", mmAudioEnergy _, mmAudioEnergySql),
+    QueryDef.sql("mm_tar_shards", mmTarShards _, mmTarShardsSql),
     QueryDef.sql("mm_gif_frames", mmGifFrames _, mmGifFramesSql),
     QueryDef.sql("text_rolling_fp", textRollingFp _, textRollingFpSql),
     QueryDef.sql("stream_window_counts", streamWindowCounts _, streamWindowCountsSql),

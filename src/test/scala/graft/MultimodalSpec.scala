@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.{BinaryOps, Bmp}
+import graft.multimodal.{BinaryOps, Bmp, Tar}
 import org.apache.spark.sql.functions.{length, octet_length}
 
 class MultimodalSpec extends GraftSuite {
@@ -363,5 +363,49 @@ class MultimodalSpec extends GraftSuite {
     assert(out.n_frames === 1L)
     assert(out.peak_abs === samples.map(math.abs).max)
     assert(out.sum_sq === samples.map(s => s * s).sum)
+  }
+
+  test("tar round-trips members incl. empty, block-aligned and 100-char names") {
+    val members = Seq(
+      Tar.Entry("empty.txt", Array.emptyByteArray),
+      Tar.Entry("a" * 96 + ".txt", Array.fill[Byte](512)(7)), // exactly one block
+      Tar.Entry("plain.txt", "hello tar".getBytes),
+      Tar.Entry("big.bin", Array.tabulate[Byte](1300)(i => (i % 251).toByte)))
+    val archive = Tar.encode(members)
+    assert(archive.length % 512 === 0)
+    assert(Tar.isTar(archive))
+    val back = Tar.decode(archive)
+    assert(back.map(_.name) === members.map(_.name))
+    back.zip(members).foreach { case (b, m) => assert(b.data.toSeq === m.data.toSeq) }
+    // container arithmetic: 512·(1+⌈len/512⌉) per member + 1024 end marker
+    val expect = members.map(m => 512 * (1 + (m.data.length + 511) / 512)).sum + 1024
+    assert(archive.length === expect)
+  }
+
+  test("tar rejects corrupt headers; tarShardStats armors them") {
+    val good = Tar.encode(Seq(Tar.Entry("x.txt", "payload".getBytes)))
+    // flip a payload-size digit: checksum no longer matches
+    val bad = good.clone(); bad(125) = '7'
+    intercept[IllegalArgumentException](Tar.decode(bad))
+    // truncation loses the end marker
+    intercept[Exception](Tar.decode(good.take(good.length - 1024)))
+    intercept[IllegalArgumentException](Tar.decode("not a tar at all".getBytes))
+    val armored = BinaryOps.tarShardStats(
+      Seq(("good", good), ("bad", bad)).toDF("source", "payload"))
+      .collect().sortBy(_.source)
+    assert(armored(0).source === "bad" && armored(0).n_members === -1L && !armored(0).headers_ok)
+    assert(armored(1).source === "good" && armored(1).n_members === 1L && armored(1).headers_ok)
+  }
+
+  test("packTarShards groups by source with id-ordered doc members") {
+    val docs = Seq(
+      (3L, "cc", "s1"), (1L, "aa", "s1"), (2L, "bb", "s2"))
+      .toDF("doc_id", "text", "source")
+    val shards = BinaryOps.packTarShards(docs).collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val s1 = Tar.decode(shards("s1"))
+    assert(s1.map(_.name) === Seq("doc_1.txt", "doc_3.txt"))
+    assert(s1.map(e => new String(e.data)) === Seq("aa", "cc"))
+    assert(Tar.decode(shards("s2")).map(_.name) === Seq("doc_2.txt"))
   }
 }
