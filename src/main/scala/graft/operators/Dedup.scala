@@ -214,6 +214,27 @@ object Dedup {
     */
   private[graft] def lshCandidates(df: DataFrame, idCol: String, textCol: String,
                                    perms: Int, bands: Int): DataFrame = {
+    val bandSigs = bandSignatures(df, idCol, textCol, perms, bands)
+    bandSigs.as("a").join(bandSigs.as("b"), Seq("band", "bsig"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Per-doc (band, bsig) LSH keys — the blocking artifact both the
+    * self-join candidates and the asymmetric corpus-vs-benchmark
+    * probe build on. Band signature: md5 prefix of the band's slice
+    * of the MinHash signature (not xxhash64 — md5 exists in every
+    * engine, so the DuckDB oracle recomputes the banding keys
+    * exactly; 16 hex chars keep the shuffle narrow). Persisted: the
+    * downstream join would otherwise recompute the whole signature
+    * pipeline per side. Deliberately not unpersisted — the operator
+    * returns a lazy plan, so release would have to be the caller's
+    * post-materialization call; Spark's ContextCleaner reclaims the
+    * blocks once the DataFrame is GC'd.
+    */
+  private[graft] def bandSignatures(df: DataFrame, idCol: String, textCol: String,
+                                    perms: Int, bands: Int): DataFrame = {
     require(perms % bands == 0,
       s"perms ($perms) must be divisible by bands ($bands) — trailing permutations would be paid for but never banded")
     val rows = perms / bands
@@ -222,24 +243,39 @@ object Dedup {
     // carries docs, not docs × tokens × perms
     val sig = tok.groupBy($("id"))
       .agg(graft.functions.SketchAggs.minhash($("tok"), perms).as("sig"))
-    // band signature: md5 prefix of the band's slice of the signature
-    // (not xxhash64 — md5 exists in every engine, so the DuckDB
-    // oracle recomputes the banding keys exactly; 16 hex chars keep
-    // the shuffle narrow). Persisted: the self-join would otherwise
-    // recompute the whole signature pipeline for each side.
-    // Deliberately not unpersisted — the operator returns a lazy
-    // plan, so release would have to be the caller's
-    // post-materialization call; Spark's ContextCleaner reclaims the
-    // blocks once the DataFrame is GC'd.
-    val bandSigs = sig.select($("id"), posexplode(expr(
+    sig.select($("id"), posexplode(expr(
       s"transform(sequence(0, ${bands - 1}), b -> " +
         s"substr(md5(array_join(transform(slice(sig, b * $rows + 1, $rows), " +
         s"x -> cast(x as string)), ',')), 1, 16))")).as(Seq("band", "bsig")))
       .transform(persistTracked)
-    bandSigs.as("a").join(bandSigs.as("b"), Seq("band", "bsig"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+  }
+
+  /** Fuzzy decontamination: flag corpus documents NEAR-DUPLICATE to a
+    * benchmark document (exact 13-gram overlap is `text_decontaminate`;
+    * this catches paraphrased/partial leakage the exact shingle join
+    * misses). Asymmetric LSH: band signatures build ONCE over the
+    * whole table, then corpus keys equi-join only the benchmark's
+    * keys — the benchmark side is tiny, so candidate volume scales
+    * with corpus × P(band collision), never corpus². Verification is
+    * the exact token-set Jaccard at `tau`.
+    *
+    * @param isBench  predicate on the id column marking benchmark rows
+    */
+  def lshContaminated(df: DataFrame, idCol: String, textCol: String,
+                      isBench: Column => Column,
+                      perms: Int, bands: Int, tau: Double): DataFrame = {
+    val bandSigs = bandSignatures(df, idCol, textCol, perms, bands)
+    val bench = bandSigs.filter(isBench($("id")))
+      .select($("band"), $("bsig"), $("id").as("id_b"))
+    val cand = bandSigs.filter(!isBench($("id")))
+      .join(bench, Seq("band", "bsig"))
+      .select($("id").as("id_a"), $("id_b")).distinct()
+    val sets = tokenSets(df, idCol, textCol)
+    verifyJaccard(cand, sets, tau)
+      .groupBy($("id_a").as("doc_id"))
+      .agg(count(lit(1)).as("n_bench_hits"),
+        round(max($("jaccard")), 4).as("best_j"),
+        min($("id_b")).as("first_bench_id"))
   }
 
   /** Pre-sorted distinct-token sets, the verification operand. */

@@ -239,6 +239,41 @@ object DedupQ {
       |  round(CAST(n_verified AS DOUBLE) / n_truth, 4) AS recall
       |FROM c CROSS JOIN ver CROSS JOIN truth""".stripMargin
 
+  /** Fuzzy benchmark decontamination ([[Dedup.lshContaminated]]):
+    * `text_decontaminate` flags EXACT 13-gram overlap with the
+    * benchmark set (doc_id % 20 = 0, the same set); this flags
+    * corpus docs whose token-set Jaccard against a benchmark doc is
+    * ≥ 0.5 — paraphrased or partially-copied eval leakage the exact
+    * shingle join misses. Band signatures build once over the whole
+    * table; corpus keys probe ONLY the benchmark's keys, so candidate
+    * volume scales with corpus collisions against a tiny index, never
+    * corpus². The oracle composes the same shared MinHash CTE
+    * pipeline as the dedup gates (one definition — no drift) and
+    * keeps the mixed corpus/benchmark pairs of the symmetric
+    * candidate set, which is exactly the asymmetric probe's output.
+    */
+  def textDecontaminateFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.lshContaminated(Tables(spark, dir).documents, "doc_id", "text",
+        isBench = id => id % 20 === 0, perms = 128, bands = 16, tau = 0.5)
+      .orderBy($"doc_id")
+  }
+
+  private val textDecontaminateFuzzySql =
+    s"""$minhashCtes,
+      |jp AS (
+      |  SELECT CASE WHEN id_a % 20 = 0 THEN id_b ELSE id_a END AS doc_id,
+      |         CASE WHEN id_a % 20 = 0 THEN id_a ELSE id_b END AS bench_id,
+      |         len(list_intersect(a.toks, b.toks)) * 1.0 /
+      |           (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+      |  FROM cand JOIN ts a ON a.doc_id = id_a JOIN ts b ON b.doc_id = id_b
+      |  WHERE (id_a % 20 = 0) <> (id_b % 20 = 0))
+      |SELECT doc_id, count(*) AS n_bench_hits,
+      |  round(max(jaccard), 4) AS best_j,
+      |  min(bench_id) AS first_bench_id
+      |FROM jp WHERE jaccard >= 0.5
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** SimHash-64 near-dup pairs (Hamming <= 6) via 4×16-bit band
     * blocking. Fully deterministic — the token hash is the first 8
     * bytes of md5, so the DuckDB oracle recomputes the whole
@@ -463,6 +498,7 @@ object DedupQ {
     QueryDef.sql("dedup_ngram_jaccard", dedupNgramJaccard _, dedupNgramJaccardSql),
     QueryDef.sql("dedup_containment", dedupContainment _, dedupContainmentSql),
     QueryDef.sql("dedup_minhash_lsh", dedupMinhashLsh _, dedupMinhashLshSql),
+    QueryDef.sql("text_decontaminate_fuzzy", textDecontaminateFuzzy _, textDecontaminateFuzzySql),
     QueryDef.sql("dedup_minhash_eval", dedupMinhashEval _, dedupMinhashEvalSql),
     QueryDef.sql("dedup_simhash", dedupSimhash _, dedupSimhashSql),
     QueryDef.sql("dedup_embedding", dedupEmbedding _, dedupEmbeddingSql),

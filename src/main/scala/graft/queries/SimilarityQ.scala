@@ -278,6 +278,73 @@ object SimilarityQ {
       |r AS (SELECT q_id, neighbor_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, neighbor_id) AS rk FROM scored)
       |SELECT q_id, neighbor_id, round(c, 4) AS cosine, rk FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
 
+  /** Mutual-kNN graph clustering: the corpus-wide kNN graph
+    * (`ann_knn_join`'s exact plan) restricted to MUTUAL edges (a in
+    * b's top-5 AND b in a's top-5 — the standard sparsifier that
+    * drops hub-induced one-way edges), connected components by
+    * pointer-jumped min-label propagation ([[graft.operators
+    * .ClusterDedup]] — O(log diameter) rounds), and per-component
+    * label purity against the corpus labels — the unsupervised
+    * cluster structure read behind SemDeDup-style curation. The
+    * oracle composes the ann_knn_join SQL verbatim plus a recursive
+    * min-label CTE (the dedup_clusters recipe), so the whole
+    * composition — banding, scoring, ranking, mutuality, the
+    * iterative loop — is hash-matched end to end. Component
+    * cardinality output; the only data-sized work is the already-
+    * gated kNN join.
+    */
+  def embKnnComponents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).embeddings
+    // cosine floor at the corpus's measured similarity gap (0.45, the
+    // dedup_embedding threshold): mutual-kNN alone percolates into one
+    // giant component on near-uniform vectors; the floor keeps only
+    // edges inside genuine similarity clusters
+    val knn = Similarity.knnJoin(e, "vec_id", "embedding", k = 5)
+      .filter(col("cosine") >= 0.45)
+    val mutual = knn.as("a").join(knn.as("b"),
+        col("a.q_id") === col("b.neighbor_id") && col("a.neighbor_id") === col("b.q_id"))
+      .filter(col("a.q_id") < col("a.neighbor_id"))
+      .select(col("a.q_id").as("id_a"), col("a.neighbor_id").as("id_b"))
+    val comp = graft.operators.ClusterDedup.connectedComponents(mutual)
+    val pl = comp.join(e.select($"vec_id".as("id"), $"label"), "id")
+      .groupBy($"cluster", $"label").agg(count(lit(1)).as("nl"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"cluster")
+    pl.withColumn("rn", row_number().over(w.orderBy($"nl".desc, $"label")))
+      .withColumn("n_members", sum($"nl").over(w))
+      .withColumn("n_labels", count(lit(1)).over(w))
+      .filter($"rn" === 1)
+      .select($"cluster", $"n_members", $"n_labels",
+        $"label".as("top_label"), $"nl".as("top_n"),
+        round($"nl".cast("double") / $"n_members", 4).as("purity"))
+      .orderBy($"cluster")
+  }
+
+  private val embKnnComponentsSql =
+    s"""WITH RECURSIVE knn AS (SELECT * FROM ($annKnnJoinSql) WHERE cosine >= 0.45),
+      |mutual AS (
+      |  SELECT a.q_id AS id_a, a.neighbor_id AS id_b
+      |  FROM knn a JOIN knn b ON a.q_id = b.neighbor_id AND a.neighbor_id = b.q_id
+      |  WHERE a.q_id < a.neighbor_id),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM mutual UNION SELECT id_b, id_a FROM mutual),
+      |nodes AS (SELECT DISTINCT u AS id FROM edges),
+      |walk(id, lbl) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.u, w.lbl FROM walk w JOIN edges e ON e.v = w.id WHERE w.lbl < e.u),
+      |comp AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id),
+      |pl AS (
+      |  SELECT cluster, label, count(*) AS nl
+      |  FROM comp JOIN embeddings ON vec_id = id GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY nl DESC, label) AS rn,
+      |    CAST(sum(nl) OVER (PARTITION BY cluster) AS BIGINT) AS n_members,
+      |    CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_labels
+      |  FROM pl)
+      |SELECT cluster, n_members, n_labels, label AS top_label, nl AS top_n,
+      |  round(CAST(nl AS DOUBLE) / n_members, 4) AS purity
+      |FROM rk WHERE rn = 1 ORDER BY cluster""".stripMargin
+
   /** Binary payload stats: byte length + content digest of the packed
     * media column (DuckDB encode() parity).
     */
@@ -705,6 +772,7 @@ object SimilarityQ {
     QueryDef.sql("ann_pq_topk", annPq _, annPqSql),
     QueryDef.sql("ann_ivf_pq_topk", annIvfPq _, annIvfPqSql),
     QueryDef.sql("ann_knn_join", annKnnJoin _, annKnnJoinSql),
+    QueryDef.sql("emb_knn_components", embKnnComponents _, embKnnComponentsSql),
     QueryDef.sql("mm_binary_stats", mmBinaryStats _, mmBinaryStatsSql),
     QueryDef.sql("mm_featurize", mmFeaturize _, mmFeaturizeSql),
     QueryDef.sql("mm_frame_sample", mmFrameSample _, mmFrameSampleSql),

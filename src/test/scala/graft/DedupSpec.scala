@@ -179,6 +179,26 @@ class DedupSpec extends GraftSuite {
     assert(got.nonEmpty)
   }
 
+  test("lshContaminated flags near-copies of benchmark docs, never benchmark rows") {
+    // ids divisible by 20 are "benchmark"; doc 21 is a near-copy of
+    // bench doc 20 (one token changed of twelve), doc 22 is unrelated
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val df = Seq(
+      (20L, base),
+      (21L, base.replace("mu", "nu")),
+      (22L, "completely different words with no overlap whatsoever here at all"),
+      (40L, "another benchmark document about unrelated topics entirely"))
+      .toDF("doc_id", "text")
+    val out = Dedup.lshContaminated(df, "doc_id", "text",
+      isBench = id => id % 20 === 0, perms = 128, bands = 16, tau = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bench_hits"), r.getAs[Long]("first_bench_id"))).toMap
+    assert(out.contains(21L), "near-copy must flag")
+    assert(out(21L)._2 === 20L)
+    assert(!out.contains(22L), "unrelated doc must not flag")
+    assert(!out.contains(20L) && !out.contains(40L), "benchmark rows are never flagged")
+  }
+
   test("release() frees every intermediate a dedup run persisted") {
     spark.catalog.clearCache() // isolate from earlier suites' caches
     val before = spark.sparkContext.getPersistentRDDs.size

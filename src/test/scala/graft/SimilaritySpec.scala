@@ -103,4 +103,38 @@ class SimilaritySpec extends GraftSuite {
     val mean = rows.map(r => r.getDouble(r.fieldIndex("recall_at_10"))).sum / 10
     assert(mean > 0.2, s"IVF recall implausibly low: $mean")
   }
+
+  test("emb_knn_components: two tight clusters resolve to two pure components") {
+    import graft.operators.{ClusterDedup, Similarity}
+    def v(active: Int, eps: Float): Array[Float] =
+      Array.tabulate(64)(d => (if (d == active) 1.0f else 0.0f) + (if (d == 63) eps else 0.0f))
+    // cluster A (label 0) on axis 0, cluster B (label 1) on axis 7;
+    // tiny per-id jitter keeps vectors distinct but cosine ≈ 1 in-cluster
+    val rows = (0 until 3).map(i => (i.toLong, v(0, 0.01f * (i + 1)), 0)) ++
+      (3 until 6).map(i => (i.toLong, v(7, 0.01f * (i + 1)), 1))
+    val e = rows.toDF("vec_id", "embedding", "label")
+    val knn = Similarity.knnJoin(e, "vec_id", "embedding", k = 5)
+      .filter($"cosine" >= 0.45)
+    val mutual = knn.as("a").join(knn.as("b"),
+        $"a.q_id" === $"b.neighbor_id" && $"a.neighbor_id" === $"b.q_id")
+      .filter($"a.q_id" < $"a.neighbor_id")
+      .select($"a.q_id".as("id_a"), $"a.neighbor_id".as("id_b"))
+    val comp = ClusterDedup.connectedComponents(mutual).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.keySet === Set(0L, 1L, 2L, 3L, 4L, 5L))
+    assert(Set(comp(0L), comp(1L), comp(2L)).size === 1 && comp(0L) === 0L)
+    assert(Set(comp(3L), comp(4L), comp(5L)).size === 1 && comp(3L) === 3L)
+    assert(comp(0L) !== comp(3L), "the cosine floor must keep the clusters apart")
+  }
+
+  test("emb_knn_components gate: members >= 2 per component, purity in (0,1]") {
+    val rows = graft.queries.SimilarityQ.embKnnComponents(spark, sf0001).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_members") >= 2L)
+      val p = r.getAs[Double]("purity")
+      assert(p > 0.0 && p <= 1.0)
+      assert(r.getAs[Long]("top_n") <= r.getAs[Long]("n_members"))
+      assert(r.getAs[Long]("n_labels") >= 1L)
+    }
+  }
 }
