@@ -291,11 +291,105 @@ object MineQ {
       |  round((l + b) / 100, 4) AS forecast_next
       |FROM rec ORDER BY day""".stripMargin
 
+  // ------------------------------------------------------- ts_holt_winters
+
+  /** Holt–Winters ADDITIVE seasonal smoothing (α = β = γ = 1/2,
+    * season length 7) of the daily revenue series — `ts_holt` plus a
+    * seasonal state vector. Deterministic seeding: level = mean of
+    * the first 7 observations (one division of an exact integer sum),
+    * seasonals = those observations' deviations from it, trend = 0;
+    * from observation 8 on, the classic recurrences run with
+    * binary-fraction coefficients, so every update is the IDENTICAL
+    * IEEE double expression in both engines (the ts_holt discipline —
+    * both sides are assembled from the same sub-expression strings
+    * below). The serial pass runs inside ONE `aggregate` HOF over the
+    * collected daily array (state = level + trend + 7 seasonal slots,
+    * day-cardinality input — the q_ship_latency bounded-state rule);
+    * the oracle replays it as a recursive CTE. Seasonality indexes by
+    * observation position mod 7 (≡ weekday on this dense series).
+    */
+  def tsHoltWinters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val y = "cast(x.cents as double)"
+    val sv = "element_at(acc.sea, cast(acc.i % 7 as int) + 1)"
+    val lp = s"(0.5D * ($y - $sv) + 0.5D * (acc.l + acc.b))"
+    val bp = s"(0.5D * ($lp - acc.l) + 0.5D * acc.b)"
+    val sp = s"(0.5D * ($y - $lp) + 0.5D * $sv)"
+    val fc = s"(acc.l + acc.b + $sv)"
+    val seedSum = "aggregate(array_append(acc.seed, x.cents), 0L, (a, v2) -> a + v2)"
+    val daily = Tables(spark, dir).orders
+      .groupBy(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+    daily.agg(array_sort(collect_list(struct($"day", $"cents"))).as("s"))
+      .select(explode(expr(
+        s"""aggregate(s,
+          |  named_struct('i', 0L, 'seed', cast(array() as array<bigint>),
+          |    'l', 0.0D, 'b', 0.0D, 'sea', cast(array() as array<double>),
+          |    'out', cast(array() as array<struct<day:bigint,cents:bigint,l:double,b:double,sv:double,fc:double>>)),
+          |  (acc, x) -> CASE
+          |    WHEN acc.i < 6L THEN named_struct('i', acc.i + 1L,
+          |      'seed', array_append(acc.seed, x.cents), 'l', 0.0D, 'b', 0.0D,
+          |      'sea', acc.sea, 'out', acc.out)
+          |    WHEN acc.i = 6L THEN named_struct('i', 7L,
+          |      'seed', array_append(acc.seed, x.cents),
+          |      'l', cast($seedSum as double) / 7.0D, 'b', 0.0D,
+          |      'sea', transform(array_append(acc.seed, x.cents),
+          |        v -> cast(v as double) - cast($seedSum as double) / 7.0D),
+          |      'out', acc.out)
+          |    ELSE named_struct('i', acc.i + 1L, 'seed', acc.seed,
+          |      'l', $lp, 'b', $bp,
+          |      'sea', transform(sequence(0, 6),
+          |        j -> IF(cast(j as bigint) = acc.i % 7, $sp, element_at(acc.sea, j + 1))),
+          |      'out', array_append(acc.out, named_struct('day', x.day, 'cents', x.cents,
+          |        'l', $lp, 'b', $bp, 'sv', $sp, 'fc', $fc))) END,
+          |  acc -> acc.out)""".stripMargin)))
+      .select($"col.day".as("day"), $"col.cents".as("cents"),
+        round($"col.l" / 100, 4).as("level"),
+        round($"col.b" / 100, 4).as("trend"),
+        round($"col.sv" / 100, 4).as("seasonal"),
+        round($"col.fc" / 100, 4).as("fitted"))
+      .orderBy($"day")
+  }
+
+  private val tsHoltWintersSql = {
+    val y = "CAST(t.cents AS DOUBLE)"
+    val sv = "r.sea[CAST((t.i - 1) % 7 AS INTEGER) + 1]"
+    val lp = s"(0.5 * ($y - $sv) + 0.5 * (r.l + r.b))"
+    val bp = s"(0.5 * ($lp - r.l) + 0.5 * r.b)"
+    val sp = s"(0.5 * ($y - $lp) + 0.5 * $sv)"
+    val fc = s"(r.l + r.b + $sv)"
+    s"""WITH RECURSIVE daily AS (
+      |  SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |idx AS (
+      |  SELECT day, cents, row_number() OVER (ORDER BY day) AS i FROM daily),
+      |sd AS (
+      |  SELECT CAST(sum(cents) AS DOUBLE) / 7.0 AS l0,
+      |    list(CAST(cents AS DOUBLE) ORDER BY i) AS ys
+      |  FROM idx WHERE i <= 7),
+      |rec(i, day, cents, l, b, sea, sv, fc) AS (
+      |  SELECT CAST(7 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+      |    l0, CAST(0.0 AS DOUBLE), list_transform(ys, v -> v - l0),
+      |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+      |  FROM sd
+      |  UNION ALL
+      |  SELECT t.i, t.day, t.cents, $lp, $bp,
+      |    list_transform(range(0, 7), j -> CASE WHEN j = (t.i - 1) % 7
+      |      THEN $sp ELSE r.sea[CAST(j AS INTEGER) + 1] END),
+      |    $sp, $fc
+      |  FROM rec r JOIN idx t ON t.i = r.i + 1)
+      |SELECT day, cents, round(l / 100, 4) AS level, round(b / 100, 4) AS trend,
+      |  round(sv / 100, 4) AS seasonal, round(fc / 100, 4) AS fitted
+      |FROM rec WHERE day IS NOT NULL ORDER BY day""".stripMargin
+  }
+
   // ---------------------------------------------------------------- registry
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("etl_type_infer", etlTypeInfer _, etlTypeInferSql),
     QueryDef.sql("text_keywords", textKeywords _, textKeywordsSql),
     QueryDef.sql("q_event_regex", qEventRegex _, qEventRegexSql),
-    QueryDef.sql("ts_holt", tsHolt _, tsHoltSql))
+    QueryDef.sql("ts_holt", tsHolt _, tsHoltSql),
+    QueryDef.sql("ts_holt_winters", tsHoltWinters _, tsHoltWintersSql))
 }

@@ -108,4 +108,33 @@ class LearnSpec extends GraftSuite {
       assert(math.abs(f - (r.getAs[Double]("level") + r.getAs[Double]("trend"))) <= 2e-4)
     }
   }
+
+  test("holt-winters replays the seeded seasonal recurrence driver-side") {
+    val rows = MineQ.tsHoltWinters(spark, sf0001).orderBy($"day").collect()
+    val daily = Tables(spark, sf0001).orders
+      .groupBy(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .orderBy($"day").as[(Long, Long)].collect()
+    assert(rows.length === daily.length - 7)
+    // replay the identical recurrence in plain Scala doubles
+    val l0 = daily.take(7).map(_._2).sum.toDouble / 7.0
+    var l = l0; var b = 0.0
+    val sea = daily.take(7).map(_._2.toDouble - l0)
+    rows.zipWithIndex.foreach { case (r, k) =>
+      val i = k + 7
+      val (day, cents) = daily(i)
+      assert(r.getAs[Long]("day") === day)
+      val slot = i % 7
+      val sv = sea(slot)
+      val fc = l + b + sv
+      val lp = 0.5 * (cents.toDouble - sv) + 0.5 * (l + b)
+      val bp = 0.5 * (lp - l) + 0.5 * b
+      val sp = 0.5 * (cents.toDouble - lp) + 0.5 * sv
+      assert(math.abs(r.getAs[Double]("level") - lp / 100) <= 1e-4, s"level@$day")
+      assert(math.abs(r.getAs[Double]("trend") - bp / 100) <= 1e-4, s"trend@$day")
+      assert(math.abs(r.getAs[Double]("seasonal") - sp / 100) <= 1e-4, s"seasonal@$day")
+      assert(math.abs(r.getAs[Double]("fitted") - fc / 100) <= 1e-4, s"fitted@$day")
+      l = lp; b = bp; sea(slot) = sp
+    }
+  }
 }
