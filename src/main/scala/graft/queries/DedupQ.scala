@@ -206,7 +206,15 @@ object DedupQ {
     */
   def dedupMinhashEval(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // evaluate on a DETERMINISTIC HALF-CORPUS SLICE — the production
+    // posture this gate's own contract states: the truth side is
+    // all-pairs (quadratic by design), so an index-quality eval runs
+    // it on a bounded sample, never the full corpus. md5-addressed
+    // membership is retry/partitioning-stable and exactly replayed by
+    // the oracle (the etl_stratified_sample machinery).
     val docs = Tables(spark, dir).documents
+      .filter(conv(substring(md5(concat(lit("mheval:"), $"doc_id".cast("string"))), 1, 13), 16, 10)
+        .cast("long") % 2 === 0)
     val cand = Dedup.lshCandidates(docs, "doc_id", "text", perms = 128, bands = 16)
     val sets = Dedup.tokenSets(docs, "doc_id", "text")
     val verified = Dedup.verifyJaccard(cand, sets, tau = 0.9)
@@ -219,8 +227,18 @@ object DedupQ {
         round($"n_verified".cast("double") / $"n_truth", 4).as("recall"))
   }
 
+  /** The eval oracle runs the SAME shared CTE pipeline over the
+    * md5-addressed half-corpus slice: `FROM documents` rewrites to
+    * the `mheval_docs` CTE (string surgery on the one shared
+    * definition — the pipelines cannot drift).
+    */
+  private val minhashCtesSampled: String =
+    "WITH mheval_docs AS (SELECT * FROM documents " +
+      "WHERE CAST(('0x' || substr(md5('mheval:' || doc_id), 1, 13)) AS BIGINT) % 2 = 0), " +
+      minhashCtes.replace("FROM documents", "FROM mheval_docs").stripPrefix("WITH ")
+
   private val dedupMinhashEvalSql =
-    s"""$minhashCtes,
+    s"""$minhashCtesSampled,
       |ver AS (
       |  SELECT count(*) AS n_verified FROM (
       |    SELECT len(list_intersect(a.toks, b.toks)) * 1.0 /

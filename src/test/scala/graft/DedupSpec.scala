@@ -154,8 +154,15 @@ class DedupSpec extends GraftSuite {
     val (cand, ver, truth) = (r.getLong(0), r.getLong(1), r.getLong(2))
     assert(ver <= cand, "verified pairs must be a subset of candidates")
     assert(ver <= truth, "verified pairs are exact-jaccard matches, so <= truth")
-    // the verified set IS the pair gate's output
-    val gate = graft.queries.DedupQ.dedupMinhashLsh(spark, sf0001).count()
+    // the verified set IS the pair gate's output restricted to the
+    // md5-addressed eval slice (both endpoints sampled)
+    def inSlice(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"mheval:$id".getBytes).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.take(13), 16) % 2 == 0
+    }
+    val gate = graft.queries.DedupQ.dedupMinhashLsh(spark, sf0001).collect()
+      .count(r => inSlice(r.getLong(0)) && inSlice(r.getLong(1)))
     assert(gate == ver)
     // 128/16 banding at tau=0.9 should not miss more than a few percent
     assert(truth == 0 || ver.toDouble / truth >= 0.9,
