@@ -172,8 +172,85 @@ object SeriesQ {
 
   // ---------------------------------------------------------------- registry
 
+  // ------------------------------------------------------------------ ts_haar
+  /** Haar wavelet multi-resolution energy decomposition of the daily
+    * revenue series — which timescales (days / weeks / months / …)
+    * carry the variance, the dyadic complement of `ts_periodogram`.
+    * The series embeds into the standard dyadic frame (first 2048
+    * observations, zero-padded when shorter); each level halves the
+    * approximation a_k = (a_{2k}+a_{2k+1})/2 and emits details
+    * d_k = (a_{2k}−a_{2k+1})/2 — divisions by 2 are exact in
+    * IEEE doubles, so every coefficient is bit-identical cross-engine.
+    * Details quantize to e4 integers BEFORE squaring (d² itself
+    * exceeds the 53-bit mantissa), and per-level energy accumulates in
+    * decimal(38,0). Eleven `withColumn` steps over a ONE-ROW collected
+    * array (day-cardinality state, the q_ship_latency rule) — linear
+    * plan growth, no recursion blow-up; the oracle is a recursive CTE
+    * over the same list halving.
+    */
+  def tsHaar(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables(spark, dir).orders
+      .groupBy(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+    var cur = daily
+      .agg(array_sort(collect_list(struct($"day", $"cents"))).as("s"))
+      .select(expr(
+        """concat(
+          |  transform(slice(s, 1, 2048), x -> cast(x.cents as double)),
+          |  array_repeat(0.0D, 2048 - size(slice(s, 1, 2048))))""".stripMargin).as("a0"))
+    val levels = 11
+    for (l <- 1 to levels) {
+      val prev = s"a${l - 1}"
+      cur = cur
+        .withColumn(s"a$l", expr(
+          s"transform(sequence(0, ${2048 / (1 << l) - 1}), " +
+            s"k -> (element_at($prev, 2 * k + 1) + element_at($prev, 2 * k + 2)) / 2.0D)"))
+        .withColumn(s"e$l", expr(
+          s"aggregate(transform(sequence(0, ${2048 / (1 << l) - 1}), " +
+            s"k -> (element_at($prev, 2 * k + 1) - element_at($prev, 2 * k + 2)) / 2.0D), " +
+            s"cast(0 as decimal(38,0)), " +
+            s"(acc, d) -> acc + cast(cast(round(d * 1e4) as decimal(38,0)) * cast(round(d * 1e4) as decimal(38,0)) as decimal(38,0)))"))
+    }
+    val lvls = (1 to levels).map(l =>
+      s"named_struct('level', ${l}L, 'n_coeffs', ${2048 / (1 << l)}L, " +
+        s"'energy', cast(e$l as double) / 1e8)").mkString(", ")
+    cur.withColumn("approx", expr(s"round(element_at(a$levels, 1) / 100.0D, 4)"))
+      .select(explode(expr(s"array($lvls)")).as("r"), $"approx")
+      .select($"r.level".as("level"), $"r.n_coeffs".as("n_coeffs"),
+        $"r.energy".as("energy"), $"approx")
+      .orderBy($"level")
+  }
+
+  private val tsHaarSql =
+    """WITH RECURSIVE daily AS (
+      |  SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |arr AS (
+      |  SELECT list(CAST(cents AS DOUBLE) ORDER BY day) AS a FROM daily),
+      |base AS (
+      |  SELECT list_concat(a[1:2048],
+      |    list_transform(range(0, 2048 - len(a[1:2048])), x -> CAST(0.0 AS DOUBLE))) AS a0
+      |  FROM arr),
+      |rec(lvl, a, energy) AS (
+      |  SELECT CAST(0 AS BIGINT), a0, CAST(NULL AS HUGEINT) FROM base
+      |  UNION ALL
+      |  SELECT lvl + 1,
+      |    list_transform(range(0, CAST(len(a) // 2 AS BIGINT)),
+      |      k -> (a[CAST(2 * k + 1 AS INTEGER)] + a[CAST(2 * k + 2 AS INTEGER)]) / 2.0),
+      |    list_sum(list_transform(range(0, CAST(len(a) // 2 AS BIGINT)),
+      |      k -> CAST(round((a[CAST(2 * k + 1 AS INTEGER)] - a[CAST(2 * k + 2 AS INTEGER)]) / 2.0 * 1e4) AS HUGEINT)
+      |         * CAST(round((a[CAST(2 * k + 1 AS INTEGER)] - a[CAST(2 * k + 2 AS INTEGER)]) / 2.0 * 1e4) AS HUGEINT)))
+      |  FROM rec WHERE len(a) > 1),
+      |fin AS (SELECT round(a[1] / 100.0, 4) AS approx FROM rec WHERE lvl = 11)
+      |SELECT lvl AS level, CAST(len(a) AS BIGINT) AS n_coeffs,
+      |  CAST(energy AS DOUBLE) / 1e8 AS energy, approx
+      |FROM rec, fin WHERE lvl >= 1 ORDER BY level""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("ts_sax", tsSax _, tsSaxSql),
     QueryDef.sql("ts_bollinger", tsBollinger _, tsBollingerSql),
-    QueryDef.sql("ts_rolling_corr", tsRollingCorr _, tsRollingCorrSql))
+    QueryDef.sql("ts_rolling_corr", tsRollingCorr _, tsRollingCorrSql),
+    QueryDef.sql("ts_haar", tsHaar _, tsHaarSql))
 }

@@ -84,4 +84,30 @@ class SeriesSpec extends GraftSuite {
       }
     }
   }
+
+  test("haar decomposition replays driver-side on the dyadic embedding") {
+    val rows = graft.queries.SeriesQ.tsHaar(spark, sf0001).orderBy($"level").collect()
+    assert(rows.length === 11)
+    val daily = Tables(spark, sf0001).orders
+      .groupBy(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .orderBy($"day").as[(Long, Long)].collect().map(_._2.toDouble)
+    var a = (daily.take(2048) ++ Array.fill(math.max(0, 2048 - daily.length))(0.0)).toArray
+    rows.foreach { r =>
+      val lvl = r.getAs[Long]("level").toInt
+      val next = Array.tabulate(a.length / 2)(k => (a(2 * k) + a(2 * k + 1)) / 2.0)
+      val det = Array.tabulate(a.length / 2)(k => (a(2 * k) - a(2 * k + 1)) / 2.0)
+      // HALF_UP like both engines' round() (Math.round half-toward-+∞
+      // diverges on the exact negative halves levels ≥ 5 produce)
+      def rnd(x: Double): BigInt =
+        BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toBigInt
+      val energy = det.map(d => rnd(d * 1e4) * rnd(d * 1e4)).sum
+      assert(r.getAs[Long]("n_coeffs") === next.length.toLong, s"level $lvl")
+      val got = r.getAs[Double]("energy")
+      assert(math.abs(got - energy.toDouble / 1e8) <= math.abs(got) * 1e-12, s"energy@$lvl")
+      a = next
+    }
+    assert(a.length === 1)
+    assert(math.abs(rows.head.getAs[Double]("approx") - math.floor(a(0)) / 100.0) < 1.0)
+  }
 }
