@@ -230,6 +230,48 @@ object Similarity {
         round(col("cos"), 4).as("cosine"), col("rk").cast("long").as("rk"))
   }
 
+  /** Greedy beam search over the kNN graph — the HNSW-layer-0 query
+    * pattern, batch-composed: from a deterministic entry point, each
+    * hop expands the current beam's graph neighbors (≤ k per node),
+    * scores every visited node against the query, and keeps the
+    * top-`beam` frontier; after `hops` rounds the best `k` visited
+    * nodes are the answer. At 100 TB the graph IS the persisted
+    * `knnJoin` artifact: per hop the work is |queries|·beam bounded
+    * equi-joins against a 5-edges-per-node list plus a bounded
+    * scoring join — never a corpus scan per query, which is the whole
+    * point of graph ANN. Fully deterministic (fixed entry, (cos, id)
+    * tie-breaks), so an oracle can unroll the hops exactly.
+    *
+    * @param edges directed kNN edges (`src`, `dst`)
+    */
+  def graphSearch(vectors: DataFrame, queries: DataFrame, edges: DataFrame,
+                  idCol: String, vecCol: String,
+                  k: Int, beam: Int, hops: Int): DataFrame = {
+    val v = vectors.select(col(idCol).as("node"), col(vecCol).as("nv"),
+      VecFns.norm(col(vecCol)).as("nnrm"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
+      VecFns.norm(col(vecCol)).as("qnrm"))
+    val entry = vectors.agg(min(col(idCol)).as("node"))
+    var visited = q.select(col("q_id")).crossJoin(broadcast(entry))
+    var beamDf = visited
+    def scoreOf(df: DataFrame): DataFrame =
+      df.join(v, "node").join(broadcast(q), "q_id")
+        .withColumn("cos", VecFns.cosinePrenormed(
+          VecFns.dot(col("nv"), col("qv")), col("nnrm"), col("qnrm")))
+    for (_ <- 1 to hops) {
+      val expanded = beamDf.join(edges, beamDf("node") === edges("src"))
+        .select(col("q_id"), col("dst").as("node"))
+      visited = visited.unionByName(expanded).distinct()
+      beamDf = TopK(scoreOf(visited),
+        Seq(col("q_id")), Seq(col("cos").desc, col("node")), beam)
+        .select(col("q_id"), col("node"))
+    }
+    TopK(scoreOf(visited).filter(col("node") =!= col("q_id")),
+      Seq(col("q_id")), Seq(col("cos").desc, col("node")), k)
+      .select(col("q_id"), col("node").as("neighbor_id"),
+        round(col("cos"), 4).as("cosine"), col("rk").cast("long").as("rk"))
+  }
+
   /** Product-quantization ANN (inner-product PQ with asymmetric
     * distance): the vector space splits into `numSub` subspaces, each
     * with a `codebook`-entry codebook (deterministic seed set — the

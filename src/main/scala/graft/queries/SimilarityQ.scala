@@ -278,6 +278,55 @@ object SimilarityQ {
       |r AS (SELECT q_id, neighbor_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, neighbor_id) AS rk FROM scored)
       |SELECT q_id, neighbor_id, round(c, 4) AS cosine, rk FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
 
+  /** Greedy beam search over the kNN graph ([[Similarity
+    * .graphSearch]]) — the HNSW-layer-0 query pattern: from the
+    * deterministic entry point (min vec_id), 3 hops of
+    * expand-neighbors / score / keep-top-4-beam over the
+    * `ann_knn_join` edge artifact, then the best 10 visited nodes.
+    * Per hop the work is queries×beam bounded equi-joins against a
+    * 5-edges-per-node list — never a corpus scan per query (the
+    * reason graph ANN wins at scale). The oracle unrolls the three
+    * hops over the composed ann_knn_join SQL, so entry, expansion,
+    * beam ties and final ranking are hash-matched exactly;
+    * SimilaritySpec measures recall vs brute force.
+    */
+  def annGraphSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).embeddings
+    val edges = Similarity.knnJoin(e, "vec_id", "embedding", k = 5)
+      .select(col("q_id").as("src"), col("neighbor_id").as("dst"))
+    Similarity.graphSearch(e, queriesOf(spark, dir), edges, "vec_id", "embedding",
+        k = 10, beam = 4, hops = 3)
+      .orderBy($"q_id", $"rk")
+  }
+
+  private val annGraphSearchSql = {
+    def cosExpr(n: String, q: String): String =
+      s"list_dot_product($n.e, $q.qe) / (sqrt(list_dot_product($n.e, $n.e)) * sqrt(list_dot_product($q.qe, $q.qe)))"
+    val hops = (1 to 3).map { h =>
+      val pv = s"v${h - 1}"
+      s"""x$h AS (SELECT b.q_id, ed.dst AS node FROM b${h - 1} b JOIN ed ON ed.src = b.node),
+         |v$h AS (SELECT DISTINCT q_id, node FROM
+         |  (SELECT q_id, node FROM $pv UNION ALL SELECT q_id, node FROM x$h)),
+         |s$h AS (SELECT w.q_id, w.node, ${cosExpr("n", "q")} AS c
+         |  FROM v$h w JOIN v n ON n.vec_id = w.node JOIN q ON q.q_id = w.q_id),
+         |b$h AS (SELECT q_id, node FROM (
+         |  SELECT q_id, node, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, node) AS rn
+         |  FROM s$h) t WHERE rn <= 4)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ed AS (SELECT q_id AS src, neighbor_id AS dst FROM ($annKnnJoinSql)),
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 10),
+       |ent AS (SELECT min(vec_id) AS node FROM embeddings),
+       |v0 AS (SELECT q_id, node FROM q, ent),
+       |b0 AS (SELECT q_id, node FROM v0),
+       |$hops
+       |SELECT q_id, node AS neighbor_id, round(c, 4) AS cosine, rk FROM (
+       |  SELECT q_id, node, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, node) AS rk
+       |  FROM s3 WHERE node <> q_id) t
+       |WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
+  }
+
   /** Mutual-kNN graph clustering: the corpus-wide kNN graph
     * (`ann_knn_join`'s exact plan) restricted to MUTUAL edges (a in
     * b's top-5 AND b in a's top-5 — the standard sparsifier that
@@ -773,6 +822,7 @@ object SimilarityQ {
     QueryDef.sql("ann_ivf_pq_topk", annIvfPq _, annIvfPqSql),
     QueryDef.sql("ann_knn_join", annKnnJoin _, annKnnJoinSql),
     QueryDef.sql("emb_knn_components", embKnnComponents _, embKnnComponentsSql),
+    QueryDef.sql("ann_graph_search", annGraphSearch _, annGraphSearchSql),
     QueryDef.sql("mm_binary_stats", mmBinaryStats _, mmBinaryStatsSql),
     QueryDef.sql("mm_featurize", mmFeaturize _, mmFeaturizeSql),
     QueryDef.sql("mm_frame_sample", mmFrameSample _, mmFrameSampleSql),

@@ -127,6 +127,32 @@ class SimilaritySpec extends GraftSuite {
     assert(comp(0L) !== comp(3L), "the cosine floor must keep the clusters apart")
   }
 
+  test("ann_graph_search finds genuinely similar nodes and respects beam determinism") {
+    val got = graft.queries.SimilarityQ.annGraphSearch(spark, sf0001).collect()
+    assert(got.length === 100) // 10 queries x top-10
+    val byQ = got.groupBy(_.getAs[Long]("q_id"))
+    byQ.values.foreach { rs =>
+      val ranks = rs.map(_.getAs[Long]("rk")).sorted
+      assert(ranks.toSeq === (1L to 10L))
+      // ranking is consistent with the emitted cosines
+      val byRank = rs.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("cosine"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    // beam search from one entry point over a 5-NN graph is approximate;
+    // it must still beat random by a wide margin on recall@10
+    val truth = graft.queries.SimilarityQ.annBruteforce(spark, sf0001).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val recalls = byQ.map { case (q, rs) =>
+      rs.map(_.getAs[Long]("neighbor_id")).count(truth(q).contains) / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean > 0.05, s"graph-search recall no better than chance: $mean")
+    // determinism: a second run returns the identical rows
+    val again = graft.queries.SimilarityQ.annGraphSearch(spark, sf0001).collect()
+    assert(got.map(_.toSeq.toList).toList === again.map(_.toSeq.toList).toList)
+  }
+
   test("emb_knn_components gate: members >= 2 per component, purity in (0,1]") {
     val rows = graft.queries.SimilarityQ.embKnnComponents(spark, sf0001).collect()
     rows.foreach { r =>
