@@ -712,6 +712,37 @@ object ScaleProbe {
       dir => graft.queries.SamplingQ.corpusImportanceWeights(spark, dir))
     probeGrowth("cohens_kappa", base, docs2,
       dir => graft.queries.SamplingQ.qCohensKappa(spark, dir))
+
+    // ---- round-7 session-5 wave ----
+    // JB/McNemar/DP: group-cardinality sufficient statistics — 10×
+    // facts / 2× docs grow only the map-side reduction
+    probeGrowth("jarque_bera", base, out,
+      dir => graft.queries.RigorQ.qJarqueBera(spark, dir))
+    probeGrowth("mcnemar", base, docs2,
+      dir => graft.queries.RigorQ.qMcnemar(spark, dir))
+    probeGrowth("dp_histogram", base, events2,
+      dir => graft.queries.RigorQ.qDpHistogram(spark, dir))
+    // tar shards: per-row codec map after one shard-key shuffle
+    probeGrowth("tar_shards", base, docs2,
+      dir => graft.queries.SimilarityQ.mmTarShards(spark, dir))
+    // fuzzy decontamination: 2× docs double both corpus and benchmark
+    // sides; candidates scale with collisions against the (still
+    // tiny) benchmark index, and every replica is an exact near-dup
+    // of its twin — output should ~4×, time must track it
+    probeGrowth("decontaminate_fuzzy", base, docs2,
+      dir => graft.queries.DedupQ.textDecontaminateFuzzy(spark, dir))
+    // kNN-graph family: 2× vectors ⇒ ~2× bucketed candidates; the
+    // component loop runs over the (sparse) mutual edge set and the
+    // beam search over queries×beam bounded joins
+    probeGrowth("knn_components", base, emb2,
+      dir => graft.queries.SimilarityQ.embKnnComponents(spark, dir))
+    probeGrowth("graph_search", base, emb2,
+      dir => graft.queries.SimilarityQ.annGraphSearch(spark, dir))
+    // HW/Haar: day-cardinality / fixed-2048 dyadic state (the holt rule)
+    probeGrowth("holt_winters", base, out,
+      dir => graft.queries.MineQ.tsHoltWinters(spark, dir))
+    probeGrowth("haar", base, out,
+      dir => graft.queries.SeriesQ.tsHaar(spark, dir))
     spark.stop()
   }
 }

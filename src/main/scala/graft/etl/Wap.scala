@@ -1,0 +1,81 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Write–Audit–Publish (WAP) — the lake publishing discipline every
+  * production pipeline converges on: never write into the serving
+  * path directly; stage, audit the STAGED bytes (not the DataFrame
+  * that produced them — the audit must see exactly what readers
+  * will), and only then atomically swap the staged directory in.
+  * The reference app's validate-then-upload flow
+  * (streamlit_app.py:150-199 → 280-330) is this pattern at
+  * single-file scale; Wap generalizes it to tables.
+  *
+  * Mechanics: `publish` writes parquet to `<root>/_staged/<table>`,
+  * re-reads it, runs the audit (row-level [[Validation.Rule]]s — all
+  * rows must be acceptable — plus a row-count floor), and on pass
+  * renames the staged directory onto `<root>/<table>` (an atomic
+  * metadata operation on HDFS-like filesystems; object stores swap a
+  * pointer the same way via their committers). A failed audit leaves
+  * the staged directory in place for inspection and touches nothing
+  * the readers see. The published table's order-independent
+  * [[TableDigest]] is returned so downstream consumers can verify
+  * what they read is what was published.
+  *
+  * Scale notes: audit cost is one scan of the staged data (the rules
+  * are codegen'd predicates + one aggregate); the swap is O(1)
+  * metadata. Nothing here is driver-sized.
+  */
+object Wap {
+
+  final case class WapReport(
+      table: String,
+      published: Boolean,
+      nRows: Long,
+      nViolations: Long,
+      digest: Long,
+      servingPath: String,
+      stagedPath: String)
+
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Stage `df`, audit the staged bytes, publish on pass.
+    *
+    * @param rules     row-level violation predicates; any violating row
+    *                  fails the audit
+    * @param minRows   row-count floor (an empty publish is almost
+    *                  always an upstream failure, not a valid table)
+    * @param digestCols engine-portable renderings for the content
+    *                  digest (the TableDigest caller contract)
+    */
+  def publish(spark: SparkSession, df: DataFrame, root: String, table: String,
+              rules: Seq[Validation.Rule], digestCols: DataFrame => Seq[Column],
+              minRows: Long = 1L): WapReport = {
+    val stagedPath = s"$root/_staged/$table"
+    val servingPath = s"$root/$table"
+    df.write.mode("overwrite").parquet(stagedPath)
+    val staged = spark.read.parquet(stagedPath)
+    val audit = Validation.annotate(staged, rules)
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(!col("acceptable"), 1L).otherwise(0L)), lit(0L)).as("bad"))
+      .collect().head
+    val (n, bad) = (audit.getLong(0), audit.getLong(1))
+    val pass = bad == 0 && n >= minRows
+    if (pass) {
+      val f = fs(spark, root)
+      val serving = new org.apache.hadoop.fs.Path(servingPath)
+      if (f.exists(serving)) f.delete(serving, true)
+      f.mkdirs(serving.getParent)
+      require(f.rename(new org.apache.hadoop.fs.Path(stagedPath), serving),
+        s"rename $stagedPath -> $servingPath failed")
+      val published = spark.read.parquet(servingPath)
+      val d = TableDigest.digest(published, table, digestCols(published))
+        .collect().head
+      WapReport(table, published = true, n, bad, d.getLong(2), servingPath, stagedPath)
+    } else
+      WapReport(table, published = false, n, bad, 0L, servingPath, stagedPath)
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.etl.{TableDigest, Validation, Wap}
+import org.apache.spark.sql.functions._
+
+/** Write–Audit–Publish discipline (etl/Wap.scala). */
+class WapSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def tmpRoot(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_wap").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private val rules = Seq(
+    Validation.Rule("null_name", col("name").isNull),
+    Validation.Rule("neg_value", col("value") < 0))
+
+  test("clean table publishes atomically with a verifiable digest") {
+    val root = tmpRoot()
+    val df = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "name", "value")
+    val r = Wap.publish(spark, df, root, "t1", rules,
+      d => Seq(d("id"), d("name"), d("value")))
+    assert(r.published && r.nRows === 2L && r.nViolations === 0L)
+    val back = spark.read.parquet(r.servingPath)
+    assert(back.count() === 2L)
+    // staged dir was MOVED, not copied
+    assert(!new java.io.File(r.stagedPath).exists())
+    // returned digest equals an independent recompute of the serving data
+    val d2 = TableDigest.digest(back, "t1", Seq(back("id"), back("name"), back("value")))
+      .collect().head.getLong(2)
+    assert(r.digest === d2)
+  }
+
+  test("failed audit leaves serving untouched and the staged bytes inspectable") {
+    val root = tmpRoot()
+    val good = Seq((1L, "a", 10L)).toDF("id", "name", "value")
+    assert(Wap.publish(spark, good, root, "t2", rules, d => Seq(d("id"))).published)
+    val before = spark.read.parquet(s"$root/t2").collect().map(_.toSeq.toList).toList
+    // second batch violates neg_value — publish must refuse
+    val bad = Seq((2L, "b", -5L)).toDF("id", "name", "value")
+    val r = Wap.publish(spark, bad, root, "t2", rules, d => Seq(d("id")))
+    assert(!r.published && r.nViolations === 1L)
+    // serving path still has the ORIGINAL data
+    assert(spark.read.parquet(s"$root/t2").collect().map(_.toSeq.toList).toList === before)
+    // staged bytes remain for inspection
+    assert(spark.read.parquet(r.stagedPath).count() === 1L)
+  }
+
+  test("empty publish is refused by the row-count floor") {
+    val root = tmpRoot()
+    val empty = Seq.empty[(Long, String, Long)].toDF("id", "name", "value")
+    val r = Wap.publish(spark, empty, root, "t3", rules, d => Seq(d("id")))
+    assert(!r.published && r.nRows === 0L)
+    assert(!new java.io.File(s"$root/t3").exists())
+  }
+}
