@@ -281,7 +281,52 @@ object GraphQ {
 
   // ---------------------------------------------------------------- registry
 
+  // ---------------------------------------------------------- q_bom_explosion
+  /** Bill-of-materials explosion — the classic warehouse hierarchy
+    * walk: every part hangs in a deterministic forest (parent =
+    * partkey div 10, per-edge quantity = partkey % 9 + 1 — arithmetic
+    * both engines state identically), roots are partkeys < 10, and
+    * the explosion multiplies quantities down each unique parent
+    * chain. Five bounded expansion rounds (depth ≤ 5 covers any
+    * partkey < 10⁶; each round is one equi-join of the current
+    * frontier against the child-edge list — frontier rows only, never
+    * the whole forest re-walked). Pure integers; the oracle unrolls
+    * the identical walk as a recursive CTE (the q_pagerank iterative
+    * hash-match discipline).
+    */
+  def qBomExplosion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parts = Tables(spark, dir).part.select($"p_partkey".cast("long").as("id"))
+    val edges = parts.filter($"id" >= 10)
+      .select($"id".as("child"), expr("id div 10").as("parent"),
+        expr("id % 9 + 1").as("qty"))
+    val roots = parts.filter($"id" < 10)
+      .select($"id".as("part"), $"id".as("root"),
+        lit(0L).as("depth"), lit(1L).as("path_qty"))
+    var result = roots
+    var frontier = roots
+    for (_ <- 1 to 5) {
+      frontier = frontier.join(edges, frontier("part") === edges("parent"))
+        .select($"child".as("part"), $"root",
+          ($"depth" + 1L).as("depth"), ($"path_qty" * $"qty").as("path_qty"))
+      result = result.unionByName(frontier)
+    }
+    result.orderBy($"part")
+  }
+
+  private val qBomExplosionSql =
+    """WITH RECURSIVE p AS (SELECT CAST(p_partkey AS BIGINT) AS id FROM part),
+      |e AS (SELECT id AS child, id // 10 AS parent, id % 9 + 1 AS qty
+      |      FROM p WHERE id >= 10),
+      |walk(part, root, depth, path_qty) AS (
+      |  SELECT id, id, CAST(0 AS BIGINT), CAST(1 AS BIGINT) FROM p WHERE id < 10
+      |  UNION ALL
+      |  SELECT e.child, w.root, w.depth + 1, w.path_qty * e.qty
+      |  FROM walk w JOIN e ON e.parent = w.part WHERE w.depth < 5)
+      |SELECT part, root, depth, path_qty FROM walk ORDER BY part""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("q_bom_explosion", qBomExplosion _, qBomExplosionSql),
     QueryDef.sql("q_label_prop", qLabelProp _, qLabelPropSql),
     QueryDef.sql("q_modularity", qModularity _, qModularitySql),
     QueryDef.sql("emb_hard_negatives", embHardNegatives _, embHardNegativesSql),

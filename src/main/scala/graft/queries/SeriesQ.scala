@@ -248,9 +248,74 @@ object SeriesQ {
       |  CAST(energy AS DOUBLE) / 1e8 AS energy, approx
       |FROM rec, fin WHERE lvl >= 1 ORDER BY level""".stripMargin
 
+  // ---------------------------------------------------------------- ts_kalman
+  /** 1-D local-level Kalman filter over daily revenue — the adaptive
+    * smoother between `ts_ewma` (fixed gain) and `ts_holt` (trend):
+    * predict P⁻ = P + Q, gain K = P⁻/(P⁻+R), update
+    * x̂ += K(y − x̂), P = (1−K)P⁻, with Q = 1/4 and R = 1 binary
+    * fractions — the gain trajectory is a deterministic IEEE sequence
+    * (it converges to the steady-state K fast, which the spec pins)
+    * and both engines run the IDENTICAL recurrence assembled from the
+    * same sub-expression strings (the ts_holt_winters discipline).
+    * One `aggregate` HOF over the day-cardinality collected array;
+    * recursive-CTE oracle.
+    */
+  def tsKalman(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val y = "cast(x.cents as double)"
+    val kk = "((acc.p + 0.25D) / (acc.p + 0.25D + 1.0D))"
+    val xp = s"(acc.xh + $kk * ($y - acc.xh))"
+    val pp = s"((1.0D - $kk) * (acc.p + 0.25D))"
+    val daily = Tables(spark, dir).orders
+      .groupBy(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+    daily.agg(array_sort(collect_list(struct($"day", $"cents"))).as("s"))
+      .select(explode(expr(
+        s"""aggregate(s,
+          |  named_struct('xh', cast(null as double), 'p', 1.0D,
+          |    'out', cast(array() as array<struct<day:bigint,cents:bigint,xh:double,k:double,p:double>>)),
+          |  (acc, x) -> CASE WHEN acc.xh IS NULL THEN
+          |      named_struct('xh', $y, 'p', 1.0D,
+          |        'out', array(named_struct('day', x.day, 'cents', x.cents,
+          |          'xh', $y, 'k', cast(null as double), 'p', 1.0D)))
+          |    ELSE named_struct('xh', $xp, 'p', $pp,
+          |      'out', array_append(acc.out, named_struct('day', x.day, 'cents', x.cents,
+          |        'xh', $xp, 'k', $kk, 'p', $pp))) END,
+          |  acc -> acc.out)""".stripMargin)))
+      .select($"col.day".as("day"), $"col.cents".as("cents"),
+        round($"col.xh" / 100, 4).as("level"),
+        round($"col.k", 6).as("gain"),
+        round($"col.p", 6).as("variance"))
+      .orderBy($"day")
+  }
+
+  private val tsKalmanSql = {
+    val y = "CAST(t.cents AS DOUBLE)"
+    val kk = "((r.p + 0.25) / (r.p + 0.25 + 1.0))"
+    val xp = s"(r.xh + $kk * ($y - r.xh))"
+    val pp = s"((1.0 - $kk) * (r.p + 0.25))"
+    s"""WITH RECURSIVE daily AS (
+      |  SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |idx AS (
+      |  SELECT day, cents, row_number() OVER (ORDER BY day) AS i FROM daily),
+      |rec(i, day, cents, xh, k, p) AS (
+      |  SELECT i, day, cents, CAST(cents AS DOUBLE), CAST(NULL AS DOUBLE),
+      |    CAST(1.0 AS DOUBLE)
+      |  FROM idx WHERE i = 1
+      |  UNION ALL
+      |  SELECT t.i, t.day, t.cents, $xp, $kk, $pp
+      |  FROM rec r JOIN idx t ON t.i = r.i + 1)
+      |SELECT day, cents, round(xh / 100, 4) AS level, round(k, 6) AS gain,
+      |  round(p, 6) AS variance
+      |FROM rec ORDER BY day""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("ts_sax", tsSax _, tsSaxSql),
     QueryDef.sql("ts_bollinger", tsBollinger _, tsBollingerSql),
     QueryDef.sql("ts_rolling_corr", tsRollingCorr _, tsRollingCorrSql),
-    QueryDef.sql("ts_haar", tsHaar _, tsHaarSql))
+    QueryDef.sql("ts_haar", tsHaar _, tsHaarSql),
+    QueryDef.sql("ts_kalman", tsKalman _, tsKalmanSql))
 }

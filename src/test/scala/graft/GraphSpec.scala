@@ -56,4 +56,22 @@ class GraphSpec extends GraftSuite {
     assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
     rows.foreach(r => assert(r.getAs[Long]("new_users") <= r.getAs[Long]("dau")))
   }
+
+  test("bom explosion covers every part once with digit-depth and exact path quantities") {
+    val rows = GraphQ.qBomExplosion(spark, sf0001).collect()
+    val parts = Tables(spark, sf0001).part.select($"p_partkey".cast("long"))
+      .as[Long].collect().toSet
+    // each part has a unique parent chain -> exactly one row per part
+    assert(rows.map(_.getAs[Long]("part")).toSet === parts)
+    assert(rows.length === parts.size)
+    rows.foreach { r =>
+      val part = r.getAs[Long]("part")
+      // depth = digits - 1; root = leading digit; qty = chain product
+      var (p, mult, depth) = (part, 1L, 0L)
+      while (p >= 10) { mult *= p % 9 + 1; p /= 10; depth += 1 }
+      assert(r.getAs[Long]("depth") === depth, s"part $part")
+      assert(r.getAs[Long]("root") === p, s"part $part")
+      assert(r.getAs[Long]("path_qty") === mult, s"part $part")
+    }
+  }
 }

@@ -110,4 +110,25 @@ class SeriesSpec extends GraftSuite {
     assert(a.length === 1)
     assert(math.abs(rows.head.getAs[Double]("approx") - math.floor(a(0)) / 100.0) < 1.0)
   }
+
+  test("kalman gain converges to the steady state and the recurrence replays") {
+    val rows = graft.queries.SeriesQ.tsKalman(spark, sf0001).orderBy($"day").collect()
+    // steady state for Q=1/4, R=1: P* = (-Q + sqrt(Q^2 + 4QR)) / 2, K* = P*
+    val pStar = (-0.25 + math.sqrt(0.0625 + 1.0)) / 2.0
+    assert(math.abs(rows.last.getAs[Double]("gain") - pStar) < 1e-4)
+    // driver-side replay of the identical recurrence
+    val daily = Tables(spark, sf0001).orders
+      .groupBy(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .orderBy($"day").as[(Long, Long)].collect()
+    var xh = daily.head._2.toDouble; var p = 1.0
+    rows.zipWithIndex.drop(1).foreach { case (r, i) =>
+      val y = daily(i)._2.toDouble
+      val k = (p + 0.25) / (p + 0.25 + 1.0)
+      xh = xh + k * (y - xh)
+      p = (1.0 - k) * (p + 0.25)
+      assert(math.abs(r.getAs[Double]("level") - xh / 100) <= 1e-4, s"level@${r.get(0)}")
+      assert(math.abs(r.getAs[Double]("gain") - k) <= 1e-6)
+    }
+  }
 }
