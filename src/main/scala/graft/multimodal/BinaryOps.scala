@@ -183,13 +183,91 @@ object BinaryOps {
       }
   }
 
-  /** Resize STUB: a real build would decode + rescale; here the
-    * contract (fixed output size, content-addressed determinism) is
-    * kept by sampling the payload bytes at a fixed rate.
+  /** Resize STUB for OPAQUE payloads (no codec): the contract (fixed
+    * output size, content-addressed determinism) is kept by sampling
+    * the payload bytes at a fixed rate. Decoded images go through the
+    * REAL [[resizeNN]] below instead.
     */
   def resizeStub(bytes: Array[Byte], outBytes: Int): Array[Byte] =
     if (bytes.isEmpty) new Array[Byte](outBytes)
     else Array.tabulate(outBytes)(i => bytes((i.toLong * bytes.length / outBytes).toInt))
+
+  /** REAL nearest-neighbor image resize over a decoded [[Png.Image]]
+    * (any channel count): output pixel (x₂, y₂) samples source pixel
+    * (⌊x₂·w/w₂⌋, ⌊y₂·h/h₂⌋) — pure integer index arithmetic, so the
+    * resample is exactly replayable by an oracle. Replaces the
+    * declared resize stub for every payload the PNG/BMP/GIF decoders
+    * understand.
+    */
+  def resizeNN(img: Png.Image, w2: Int, h2: Int): Png.Image = {
+    require(w2 > 0 && h2 > 0, s"target dims must be positive: ${w2}x$h2")
+    val ch = img.channels
+    val out = new Array[Byte](w2 * h2 * ch)
+    var y2 = 0
+    while (y2 < h2) {
+      val sy = y2 * img.height / h2
+      var x2 = 0
+      while (x2 < w2) {
+        val sx = x2 * img.width / w2
+        var c = 0
+        while (c < ch) {
+          out((y2 * w2 + x2) * ch + c) = img.pixels((sy * img.width + sx) * ch + c)
+          c += 1
+        }
+        x2 += 1
+      }
+      y2 += 1
+    }
+    Png.Image(w2, h2, ch, out)
+  }
+
+  final case class ResizeStats(
+      doc_id: Long, src_w: Int, src_h: Int, dst_w: Int, dst_h: Int,
+      sum_resized: Long, n_px: Long)
+
+  /** Pack corpus bytes as real 8×8 grayscale BMPs (24bpp, the [[Bmp]]
+    * encoder) carrying the first 64 content bytes as pixel intensity.
+    */
+  def packBmp(docs: DataFrame, width: Int = 8, height: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val n = width * height
+    docs.select(col("doc_id"), col("text").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val g = java.util.Arrays.copyOf(bytes, n)
+        val rgb = new Array[Byte](n * 3)
+        var i = 0
+        while (i < n) { rgb(i * 3) = g(i); rgb(i * 3 + 1) = g(i); rgb(i * 3 + 2) = g(i); i += 1 }
+        (id, Bmp.encode24(width, height, rgb))
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** REAL decode → nearest-neighbor resize → exact integer pixel sum.
+    * Per-row map, no shuffle; malformed payloads degrade to a marked
+    * row (src_w −1), the PNG armor contract.
+    */
+  def imageResize(packed: DataFrame, w2: Int, h2: Int): Dataset[ResizeStats] = {
+    require(w2 > 0 && h2 > 0, s"target dims must be positive: ${w2}x$h2")
+    val spark = packed.sparkSession
+    import spark.implicits._
+    packed.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        try {
+          val img = Bmp.decode(bytes)
+          val small = resizeNN(img, w2, h2)
+          var sum = 0L
+          var i = 0
+          // channel 0 only: the packed BMPs are grayscale triples
+          while (i < w2 * h2) { sum += small.pixels(i * small.channels) & 0xff; i += 1 }
+          ResizeStats(id, img.width, img.height, w2, h2, sum, (w2 * h2).toLong)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            ResizeStats(id, -1, -1, w2, h2, 0L, 0L)
+        }
+      }
+  }
 
   final case class AudioStats(
       doc_id: Long, sample_rate: Int, n_samples: Long,

@@ -595,6 +595,35 @@ object SimilarityQ {
       |  md5(string_agg(md5(text), '' ORDER BY doc_id)) AS members_md5
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** REAL image resize — the declared resize stub closed: documents
+    * pack as genuine 8×8 grayscale BMPs (the [[graft.multimodal.Bmp]]
+    * encoder), the operator DECODES them (BI_RGB parse, bottom-up
+    * rows, padding) and resizes 8×8 → 4×4 by nearest neighbor
+    * ([[BinaryOps.resizeNN]] — output pixel (x₂,y₂) samples source
+    * (⌊x₂·w/w₂⌋, ⌊y₂·h/h₂⌋), pure integer index arithmetic), then
+    * reduces to the exact integer pixel sum. **Exact oracle**: the
+    * sampled positions are content bytes 16·y₂ + 2·x₂, so DuckDB
+    * recomputes the identical sum straight from the text — one wrong
+    * pixel anywhere in encode/decode/resample breaks the hash.
+    */
+  def mmImageResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    BinaryOps.imageResize(BinaryOps.packBmp(Tables(spark, dir).documents), w2 = 4, h2 = 4)
+      .toDF()
+      .orderBy($"doc_id")
+  }
+
+  private val mmImageResizeSql =
+    """SELECT doc_id,
+      |  CAST(8 AS INTEGER) AS src_w, CAST(8 AS INTEGER) AS src_h,
+      |  CAST(4 AS INTEGER) AS dst_w, CAST(4 AS INTEGER) AS dst_h,
+      |  CAST(list_sum(list_transform(range(0, 16), k ->
+      |    CASE WHEN octet_length(encode(text)) > (k // 4) * 16 + (k % 4) * 2
+      |      THEN ascii(substr(text, CAST((k // 4) * 16 + (k % 4) * 2 AS INTEGER) + 1, 1))
+      |      ELSE 0 END)) AS BIGINT) AS sum_resized,
+      |  CAST(16 AS BIGINT) AS n_px
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Tumbling 1-hour windows over the event stream — the identical
     * plan StreamingSpec drives through readStream+watermark; DuckDB
     * time_bucket oracle.
@@ -828,6 +857,7 @@ object SimilarityQ {
     QueryDef.sql("mm_frame_sample", mmFrameSample _, mmFrameSampleSql),
     QueryDef.sql("mm_audio_energy", mmAudioEnergy _, mmAudioEnergySql),
     QueryDef.sql("mm_tar_shards", mmTarShards _, mmTarShardsSql),
+    QueryDef.sql("mm_image_resize", mmImageResize _, mmImageResizeSql),
     QueryDef.sql("mm_gif_frames", mmGifFrames _, mmGifFramesSql),
     QueryDef.sql("text_rolling_fp", textRollingFp _, textRollingFpSql),
     QueryDef.sql("stream_window_counts", streamWindowCounts _, streamWindowCountsSql),

@@ -397,6 +397,34 @@ class MultimodalSpec extends GraftSuite {
     assert(armored(1).source === "good" && armored(1).n_members === 1L && armored(1).headers_ok)
   }
 
+  test("resizeNN samples floor-index pixels in both directions, any channel count") {
+    import graft.multimodal.Png
+    // 4x2 two-channel image with distinct values per (pixel, channel)
+    val img = Png.Image(4, 2, 2, Array.tabulate[Byte](16)(i => (i * 3).toByte))
+    val down = BinaryOps.resizeNN(img, 2, 1)
+    assert(down.width === 2 && down.height === 1 && down.channels === 2)
+    // (0,0)->src(0,0) ; (1,0)->src(2,0)
+    assert(down.pixels.toSeq === Seq[Byte](0, 3, 12, 15))
+    val up = BinaryOps.resizeNN(img, 8, 4)
+    assert(up.width === 8 && up.height === 4)
+    // upscale duplicates: out(x2,y2) = src(x2/2, y2/2)
+    for (y2 <- 0 until 4; x2 <- 0 until 8; c <- 0 until 2)
+      assert(up.pixels((y2 * 8 + x2) * 2 + c) ===
+        img.pixels(((y2 / 2) * 4 + x2 / 2) * 2 + c))
+  }
+
+  test("imageResize decodes real BMPs and armors malformed payloads") {
+    val good = BinaryOps.packBmp(Seq((1L, "abcd")).toDF("doc_id", "text"))
+    val bad = Seq((2L, "not a bmp".getBytes)).toDF("doc_id", "payload")
+    val out = BinaryOps.imageResize(good.unionByName(bad), 4, 4)
+      .collect().sortBy(_.doc_id)
+    assert(out(0).src_w === 8 && out(0).dst_w === 4 && out(0).n_px === 16L)
+    // sampled positions are 16*y2 + 2*x2; only position 0 ('a') and 2 ('c')
+    // fall inside the 4-byte text, rest are zero padding
+    assert(out(0).sum_resized === ('a' + 'c').toLong)
+    assert(out(1).src_w === -1 && out(1).n_px === 0L)
+  }
+
   test("packTarShards groups by source with id-ordered doc members") {
     val docs = Seq(
       (3L, "cc", "s1"), (1L, "aa", "s1"), (2L, "bb", "s2"))
