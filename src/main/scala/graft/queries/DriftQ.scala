@@ -151,8 +151,74 @@ object DriftQ {
       |FROM e JOIN r USING (dim)
       |WHERE dim < 4 ORDER BY vec_id, dim""".stripMargin
 
+  // ------------------------------------------------------------- emb_drift
+  /** Per-dimension embedding drift between the even/odd-id cohorts —
+    * the embedding-space sibling of `q_psi_drift`: when a model or
+    * upstream corpus changes, the per-dim standardized mean
+    * difference (SMD) is the first monitor to fire. Components
+    * quantize to e6 integers scan-side (the repo-wide embedding
+    * discipline), each cohort×dim reduces to (n, Σx, Σx²) exact longs
+    * map-side — 100 TB becomes 128 sufficient-statistic rows — and
+    * means/variances round to 4 decimals BEFORE the SMD arithmetic
+    * (the q_ab_test recipe) so the one double expression runs on
+    * identical inputs in both engines. |SMD| > 0.1 flags (the
+    * epidemiology imbalance convention).
+    */
+  def embDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).embeddings
+      .select(($"vec_id" % 2 === 0).as("a"),
+        posexplode($"embedding").as(Seq("dim", "x")))
+      .select($"a", ($"dim" + 1).cast("long").as("dim"),
+        expr("CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)").as("xe6"))
+    e.groupBy($"dim")
+      .agg(sum(when($"a", 1L).otherwise(0L)).as("na"),
+        sum(when($"a", $"xe6").otherwise(0L)).as("sa"),
+        sum(when($"a", $"xe6" * $"xe6").otherwise(0L)).as("qa"),
+        sum(when(!$"a", 1L).otherwise(0L)).as("nb"),
+        sum(when(!$"a", $"xe6").otherwise(0L)).as("sb"),
+        sum(when(!$"a", $"xe6" * $"xe6").otherwise(0L)).as("qb"))
+      .withColumn("ma", expr("round(CAST(sa AS DOUBLE) / na / 1e6, 4)"))
+      .withColumn("mb", expr("round(CAST(sb AS DOUBLE) / nb / 1e6, 4)"))
+      .withColumn("va", expr(
+        "round((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / na) / (na - 1) / 1e12, 4)"))
+      .withColumn("vb", expr(
+        "round((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb) / (nb - 1) / 1e12, 4)"))
+      .select($"dim", $"na", $"nb", $"ma".as("mean_a"), $"mb".as("mean_b"),
+        expr("round((ma - mb) / sqrt((va + vb) / 2.0), 4)").as("smd"),
+        expr("abs(round((ma - mb) / sqrt((va + vb) / 2.0), 4)) > 0.1").as("drifted"))
+      .orderBy($"dim")
+  }
+
+  private val embDriftSql =
+    """WITH e AS (
+      |  SELECT vec_id % 2 = 0 AS a, i AS dim,
+      |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS xe6
+      |  FROM embeddings, range(1, 65) t(i)),
+      |g AS (
+      |  SELECT dim,
+      |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |    CAST(sum(CASE WHEN a THEN xe6 ELSE 0 END) AS BIGINT) AS sa,
+      |    CAST(sum(CASE WHEN a THEN xe6 * xe6 ELSE 0 END) AS BIGINT) AS qa,
+      |    CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+      |    CAST(sum(CASE WHEN NOT a THEN xe6 ELSE 0 END) AS BIGINT) AS sb,
+      |    CAST(sum(CASE WHEN NOT a THEN xe6 * xe6 ELSE 0 END) AS BIGINT) AS qb
+      |  FROM e GROUP BY dim),
+      |m AS (
+      |  SELECT *,
+      |    round(CAST(sa AS DOUBLE) / na / 1e6, 4) AS ma,
+      |    round(CAST(sb AS DOUBLE) / nb / 1e6, 4) AS mb,
+      |    round((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / na) / (na - 1) / 1e12, 4) AS va,
+      |    round((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb) / (nb - 1) / 1e12, 4) AS vb
+      |  FROM g)
+      |SELECT dim, na, nb, ma AS mean_a, mb AS mean_b,
+      |  round((ma - mb) / sqrt((va + vb) / 2.0), 4) AS smd,
+      |  abs(round((ma - mb) / sqrt((va + vb) / 2.0), 4)) > 0.1 AS drifted
+      |FROM m ORDER BY dim""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("ts_changepoint", tsChangepoint _, tsChangepointSql),
     QueryDef.sql("corpus_token_entropy", corpusTokenEntropy _, corpusTokenEntropySql),
-    QueryDef.sql("emb_quantize_int8", embQuantizeInt8 _, embQuantizeInt8Sql))
+    QueryDef.sql("emb_quantize_int8", embQuantizeInt8 _, embQuantizeInt8Sql),
+    QueryDef.sql("emb_drift", embDrift _, embDriftSql))
 }
