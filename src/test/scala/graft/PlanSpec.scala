@@ -527,4 +527,36 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct"), s"hits: cross product crept in:\n$p")
     assert(p.contains("HashAggregate"), s"hits: no hash aggregate:\n$p")
   }
+
+  // ---------------------------------------------------- round-7 session 5
+
+  test("grid join generates candidates by cell equi-join, never a cross product") {
+    val p = plan(graft.queries.SpatialQ.qGridJoin(spark, sf001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"grid join degenerated to a quadratic operator:\n$p")
+  }
+
+  test("fuzzy decontamination probes the benchmark index by band equi-join") {
+    val p = plan(graft.queries.DedupQ.textDecontaminateFuzzy(spark, sf001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy decontamination: quadratic operator crept in:\n$p")
+  }
+
+  test("graph-ANN search expands frontiers by equi-join; only queries broadcast") {
+    val p = plan(graft.queries.SimilarityQ.annGraphSearch(spark, sf001))
+    assert(!p.contains("CartesianProduct"),
+      s"graph search: cross product crept in:\n$p")
+  }
+
+  test("jarque-bera broadcasts only the group-cardinality pivot table") {
+    val p = plan(graft.queries.RigorQ.qJarqueBera(spark, sf001))
+    assert(p.contains("BroadcastHashJoin"), s"pivot join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cross product crept in:\n$p")
+  }
+
+  test("golden record resolves through hash joins end to end") {
+    val p = plan(graft.queries.EntityQ.qGoldenRecord(spark, sf001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"golden record: quadratic operator crept in:\n$p")
+  }
 }
