@@ -245,4 +245,50 @@ object EventStream {
           }
       }
   }
+
+  final case class SpendState(n: Long, total_cents: Long, max_cents: Long)
+  final case class SpendOut(user_id: Long, n: Long, total_cents: Long, max_cents: Long)
+
+  /** Per-user spend tracker through Spark 4's `transformWithState` —
+    * the arbitrary-state API that supersedes `mapGroupsWithState`
+    * (typed state handles with per-state TTL, timers, and RocksDB
+    * state-store backing; set
+    * `spark.sql.streaming.stateStore.providerClass` to the RocksDB
+    * provider before starting the query). State per key is one
+    * (count, total, max) triple of exact integer cents forever —
+    * constant per user regardless of stream length. Events fold in
+    * `event_id` order within a batch (the ewma discipline), so a
+    * drained stream equals a driver-side fold exactly — StreamingSpec
+    * pins it across micro-batches.
+    */
+  class SpendProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, ValEv, SpendOut] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[SpendState] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[SpendState]("spend",
+        org.apache.spark.sql.Encoders.product[SpendState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[ValEv],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[SpendOut] = {
+      var s = Option(st.get()).getOrElse(SpendState(0L, 0L, 0L))
+      rows.toSeq.sortBy(_.event_id).foreach { e =>
+        val cents = math.round(e.value * 100)
+        s = SpendState(s.n + 1, s.total_cents + cents, math.max(s.max_cents, cents))
+      }
+      st.update(s)
+      Iterator.single(SpendOut(key, s.n, s.total_cents, s.max_cents))
+    }
+  }
+
+  def spendTracker(ds: Dataset[ValEv]): Dataset[SpendOut] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new SpendProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
 }

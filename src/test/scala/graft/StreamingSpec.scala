@@ -427,4 +427,29 @@ class StreamingSpec extends GraftSuite {
         s"idle session not flushed: ${flushed.toSeq}")
     } finally q.stop()
   }
+
+  test("transformWithState spend tracker folds exact cents across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    withSQLConf("spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      val input = MemoryStream[EventStream.ValEv]
+      val q = EventStream.spendTracker(input.toDS())
+        .writeStream.outputMode("update")
+        .format("memory").queryName("spend_out").start()
+      try {
+        // key 1 split across batches, out of order inside batch 1
+        input.addData(
+          EventStream.ValEv(1L, 2L, 4.5), EventStream.ValEv(1L, 1L, 8.25),
+          EventStream.ValEv(2L, 3L, 5.0))
+        q.processAllAvailable()
+        input.addData(EventStream.ValEv(1L, 4L, 12.0))
+        q.processAllAvailable()
+        val got = spark.table("spend_out").as[EventStream.SpendOut].collect()
+          .groupBy(_.user_id).map { case (k, rows) => k -> rows.maxBy(_.n) }
+        assert(got(1L) == EventStream.SpendOut(1L, 3L, 2475L, 1200L))
+        assert(got(2L) == EventStream.SpendOut(2L, 1L, 500L, 500L))
+      } finally q.stop()
+    }
+  }
 }
