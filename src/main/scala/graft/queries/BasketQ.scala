@@ -144,8 +144,64 @@ object BasketQ {
       |FROM cnt GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q_item_recs
+  /** Item-item collaborative filtering over the co-purchase matrix —
+    * the classic "customers who bought X also bought Y" recommender:
+    * cosine similarity on binary order-incidence vectors reduces to
+    * n_ab/√(n_a·n_b) over pure co-occurrence COUNTS, so the whole
+    * model is two integer aggregates + a basket-keyed pair join (the
+    * q_basket_rules frame — fan-out bounded by basket size², never
+    * cross-corpus). Scores are one identical double expression ranked
+    * with (score desc, id) ties; top-5 per part through the native
+    * bounded-heap tier. Exact oracle.
+    */
+  def qItemRecs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables(spark, dir).lineitem
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+    val per = li.groupBy($"p").agg(count(lit(1)).as("n"))
+    val pairs = li.as("a").join(li.as("b"), "o")
+      .filter($"a.p" < $"b.p")
+      .groupBy($"a.p".as("pa"), $"b.p".as("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+    val sym = pairs.select($"pa".as("part"), $"pb".as("rec"), $"n_ab")
+      .unionByName(pairs.select($"pb".as("part"), $"pa".as("rec"), $"n_ab"))
+    val scored = sym
+      .join(per.select($"p".as("part"), $"n".as("na")), "part")
+      .join(per.select($"p".as("rec"), $"n".as("nb")), "rec")
+      .withColumn("score", expr(
+        "CAST(n_ab AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * nb)"))
+    graft.operators.TopK(scored,
+        Seq($"part"), Seq($"score".desc, $"rec"), 5)
+      .select($"part", $"rec", $"n_ab",
+        round($"score", 4).as("score"), $"rk".cast("long").as("rk"))
+      .orderBy($"part", $"rk")
+  }
+
+  private val qItemRecsSql =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |per AS (SELECT p, count(*) AS n FROM li GROUP BY p),
+      |pairs AS (
+      |  SELECT a.p AS pa, b.p AS pb, count(*) AS n_ab
+      |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2),
+      |sym AS (
+      |  SELECT pa AS part, pb AS rec, n_ab FROM pairs
+      |  UNION ALL
+      |  SELECT pb, pa, n_ab FROM pairs),
+      |scored AS (
+      |  SELECT part, rec, n_ab,
+      |    CAST(n_ab AS DOUBLE) / sqrt(CAST(na.n AS DOUBLE) * nb.n) AS score
+      |  FROM sym JOIN per na ON na.p = part JOIN per nb ON nb.p = rec),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY part ORDER BY score DESC, rec) AS rk
+      |  FROM scored)
+      |SELECT part, rec, CAST(n_ab AS BIGINT) AS n_ab, round(score, 4) AS score, rk
+      |FROM r WHERE rk <= 5 ORDER BY part, rk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("text_ngram_novelty", textNgramNovelty _, textNgramNoveltySql),
     QueryDef.sql("q_basket_rules", qBasketRules _, qBasketRulesSql),
-    QueryDef.sql("corpus_simpson_index", corpusSimpsonIndex _, corpusSimpsonIndexSql))
+    QueryDef.sql("corpus_simpson_index", corpusSimpsonIndex _, corpusSimpsonIndexSql),
+    QueryDef.sql("q_item_recs", qItemRecs _, qItemRecsSql))
 }

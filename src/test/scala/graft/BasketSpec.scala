@@ -53,4 +53,30 @@ class BasketSpec extends GraftSuite {
       .as[Double].collect()(0)
     assert(one == 0.0)
   }
+
+  test("item recs: cosine reconciles with raw co-occurrence counts") {
+    val rows = graft.queries.BasketQ.qItemRecs(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val li = Tables(spark, sf0001).lineitem
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val perPart = li.groupBy(_._2).map { case (p, xs) => p -> xs.length.toLong }
+    val byOrder = li.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { r =>
+      val (part, rec, nab) =
+        (r.getAs[Long]("part"), r.getAs[Long]("rec"), r.getAs[Long]("n_ab"))
+      val expectNab = byOrder.valuesIterator.count(s => s(part) && s(rec)).toLong
+      assert(nab === expectNab, s"($part,$rec)")
+      val score = nab / math.sqrt(perPart(part).toDouble * perPart(rec))
+      assert(math.abs(r.getAs[Double]("score") - score) < 1e-4)
+      assert(r.getAs[Long]("rk") >= 1L && r.getAs[Long]("rk") <= 5L)
+    }
+    // per part, ranks are dense from 1 and scores non-increasing
+    rows.groupBy(_.getAs[Long]("part")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq === (1L to sorted.length))
+      val sc = sorted.map(_.getAs[Double]("score"))
+      assert(sc.zip(sc.tail).forall { case (a, b) => a >= b - 1e-9 })
+    }
+  }
 }
