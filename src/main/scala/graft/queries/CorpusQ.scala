@@ -389,7 +389,74 @@ object CorpusQ {
       |  round(chars_saved / CAST(total_chars AS DOUBLE), 6) AS savings_share
       |FROM s ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------- corpus_budget_mix
+  /** Token-budget mixture planning: fill 60% of the corpus's token
+    * budget taking best-mean-quality sources first, partial take of
+    * the marginal source — the greedy knapsack every data-mixture
+    * recipe starts from (quality ranking is the same shared
+    * `Text.qualityScore`; the budget is 3·total div 5, so the plan is
+    * scale-invariant). Per-source sufficient statistics map-side,
+    * then the rank/cumulative windows run over source-cardinality
+    * METADATA (the binpack shape); take arithmetic is exact integers
+    * until the final fraction.
+    */
+  def corpusBudgetMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables(spark, dir).documents
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.functions.TextFns.tokenCount($"text")).as("n_tokens"),
+        sum((Text.qualityScore($"text") * 10000).cast("long")).as("q_e4"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(expr("CAST(q_e4 AS DOUBLE) / n_docs").desc, $"source")
+    val wc = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    per.crossJoin(broadcast(per.agg(expr("3 * sum(n_tokens) div 5").as("budget"))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_tokens", sum($"n_tokens").over(wc))
+      .select($"rank", $"source", $"n_docs", $"n_tokens",
+        expr("round(CAST(q_e4 AS DOUBLE) / n_docs / 1e4, 4)").as("mean_quality"),
+        expr("""CASE WHEN cum_tokens <= budget THEN n_tokens
+          |WHEN cum_tokens - n_tokens >= budget THEN CAST(0 AS BIGINT)
+          |ELSE budget - (cum_tokens - n_tokens) END"""
+          .stripMargin.replace("\n", " ")).as("taken_tokens"),
+        $"cum_tokens", $"budget")
+      .withColumn("frac_taken", expr("round(CAST(taken_tokens AS DOUBLE) / n_tokens, 4)"))
+      .orderBy($"rank")
+  }
+
+  private val corpusBudgetMixSql =
+    s"""WITH per AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(${QueryDef.toksSql()})) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CAST(round(
+       |      least(1.0, length(text) / 500.0) * 0.25 +
+       |      (len(regexp_extract_all(text, '[A-Za-z]')) / length(text)) * 0.25 +
+       |      (1.0 - len(list_filter(${QueryDef.toksSql()},
+       |        t -> t IN ('the','a','and','of','to','in','is','it'))) / len(${QueryDef.toksSql()})) * 0.25 +
+       |      least(1.0, ((length(text) - (len(${QueryDef.toksSql()}) - 1)) / len(${QueryDef.toksSql()})) / 8.0) * 0.25,
+       |    4) * 10000 AS BIGINT)) AS BIGINT) AS q_e4
+       |  FROM documents GROUP BY source),
+       |b AS (SELECT 3 * CAST(sum(n_tokens) AS BIGINT) // 5 AS budget FROM per),
+       |r AS (
+       |  SELECT *, CAST(row_number() OVER w AS BIGINT) AS rank,
+       |    CAST(sum(n_tokens) OVER (
+       |      ORDER BY CAST(q_e4 AS DOUBLE) / n_docs DESC, source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM per, b
+       |  WINDOW w AS (ORDER BY CAST(q_e4 AS DOUBLE) / n_docs DESC, source))
+       |SELECT rank, source, n_docs, n_tokens,
+       |  round(CAST(q_e4 AS DOUBLE) / n_docs / 1e4, 4) AS mean_quality,
+       |  CASE WHEN cum_tokens <= budget THEN n_tokens
+       |    WHEN cum_tokens - n_tokens >= budget THEN CAST(0 AS BIGINT)
+       |    ELSE budget - (cum_tokens - n_tokens) END AS taken_tokens,
+       |  cum_tokens, budget,
+       |  round(CAST(CASE WHEN cum_tokens <= budget THEN n_tokens
+       |    WHEN cum_tokens - n_tokens >= budget THEN 0
+       |    ELSE budget - (cum_tokens - n_tokens) END AS DOUBLE) / n_tokens, 4) AS frac_taken
+       |FROM r ORDER BY rank""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("corpus_budget_mix", corpusBudgetMix _, corpusBudgetMixSql),
     QueryDef.sql("corpus_dedup_savings", corpusDedupSavings _, corpusDedupSavingsSql),
     QueryDef.sql("corpus_token_budget", corpusTokenBudget _, corpusTokenBudgetSql),
     QueryDef.sql("corpus_url_parse", corpusUrlParse _, corpusUrlParseSql),

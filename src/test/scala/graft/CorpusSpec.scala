@@ -132,4 +132,27 @@ class CorpusSpec extends GraftSuite {
     assert(p.contains("GroupTopK"), s"cap not planned natively:\n$p")
     assert(!p.contains("Window"), s"cap fell back to WindowExec:\n$p")
   }
+
+  test("budget mix: greedy take conserves the 60% budget with one partial source") {
+    val rows = graft.queries.CorpusQ.corpusBudgetMix(spark, sf0001)
+      .orderBy($"rank").collect()
+    assert(rows.nonEmpty)
+    val budget = rows.head.getAs[Long]("budget")
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum
+    assert(budget === 3 * total / 5)
+    assert(rows.map(_.getAs[Long]("taken_tokens")).sum === budget,
+      "greedy take must exactly conserve the budget")
+    // quality ordering is non-increasing down the rank
+    val q = rows.map(_.getAs[Double]("mean_quality"))
+    assert(q.zip(q.tail).forall { case (a, b) => a >= b - 1e-9 })
+    // exactly one source is partially taken; later ones contribute zero
+    val partial = rows.filter(r =>
+      r.getAs[Long]("taken_tokens") > 0 &&
+        r.getAs[Long]("taken_tokens") < r.getAs[Long]("n_tokens"))
+    assert(partial.length <= 1)
+    rows.foreach { r =>
+      val f = r.getAs[Double]("frac_taken")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+  }
 }
