@@ -240,7 +240,73 @@ object PatternQ {
 
   // ---------------------------------------------------------------- registry
 
+  // --------------------------------------------------------- q_window_funnel
+  /** Strict in-order funnel inside a time window (the ClickHouse
+    * `windowFunnel` shape): signup → click → purchase, each step
+    * strictly after the previous and the whole chain within 24 hours of
+    * the signup. Stage anchors resolve relationally — per-user min
+    * signup, then the min qualifying click, then the min qualifying
+    * purchase — three conditional aggregates over user-keyed joins,
+    * no per-user array materialization; the funnel report is
+    * stage-cardinality. Integer epoch micros end to end.
+    */
+  def qWindowFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir).events
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+    val users = ev.select($"user_id").distinct()
+    val s1 = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"us").as("s1"))
+    val s2 = ev.filter($"event_type" === "click").as("e")
+      .join(s1, "user_id")
+      .filter($"us" > $"s1" && $"us" <= $"s1" + 86400000000L)
+      .groupBy($"user_id").agg(min($"us").as("s2"), min($"s1").as("s1b"))
+    val s3 = ev.filter($"event_type" === "purchase").as("e")
+      .join(s2, "user_id")
+      .filter($"us" > $"s2" && $"us" <= $"s1b" + 86400000000L)
+      .groupBy($"user_id").agg(min($"us").as("s3"))
+    val staged = users
+      .join(s1.select($"user_id", lit(1L).as("r1")), Seq("user_id"), "left")
+      .join(s2.select($"user_id", lit(1L).as("r2")), Seq("user_id"), "left")
+      .join(s3.select($"user_id", lit(1L).as("r3")), Seq("user_id"), "left")
+      .select($"user_id",
+        (coalesce($"r1", lit(0L)) + coalesce($"r2", lit(0L)) +
+          coalesce($"r3", lit(0L))).as("stage"))
+    staged.groupBy($"stage").agg(count(lit(1)).as("n_users"))
+      .orderBy($"stage")
+  }
+
+  private val qWindowFunnelSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |users AS (SELECT DISTINCT user_id FROM ev),
+      |s1 AS (
+      |  SELECT user_id, min(us) AS s1 FROM ev
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, min(us) AS s2, min(s1) AS s1b
+      |  FROM ev e JOIN s1 USING (user_id)
+      |  WHERE event_type = 'click' AND us > s1 AND us <= s1 + 86400000000
+      |  GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, min(us) AS s3
+      |  FROM ev e JOIN s2 USING (user_id)
+      |  WHERE event_type = 'purchase' AND us > s2 AND us <= s1b + 86400000000
+      |  GROUP BY e.user_id),
+      |staged AS (
+      |  SELECT u.user_id,
+      |    (CASE WHEN s1.user_id IS NULL THEN 0 ELSE 1 END +
+      |     CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END +
+      |     CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END) AS stage
+      |  FROM users u
+      |  LEFT JOIN s1 ON s1.user_id = u.user_id
+      |  LEFT JOIN s2 ON s2.user_id = u.user_id
+      |  LEFT JOIN s3 ON s3.user_id = u.user_id)
+      |SELECT CAST(stage AS BIGINT) AS stage, count(*) AS n_users
+      |FROM staged GROUP BY stage ORDER BY stage""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("q_window_funnel", qWindowFunnel _, qWindowFunnelSql),
     QueryDef.sql("text_bpe_pairs", textBpePairs _, textBpePairsSql),
     QueryDef.sql("corpus_langid_eval", corpusLangidEval _, corpusLangidEvalSql),
     QueryDef.sql("q_streaks", qStreaks _, qStreaksSql),

@@ -54,4 +54,28 @@ class PatternSpec extends GraftSuite {
     assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") === users)
     assert(r.getAs[Double]("chi2") >= 0.0)
   }
+
+  test("window funnel: stages recount from a driver-side strict-order replay") {
+    val rows = PatternQ.qWindowFunnel(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("stage") -> r.getAs[Long]("n_users")).toMap
+    val ev = Tables(spark, sf0001).events
+      .select($"user_id", $"event_type", unix_micros($"ts"))
+      .as[(Long, String, Long)].collect()
+    val win = 86400000000L
+    val expected = ev.groupBy(_._1).values.map { es =>
+      val s1 = es.filter(_._2 == "signup").map(_._3).minOption
+      val s2 = s1.flatMap(a => es.filter(e => e._2 == "click" && e._3 > a && e._3 <= a + win)
+        .map(_._3).minOption)
+      val s3 = (s1, s2) match {
+        case (Some(a), Some(b)) =>
+          es.filter(e => e._2 == "purchase" && e._3 > b && e._3 <= a + win)
+            .map(_._3).minOption
+        case _ => None
+      }
+      Seq(s1, s2, s3).count(_.isDefined).toLong
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(rows === expected.filter(_._2 > 0))
+    // events coverage: stage counts sum to the user universe
+    assert(rows.values.sum === ev.map(_._1).distinct.length.toLong)
+  }
 }
