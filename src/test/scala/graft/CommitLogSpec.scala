@@ -44,6 +44,20 @@ class CommitLogSpec extends GraftSuite {
     assert(CommitLog.snapshot(spark, t).select("id").as[Long].collect().toSet === Set(1L))
   }
 
+  test("change data feed between versions composes with SnapshotDiff") {
+    val t = tmpTable()
+    CommitLog.write(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), t, overwrite = false)
+    CommitLog.write(spark,
+      Seq((2L, "B"), (3L, "c"), (4L, "d")).toDF("id", "v"), t, overwrite = true)
+    val cdc = graft.etl.SnapshotDiff.diff(
+      CommitLog.snapshot(spark, t, Some(0L)),
+      CommitLog.snapshot(spark, t, Some(1L)),
+      "id", Seq("v"))
+    val byId = cdc.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId === Map(1L -> "deleted", 2L -> "changed", 3L -> "unchanged", 4L -> "inserted"))
+  }
+
   test("a colliding version number fails the atomic log create") {
     val t = tmpTable()
     CommitLog.write(spark, Seq((1L, "a")).toDF("id", "v"), t, overwrite = false)

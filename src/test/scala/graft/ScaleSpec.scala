@@ -98,4 +98,28 @@ class ScaleSpec extends GraftSuite {
       assert(joined.count() > 0)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("AQE splits a skewed sort-merge join at runtime (skew=true in the final plan)") {
+    // one hot key carrying half the fact rows — the shape that strands
+    // a single reducer without AQE's skew-join splitting
+    val fact = spark.range(200000)
+      .selectExpr("CASE WHEN id % 2 = 0 THEN 0 ELSE id END AS k", "id AS v")
+    val dim = spark.range(100000).selectExpr("id AS k", "CAST(id AS STRING) AS name")
+    withSQLConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB") {
+      val joined = fact.join(dim, "k")
+      // collect() executes THIS plan (count() would plan a separate
+      // aggregate query and leave this one un-finalized)
+      // 100k hot-key rows + the 50k odd keys under the dim's 100k range
+      assert(joined.collect().length === 150000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed join:\n$plan")
+    }
+  }
 }
