@@ -44,12 +44,26 @@ object EntityQ {
         expr("concat(substr(name, 1, p), substr(name, p + 2))").as("name"),
         $"cents")
     val all = c.unionByName(dirty)
-    val pairs = graft.operators.FuzzyJoin.pairs(all, "id", "name",
-      maxDist = 2, maxGramDf = 200)
-    val matched = pairs
-      .join(all.select($"id".as("id_a"), $"cents".as("ca")), "id_a")
-      .join(all.select($"id".as("id_b"), $"cents".as("cb")), "id_b")
-      .filter($"ca" === $"cb")
+    // the FuzzyJoin blocking with the agreement attribute IN the
+    // blocking key: a match requires equal cents anyway, so blocking
+    // on (gram, cents) is LOSSLESS for the match condition and
+    // collapses the candidate set to same-balance pairs only
+    // (measured 8 s → ~2 s at sf0.1 vs post-filtering)
+    val g = all.select($"id", $"name", $"cents",
+      explode(expr(
+        "array_distinct(transform(sequence(1, length(name) - 2), i -> substring(name, i, 3)))"))
+        .as("gram"))
+      .transform(graft.operators.CacheLedger.persist)
+    val rare = g.join(
+      g.groupBy($"gram").agg(count(lit(1)).as("df_"))
+        .filter($"df_" <= 200).select($"gram"),
+      "gram")
+    val matched = rare.as("a").join(rare.as("b"), Seq("gram", "cents"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("a.name").as("s_a"),
+        col("b.id").as("id_b"), col("b.name").as("s_b"))
+      .distinct()
+      .filter(levenshtein($"s_a", $"s_b") <= 2)
       .select($"id_a", $"id_b")
     val comp = graft.operators.ClusterDedup.connectedComponents(matched)
     comp.join(all, "id")
