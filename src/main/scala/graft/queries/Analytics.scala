@@ -553,6 +553,65 @@ object Analytics {
       s"\nSELECT node, dist FROM d$rounds ORDER BY dist, node"
   }
 
+  /** Double-sweep eccentricity / diameter lower bound (r7 s5): the
+    * standard diameter estimator — BFS from an arbitrary node (the
+    * min id), then BFS again from the farthest node found; the second
+    * eccentricity is a tight diameter lower bound on most real
+    * graphs, at the cost of exactly TWO BFS runs however large the
+    * graph (each O(edges·rounds), the [[graft.operators.Bfs]]
+    * frontier contract; hop budget 4 declared, like
+    * q_shortest_paths). The peak-node argmax between sweeps stays
+    * in-plan (orderBy+limit — never a driver collect); ties break by
+    * min node so the whole composition is deterministic and the
+    * oracle unrolls both sweeps.
+    */
+  def qGraphEcc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = bulkCoPurchaseEdges(spark, dir)
+    val start = e.select($"u".as("node"))
+      .unionByName(e.select($"v".as("node")))
+      .agg(min($"node").as("node"))
+    val d1 = graft.operators.Bfs.distances(e, start, rounds = 4)
+    val peak1 = d1.orderBy($"dist".desc, $"node").limit(1)
+    val d2 = graft.operators.Bfs.distances(e,
+      peak1.select($"node"), rounds = 4)
+    val peak2 = d2.orderBy($"dist".desc, $"node").limit(1)
+    start.select($"node".as("start_node"))
+      .crossJoin(peak1.select($"node".as("peak1"), $"dist".as("ecc1")))
+      .crossJoin(peak2.select($"node".as("peak2"), $"dist".as("diameter_lb")))
+  }
+
+  private val qGraphEccSql = {
+    // AS MATERIALIZED is load-bearing: DuckDB re-evaluates plain CTEs
+    // per reference, and the doubly-chained sweeps would re-open the
+    // parquet scan exponentially ("too many open files")
+    val head =
+      """WITH li AS MATERIALIZED (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem WHERE l_quantity >= 40),
+        |e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+        |sym AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e)""".stripMargin
+    def sweep(tag: String, srcCte: String): String = {
+      val d0 = s"""${tag}0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist FROM $srcCte)"""
+      val iters = (1 to 4).map { r =>
+        s"""$tag$r AS MATERIALIZED (SELECT * FROM $tag${r - 1} UNION ALL
+           |  SELECT n.node, CAST($r AS BIGINT) AS dist FROM (
+           |    SELECT DISTINCT s.v AS node FROM sym s
+           |    JOIN $tag${r - 1} f ON f.node = s.u AND f.dist = ${r - 1}) n
+           |  WHERE NOT EXISTS (SELECT 1 FROM $tag${r - 1} x WHERE x.node = n.node))""".stripMargin
+      }
+      (d0 +: iters).mkString(",\n")
+    }
+    head + ",\n" +
+      "src1 AS (SELECT min(x) AS node FROM (SELECT u AS x FROM e UNION SELECT v FROM e)),\n" +
+      sweep("a", "src1") + ",\n" +
+      "p1 AS (SELECT node, dist FROM a4 ORDER BY dist DESC, node LIMIT 1),\n" +
+      "src2 AS (SELECT node FROM p1),\n" +
+      sweep("b", "src2") + ",\n" +
+      "p2 AS (SELECT node, dist FROM b4 ORDER BY dist DESC, node LIMIT 1)\n" +
+      """SELECT src1.node AS start_node, p1.node AS peak1, p1.dist AS ecc1,
+        |  p2.node AS peak2, p2.dist AS diameter_lb
+        |FROM src1, p1, p2""".stripMargin
+  }
+
   /** k-core peeling over the co-purchase graph (r6,
     * [[graft.operators.KCore]]): 3 rounds of drop-degree-<4 — the
     * dense-subgraph seed every community/spam-cluster pipeline
@@ -634,6 +693,7 @@ object Analytics {
     QueryDef.sql("q_jaccard_neighbors", qJaccardNeighbors _, qJaccardNeighborsSql),
     QueryDef.sql("q_clustering_coef", qClusteringCoef _, qClusteringCoefSql),
     QueryDef.sql("q_shortest_paths", qShortestPaths _, qShortestPathsSql),
+    QueryDef.sql("q_graph_ecc", qGraphEcc _, qGraphEccSql),
     QueryDef.sql("q_kcore", qKcore _, qKcoreSql),
     QueryDef.sql("q_assortativity", qAssortativity _, qAssortativitySql),
     QueryDef.sql("q_array_ops", qArrayOps _, qArrayOpsSql),

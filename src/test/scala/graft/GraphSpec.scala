@@ -57,6 +57,17 @@ class GraphSpec extends GraftSuite {
     rows.foreach(r => assert(r.getAs[Long]("new_users") <= r.getAs[Long]("dau")))
   }
 
+  test("graph ecc: double sweep is consistent within the hop budget") {
+    val r = graft.queries.Analytics.qGraphEcc(spark, sf0001).collect().head
+    val ecc1 = r.getAs[Long]("ecc1"); val lb = r.getAs[Long]("diameter_lb")
+    assert(ecc1 >= 1L && ecc1 <= 4L)
+    // the second sweep starts at the farthest node: it reaches the
+    // first start again at distance ecc1, so its eccentricity (within
+    // the same hop budget) can only be larger
+    assert(lb >= ecc1 && lb <= 4L)
+    assert(r.getAs[Long]("peak1") !== r.getAs[Long]("start_node"))
+  }
+
   test("bom explosion covers every part once with digit-depth and exact path quantities") {
     val rows = GraphQ.qBomExplosion(spark, sf0001).collect()
     val parts = Tables(spark, sf0001).part.select($"p_partkey".cast("long"))
