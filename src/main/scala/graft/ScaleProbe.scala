@@ -743,6 +743,24 @@ object ScaleProbe {
       dir => graft.queries.MineQ.tsHoltWinters(spark, dir))
     probeGrowth("haar", base, out,
       dir => graft.queries.SeriesQ.tsHaar(spark, dir))
+    // late session-5 wave: basket-bounded pair join, relational
+    // funnel anchors, blocking-keyed entity resolution (2× customers
+    // plant 2× dirty copies), spatial cells (2× points ⇒ ~4× pairs),
+    // two-BFS diameter, day-bounded Kalman, metadata-window knapsack
+    probeGrowth("item_recs", base, out,
+      dir => graft.queries.BasketQ.qItemRecs(spark, dir))
+    probeGrowth("window_funnel", base, events2,
+      dir => graft.queries.PatternQ.qWindowFunnel(spark, dir))
+    probeGrowth("golden_record", base, cust2,
+      dir => graft.queries.EntityQ.qGoldenRecord(spark, dir))
+    probeGrowth("grid_join", base, cust2,
+      dir => graft.queries.SpatialQ.qGridJoin(spark, dir))
+    probeGrowth("graph_ecc", base, out,
+      dir => graft.queries.Analytics.qGraphEcc(spark, dir))
+    probeGrowth("kalman", base, out,
+      dir => graft.queries.SeriesQ.tsKalman(spark, dir))
+    probeGrowth("budget_mix", base, docs2,
+      dir => graft.queries.CorpusQ.corpusBudgetMix(spark, dir))
     spark.stop()
   }
 }
