@@ -567,7 +567,9 @@ object Analytics {
     */
   def qGraphEcc(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = bulkCoPurchaseEdges(spark, dir)
+    // cached across the TWO sweeps: each Bfs run symmetrizes its own
+    // copy, but the underlying co-purchase self-join computes once
+    val e = graft.operators.CacheLedger.persist(bulkCoPurchaseEdges(spark, dir))
     val start = e.select($"u".as("node"))
       .unionByName(e.select($"v".as("node")))
       .agg(min($"node").as("node"))
