@@ -184,10 +184,115 @@ object RigorQ {
       |  0.5 AS epsilon
       |FROM l ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------- ts_mann_kendall
+  /** Mann–Kendall trend test of daily order counts — the standard
+    * nonparametric "is this series trending" monitor (the trend
+    * sibling of `q_kendall_tau`, which correlates two METRICS; MK
+    * correlates one metric with TIME). S = Σ sgn(y₂−y₁) over day
+    * pairs runs on the AGGREGATED series (calendar-bounded — the
+    * etl_binpack quadratic rule); the tie-corrected variance
+    * numerator n(n−1)(2n+5) − Σt(t−1)(2t+5) stays exact long
+    * arithmetic, and the continuity-corrected Z is the one final
+    * double expression. |Z| > 1.96 flags the direction.
+    */
+  def tsMannKendall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables(spark, dir).orders
+      .groupBy(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val s = daily.select($"day".as("d1"), $"y".as("y1"))
+      .join(daily.select($"day".as("d2"), $"y".as("y2")), $"d1" < $"d2")
+      .agg(sum(when($"y2" > $"y1", 1L).when($"y2" < $"y1", -1L).otherwise(0L)).as("s"))
+    val ties = daily.groupBy($"y").agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(expr("t * (t - 1) * (2 * t + 5)")), lit(0L)).as("tie_term"))
+    val n = daily.agg(count(lit(1)).as("n"))
+    s.crossJoin(broadcast(ties)).crossJoin(broadcast(n))
+      .withColumn("var_num", expr("n * (n - 1) * (2 * n + 5) - tie_term"))
+      .select($"n".as("n_days"), $"s".as("s_stat"), $"var_num",
+        expr("""round(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_num / 18.0)
+          |WHEN s < 0 THEN (s + 1) / sqrt(var_num / 18.0) ELSE 0.0 END, 4)"""
+          .stripMargin.replace("\n", " ")).as("z"),
+        expr("""CASE WHEN round(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_num / 18.0)
+          |WHEN s < 0 THEN (s + 1) / sqrt(var_num / 18.0) ELSE 0.0 END, 4) > 1.96 THEN 'increasing'
+          |WHEN round(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_num / 18.0)
+          |WHEN s < 0 THEN (s + 1) / sqrt(var_num / 18.0) ELSE 0.0 END, 4) < -1.96 THEN 'decreasing'
+          |ELSE 'none' END""".stripMargin.replace("\n", " ")).as("trend"))
+  }
+
+  private val tsMannKendallSql =
+    """WITH daily AS (
+      |  SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
+      |    count(*) AS y
+      |  FROM orders GROUP BY 1),
+      |s AS (
+      |  SELECT CAST(sum(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s
+      |  FROM daily a JOIN daily b ON a.day < b.day),
+      |ties AS (
+      |  SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_term
+      |  FROM (SELECT y, count(*) AS t FROM daily GROUP BY y)),
+      |n AS (SELECT count(*) AS n FROM daily),
+      |v AS (SELECT s, tie_term, n, n * (n - 1) * (2 * n + 5) - tie_term AS var_num
+      |      FROM s, ties, n)
+      |SELECT n AS n_days, s AS s_stat, var_num,
+      |  round(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_num / 18.0)
+      |    WHEN s < 0 THEN (s + 1) / sqrt(var_num / 18.0) ELSE 0.0 END, 4) AS z,
+      |  CASE WHEN round(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_num / 18.0)
+      |    WHEN s < 0 THEN (s + 1) / sqrt(var_num / 18.0) ELSE 0.0 END, 4) > 1.96 THEN 'increasing'
+      |  WHEN round(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_num / 18.0)
+      |    WHEN s < 0 THEN (s + 1) / sqrt(var_num / 18.0) ELSE 0.0 END, 4) < -1.96 THEN 'decreasing'
+      |  ELSE 'none' END AS trend
+      |FROM v""".stripMargin
+
+  // -------------------------------------------------------- q_weighted_median
+  /** Weighted median of unit price (cents) per return flag, weights =
+    * line quantity — the robust "typical traded price" a plain median
+    * misrepresents when line sizes vary. Value-grouped weights first
+    * (state = distinct prices per flag, not rows), then one
+    * PARTITIONED running-weight window over that value table; the
+    * median is the smallest value whose doubled cumulative weight
+    * reaches the total — integer comparisons end to end.
+    */
+  def qWeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vg = Tables(spark, dir).lineitem
+      .select($"l_returnflag".as("flag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        expr("CAST(l_quantity AS BIGINT)").as("q"))
+      .groupBy($"flag", $"cents").agg(sum($"q").as("w"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy($"flag").orderBy($"cents")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    vg.withColumn("cum", sum($"w").over(win))
+      .withColumn("tot", sum($"w").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"flag")))
+      .groupBy($"flag")
+      .agg(count(lit(1)).as("n_values"),
+        max($"tot").as("total_weight"),
+        min(when($"cum" * 2 >= $"tot", $"cents")).as("w_median_cents"))
+      .orderBy($"flag")
+  }
+
+  private val qWeightedMedianSql =
+    """WITH vg AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (
+      |  SELECT *, CAST(sum(w) OVER (PARTITION BY flag ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS tot
+      |  FROM vg)
+      |SELECT flag, count(*) AS n_values, max(tot) AS total_weight,
+      |  min(CASE WHEN cum * 2 >= tot THEN cents END) AS w_median_cents
+      |FROM c GROUP BY flag ORDER BY flag""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q_jarque_bera", qJarqueBera _, qJarqueBeraSql),
     QueryDef.sql("q_mcnemar", qMcnemar _, qMcnemarSql),
-    QueryDef.sql("q_dp_histogram", qDpHistogram _, qDpHistogramSql))
+    QueryDef.sql("q_dp_histogram", qDpHistogram _, qDpHistogramSql),
+    QueryDef.sql("ts_mann_kendall", tsMannKendall _, tsMannKendallSql),
+    QueryDef.sql("q_weighted_median", qWeightedMedian _, qWeightedMedianSql))
 }

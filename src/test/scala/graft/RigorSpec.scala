@@ -63,4 +63,42 @@ class RigorSpec extends GraftSuite {
     // Laplace(2) noise should not be degenerate-zero for every cell
     assert(a.exists(_.getAs[Long]("lap_e6") != 0L))
   }
+
+  test("mann-kendall: S and the tie-corrected variance recompute driver-side") {
+    val r = RigorQ.tsMannKendall(spark, sf0001).collect().head
+    val ys = Tables(spark, sf0001).orders
+      .groupBy(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("y")).orderBy($"day").as[(Long, Long)].collect().map(_._2)
+    val n = ys.length.toLong
+    var s = 0L
+    for (i <- ys.indices; j <- i + 1 until ys.length)
+      s += java.lang.Long.signum(ys(j) - ys(i))
+    val tieTerm = ys.groupBy(identity).values
+      .map(g => { val t = g.length.toLong; t * (t - 1) * (2 * t + 5) }).sum
+    assert(r.getAs[Long]("n_days") === n)
+    assert(r.getAs[Long]("s_stat") === s)
+    assert(r.getAs[Long]("var_num") === n * (n - 1) * (2 * n + 5) - tieTerm)
+    val z = r.getAs[Double]("z")
+    assert(r.getAs[String]("trend") ===
+      (if (z > 1.96) "increasing" else if (z < -1.96) "decreasing" else "none"))
+  }
+
+  test("weighted median: half the quantity-weighted mass sits on each side") {
+    val rows = RigorQ.qWeightedMedian(spark, sf0001).collect()
+    assert(rows.length === 3)
+    val li = Tables(spark, sf0001).lineitem
+      .select($"l_returnflag",
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        expr("CAST(l_quantity AS BIGINT)").as("q"))
+      .as[(String, Long, Long)].collect()
+    rows.foreach { r =>
+      val flag = r.getAs[String]("flag"); val m = r.getAs[Long]("w_median_cents")
+      val grp = li.filter(_._1 == flag)
+      val tot = grp.map(_._3).sum
+      assert(r.getAs[Long]("total_weight") === tot)
+      val below = grp.filter(_._2 < m).map(_._3).sum
+      val upTo = grp.filter(_._2 <= m).map(_._3).sum
+      assert(2 * below < tot && 2 * upTo >= tot, s"$flag: $below/$upTo/$tot")
+    }
+  }
 }
