@@ -312,7 +312,52 @@ object InsightQ {
 
   // ---------------------------------------------------------------- registry
 
+  // ------------------------------------------------- ts_spectral_entropy
+  /** Spectral entropy of the purchase periodogram — how concentrated
+    * the series' power is in one cycle (≈0: a single dominant
+    * seasonality; ≈1: white noise). Composes the gated `ts_periodogram`
+    * plan VERBATIM (the ann_recall_eval composition rule — the
+    * entropy can never drift from the spectrum it summarizes); each
+    * −p·ln p term nano-quantizes before the cross-frequency sum (the
+    * corpus_token_entropy recipe), normalized by ln(#frequencies).
+    */
+  def tsSpectralEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = tsPeriodogram(spark, dir).select($"k", $"power_e8")
+    val tot = p.agg(sum($"power_e8").as("tot"), count(lit(1)).as("nf"))
+    p.crossJoin(broadcast(tot))
+      .withColumn("t_e9", expr(
+        """CASE WHEN power_e8 = 0 THEN CAST(0 AS BIGINT)
+          |ELSE CAST(round(-1e9 * (CAST(power_e8 AS DOUBLE) / tot) *
+          |  ln(CAST(power_e8 AS DOUBLE) / tot)) AS BIGINT) END"""
+          .stripMargin.replace("\n", " ")))
+      .groupBy($"nf", $"tot")
+      .agg(sum($"t_e9").as("h_e9"),
+        max(expr("CAST(round(1e6 * CAST(power_e8 AS DOUBLE) / tot) AS BIGINT)")).as("dom_e6"))
+      .select($"nf".as("n_freqs"),
+        expr("round(h_e9 / 1e9, 6)").as("entropy"),
+        expr("round(h_e9 / 1e9 / ln(CAST(nf AS DOUBLE)), 6)").as("entropy_norm"),
+        expr("round(dom_e6 / 1e6, 4)").as("dominant_share"))
+  }
+
+  private val tsSpectralEntropySql =
+    s"""WITH pg AS (SELECT k, power_e8 FROM ($tsPeriodogramSql)),
+       |t AS (SELECT CAST(sum(power_e8) AS BIGINT) AS tot, count(*) AS nf FROM pg),
+       |e AS (
+       |  SELECT nf, tot,
+       |    CASE WHEN power_e8 = 0 THEN CAST(0 AS BIGINT)
+       |      ELSE CAST(round(-1e9 * (CAST(power_e8 AS DOUBLE) / tot) *
+       |        ln(CAST(power_e8 AS DOUBLE) / tot)) AS BIGINT) END AS t_e9,
+       |    CAST(round(1e6 * CAST(power_e8 AS DOUBLE) / tot) AS BIGINT) AS p_e6
+       |  FROM pg, t)
+       |SELECT nf AS n_freqs,
+       |  round(CAST(sum(t_e9) AS BIGINT) / 1e9, 6) AS entropy,
+       |  round(CAST(sum(t_e9) AS BIGINT) / 1e9 / ln(CAST(nf AS DOUBLE)), 6) AS entropy_norm,
+       |  round(max(p_e6) / 1e6, 4) AS dominant_share
+       |FROM e GROUP BY nf, tot""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("ts_spectral_entropy", tsSpectralEntropy _, tsSpectralEntropySql),
     QueryDef.sql("ts_ar_forecast", tsArForecast _, tsArForecastSql),
     QueryDef.sql("ts_periodogram", tsPeriodogram _, tsPeriodogramSql),
     QueryDef.sql("corpus_train_holdout", corpusTrainHoldout _, corpusTrainHoldoutSql),

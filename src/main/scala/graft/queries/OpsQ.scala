@@ -161,8 +161,74 @@ object OpsQ {
       |  round(CAST(sum(lat) AS BIGINT) / CAST(count(*) AS DOUBLE), 4) AS avg_days
       |FROM d GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
 
+  // ------------------------------------------------------- q_xyz_analysis
+  /** XYZ demand-variability classification — ABC's standard companion
+    * (`q_abc_analysis` ranks by value; XYZ classes by predictability):
+    * per-part coefficient of variation of monthly shipped quantity,
+    * X (CV < 0.5, steady) / Y (< 1.0) / Z (erratic). Monthly demand
+    * is integer quantities; mean/std round to 4 decimals BEFORE the
+    * CV division (the q_ab_test recipe); parts shipping in a single
+    * month have undefined variability and class as Z by convention.
+    * Two bounded aggregates: (part × month), then part, then the
+    * 3-row class table.
+    */
+  def qXyzAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pm = Tables(spark, dir).lineitem
+      .groupBy($"l_partkey".as("part"),
+        expr("unix_micros(l_shipdate) div 2592000000000").as("m"))
+      .agg(expr("CAST(sum(l_quantity) AS BIGINT)").as("q"))
+    val per = pm.groupBy($"part")
+      .agg(count(lit(1)).as("n"), sum($"q").as("s"), sum($"q" * $"q").as("ss"))
+      .withColumn("mu", expr("round(CAST(s AS DOUBLE) / n, 4)"))
+      .withColumn("sd", expr(
+        "CASE WHEN n > 1 THEN round(sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)), 4) END"))
+      .withColumn("cls", expr(
+        """CASE WHEN n <= 1 THEN 'Z'
+          |WHEN sd / mu < 0.5 THEN 'X' WHEN sd / mu < 1.0 THEN 'Y'
+          |ELSE 'Z' END""".stripMargin.replace("\n", " ")))
+    per.groupBy($"cls")
+      .agg(count(lit(1)).as("n_parts"),
+        expr("CAST(round(avg(CASE WHEN n > 1 THEN sd / mu END) * 1e4) AS BIGINT)").as("mean_cv_e4"))
+      .crossJoin(broadcast(per.agg(count(lit(1)).as("total"))))
+      .select($"cls", $"n_parts",
+        expr("round(CAST(n_parts AS DOUBLE) / total, 4)").as("share"),
+        expr("round(mean_cv_e4 / 1e4, 4)").as("mean_cv"))
+      .orderBy($"cls")
+  }
+
+  private val qXyzAnalysisSql =
+    """WITH pm AS (
+      |  SELECT l_partkey AS part, epoch_us(l_shipdate) // 2592000000000 AS m,
+      |    CAST(sum(l_quantity) AS BIGINT) AS q
+      |  FROM lineitem GROUP BY 1, 2),
+      |per AS (
+      |  SELECT part, count(*) AS n, CAST(sum(q) AS BIGINT) AS s,
+      |    CAST(sum(q * q) AS BIGINT) AS ss
+      |  FROM pm GROUP BY part),
+      |cv AS (
+      |  SELECT *,
+      |    round(CAST(s AS DOUBLE) / n, 4) AS mu,
+      |    CASE WHEN n > 1 THEN round(sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)), 4) END AS sd
+      |  FROM per),
+      |cl AS (
+      |  SELECT *, CASE WHEN n <= 1 THEN 'Z'
+      |    WHEN sd / mu < 0.5 THEN 'X' WHEN sd / mu < 1.0 THEN 'Y'
+      |    ELSE 'Z' END AS cls
+      |  FROM cv),
+      |g AS (
+      |  SELECT cls, count(*) AS n_parts,
+      |    CAST(round(avg(CASE WHEN n > 1 THEN sd / mu END) * 1e4) AS BIGINT) AS mean_cv_e4
+      |  FROM cl GROUP BY cls),
+      |t AS (SELECT count(*) AS total FROM cl)
+      |SELECT cls, n_parts,
+      |  round(CAST(n_parts AS DOUBLE) / total, 4) AS share,
+      |  round(mean_cv_e4 / 1e4, 4) AS mean_cv
+      |FROM g, t ORDER BY cls""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q_mom_growth", qMomGrowth _, qMomGrowthSql),
     QueryDef.sql("q_abc_analysis", qAbcAnalysis _, qAbcAnalysisSql),
-    QueryDef.sql("q_ship_latency", qShipLatency _, qShipLatencySql))
+    QueryDef.sql("q_ship_latency", qShipLatency _, qShipLatencySql),
+    QueryDef.sql("q_xyz_analysis", qXyzAnalysis _, qXyzAnalysisSql))
 }

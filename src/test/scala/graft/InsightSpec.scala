@@ -64,4 +64,31 @@ class InsightSpec extends GraftSuite {
     assert(math.abs(approx - delta) <= parts, s"bridge residual too large: $approx vs $delta")
     assert(r.getAs[Long]("n_common_parts") > 0L)
   }
+
+  test("spectral entropy: bounds and dominant-share consistency with the spectrum") {
+    val r = InsightQ.tsSpectralEntropy(spark, sf0001).collect().head
+    val hN = r.getAs[Double]("entropy_norm")
+    assert(hN >= 0.0 && hN <= 1.0 + 1e-9)
+    assert(r.getAs[Long]("n_freqs") === 10L)
+    val dom = r.getAs[Double]("dominant_share")
+    assert(dom >= 0.1 - 1e-9 && dom <= 1.0) // max share >= uniform share
+    // recompute from the gated periodogram
+    val pw = InsightQ.tsPeriodogram(spark, sf0001).collect()
+      .map(_.getAs[Long]("power_e8").toDouble)
+    val tot = pw.sum
+    assert(math.abs(dom - math.round(1e6 * pw.max / tot) / 1e6) < 1e-3)
+    val h = pw.filter(_ > 0).map { p => val q = p / tot; -q * math.log(q) }.sum
+    assert(math.abs(r.getAs[Double]("entropy") - h) < 1e-4)
+  }
+
+  test("xyz analysis: classes partition the part universe with sane CV ordering") {
+    val rows = graft.queries.OpsQ.qXyzAnalysis(spark, sf0001).collect()
+      .map(r => r.getAs[String]("cls") ->
+        (r.getAs[Long]("n_parts"), r.getAs[Double]("share"))).toMap
+    val partsShipped = Tables(spark, sf0001).lineitem
+      .select($"l_partkey").distinct().count()
+    assert(rows.values.map(_._1).sum === partsShipped)
+    assert(math.abs(rows.values.map(_._2).sum - 1.0) < 0.001)
+    assert(rows.keySet.subsetOf(Set("X", "Y", "Z")))
+  }
 }
