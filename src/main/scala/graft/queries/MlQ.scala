@@ -350,7 +350,98 @@ object MlQ {
       |  round(CAST(sum(s6) AS BIGINT) / (count(*) * 1e6), 6) AS mean_sil
       |FROM s GROUP BY cluster ORDER BY cluster""".stripMargin
 
+  // ---------------------------------------------------------- q_logreg_irls
+  /** Logistic regression TRAINED in-plan — 3 unrolled IRLS (Newton)
+    * iterations fitting P(converted) = σ(β₀ + β₁·clicks) over the
+    * per-user table (conversion = the q_prop_ztest ≥14-purchases
+    * label). Each iteration is ONE aggregate over users × the
+    * broadcast 1-row previous-β state: per-row weights
+    * w = p(1−p) and residuals quantize to e9 longs BEFORE the sums
+    * (cross-row double sums are addition-order-dependent — the
+    * repo-wide discipline), so the five sufficient statistics are
+    * exact integers and the 2×2 Newton solve is one deterministic
+    * double expression (products exceed long range, so the solve
+    * casts the exact longs to double — identically in both engines).
+    * σ's argument clamps to ±30 (exp parity has precedent: q_msprt,
+    * text_quality_model). A final pass scores accuracy and the
+    * e6-quantized log-likelihood at the trained β. 100 TB shape: 4
+    * aggregates over a user-cardinality table, state = 2 doubles.
+    * The oracle unrolls the identical 3 iterations from the same
+    * sub-expression strings.
+    */
+  private object Irls {
+    val z = "greatest(-30.0, least(30.0, a + b * x))"
+    val p = s"(1.0 / (1.0 + exp(-($z))))"
+    val w = s"($p * (1.0 - $p))"
+    val t0 = s"CAST(round($w * 1e9) AS BIGINT)"
+    val t1 = s"CAST(round($w * x * 1e9) AS BIGINT)"
+    val t2 = s"CAST(round($w * x * x * 1e9) AS BIGINT)"
+    val r0 = s"CAST(round((y - $p) * 1e9) AS BIGINT)"
+    val r1 = s"CAST(round((y - $p) * x * 1e9) AS BIGINT)"
+    val det = "(CAST(s0 AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)"
+    val aNew = s"a + (CAST(g0 AS DOUBLE) * s2 - CAST(g1 AS DOUBLE) * s1) / $det"
+    val bNew = s"b + (CAST(g1 AS DOUBLE) * s0 - CAST(g0 AS DOUBLE) * s1) / $det"
+    val ll = s"CAST(round((y * ln($p) + (1.0 - y) * ln(1.0 - $p)) * 1e6) AS BIGINT)"
+    val hit = s"CASE WHEN ($p >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END"
+  }
+
+  def qLogregIrls(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val u = Tables(spark, dir).events
+      .groupBy($"user_id")
+      .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)).as("x"),
+        when(sum(when($"event_type" === "purchase", 1L).otherwise(0L)) >= 14, 1.0)
+          .otherwise(0.0).as("y"))
+    var beta = u.sparkSession.range(1)
+      .select(lit(0.0).as("a"), lit(0.0).as("b"))
+    for (_ <- 1 to 3) {
+      beta = u.crossJoin(broadcast(beta))
+        .agg(sum(expr(Irls.t0)).as("s0"), sum(expr(Irls.t1)).as("s1"),
+          sum(expr(Irls.t2)).as("s2"), sum(expr(Irls.r0)).as("g0"),
+          sum(expr(Irls.r1)).as("g1"), min($"a").as("a"), min($"b").as("b"))
+        .select(expr(Irls.aNew).as("a"), expr(Irls.bNew).as("b"))
+    }
+    u.crossJoin(broadcast(beta))
+      .agg(count(lit(1)).as("n_users"),
+        min($"a").as("a"), min($"b").as("b"),
+        sum(expr(Irls.ll)).as("ll_e6"),
+        sum(expr(Irls.hit)).as("n_correct"))
+      .select($"n_users",
+        expr("round(a, 6)").as("beta0"),
+        expr("round(b, 6)").as("beta1"),
+        expr("round(ll_e6 / 1e6, 4)").as("log_likelihood"),
+        $"n_correct",
+        expr("round(CAST(n_correct AS DOUBLE) / n_users, 4)").as("accuracy"))
+  }
+
+  private val qLogregIrlsSql = {
+    val step = (i: Int) =>
+      s"""s$i AS (
+         |  SELECT CAST(sum(${Irls.t0}) AS BIGINT) AS s0, CAST(sum(${Irls.t1}) AS BIGINT) AS s1,
+         |    CAST(sum(${Irls.t2}) AS BIGINT) AS s2, CAST(sum(${Irls.r0}) AS BIGINT) AS g0,
+         |    CAST(sum(${Irls.r1}) AS BIGINT) AS g1, min(a) AS a, min(b) AS b
+         |  FROM u, it${i - 1}),
+         |it$i AS (SELECT ${Irls.aNew} AS a, ${Irls.bNew} AS b FROM s$i)""".stripMargin
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+       |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+       |      THEN 1.0 ELSE 0.0 END AS y
+       |  FROM events GROUP BY user_id),
+       |it0 AS (SELECT CAST(0.0 AS DOUBLE) AS a, CAST(0.0 AS DOUBLE) AS b),
+       |${step(1)},
+       |${step(2)},
+       |${step(3)}
+       |SELECT count(*) AS n_users,
+       |  round(min(a), 6) AS beta0, round(min(b), 6) AS beta1,
+       |  round(CAST(sum(${Irls.ll}) AS BIGINT) / 1e6, 4) AS log_likelihood,
+       |  CAST(sum(${Irls.hit}) AS BIGINT) AS n_correct,
+       |  round(CAST(sum(${Irls.hit}) AS DOUBLE) / count(*), 4) AS accuracy
+       |FROM u, it3""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("q_logreg_irls", qLogregIrls _, qLogregIrlsSql),
     QueryDef.sql("emb_dbscan", embDbscan _, embDbscanSql),
     QueryDef.sql("emb_cov_matrix", embCovMatrix _, embCovMatrixSql),
     QueryDef.sql("emb_pca_power", embPcaPower _, embPcaPowerSql),

@@ -127,4 +127,38 @@ class MlSpec extends GraftSuite {
     val res = (0 until 8).map(i => math.abs(rv(i) - lambda * v(i))).max
     assert(res < 0.05, s"power iteration residual $res too large")
   }
+
+  test("logreg IRLS replays driver-side: same betas, likelihood, accuracy") {
+    val r = graft.queries.MlQ.qLogregIrls(spark, sf0001).collect().head
+    val users = Tables(spark, sf0001).events
+      .groupBy($"user_id")
+      .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)).as("x"),
+        when(sum(when($"event_type" === "purchase", 1L).otherwise(0L)) >= 14, 1.0)
+          .otherwise(0.0).as("y"))
+      .as[(Long, Long, Double)].collect().map(t => (t._2.toDouble, t._3))
+    def sig(z: Double): Double = 1.0 / (1.0 + math.exp(-math.max(-30.0, math.min(30.0, z))))
+    def rnd(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+    var (a, b) = (0.0, 0.0)
+    for (_ <- 1 to 3) {
+      var (s0, s1, s2, g0, g1) = (0L, 0L, 0L, 0L, 0L)
+      users.foreach { case (x, y) =>
+        val p = sig(a + b * x); val w = p * (1 - p)
+        s0 += rnd(w * 1e9); s1 += rnd(w * x * 1e9); s2 += rnd(w * x * x * 1e9)
+        g0 += rnd((y - p) * 1e9); g1 += rnd((y - p) * x * 1e9)
+      }
+      val det = s0.toDouble * s2 - s1.toDouble * s1
+      val da = (g0.toDouble * s2 - g1.toDouble * s1) / det
+      val db = (g1.toDouble * s0 - g0.toDouble * s1) / det
+      a += da; b += db
+    }
+    assert(math.abs(r.getAs[Double]("beta0") - a) < 1e-5, s"beta0 $a")
+    assert(math.abs(r.getAs[Double]("beta1") - b) < 1e-5, s"beta1 $b")
+    val ll = users.map { case (x, y) =>
+      val p = sig(a + b * x); rnd((y * math.log(p) + (1 - y) * math.log(1 - p)) * 1e6)
+    }.sum / 1e6
+    assert(math.abs(r.getAs[Double]("log_likelihood") - ll) < 1e-3)
+    val correct = users.count { case (x, y) => (sig(a + b * x) >= 0.5) == (y == 1.0) }
+    assert(r.getAs[Long]("n_correct") === correct.toLong)
+  }
 }
