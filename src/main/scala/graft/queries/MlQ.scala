@@ -440,7 +440,86 @@ object MlQ {
        |FROM u, it3""".stripMargin
   }
 
+  // -------------------------------------------------------- ts_poisson_trend
+  /** Poisson trend GLM — log λ = β₀ + β₁·t fit to daily order counts
+    * by 3 unrolled Newton iterations (completing the in-plan GLM trio:
+    * linear `q_ols_multi`, logistic `q_logreg_irls`, Poisson here —
+    * the right likelihood for COUNT series where OLS assumes Gaussian
+    * noise). The day index rebases to the series start (the
+    * q_forecast_linreg recipe), β₀ seeds at ln(mean count) so Newton
+    * starts near the optimum; per-day μ = exp(clamp(β₀+β₁t)) terms
+    * quantize to e4 longs before the sums, and the 2×2 solve is the
+    * IRLS expression. Data = the day-cardinality aggregate (bounded
+    * metadata), so each iteration is an aggregate over ~2.4k rows
+    * however large the fact table. Oracle unrolls identical
+    * iterations from the same sub-expression strings.
+    */
+  private object Pois {
+    val mu = "exp(greatest(-30.0, least(30.0, a + b * t)))"
+    val t0 = s"CAST(round($mu * 1e4) AS BIGINT)"
+    val t1 = s"CAST(round($mu * t * 1e4) AS BIGINT)"
+    val t2 = s"CAST(round($mu * t * t * 1e4) AS BIGINT)"
+    val r0 = s"CAST(round((y - $mu) * 1e4) AS BIGINT)"
+    val r1 = s"CAST(round((y - $mu) * t * 1e4) AS BIGINT)"
+    val det = "(CAST(s0 AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)"
+    val aNew = s"a + (CAST(g0 AS DOUBLE) * s2 - CAST(g1 AS DOUBLE) * s1) / $det"
+    val bNew = s"b + (CAST(g1 AS DOUBLE) * s0 - CAST(g0 AS DOUBLE) * s1) / $det"
+  }
+
+  def tsPoissonTrend(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val raw = Tables(spark, dir).orders
+      .groupBy(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val base = raw.agg(min($"day").as("d0"), sum($"y").as("sy"), count(lit(1)).as("n"))
+    val d = raw.crossJoin(broadcast(base))
+      .select(($"day" - $"d0").cast("double").as("t"), $"y".cast("double").as("y"))
+    var beta = base
+      .select(expr("ln(CAST(sy AS DOUBLE) / n)").as("a"), lit(0.0).as("b"))
+    for (_ <- 1 to 3) {
+      beta = d.crossJoin(broadcast(beta))
+        .agg(sum(expr(Pois.t0)).as("s0"), sum(expr(Pois.t1)).as("s1"),
+          sum(expr(Pois.t2)).as("s2"), sum(expr(Pois.r0)).as("g0"),
+          sum(expr(Pois.r1)).as("g1"), min($"a").as("a"), min($"b").as("b"))
+        .select(expr(Pois.aNew).as("a"), expr(Pois.bNew).as("b"))
+    }
+    d.crossJoin(broadcast(beta))
+      .agg(count(lit(1)).as("n_days"), max($"t").as("t_max"),
+        min($"a").as("a"), min($"b").as("b"))
+      .select($"n_days",
+        expr("round(a, 6)").as("beta0"),
+        expr("round(b, 8)").as("beta1_daily"),
+        expr("round(exp(a), 4)").as("rate_at_start"),
+        expr("round(exp(a + b * t_max), 4)").as("rate_at_end"))
+  }
+
+  private val tsPoissonTrendSql = {
+    val step = (i: Int) =>
+      s"""ps$i AS (
+         |  SELECT CAST(sum(${Pois.t0}) AS BIGINT) AS s0, CAST(sum(${Pois.t1}) AS BIGINT) AS s1,
+         |    CAST(sum(${Pois.t2}) AS BIGINT) AS s2, CAST(sum(${Pois.r0}) AS BIGINT) AS g0,
+         |    CAST(sum(${Pois.r1}) AS BIGINT) AS g1, min(a) AS a, min(b) AS b
+         |  FROM d, pit${i - 1}),
+         |pit$i AS (SELECT ${Pois.aNew} AS a, ${Pois.bNew} AS b FROM ps$i)""".stripMargin
+    s"""WITH raw AS (
+       |  SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
+       |    count(*) AS y
+       |  FROM orders GROUP BY 1),
+       |base AS (SELECT min(day) AS d0, CAST(sum(y) AS BIGINT) AS sy, count(*) AS n FROM raw),
+       |d AS (SELECT CAST(day - d0 AS DOUBLE) AS t, CAST(y AS DOUBLE) AS y FROM raw, base),
+       |pit0 AS (SELECT ln(CAST(sy AS DOUBLE) / n) AS a, CAST(0.0 AS DOUBLE) AS b FROM base),
+       |${step(1)},
+       |${step(2)},
+       |${step(3)}
+       |SELECT count(*) AS n_days,
+       |  round(min(a), 6) AS beta0, round(min(b), 8) AS beta1_daily,
+       |  round(exp(min(a)), 4) AS rate_at_start,
+       |  round(exp(min(a) + min(b) * max(t)), 4) AS rate_at_end
+       |FROM d, pit3""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("ts_poisson_trend", tsPoissonTrend _, tsPoissonTrendSql),
     QueryDef.sql("q_logreg_irls", qLogregIrls _, qLogregIrlsSql),
     QueryDef.sql("emb_dbscan", embDbscan _, embDbscanSql),
     QueryDef.sql("emb_cov_matrix", embCovMatrix _, embCovMatrixSql),

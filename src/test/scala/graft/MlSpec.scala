@@ -161,4 +161,33 @@ class MlSpec extends GraftSuite {
     val correct = users.count { case (x, y) => (sig(a + b * x) >= 0.5) == (y == 1.0) }
     assert(r.getAs[Long]("n_correct") === correct.toLong)
   }
+
+  test("poisson trend replays driver-side and nearly zeroes the score at the fit") {
+    val r = graft.queries.MlQ.tsPoissonTrend(spark, sf0001).collect().head
+    val daily = Tables(spark, sf0001).orders
+      .groupBy(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("y")).orderBy($"day").as[(Long, Long)].collect()
+    val d0 = daily.map(_._1).min
+    val pts = daily.map { case (day, y) => ((day - d0).toDouble, y.toDouble) }
+    def rnd(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+    var a = math.log(pts.map(_._2).sum / pts.length)
+    var b = 0.0
+    for (_ <- 1 to 3) {
+      var (s0, s1, s2, g0, g1) = (0L, 0L, 0L, 0L, 0L)
+      pts.foreach { case (t, y) =>
+        val mu = math.exp(math.max(-30.0, math.min(30.0, a + b * t)))
+        s0 += rnd(mu * 1e4); s1 += rnd(mu * t * 1e4); s2 += rnd(mu * t * t * 1e4)
+        g0 += rnd((y - mu) * 1e4); g1 += rnd((y - mu) * t * 1e4)
+      }
+      val det = s0.toDouble * s2 - s1.toDouble * s1
+      a += (g0.toDouble * s2 - g1.toDouble * s1) / det
+      b += (g1.toDouble * s0 - g0.toDouble * s1) / det
+    }
+    assert(math.abs(r.getAs[Double]("beta0") - a) < 1e-5)
+    assert(math.abs(r.getAs[Double]("beta1_daily") - b) < 1e-7)
+    // score equations near zero at the optimum: Σ(y−μ) ≈ 0
+    val resid = pts.map { case (t, y) => y - math.exp(a + b * t) }.sum
+    assert(math.abs(resid) < 1.0, s"score residual $resid")
+  }
 }
