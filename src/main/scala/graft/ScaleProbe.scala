@@ -761,6 +761,21 @@ object ScaleProbe {
       dir => graft.queries.SeriesQ.tsKalman(spark, dir))
     probeGrowth("budget_mix", base, docs2,
       dir => graft.queries.CorpusQ.corpusBudgetMix(spark, dir))
+    // GLM trio + closing stats gates: user-/day-cardinality sufficient
+    // statistics per Newton step; value-grouped weighted median; class
+    // tables from bounded monthly aggregates
+    probeGrowth("logreg_irls", base, events2,
+      dir => graft.queries.MlQ.qLogregIrls(spark, dir))
+    probeGrowth("poisson_trend", base, out,
+      dir => graft.queries.MlQ.tsPoissonTrend(spark, dir))
+    probeGrowth("spectral_entropy", base, events2,
+      dir => graft.queries.InsightQ.tsSpectralEntropy(spark, dir))
+    probeGrowth("xyz_analysis", base, out,
+      dir => graft.queries.OpsQ.qXyzAnalysis(spark, dir))
+    probeGrowth("mann_kendall", base, out,
+      dir => graft.queries.RigorQ.tsMannKendall(spark, dir))
+    probeGrowth("weighted_median", base, out,
+      dir => graft.queries.RigorQ.qWeightedMedian(spark, dir))
     spark.stop()
   }
 }
