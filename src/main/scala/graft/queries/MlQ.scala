@@ -518,7 +518,109 @@ object MlQ {
        |FROM d, pit3""".stripMargin
   }
 
+  // --------------------------------------------------------------- q_gmm_em
+  /** Two-component 1-D Gaussian mixture fit by 3 unrolled EM
+    * iterations over order values (thousands of dollars) — the
+    * soft-clustering member of the in-plan training family (IRLS/
+    * Newton above are second-order; EM is the latent-variable
+    * workhorse). Deterministic seeding from exact percentiles
+    * (μ = p25/p75, shared σ² from the overall moments, π = ½); each
+    * E+M step is ONE aggregate over values × the broadcast 1-row
+    * parameter state: per-row responsibilities
+    * r = π₁N₁/(π₁N₁+π₂N₂) and their x/x² products quantize to e6
+    * longs BEFORE the sums (the IRLS discipline), so the M-step runs
+    * on exact integers; variances floor at 1e-4 so a collapsing
+    * component cannot NaN the chain. 100 TB: 4 aggregates, state =
+    * five doubles. Oracle unrolls identical iterations from the same
+    * sub-expression strings.
+    */
+  private object Gmm {
+    private def dens(m: String, v: String) =
+      s"(exp(greatest(-60.0, -((x - $m) * (x - $m)) / (2.0 * $v))) / sqrt($v))"
+    val n1 = dens("m1", "v1")
+    val n2 = dens("m2", "v2")
+    val r1 = s"(w1 * $n1 / (w1 * $n1 + (1.0 - w1) * $n2 + 1e-300))"
+    val q1 = s"CAST(round($r1 * 1e6) AS BIGINT)"
+    val qx1 = s"CAST(round($r1 * x * 1e6) AS BIGINT)"
+    val qxx1 = s"CAST(round($r1 * x * x * 1e6) AS BIGINT)"
+    val qx2 = s"CAST(round((1.0 - $r1) * x * 1e6) AS BIGINT)"
+    val qxx2 = s"CAST(round((1.0 - $r1) * x * x * 1e6) AS BIGINT)"
+    // M step from the exact sums (n = total rows, s1 = Σr1 in e6)
+    val m1New = "CAST(sx1 AS DOUBLE) / s1"
+    val m2New = "CAST(sx2 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6 - s1)"
+    val v1New = s"greatest(1e-4, CAST(sxx1 AS DOUBLE) / s1 - ($m1New) * ($m1New))"
+    val v2New = s"greatest(1e-4, CAST(sxx2 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6 - s1) - ($m2New) * ($m2New))"
+    val w1New = "CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6)"
+  }
+
+  def qGmmEm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables(spark, dir).orders
+      .select((expr("CAST(round(o_totalprice * 100) AS BIGINT)") / 100000.0).as("x"))
+    // seed variance from EXACT integer cents moments (a cross-row
+    // double sum would be addition-order-dependent); percentiles are
+    // sort-based and order-free
+    val seed = Tables(spark, dir).orders
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      .agg(expr("percentile(c / 100000.0, 0.25)").as("m1"),
+        expr("percentile(c / 100000.0, 0.75)").as("m2"),
+        count(lit(1)).as("n"), sum($"c").as("s"),
+        sum($"c".cast(org.apache.spark.sql.types.DecimalType(38, 0)) * $"c").as("ss"))
+      .select($"m1", $"m2",
+        expr("""round((CAST(ss AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) / 1e10, 6)""")
+          .as("v1"),
+        expr("""round((CAST(ss AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) / 1e10, 6)""")
+          .as("v2"),
+        lit(0.5).as("w1"))
+    var p = seed
+    for (_ <- 1 to 3) {
+      p = d.crossJoin(broadcast(p))
+        .agg(count(lit(1)).as("n"),
+          sum(expr(Gmm.q1)).as("s1"),
+          sum(expr(Gmm.qx1)).as("sx1"), sum(expr(Gmm.qxx1)).as("sxx1"),
+          sum(expr(Gmm.qx2)).as("sx2"), sum(expr(Gmm.qxx2)).as("sxx2"))
+        .select(expr(Gmm.m1New).as("m1"), expr(Gmm.m2New).as("m2"),
+          expr(Gmm.v1New).as("v1"), expr(Gmm.v2New).as("v2"),
+          expr(Gmm.w1New).as("w1"))
+    }
+    p.select(
+      expr("round(m1, 4)").as("mu1_kd"), expr("round(m2, 4)").as("mu2_kd"),
+      expr("round(sqrt(v1), 4)").as("sd1_kd"), expr("round(sqrt(v2), 4)").as("sd2_kd"),
+      expr("round(w1, 4)").as("weight1"))
+  }
+
+  private val qGmmEmSql = {
+    val step = (i: Int) =>
+      s"""gs$i AS (
+         |  SELECT count(*) AS n, CAST(sum(${Gmm.q1}) AS BIGINT) AS s1,
+         |    CAST(sum(${Gmm.qx1}) AS BIGINT) AS sx1, CAST(sum(${Gmm.qxx1}) AS BIGINT) AS sxx1,
+         |    CAST(sum(${Gmm.qx2}) AS BIGINT) AS sx2, CAST(sum(${Gmm.qxx2}) AS BIGINT) AS sxx2
+         |  FROM d, git${i - 1}),
+         |git$i AS (SELECT ${Gmm.m1New} AS m1, ${Gmm.m2New} AS m2,
+         |  ${Gmm.v1New} AS v1, ${Gmm.v2New} AS v2, ${Gmm.w1New} AS w1 FROM gs$i)""".stripMargin
+    s"""WITH d AS (
+       |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) / 100000.0 AS x FROM orders),
+       |c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+       |git0 AS (
+       |  SELECT quantile_cont(c / 100000.0, 0.25) AS m1,
+       |    quantile_cont(c / 100000.0, 0.75) AS m2,
+       |    round((CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE) / count(*) -
+       |      (CAST(sum(c) AS DOUBLE) / count(*)) * (CAST(sum(c) AS DOUBLE) / count(*))) / 1e10, 6) AS v1,
+       |    round((CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE) / count(*) -
+       |      (CAST(sum(c) AS DOUBLE) / count(*)) * (CAST(sum(c) AS DOUBLE) / count(*))) / 1e10, 6) AS v2,
+       |    CAST(0.5 AS DOUBLE) AS w1
+       |  FROM c),
+       |${step(1)},
+       |${step(2)},
+       |${step(3)}
+       |SELECT round(m1, 4) AS mu1_kd, round(m2, 4) AS mu2_kd,
+       |  round(sqrt(v1), 4) AS sd1_kd, round(sqrt(v2), 4) AS sd2_kd,
+       |  round(w1, 4) AS weight1
+       |FROM git3""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("q_gmm_em", qGmmEm _, qGmmEmSql),
     QueryDef.sql("ts_poisson_trend", tsPoissonTrend _, tsPoissonTrendSql),
     QueryDef.sql("q_logreg_irls", qLogregIrls _, qLogregIrlsSql),
     QueryDef.sql("emb_dbscan", embDbscan _, embDbscanSql),

@@ -190,4 +190,46 @@ class MlSpec extends GraftSuite {
     val resid = pts.map { case (t, y) => y - math.exp(a + b * t) }.sum
     assert(math.abs(resid) < 1.0, s"score residual $resid")
   }
+
+  test("gmm EM replays driver-side: same components after 3 steps") {
+    val r = graft.queries.MlQ.qGmmEm(spark, sf0001).collect().head
+    val cents = Tables(spark, sf0001).orders
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .as[Long].collect().sorted
+    val xs = cents.map(_ / 100000.0)
+    def pct(q: Double): Double = {
+      val pos = (xs.length - 1) * q
+      val lo = pos.toInt
+      xs(lo) + (pos - lo) * (xs(math.min(lo + 1, xs.length - 1)) - xs(lo))
+    }
+    def rnd(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+    val n = xs.length.toLong
+    val sC = cents.sum
+    val ssC = cents.map(c => BigInt(c) * BigInt(c)).sum
+    val v0 = BigDecimal((ssC.toDouble / n - (sC.toDouble / n) * (sC.toDouble / n)) / 1e10)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var (m1, m2, v1, v2, w1) = (pct(0.25), pct(0.75), v0, v0, 0.5)
+    for (_ <- 1 to 3) {
+      var (s1, sx1, sxx1, sx2, sxx2) = (0L, 0L, 0L, 0L, 0L)
+      xs.foreach { x =>
+        def dens(m: Double, v: Double): Double =
+          math.exp(math.max(-60.0, -((x - m) * (x - m)) / (2.0 * v))) / math.sqrt(v)
+        val r1 = w1 * dens(m1, v1) / (w1 * dens(m1, v1) + (1 - w1) * dens(m2, v2) + 1e-300)
+        s1 += rnd(r1 * 1e6); sx1 += rnd(r1 * x * 1e6); sxx1 += rnd(r1 * x * x * 1e6)
+        sx2 += rnd((1 - r1) * x * 1e6); sxx2 += rnd((1 - r1) * x * x * 1e6)
+      }
+      val nm1 = sx1.toDouble / s1
+      val nm2 = sx2.toDouble / (n.toDouble * 1e6 - s1)
+      v1 = math.max(1e-4, sxx1.toDouble / s1 - nm1 * nm1)
+      v2 = math.max(1e-4, sxx2.toDouble / (n.toDouble * 1e6 - s1) - nm2 * nm2)
+      w1 = s1.toDouble / (n.toDouble * 1e6)
+      m1 = nm1; m2 = nm2
+    }
+    assert(math.abs(r.getAs[Double]("mu1_kd") - m1) < 1e-3, s"mu1 $m1")
+    assert(math.abs(r.getAs[Double]("mu2_kd") - m2) < 1e-3, s"mu2 $m2")
+    assert(math.abs(r.getAs[Double]("sd1_kd") - math.sqrt(v1)) < 1e-3)
+    assert(math.abs(r.getAs[Double]("weight1") - w1) < 1e-3)
+    assert(m1 < m2, "components must stay ordered from the percentile seed")
+  }
 }
