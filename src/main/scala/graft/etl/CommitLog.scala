@@ -62,10 +62,21 @@ object CommitLog {
     Commit(v, arr("add"), arr("remove"))
   }
 
+  /** Data-file naming contract. Every name the log ever records is
+    * generated internally as `part-<8 hex chars>-<i>.parquet`; the
+    * writer ASSERTS it, which is what makes [[readCommit]]'s minimal
+    * split-on-comma JSON parser safe — no recorded name can contain a
+    * comma, quote, backslash, or bracket, so escaping can never matter
+    * on the read path.
+    */
+  private val FileName = "part-[0-9a-f]{8}-[0-9]+\\.parquet".r
+
   /** Append a commit for `version`; fails if that version exists
     * (atomic create = the single-writer-per-version guard).
     */
   private def writeCommit(spark: SparkSession, tableDir: String, c: Commit): Unit = {
+    (c.add ++ c.remove).foreach(n => require(FileName.matches(n),
+      s"commit log file name '$n' violates the part-<batch>-<i>.parquet contract"))
     val f = fs(spark, tableDir)
     f.mkdirs(new org.apache.hadoop.fs.Path(logDir(tableDir)))
     val p = new org.apache.hadoop.fs.Path(s"${logDir(tableDir)}/${c.version}.json")
@@ -111,9 +122,82 @@ object CommitLog {
     f.delete(new org.apache.hadoop.fs.Path(stage), true)
     val prior = liveFiles(spark, tableDir)
     val v = versions(spark, tableDir).lastOption.getOrElse(-1L) + 1
-    writeCommit(spark, tableDir, Commit(v, named.map(_._2),
+    try writeCommit(spark, tableDir, Commit(v, named.map(_._2),
       if (overwrite) prior else Seq.empty))
+    catch { case e: Throwable =>
+      // losing the version race must not strand this batch's already-
+      // renamed data files in the table dir forever: no commit ever
+      // referenced them, so deleting them is safe and keeps the dir =
+      // (log-referenced files + in-flight stages) as an invariant.
+      named.foreach { case (_, to) =>
+        try f.delete(new org.apache.hadoop.fs.Path(s"$tableDir/$to"), false)
+        catch { case _: Throwable => () }
+      }
+      throw e
+    }
     v
+  }
+
+  /** Compact the current snapshot: rewrite the live data files into
+    * `ceil(liveBytes / targetFileBytes)` files (≥ 1) as a NEW version
+    * whose commit adds the compacted files and removes every
+    * previously-live one. Content is untouched — same rows, fewer
+    * files — and the swap is the same single-writer-guarded commit as
+    * any write, so readers see the pre- or post-compaction file set,
+    * never a mix. Old files stay on disk for time travel until
+    * [[vacuum]] retires them.
+    *
+    * Scale notes: the rewrite is one distributed scan + write sized by
+    * data volume; `targetFileBytes` bounds per-task output so a 100 TB
+    * table compacts to many right-sized files, not one driver-killer
+    * (the N→1 case is just the small-table degenerate of the same
+    * formula).
+    */
+  def compact(spark: SparkSession, tableDir: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    val f = fs(spark, tableDir)
+    val live = liveFiles(spark, tableDir)
+    require(live.nonEmpty, s"nothing to compact in $tableDir")
+    val bytes = live.map(n =>
+      f.getFileStatus(new org.apache.hadoop.fs.Path(s"$tableDir/$n")).getLen).sum
+    val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val snap = snapshot(spark, tableDir)
+    write(spark, snap.repartition(nOut), tableDir, overwrite = true)
+  }
+
+  /** Retention sweep: delete data files not live at ANY of the last
+    * `keepVersions` versions, then drop the log entries older than the
+    * retention window's replay needs. Time travel to every RETAINED
+    * version still reads exactly its original file set (a file live at
+    * any retained version is never deleted — the "never delete
+    * referenced files" guarantee); versions older than the window
+    * become unreadable by construction, which is the same contract as
+    * Delta/Iceberg `VACUUM`/`expire_snapshots`.
+    *
+    * Returns the deleted data-file names. Replay safety: retained
+    * versions replay from version 0 over the FULL log (log entries are
+    * bytes, not data), so only data files are deleted; log entries are
+    * kept — an audit trail costs nothing at metadata scale.
+    */
+  def vacuum(spark: SparkSession, tableDir: String,
+             keepVersions: Int = 2): Seq[String] = {
+    require(keepVersions >= 1, "must retain at least the latest version")
+    val f = fs(spark, tableDir)
+    val vs = versions(spark, tableDir)
+    if (vs.isEmpty) return Seq.empty
+    val retained = vs.takeRight(keepVersions)
+    val referenced = retained
+      .flatMap(v => liveFiles(spark, tableDir, Some(v))).toSet
+    // every name any commit ever added (the universe of data files the
+    // log owns); in-flight _stage_* dirs and the _log dir are not ours
+    val everAdded = vs.flatMap(v => readCommit(spark, tableDir, v).add).toSet
+    val doomed = (everAdded -- referenced).toSeq.sorted
+    // report only what this sweep actually removed — a re-run over an
+    // already-vacuumed table is a no-op, not a repeat claim
+    doomed.filter { n =>
+      val p = new org.apache.hadoop.fs.Path(s"$tableDir/$n")
+      try f.exists(p) && f.delete(p, false) catch { case _: Throwable => false }
+    }
   }
 
   /** Snapshot read at `version` (default: latest). An empty snapshot
@@ -123,7 +207,7 @@ object CommitLog {
   def snapshot(spark: SparkSession, tableDir: String,
                version: Option[Long] = None): DataFrame = {
     val files = liveFiles(spark, tableDir, version).map(n => s"$tableDir/$n")
-    require(files.nonEmpty, s"no live files at version $version in $tableDir")
-    spark.read.parquet(files: _*)
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files: _*)
   }
 }

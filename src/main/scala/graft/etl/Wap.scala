@@ -15,9 +15,14 @@ import org.apache.spark.sql.functions._
   * Mechanics: `publish` writes parquet to `<root>/_staged/<table>`,
   * re-reads it, runs the audit (row-level [[Validation.Rule]]s — all
   * rows must be acceptable — plus a row-count floor), and on pass
-  * renames the staged directory onto `<root>/<table>` (an atomic
-  * metadata operation on HDFS-like filesystems; object stores swap a
-  * pointer the same way via their committers). A failed audit leaves
+  * swaps the staged directory onto `<root>/<table>` with renames only
+  * (atomic metadata operations on HDFS-like filesystems; object
+  * stores swap a pointer the same way via their committers): the
+  * current serving directory is parked at `<root>/_prev_<table>`
+  * before the staged one renames in, so the previous table's bytes
+  * exist at every instant and a crash mid-swap is recoverable — a
+  * reader or operator always finds the old table, the new table, or
+  * both, never neither. A failed audit leaves
   * the staged directory in place for inspection and touches nothing
   * the readers see. The published table's order-independent
   * [[TableDigest]] is returned so downstream consumers can verify
@@ -67,10 +72,22 @@ object Wap {
     if (pass) {
       val f = fs(spark, root)
       val serving = new org.apache.hadoop.fs.Path(servingPath)
-      if (f.exists(serving)) f.delete(serving, true)
       f.mkdirs(serving.getParent)
+      // never delete-then-rename: a crash between the delete and the
+      // rename would destroy the only copy of the serving table. Move
+      // the current serving ASIDE first (rename, an O(1) metadata op),
+      // rename the staged table in, and only then drop the aside copy —
+      // at every instant the previous table bytes exist somewhere, so a
+      // crash at any point is recoverable (the old table is either
+      // still serving or parked at _prev_<table>).
+      val prev = new org.apache.hadoop.fs.Path(s"$root/_prev_$table")
+      if (f.exists(prev)) f.delete(prev, true)
+      val hadPrev = f.exists(serving)
+      if (hadPrev) require(f.rename(serving, prev),
+        s"rename $servingPath -> ${prev} failed")
       require(f.rename(new org.apache.hadoop.fs.Path(stagedPath), serving),
         s"rename $stagedPath -> $servingPath failed")
+      if (hadPrev) f.delete(prev, true)
       val published = spark.read.parquet(servingPath)
       val d = TableDigest.digest(published, table, digestCols(published))
         .collect().head

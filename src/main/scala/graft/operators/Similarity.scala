@@ -80,6 +80,60 @@ object Similarity {
         round(col("cos"), 4).as("cosine"), col("rk").cast("long").as("rk"))
   }
 
+  /** Maximum-inner-product search (MIPS) via the Shrivastava–Li
+    * augmented transform (NeurIPS 2014 "Asymmetric LSH for sublinear
+    * time MIPS"): inner product is not a metric (no triangle
+    * inequality; a vector's own ip with itself need not dominate), so
+    * cosine/L2 LSH cannot bucket it directly. The fix is asymmetric
+    * augmentation to one extra coordinate — data x → [x; √(M²−|x|²)]
+    * (M = max corpus norm, so every augmented data vector has norm
+    * exactly M), query q → [q; 0] — after which cos(aug(x), aug(q)) =
+    * (x·q)/(M·|q|): a monotone transform of the inner product, making
+    * hyperplane sign buckets a valid MIPS candidate generator. As in
+    * every production ANN stack, the LSH tier only PRUNES; candidates
+    * re-rank by the exact inner product of the ORIGINAL vectors.
+    *
+    * Scale shape = [[lshTopK]]: bucketing is one compiled
+    * [[graft.functions.HyperplaneBands]] pass (65 weights/plane — the
+    * augmented dim), queries probe own-bucket + 1-bit flips, scoring
+    * is map-side against the broadcast query set and the final top-k
+    * runs through the bounded-heap GroupTopK tier. |x|² and M² are
+    * in-order double dot products and the augmented coordinate is one
+    * IEEE sqrt — both bit-replayable by the DuckDB oracle, so the
+    * whole gate hash-matches (recall vs brute-force MIPS is measured
+    * in SimilaritySpec).
+    */
+  def mipsTopK(vectors: DataFrame, queries: DataFrame,
+               idCol: String, vecCol: String, k: Int,
+               planes: Int = 4): DataFrame = {
+    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VecFns.dot(col(vecCol), col(vecCol)).as("n2"))
+    val m2 = base.agg(max(col("n2")).as("m2"))
+    // augmented DOUBLE array: original coords + the norm-completion
+    // coordinate; HyperplaneBands quantizes each to floor(x·2^20)
+    val v = base.crossJoin(broadcast(m2))
+      .withColumn("va", concat(
+        expr("transform(v, x -> cast(x as double))"),
+        array(sqrt(greatest(col("m2") - col("n2"), lit(0.0))))))
+      .select(col("id"), col("v"),
+        element_at(graft.functions.HyperplaneBands(col("va"), 1, planes), 1).as("bucket"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
+      .withColumn("qa", concat(
+        expr("transform(q_v, x -> cast(x as double))"), array(lit(0.0))))
+      .withColumn("q_bucket",
+        element_at(graft.functions.HyperplaneBands(col("qa"), 1, planes), 1))
+      .withColumn("bucket", explode(expr(
+        s"array_union(array(q_bucket), transform(sequence(0, ${planes - 1}), p -> " +
+          "CAST(q_bucket AS BIGINT) ^ shiftleft(CAST(1 AS BIGINT), p)))")))
+      .select(col("q_id"), col("q_v"), col("bucket"))
+    val scored = v.join(broadcast(q), "bucket")
+      .filter(col("id") =!= col("q_id"))
+      .withColumn("ip", VecFns.dot(col("v"), col("q_v")))
+    TopK(scored, Seq(col("q_id")), Seq(col("ip").desc, col("id")), k)
+      .select(col("q_id"), col("id").as("neighbor_id"),
+        round(col("ip"), 4).as("ip"), col("rk").cast("long").as("rk"))
+  }
+
   /** IVF-style coarse quantization: a deterministic seed set acts as
     * the coarse centroids (production would run k-means; seeding keeps
     * plans reproducible). Vectors join their nearest centroid's list;

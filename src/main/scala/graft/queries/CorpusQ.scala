@@ -406,7 +406,7 @@ object CorpusQ {
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
         sum(graft.functions.TextFns.tokenCount($"text")).as("n_tokens"),
-        sum((Text.qualityScore($"text") * 10000).cast("long")).as("q_e4"))
+        sum(round(Text.qualityScore($"text") * 10000).cast("long")).as("q_e4"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(expr("CAST(q_e4 AS DOUBLE) / n_docs").desc, $"source")
     val wc = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)

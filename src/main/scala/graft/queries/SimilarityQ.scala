@@ -80,6 +80,64 @@ object SimilarityQ {
       |r AS (SELECT q_id, neighbor_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, neighbor_id) AS rk FROM scored)
       |SELECT q_id, neighbor_id, round(c, 4) AS cosine, rk FROM r WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
 
+  /** Asymmetric-LSH maximum-inner-product search
+    * ([[Similarity.mipsTopK]]): the Shrivastava–Li augmentation makes
+    * hyperplane buckets valid for inner product (≠ cosine — no
+    * normalization, so a long vector can dominate queries it is not
+    * the most-aligned with), then candidates re-rank by the exact
+    * inner product. Fully deterministic (md5 planes, IEEE sqrt for
+    * the norm-completion coordinate), so the DuckDB oracle replays
+    * augmentation, bucketing, probing and ranking exactly.
+    */
+  def annMips(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).embeddings
+    Similarity.mipsTopK(e, queriesOf(spark, dir), "vec_id", "embedding", k = 10)
+      .orderBy($"q_id", $"rk")
+  }
+
+  private val annMipsSql =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+      |    list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
+      |  FROM embeddings),
+      |m AS (SELECT max(n2) AS m2 FROM v),
+      |av AS (
+      |  SELECT vec_id,
+      |    list_append(list_transform(e, x -> floor(x * 1048576.0)),
+      |      floor(sqrt(greatest(m2 - n2, 0.0)) * 1048576.0)) AS qx
+      |  FROM v, m),
+      |aq AS (
+      |  SELECT vec_id,
+      |    list_append(list_transform(e, x -> floor(x * 1048576.0)), CAST(0.0 AS DOUBLE)) AS qx
+      |  FROM v WHERE vec_id < 10),
+      |w AS (
+      |  SELECT p, list(CAST(CAST(CAST(('0x'||substr(md5('hp:'||p||':'||j),1,16)) AS UBIGINT) % 2001 AS BIGINT) - 1000 AS DOUBLE) ORDER BY j) AS wv
+      |  FROM range(0, 4) t(p), range(0, 65) d(j) GROUP BY p),
+      |bk AS (
+      |  SELECT vec_id, SUM(CASE WHEN list_dot_product(qx, wv) > 0 THEN CAST(1 AS BIGINT) << CAST(p AS INTEGER) ELSE 0 END) AS bucket
+      |  FROM av, w GROUP BY vec_id),
+      |qb AS (
+      |  SELECT vec_id, SUM(CASE WHEN list_dot_product(qx, wv) > 0 THEN CAST(1 AS BIGINT) << CAST(p AS INTEGER) ELSE 0 END) AS bucket
+      |  FROM aq, w GROUP BY vec_id),
+      |probes AS (
+      |  SELECT DISTINCT q_id, pb FROM (
+      |    SELECT vec_id AS q_id, bucket AS pb FROM qb
+      |    UNION ALL
+      |    SELECT vec_id, CAST(xor(bucket, CAST(1 AS BIGINT) << CAST(p AS INTEGER)) AS BIGINT)
+      |    FROM qb, range(0, 4) r(p))),
+      |scored AS (
+      |  SELECT p.q_id, b.vec_id AS neighbor_id,
+      |    list_dot_product(e.e, q.e) AS ip
+      |  FROM probes p JOIN bk b ON b.bucket = p.pb
+      |  JOIN v e ON e.vec_id = b.vec_id JOIN v q ON q.vec_id = p.q_id
+      |  WHERE b.vec_id <> p.q_id),
+      |r AS (SELECT q_id, neighbor_id, ip,
+      |        row_number() OVER (PARTITION BY q_id ORDER BY ip DESC, neighbor_id) AS rk
+      |      FROM scored)
+      |SELECT q_id, neighbor_id, round(ip, 4) AS ip, rk
+      |FROM r WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
+
   /** IVF-bucketed ANN. The coarse "centroids" are a deterministic
     * seed set (first 10 ids), so the DuckDB oracle replays
     * assignment, nprobe probing and candidate top-k exactly —
@@ -613,16 +671,24 @@ object SimilarityQ {
       .orderBy($"doc_id")
   }
 
+  // byte-indexed oracle: the Spark side samples raw UTF-8 BYTES of the
+  // text (packBmp casts text→binary), so the oracle must too —
+  // hex(encode(text)) renders the byte stream and byte k is the hex
+  // pair at 2k+1 (character indexing / ascii() would diverge on any
+  // non-ASCII document).
   private val mmImageResizeSql =
-    """SELECT doc_id,
+    """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+      |  octet_length(encode(text)) AS nb FROM documents)
+      |SELECT doc_id,
       |  CAST(8 AS INTEGER) AS src_w, CAST(8 AS INTEGER) AS src_h,
       |  CAST(4 AS INTEGER) AS dst_w, CAST(4 AS INTEGER) AS dst_h,
       |  CAST(list_sum(list_transform(range(0, 16), k ->
-      |    CASE WHEN octet_length(encode(text)) > (k // 4) * 16 + (k % 4) * 2
-      |      THEN ascii(substr(text, CAST((k // 4) * 16 + (k % 4) * 2 AS INTEGER) + 1, 1))
+      |    CASE WHEN nb > (k // 4) * 16 + (k % 4) * 2
+      |      THEN 16 * (strpos('0123456789ABCDEF', substr(hx, CAST(2 * ((k // 4) * 16 + (k % 4) * 2) AS INTEGER) + 1, 1)) - 1)
+      |         + (strpos('0123456789ABCDEF', substr(hx, CAST(2 * ((k // 4) * 16 + (k % 4) * 2) AS INTEGER) + 2, 1)) - 1)
       |      ELSE 0 END)) AS BIGINT) AS sum_resized,
       |  CAST(16 AS BIGINT) AS n_px
-      |FROM documents ORDER BY doc_id""".stripMargin
+      |FROM h ORDER BY doc_id""".stripMargin
 
   /** Tumbling 1-hour windows over the event stream — the identical
     * plan StreamingSpec drives through readStream+watermark; DuckDB
@@ -845,6 +911,7 @@ object SimilarityQ {
     QueryDef.sql("ann_recall_eval", annRecallEval _, annRecallEvalSql),
     QueryDef.sql("ann_bruteforce_topk", annBruteforce _, annBruteforceSql),
     QueryDef.sql("ann_lsh_topk", annLsh _, annLshSql),
+    QueryDef.sql("ann_mips_topk", annMips _, annMipsSql),
     QueryDef.sql("ann_ivf_topk", annIvf _, annIvfSql),
     QueryDef.sql("emb_kmeans_step", embKmeansStep _, embKmeansStepSql),
     QueryDef.sql("ann_pq_topk", annPq _, annPqSql),

@@ -58,6 +58,65 @@ class CommitLogSpec extends GraftSuite {
     assert(byId === Map(1L -> "deleted", 2L -> "changed", 3L -> "unchanged", 4L -> "inserted"))
   }
 
+  test("an empty snapshot returns an empty frame, not an exception") {
+    val t = tmpTable()
+    assert(CommitLog.snapshot(spark, t).count() === 0L)
+    val v0 = CommitLog.write(spark, Seq((1L, "a")).toDF("id", "v"), t, overwrite = false)
+    // overwrite with an empty frame removes everything from the snapshot
+    CommitLog.write(spark, Seq.empty[(Long, String)].toDF("id", "v"), t, overwrite = true)
+    assert(CommitLog.snapshot(spark, t).count() === 0L)
+    // ...while time travel to v0 still sees the data
+    assert(CommitLog.snapshot(spark, t, Some(v0)).count() === 1L)
+  }
+
+  test("compaction rewrites many files into few with identical content") {
+    val t = tmpTable()
+    // three appends → ≥3 data files
+    (1 to 3).foreach { i =>
+      CommitLog.write(spark, Seq((i.toLong, s"v$i")).toDF("id", "v").repartition(2),
+        t, overwrite = false)
+    }
+    val before = CommitLog.liveFiles(spark, t)
+    assert(before.size >= 3)
+    val snapBefore = CommitLog.snapshot(spark, t)
+      .collect().map(_.toSeq.toList).toSet
+    val vC = CommitLog.compact(spark, t)
+    val after = CommitLog.liveFiles(spark, t)
+    // small table → the degenerate single-file case of the byte-target formula
+    assert(after.size === 1)
+    assert(after.toSet.intersect(before.toSet).isEmpty)
+    // content-identical snapshot (order-independent digest via row set)
+    assert(CommitLog.snapshot(spark, t).collect().map(_.toSeq.toList).toSet === snapBefore)
+    // time travel to the pre-compaction version still reads the ORIGINAL files
+    assert(CommitLog.snapshot(spark, t, Some(vC - 1))
+      .collect().map(_.toSeq.toList).toSet === snapBefore)
+  }
+
+  test("vacuum deletes only files no retained version references") {
+    val t = tmpTable()
+    val v0 = CommitLog.write(spark, Seq((1L, "a")).toDF("id", "v"), t, overwrite = false)
+    val v1 = CommitLog.write(spark, Seq((2L, "b")).toDF("id", "v"), t, overwrite = true)
+    val v2 = CommitLog.write(spark, Seq((3L, "c")).toDF("id", "v"), t, overwrite = false)
+    val retainedContent = Seq(v1, v2).map(v =>
+      v -> CommitLog.snapshot(spark, t, Some(v)).collect().map(_.toSeq.toList).toSet).toMap
+    // keep last 2 versions: v1's live set {fileB} and v2's {fileB,fileC}
+    val deleted = CommitLog.vacuum(spark, t, keepVersions = 2)
+    // v0's file (removed by the v1 overwrite) is the only unreferenced one
+    assert(deleted.size === 1)
+    // every retained time-travel read is byte-for-byte intact
+    Seq(v1, v2).foreach { v =>
+      assert(CommitLog.snapshot(spark, t, Some(v))
+        .collect().map(_.toSeq.toList).toSet === retainedContent(v))
+    }
+    // the expired version's data file is gone from disk
+    assert(!new java.io.File(new java.io.File(t).getAbsolutePath)
+      .listFiles().map(_.getName).contains(deleted.head))
+    // log entries survive as the audit trail
+    assert(CommitLog.versions(spark, t) === Seq(v0, v1, v2))
+    // a second vacuum is a no-op (idempotent)
+    assert(CommitLog.vacuum(spark, t, keepVersions = 2).isEmpty)
+  }
+
   test("a colliding version number fails the atomic log create") {
     val t = tmpTable()
     CommitLog.write(spark, Seq((1L, "a")).toDF("id", "v"), t, overwrite = false)

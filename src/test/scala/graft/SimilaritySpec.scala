@@ -40,6 +40,41 @@ class SimilaritySpec extends GraftSuite {
     assert(recall >= 0.3)
   }
 
+  test("MIPS ANN recall@10 >= 0.3 vs brute-force max inner product") {
+    // MIPS ground truth ranks by raw inner product, NOT cosine — the
+    // two orders genuinely differ (that difference is why the
+    // augmented transform exists), so recompute truth here instead of
+    // reusing the cosine `truth` set.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"ip".desc, $"id")
+    val mipsTruth = pairs(emb.select($"vec_id".as("id"), $"embedding".as("v"))
+      .crossJoin(broadcast(qs.select($"vec_id".as("q_id"), $"embedding".as("q_v"))))
+      .filter($"id" =!= $"q_id")
+      .withColumn("ip", graft.functions.VecFns.dot($"v", $"q_v"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 10)
+      .withColumn("neighbor_id", $"id"))
+    val got = pairs(Similarity.mipsTopK(emb, qs, "vec_id", "embedding", 10))
+    val recall = (got & mipsTruth).size.toDouble / mipsTruth.size
+    info(s"mips recall@10 = $recall")
+    assert(recall >= 0.3)
+    // asymmetry sanity on a norm-SKEWED copy (the sf0.001 embeddings
+    // are near-unit-norm, so raw MIPS and cosine orders can coincide
+    // there): scaling one non-top vector by 3× must pull it into MIPS
+    // top-k while leaving its cosine rank unchanged (scaling is
+    // cosine-invariant) — the asymmetry the augmented transform exists
+    // for, exercised end to end through mipsTopK.
+    val boostId = emb.agg(max($"vec_id")).head().getLong(0)
+    val skewed = emb.withColumn("embedding",
+      when($"vec_id" === boostId,
+        expr("transform(embedding, x -> cast(3.0 * x as float))"))
+        .otherwise($"embedding"))
+    val skewedGot = pairs(Similarity.mipsTopK(skewed, skewed.filter($"vec_id" < 10),
+      "vec_id", "embedding", 10))
+    assert(skewedGot.exists(_._2 == boostId),
+      s"3x-scaled vector $boostId should dominate some MIPS top-10")
+  }
+
   test("PQ ANN returns k ADC-ranked rows per query with recall floor") {
     val r = Similarity.pqTopK(emb, qs, "vec_id", "embedding", 10)
     val rows = r.collect()

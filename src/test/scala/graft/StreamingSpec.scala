@@ -428,6 +428,60 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("spend tracker restarts from checkpoint: state survives, no batch replays") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    withSQLConf(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      // changelog checkpointing: recovery replays the per-batch change
+      // log instead of re-uploading full RocksDB snapshots — the
+      // production recovery path, so prove state survival under it
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true") {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toFile
+      ckpt.deleteOnExit()
+      val input = MemoryStream[EventStream.ValEv]
+      // the memory sink refuses checkpoint recovery by design; a
+      // foreachBatch sink is the recoverable production shape
+      val out = new java.util.concurrent.ConcurrentLinkedQueue[EventStream.SpendOut]()
+      def start() = EventStream.spendTracker(input.toDS())
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[EventStream.SpendOut], _: Long) =>
+          df.collect().foreach(out.add)
+        }.start()
+      val q1 = start()
+      try {
+        input.addData(
+          EventStream.ValEv(1L, 2L, 4.5), EventStream.ValEv(1L, 1L, 8.25),
+          EventStream.ValEv(2L, 3L, 5.0))
+        q1.processAllAvailable()
+        import scala.jdk.CollectionConverters._
+        assert(out.asScala.filter(_.user_id == 1L).maxBy(_.n) ==
+          EventStream.SpendOut(1L, 2L, 1275L, 825L))
+      } finally q1.stop()
+      // the first incarnation is dead; more data arrives while no query
+      // runs, then a NEW incarnation resumes from the same checkpoint
+      out.clear()
+      input.addData(EventStream.ValEv(1L, 4L, 12.0))
+      val q2 = start()
+      try {
+        q2.processAllAvailable()
+        import scala.jdk.CollectionConverters._
+        val out2 = out.asScala.toSeq
+        // state SURVIVED the restart: user 1's fold continues from
+        // (2, 1275, 825), not from zero
+        assert(out2.count(_.user_id == 1L) == 1)
+        assert(out2.find(_.user_id == 1L).get ==
+          EventStream.SpendOut(1L, 3L, 2475L, 1200L))
+        // exactly-once: the committed first batch did NOT replay — user
+        // 2 saw no new events, so an update-mode re-emission of it
+        // could only come from reprocessing batch 1
+        assert(!out2.exists(_.user_id == 2L))
+      } finally q2.stop()
+    }
+  }
+
   test("transformWithState spend tracker folds exact cents across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -48,6 +48,25 @@ class WapSpec extends GraftSuite {
     assert(spark.read.parquet(r.stagedPath).count() === 1L)
   }
 
+  test("republish swaps via rename-aside: new data serves, no debris remains") {
+    val root = tmpRoot()
+    val first = Seq((1L, "a", 10L)).toDF("id", "name", "value")
+    assert(Wap.publish(spark, first, root, "t4", rules, d => Seq(d("id"))).published)
+    val second = Seq((2L, "b", 20L), (3L, "c", 30L)).toDF("id", "name", "value")
+    val r = Wap.publish(spark, second, root, "t4", rules, d => Seq(d("id")))
+    assert(r.published && r.nRows === 2L)
+    assert(spark.read.parquet(s"$root/t4").select($"id").as[Long].collect().toSet === Set(2L, 3L))
+    // the parked previous table was dropped after the swap completed
+    assert(!new java.io.File(s"$root/_prev_t4").exists())
+    // a stale parked copy from an interrupted earlier swap is recoverable
+    // input, not an obstacle: plant one and republish over it
+    new java.io.File(s"$root/_prev_t4").mkdirs()
+    val r2 = Wap.publish(spark, first, root, "t4", rules, d => Seq(d("id")))
+    assert(r2.published)
+    assert(spark.read.parquet(s"$root/t4").select($"id").as[Long].collect().toSet === Set(1L))
+    assert(!new java.io.File(s"$root/_prev_t4").exists())
+  }
+
   test("empty publish is refused by the row-count floor") {
     val root = tmpRoot()
     val empty = Seq.empty[(Long, String, Long)].toDF("id", "name", "value")
