@@ -244,6 +244,66 @@ object BinaryOps {
       .toDF("doc_id", "payload")
   }
 
+  /** Pack corpus bytes as real baseline JPEGs ([[Jpeg.encodeGray]]):
+    * each of the first `blocks`² content bytes becomes one CONSTANT
+    * 8×8 block (value = the byte), so the image is `8·blocks` square.
+    * Constant blocks are DC-only by construction — the lossy
+    * DCT→quantize→IDCT chain has a closed form an oracle replays
+    * exactly (the [[Jpeg]] determinism contract) while the bitstream
+    * still runs the full Huffman encode/decode path.
+    */
+  def packJpeg(docs: DataFrame, blocks: Int = 4, q: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val side = blocks * 8
+    docs.select(col("doc_id"), col("text").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val vals = java.util.Arrays.copyOf(bytes, blocks * blocks)
+        val pix = new Array[Byte](side * side)
+        var y = 0
+        while (y < side) {
+          var x = 0
+          while (x < side) {
+            pix(y * side + x) = vals((y / 8) * blocks + (x / 8))
+            x += 1
+          }
+          y += 1
+        }
+        (id, Jpeg.encodeGray(Jpeg.Gray(side, side, pix), q))
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  final case class JpegStats(
+      doc_id: Long, width: Int, height: Int, n_blocks: Long,
+      sum_rec: Long, payload_bytes: Long)
+
+  /** REAL JPEG decode → exact reconstructed-pixel sum. Per-row map,
+    * no shuffle; malformed payloads degrade to a marked row
+    * (width −1), the PNG armor contract. `payload_bytes` rides along
+    * for spec-side accounting (entropy-coded length is not
+    * oracle-replayable and is excluded from the gate projection).
+    */
+  def jpegFeatures(packed: DataFrame): Dataset[JpegStats] = {
+    val spark = packed.sparkSession
+    import spark.implicits._
+    packed.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        try {
+          val img = Jpeg.decode(bytes)
+          var sum = 0L
+          var i = 0
+          while (i < img.pixels.length) { sum += img.pixels(i) & 0xff; i += 1 }
+          JpegStats(id, img.width, img.height,
+            ((img.width + 7) / 8).toLong * ((img.height + 7) / 8), sum, bytes.length.toLong)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            JpegStats(id, -1, -1, 0L, 0L, bytes.length.toLong)
+        }
+      }
+  }
+
   /** REAL decode → nearest-neighbor resize → exact integer pixel sum.
     * Per-row map, no shuffle; malformed payloads degrade to a marked
     * row (src_w −1), the PNG armor contract.

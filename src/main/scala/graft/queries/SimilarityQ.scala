@@ -690,6 +690,47 @@ object SimilarityQ {
       |  CAST(16 AS BIGINT) AS n_px
       |FROM h ORDER BY doc_id""".stripMargin
 
+  /** REAL baseline JPEG round trip ([[graft.multimodal.Jpeg]]) — the
+    * seventh codec, first with a lossy transform stage: documents
+    * pack as 32×32 grayscale JFIF (16 constant 8×8 blocks carrying
+    * the first 16 UTF-8 bytes), the full Huffman bitstream writes and
+    * reads back, and the operator reduces the DECODED pixels to an
+    * exact integer sum. **Exact oracle**: constant blocks are DC-only,
+    * so the lossy DCT→quantize→IDCT chain is a closed chain of IEEE
+    * ops on doubles DuckDB constructs identically (1/√2, pinned
+    * multiply order, half-away rounds) — one wrong bit anywhere in
+    * the marker layout, Huffman tables, DC prediction or IDCT breaks
+    * the hash.
+    */
+  def mmJpegFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    BinaryOps.jpegFeatures(BinaryOps.packJpeg(Tables(spark, dir).documents))
+      .toDF()
+      .drop("payload_bytes") // entropy-coded length: spec-side only
+      .orderBy($"doc_id")
+  }
+
+  private val mmJpegFeaturesSql =
+    """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+      |  octet_length(encode(text)) AS nb FROM documents),
+      |px AS (
+      |  SELECT doc_id, list_transform(range(0, 16), k ->
+      |    CASE WHEN nb > k
+      |      THEN 16 * (strpos('0123456789ABCDEF', substr(hx, CAST(2 * k AS INTEGER) + 1, 1)) - 1)
+      |         + (strpos('0123456789ABCDEF', substr(hx, CAST(2 * k AS INTEGER) + 2, 1)) - 1)
+      |      ELSE 0 END) AS bytes
+      |  FROM h),
+      |sq AS (SELECT doc_id, list_transform(bytes, v ->
+      |    round((((0.25 * (1.0 / sqrt(2.0))) * (1.0 / sqrt(2.0))) * (64.0 * (v - 128))) / 16.0)) AS sqs
+      |  FROM px),
+      |rec AS (SELECT doc_id, list_transform(sqs, s ->
+      |    least(255, greatest(0, 128 + CAST(round(0.25 * (((s * 16.0) * (1.0 / sqrt(2.0))) * (1.0 / sqrt(2.0)))) AS BIGINT)))) AS recs
+      |  FROM sq)
+      |SELECT doc_id, CAST(32 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height,
+      |  CAST(16 AS BIGINT) AS n_blocks,
+      |  CAST(64 * list_sum(recs) AS BIGINT) AS sum_rec
+      |FROM rec ORDER BY doc_id""".stripMargin
+
   /** Tumbling 1-hour windows over the event stream — the identical
     * plan StreamingSpec drives through readStream+watermark; DuckDB
     * time_bucket oracle.
@@ -926,6 +967,7 @@ object SimilarityQ {
     QueryDef.sql("mm_tar_shards", mmTarShards _, mmTarShardsSql),
     QueryDef.sql("mm_image_resize", mmImageResize _, mmImageResizeSql),
     QueryDef.sql("mm_gif_frames", mmGifFrames _, mmGifFramesSql),
+    QueryDef.sql("mm_jpeg_features", mmJpegFeatures _, mmJpegFeaturesSql),
     QueryDef.sql("text_rolling_fp", textRollingFp _, textRollingFpSql),
     QueryDef.sql("stream_window_counts", streamWindowCounts _, streamWindowCountsSql),
     QueryDef.sql("stream_top_event", streamTopEvent _, streamTopEventSql),

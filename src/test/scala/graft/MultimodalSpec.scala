@@ -425,6 +425,90 @@ class MultimodalSpec extends GraftSuite {
     assert(out(1).src_w === -1 && out(1).n_px === 0L)
   }
 
+  test("JPEG: constant-block images round-trip to the closed-form DC reconstruction") {
+    // one block per byte value class incl. the clamp-at-255 corner
+    val vals = Array(0, 1, 64, 127, 128, 200, 254, 255, 32, 90, 17, 250, 5, 99, 180, 66)
+    val side = 32
+    val pix = new Array[Byte](side * side)
+    for (y <- 0 until side; x <- 0 until side)
+      pix(y * side + x) = vals((y / 8) * 4 + (x / 8)).toByte
+    val enc = graft.multimodal.Jpeg.encodeGray(graft.multimodal.Jpeg.Gray(side, side, pix))
+    val dec = graft.multimodal.Jpeg.decode(enc)
+    assert(dec.width === side && dec.height === side)
+    val b = graft.multimodal.Jpeg.InvSqrt2
+    def closedForm(v: Int): Int = {
+      val s00 = ((0.25 * b) * b) * (64.0 * (v - 128))
+      val sq = graft.multimodal.Jpeg.rnd(s00 / 16.0)
+      val rec = 128 + graft.multimodal.Jpeg.rnd(0.25 * (((sq * 16.0) * b) * b))
+      math.max(0, math.min(255, rec.toInt))
+    }
+    for (by <- 0 until 4; bx <- 0 until 4) {
+      val got = dec.pixels((by * 8) * side + bx * 8) & 0xff
+      assert(got === closedForm(vals(by * 4 + bx)),
+        s"block ($bx,$by) v=${vals(by * 4 + bx)}")
+      // constant blocks stay constant through the DC-only chain
+      for (y <- 0 until 8; x <- 0 until 8)
+        assert((dec.pixels((by * 8 + y) * side + bx * 8 + x) & 0xff) === got)
+    }
+  }
+
+  test("JPEG: general gradient survives our encode→decode within quantization error") {
+    val (w, h) = (24, 16)
+    val pix = Array.tabulate(w * h)(i => ((i % w) * 10 + (i / w) * 3).toByte)
+    val enc = graft.multimodal.Jpeg.encodeGray(graft.multimodal.Jpeg.Gray(w, h, pix), q = 16)
+    val dec = graft.multimodal.Jpeg.decode(enc)
+    assert(dec.width === w && dec.height === h)
+    val maxErr = pix.indices.map(i => math.abs((pix(i) & 0xff) - (dec.pixels(i) & 0xff))).max
+    // uniform q=16 bounds per-coefficient error by 8; a smooth ramp
+    // reconstructs much closer than the worst case
+    assert(maxErr <= 16, s"max reconstruction error $maxErr")
+  }
+
+  test("JPEG: decodes the JDK ImageIO encoder's baseline grayscale output") {
+    val (w, h) = (32, 24)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 7 + y * 5) % 256
+      img.getRaster.setSample(x, y, 0, v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos), "ImageIO refused to encode")
+    val bytes = bos.toByteArray
+    val ours = graft.multimodal.Jpeg.decode(bytes)
+    assert(ours.width === w && ours.height === h)
+    // reference decode: ImageIO reading its own bytes; decoder IDCTs
+    // legitimately differ by a little — pin close agreement, not bits
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val diffs = for (y <- 0 until h; x <- 0 until w) yield
+      math.abs(ref.getRaster.getSample(x, y, 0) - (ours.pixels(y * w + x) & 0xff))
+    assert(diffs.max <= 2, s"max decoder disagreement ${diffs.max}")
+  }
+
+  test("corrupt JPEGs degrade instead of failing the batch") {
+    val good = graft.multimodal.Jpeg.encodeGray(
+      graft.multimodal.Jpeg.Gray(8, 8, Array.fill(64)(100.toByte)))
+    val truncated = good.take(good.length / 2)
+    val garbage = Array.fill[Byte](50)(0x3c)
+    val df = Seq((1L, good), (2L, truncated), (3L, garbage)).toDF("doc_id", "payload")
+    val out = BinaryOps.jpegFeatures(df).collect().sortBy(_.doc_id)
+    assert(out(0).width === 8 && out(0).sum_rec > 0)
+    assert(out(1).width === -1 && out(2).width === -1)
+  }
+
+  test("mm_jpeg_features packs first-16-byte constant blocks (padding → byte 0)") {
+    val docs = Seq((1L, "abcd"), (2L, "")).toDF("doc_id", "text")
+    val out = BinaryOps.jpegFeatures(BinaryOps.packJpeg(docs)).collect().sortBy(_.doc_id)
+    val b = graft.multimodal.Jpeg.InvSqrt2
+    def rec(v: Int): Long = {
+      val s00 = ((0.25 * b) * b) * (64.0 * (v - 128))
+      val sq = graft.multimodal.Jpeg.rnd(s00 / 16.0)
+      math.max(0L, math.min(255L, 128 + graft.multimodal.Jpeg.rnd(0.25 * (((sq * 16.0) * b) * b))))
+    }
+    val expected1 = 64L * ("abcd".map(c => rec(c.toInt)).sum + 12 * rec(0))
+    assert(out(0).sum_rec === expected1 && out(0).n_blocks === 16L)
+    assert(out(1).sum_rec === 64L * 16 * rec(0))
+  }
+
   test("packTarShards groups by source with id-ordered doc members") {
     val docs = Seq(
       (3L, "cc", "s1"), (1L, "aa", "s1"), (2L, "bb", "s2"))

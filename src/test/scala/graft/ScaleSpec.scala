@@ -99,6 +99,49 @@ class ScaleSpec extends GraftSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("skew decision table: plain vs AQE skew-split vs salted join agree; timings recorded") {
+    // the q_skew_profile → remedy decision, demonstrated: one hot key
+    // carries half of a 2M-row fact. All three strategies must agree
+    // exactly; the measured times (info below + SURVEY §5) record WHEN
+    // each wins — plain sort-merge strands one reducer with the hot
+    // key, AQE splits that reducer's input at runtime with zero query
+    // changes (the default remedy), explicit salting rewrites the plan
+    // and wins when the skew is known ahead of time and AQE's
+    // post-shuffle split granularity is too coarse.
+    val fact = spark.range(2000000)
+      .selectExpr("CASE WHEN id % 2 = 0 THEN 0 ELSE id END AS k", "id AS v")
+    val dim = spark.range(1000000).selectExpr("id AS k", "CAST(id AS STRING) AS name")
+    def fingerprint(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+      val r = df.selectExpr("count(*) AS n", "sum(k) AS sk", "sum(v) AS sv").head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val noBroadcast = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val (plain, tPlain) = withSQLConf(noBroadcast :+
+        ("spark.sql.adaptive.enabled" -> "false"): _*) {
+      timed(fingerprint(fact.join(dim, "k")))
+    }
+    val (aqe, tAqe) = withSQLConf(noBroadcast ++ Seq(
+        "spark.sql.adaptive.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "256KB"): _*) {
+      timed(fingerprint(fact.join(dim, "k")))
+    }
+    val (salted, tSalted) = withSQLConf(noBroadcast :+
+        ("spark.sql.adaptive.enabled" -> "false"): _*) {
+      timed(fingerprint(graft.operators.SaltedJoin.inner(fact, dim, "k", saltFactor = 16)))
+    }
+    assert(plain == aqe && aqe == salted, s"strategies disagree: $plain $aqe $salted")
+    assert(plain._1 == 1500000L)
+    info(f"skewed 2M-row join: plain=$tPlain%.2fs aqe-split=$tAqe%.2fs salted=$tSalted%.2fs")
+  }
+
   test("AQE splits a skewed sort-merge join at runtime (skew=true in the final plan)") {
     // one hot key carrying half the fact rows — the shape that strands
     // a single reducer without AQE's skew-join splitting

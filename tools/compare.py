@@ -10,8 +10,30 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 fails = 0
+# COMPARE_SKIP: comma-separated gates whose ORACLE is declared
+# quadratic (the recorded sf0.1 policy) — checked rows-only here,
+# exactly at smaller SFs. COMPARE_TIMEOUT: per-oracle seconds; an
+# interrupt records ORACLE-TIMEOUT (a finding, not a silent pass).
+skip = set(x for x in os.environ.get("COMPARE_SKIP", "").split(",") if x)
+timeout_s = float(os.environ.get("COMPARE_TIMEOUT", "0") or 0)
+import threading
+def run_oracle(sql):
+    if timeout_s <= 0:
+        return con.execute(sql).df()
+    t = threading.Timer(timeout_s, con.interrupt)
+    t.start()
+    try:
+        return con.execute(sql).df()
+    finally:
+        t.cancel()
 for name in sorted(os.listdir(out)):
     if name == "oracle_sql.json": continue
+    if name in skip:
+        files = glob.glob(f"{out}/{name}/*.parquet")
+        n = len(pq.read_table(files[0]).to_pandas()) if files else 0
+        print(f"SKIP-QUADRATIC-ORACLE {name}: rows={n}" + (" FAIL(0 rows)" if n == 0 else ""))
+        fails += int(n == 0)
+        continue
     files = glob.glob(f"{out}/{name}/*.parquet")
     if not files:
         print(f"EMPTY    {name}"); fails += 1; continue
@@ -20,9 +42,14 @@ for name in sorted(os.listdir(out)):
         print(f"ROWSONLY {name}: rows={len(spark_df)}" + (" FAIL(0 rows)" if len(spark_df)==0 else ""))
         fails += int(len(spark_df)==0); continue
     try:
-        duck_df = con.execute(oracle[name]).df()
+        duck_df = run_oracle(oracle[name])
+    except KeyboardInterrupt:
+        raise
     except Exception as e:
-        print("ORACLE-ERR", name, e); fails += 1; continue
+        msg = str(e).split("\n")[0]
+        if "INTERRUPT" in msg.upper():
+            print(f"ORACLE-TIMEOUT {name} (> {timeout_s:.0f}s)"); fails += 1; continue
+        print("ORACLE-ERR", name, msg); fails += 1; continue
     s = spark_df[sorted(spark_df.columns)]
     d = duck_df[sorted(duck_df.columns)]
     ok_schema = list(s.columns) == list(d.columns)
