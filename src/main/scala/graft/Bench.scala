@@ -141,9 +141,64 @@ object Bench {
     val fr = fresh.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // failure sentinels must not shrink the headline number
+    // sf1 headliner tier: when benching at sf0.1, ALSO time the TPC-H
+    // shape headliners against a 10×-replicated lake (≈6M lineitem
+    // rows = sf1) — the "within 2× at the same scale factor" bar one
+    // tier up, recorded machine-readably with the round. Replication
+    // shifts order keys so join fan-out per key stays realistic
+    // (the ScaleProbe construction); dims are reused, as in a real
+    // lake where facts outgrow dims. SPARK_GRAFT_BENCH_SF1=0 disables.
+    val sf1On = only.isEmpty && sfDir.endsWith("sf0.1") &&
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SF1", "1") != "0"
+    val sf1 = if (!sf1On) Seq.empty else {
+      try {
+        import org.apache.spark.sql.functions._
+        val out = "/tmp/graft_bench_sf1"
+        val t = graft.Tables(spark, sfDir)
+        val maxOrder = t.orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1
+        def replicate(df: org.apache.spark.sql.DataFrame, shifts: Map[String, Long]) = {
+          val rep = spark.range(10).toDF("__r")
+          df.crossJoin(rep).select(df.columns.map { c =>
+            shifts.get(c) match {
+              case Some(step) => (col(c) + col("__r") * step).as(c)
+              case None => col(c)
+            }
+          }: _*)
+        }
+        replicate(t.orders, Map("o_orderkey" -> maxOrder))
+          .write.mode("overwrite").parquet(s"$out/orders.parquet")
+        replicate(t.lineitem, Map("l_orderkey" -> maxOrder))
+          .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+        for (n <- Seq("region", "nation", "customer", "supplier", "part", "events",
+          "documents", "embeddings"))
+          t.byName(n).write.mode("overwrite").parquet(s"$out/$n.parquet")
+        val headliners = Seq("q1_pricing_summary", "q3_top_orders",
+          "q5_region_revenue", "q6_forecast_revenue", "q12_ship_mode",
+          "q18_large_orders", "q21_waiting_orders")
+        headliners.map { name =>
+          val fn = SparkEntry.queries(name)
+          val times = (1 to iters).map { _ =>
+            val t0 = System.nanoTime()
+            try {
+              fn(spark, out).write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9
+            } catch { case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[bench] sf1 $name FAILED: ${e.getMessage}"); -1.0
+            }
+          }
+          spark.catalog.clearCache()
+          name -> (if (times.contains(-1.0)) -1.0 else times.min)
+        }
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] sf1 tier build FAILED: ${e.getMessage}")
+        Seq.empty
+      }
+    }
+    val sf1J = sf1.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val ok = results.values.filter(_ >= 0.0)
     val total = if (results.values.exists(_ < 0.0)) -1.0 else ok.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$iso,"fresh":$fr,"sf":"$sfDir","iters":$iters,"warmup":"$warmDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$iso,"fresh":$fr,"sf1_headliners":$sf1J,"sf":"$sfDir","iters":$iters,"warmup":"$warmDir"}"""
     println(json)
     // the stdout line is scraped from a log tail that truncates past a
     // few hundred gates (round-7 postmortem: the official record ended

@@ -35,8 +35,17 @@ object ClusterDedup {
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .persist()
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("lbl", col("id"))
+    // seed labels with least(id, min neighbor) — the same aggregation
+    // the plain `distinct` node-list needs anyway, but it pre-runs
+    // round 1's propagation for free: every 2-node component (the
+    // dominant near-dup shape) is already AT its fixpoint, so the loop
+    // runs one confirming round instead of propagate+confirm (r8,
+    // measured: one fewer join round per call on every CC gate).
+    // Correctness: the seed label is a node id of the same component,
+    // the invariant min-label propagation needs.
+    var labels = edges.groupBy(col("u"))
+      .agg(min(col("v")).as("nmin"))
+      .select(col("u").as("id"), least(col("u"), col("nmin")).as("lbl"))
       .localCheckpoint()
     var iter = 0
     var converged = false

@@ -15,6 +15,9 @@ fails = 0
 # exactly at smaller SFs. COMPARE_TIMEOUT: per-oracle seconds; an
 # interrupt records ORACLE-TIMEOUT (a finding, not a silent pass).
 skip = set(x for x in os.environ.get("COMPARE_SKIP", "").split(",") if x)
+# COMPARE_ONLY: restrict to a comma-separated gate subset (the
+# per-gate hard-timeout driver tools/compare_driver.py uses this)
+only = set(x for x in os.environ.get("COMPARE_ONLY", "").split(",") if x)
 timeout_s = float(os.environ.get("COMPARE_TIMEOUT", "0") or 0)
 import threading
 def run_oracle(sql):
@@ -28,6 +31,7 @@ def run_oracle(sql):
         t.cancel()
 for name in sorted(os.listdir(out)):
     if name == "oracle_sql.json": continue
+    if only and name not in only: continue
     if name in skip:
         files = glob.glob(f"{out}/{name}/*.parquet")
         n = len(pq.read_table(files[0]).to_pandas()) if files else 0
