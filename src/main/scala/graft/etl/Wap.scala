@@ -47,6 +47,25 @@ object Wap {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Crash recovery: if a prior publish died after parking the serving
+    * table at `_prev_<table>` but before renaming the staged table in,
+    * the serving path is absent and `_prev_` holds the only copy —
+    * restore it. Returns true if a restore happened. [[publish]] runs
+    * this on entry too; expose it so operators can heal a table without
+    * publishing. Readers must tolerate the brief serving-absent window
+    * between the two renames of an in-flight publish (retry-once is
+    * sufficient — the window is two O(1) metadata ops).
+    */
+  def recover(spark: SparkSession, root: String, table: String): Boolean = {
+    val f = fs(spark, root)
+    val serving = new org.apache.hadoop.fs.Path(s"$root/$table")
+    val prev = new org.apache.hadoop.fs.Path(s"$root/_prev_$table")
+    if (f.exists(prev) && !f.exists(serving)) {
+      require(f.rename(prev, serving), s"recover rename $prev -> $serving failed")
+      true
+    } else false
+  }
+
   /** Stage `df`, audit the staged bytes, publish on pass.
     *
     * @param rules     row-level violation predicates; any violating row
@@ -61,6 +80,16 @@ object Wap {
               minRows: Long = 1L): WapReport = {
     val stagedPath = s"$root/_staged/$table"
     val servingPath = s"$root/$table"
+    // runtime scoping: the directory-rename swap is only atomic on
+    // HDFS-like file systems. On an object store a "rename" copies all
+    // data bytes non-atomically — refuse and point at the safe path.
+    val sch = try Option(fs(spark, root).getScheme).getOrElse("")
+              catch { case _: Throwable => "" }
+    require(!CommitLog.ObjectStoreSchemes(sch),
+      s"Wap.publish swaps directories by rename, which scheme '$sch' cannot do " +
+        "atomically (copy+delete); use Wap.publishVersioned — the commit-log " +
+        "pointer swap is the object-store-safe publish")
+    recover(spark, root, table) // heal a crashed prior swap before anything else
     df.write.mode("overwrite").parquet(stagedPath)
     val staged = spark.read.parquet(stagedPath)
     val audit = Validation.annotate(staged, rules)
@@ -81,7 +110,11 @@ object Wap {
       // crash at any point is recoverable (the old table is either
       // still serving or parked at _prev_<table>).
       val prev = new org.apache.hadoop.fs.Path(s"$root/_prev_$table")
-      if (f.exists(prev)) f.delete(prev, true)
+      // _prev_ is only ever dropped when serving exists (a crashed prior
+      // swap was healed by recover() on entry, so a surviving _prev_ here
+      // with serving absent cannot be the only copy — but stay defensive
+      // and never delete it unless serving is present).
+      if (f.exists(prev) && f.exists(serving)) f.delete(prev, true)
       val hadPrev = f.exists(serving)
       if (hadPrev) require(f.rename(serving, prev),
         s"rename $servingPath -> ${prev} failed")
@@ -94,5 +127,53 @@ object Wap {
       WapReport(table, published = true, n, bad, d.getLong(2), servingPath, stagedPath)
     } else
       WapReport(table, published = false, n, bad, 0L, servingPath, stagedPath)
+  }
+
+  final case class VersionedWapReport(
+      tableDir: String,
+      published: Boolean,
+      nRows: Long,
+      nViolations: Long,
+      digest: Long,
+      version: Long)
+
+  /** Object-store-safe WAP: stage/audit/publish against a
+    * [[CommitLog]] table instead of a directory swap. The staged data
+    * IS a written-but-uncommitted batch — unique immutable files no
+    * snapshot reader can see — so the audit reads exactly the bytes
+    * readers would, and "publish" is the commit-log pointer claim
+    * (tiny, atomic, if-absent-guarded): no rename of anything,
+    * anywhere, which is what makes this the S3-semantics path
+    * (see [[CommitLog]]'s protocol doc). A failed audit leaves the
+    * uncommitted batch in `_data/<batch>/` for inspection — invisible
+    * to readers by construction, reclaimable by any later cleanup of
+    * unreferenced batches.
+    *
+    * Readers never see a serving-absent window at all (unlike the
+    * rename swap): the previous version stays live until the instant
+    * the new pointer lands, and time travel to it keeps working after.
+    */
+  def publishVersioned(spark: SparkSession, df: DataFrame, tableDir: String,
+                       rules: Seq[Validation.Rule],
+                       digestCols: DataFrame => Seq[Column],
+                       minRows: Long = 1L): VersionedWapReport = {
+    val staged = CommitLog.stageData(spark, df, tableDir)
+    if (staged.isEmpty) // a zero-file write can never clear the row floor
+      return VersionedWapReport(tableDir, published = false, 0L, 0L, 0L, -1L)
+    val stagedDf = spark.read.parquet(staged.map(n => s"$tableDir/$n"): _*)
+    val audit = Validation.annotate(stagedDf, rules)
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(!col("acceptable"), 1L).otherwise(0L)), lit(0L)).as("bad"))
+      .collect().head
+    val (n, bad) = (audit.getLong(0), audit.getLong(1))
+    val pass = bad == 0 && n >= minRows
+    if (pass) {
+      val v = CommitLog.commitStaged(spark, tableDir, staged, overwrite = true)
+      val published = CommitLog.snapshot(spark, tableDir, Some(v))
+      val d = TableDigest.digest(published, tableDir, digestCols(published))
+        .collect().head
+      VersionedWapReport(tableDir, published = true, n, bad, d.getLong(2), v)
+    } else
+      VersionedWapReport(tableDir, published = false, n, bad, 0L, -1L)
   }
 }

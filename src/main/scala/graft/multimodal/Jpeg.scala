@@ -113,7 +113,6 @@ object Jpeg {
           while (v < 8) {
             val c = r(v * 8 + u)
             if (c != 0.0) acc += ((c * (cU(u) * CosTab(u)(x))) * (cU(v) * CosTab(v)(y)))
-            u match { case _ => () }
             v += 1
           }
           u += 1
@@ -374,6 +373,11 @@ object Jpeg {
     while (scanStart < 0) {
       if (pos + 1 >= bytes.length) throw Png.Unsupported("truncated before SOS")
       if ((bytes(pos) & 0xff) != 0xff) throw Png.Unsupported("marker expected")
+      // spec-legal padding: any run of 0xFF fill bytes may precede the
+      // marker code (ITU T.81 §B.1.1.2) — skip to the last 0xFF so the
+      // byte after it is the actual marker, not another fill byte.
+      while (pos + 1 < bytes.length && (bytes(pos + 1) & 0xff) == 0xff) pos += 1
+      if (pos + 1 >= bytes.length) throw Png.Unsupported("truncated before SOS")
       val m = bytes(pos + 1) & 0xff
       pos += 2
       m match {

@@ -484,6 +484,20 @@ class MultimodalSpec extends GraftSuite {
     assert(diffs.max <= 2, s"max decoder disagreement ${diffs.max}")
   }
 
+  test("0xFF fill bytes before a marker are spec-legal padding, not a parse error") {
+    val pix = Array.tabulate(64)(i => ((i * 31) % 256).toByte)
+    val clean = graft.multimodal.Jpeg.encodeGray(graft.multimodal.Jpeg.Gray(8, 8, pix))
+    // insert two fill 0xFF bytes before the DQT marker (FF DB): a padded
+    // third-party encoder output must decode identically (ITU T.81 B.1.1.2)
+    val at = clean.indices.find(i => (clean(i) & 0xff) == 0xff &&
+      i + 1 < clean.length && (clean(i + 1) & 0xff) == 0xdb).get
+    val padded = clean.take(at) ++ Array(0xff.toByte, 0xff.toByte) ++ clean.drop(at)
+    val a = graft.multimodal.Jpeg.decode(clean)
+    val b = graft.multimodal.Jpeg.decode(padded)
+    assert(b.width === a.width && b.height === a.height)
+    assert(b.pixels.toSeq === a.pixels.toSeq)
+  }
+
   test("corrupt JPEGs degrade instead of failing the batch") {
     val good = graft.multimodal.Jpeg.encodeGray(
       graft.multimodal.Jpeg.Gray(8, 8, Array.fill(64)(100.toByte)))

@@ -67,6 +67,25 @@ class WapSpec extends GraftSuite {
     assert(!new java.io.File(s"$root/_prev_t4").exists())
   }
 
+  test("crash between rename-aside and rename-in is healed, never destroyed") {
+    val root = tmpRoot()
+    val first = Seq((1L, "a", 10L)).toDF("id", "name", "value")
+    assert(Wap.publish(spark, first, root, "t5", rules, d => Seq(d("id"))).published)
+    // simulate the crash window: serving parked at _prev_, staged never renamed in
+    assert(new java.io.File(s"$root/t5").renameTo(new java.io.File(s"$root/_prev_t5")))
+    assert(Wap.recover(spark, root, "t5"))
+    assert(spark.read.parquet(s"$root/t5").select($"id").as[Long].collect().toSet === Set(1L))
+    assert(!Wap.recover(spark, root, "t5")) // idempotent no-op when healthy
+    // publish() itself heals on entry — even when the new batch FAILS its
+    // audit, the parked-only copy must come back, not be deleted
+    assert(new java.io.File(s"$root/t5").renameTo(new java.io.File(s"$root/_prev_t5")))
+    val bad = Seq((2L, "b", -5L)).toDF("id", "name", "value")
+    val r = Wap.publish(spark, bad, root, "t5", rules, d => Seq(d("id")))
+    assert(!r.published)
+    assert(spark.read.parquet(s"$root/t5").select($"id").as[Long].collect().toSet === Set(1L))
+    assert(!new java.io.File(s"$root/_prev_t5").exists())
+  }
+
   test("empty publish is refused by the row-count floor") {
     val root = tmpRoot()
     val empty = Seq.empty[(Long, String, Long)].toDF("id", "name", "value")

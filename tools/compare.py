@@ -23,11 +23,22 @@ import threading
 def run_oracle(sql):
     if timeout_s <= 0:
         return con.execute(sql).df()
-    t = threading.Timer(timeout_s, con.interrupt)
+    # guard the interrupt with a flag: if the timer fires after the query
+    # returned but before cancel(), an unguarded con.interrupt() would
+    # abort the NEXT gate's oracle on this shared connection.
+    state = {"running": True}
+    lock = threading.Lock()
+    def maybe_interrupt():
+        with lock:
+            if state["running"]:
+                con.interrupt()
+    t = threading.Timer(timeout_s, maybe_interrupt)
     t.start()
     try:
         return con.execute(sql).df()
     finally:
+        with lock:
+            state["running"] = False
         t.cancel()
 for name in sorted(os.listdir(out)):
     if name == "oracle_sql.json": continue
