@@ -808,6 +808,128 @@ object SimilarityQ {
       |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
       |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
 
+  /** TRUE micro-batch replay of the stream-stream interval join
+    * ([[EventStream.intervalJoin]]): clicks and purchases each split
+    * into 4 contiguous event-time chunks, fed through two
+    * MemoryStreams batch by batch (`processAllAvailable` between
+    * batches makes the watermark progression deterministic), appended
+    * to a memory sink, and compared against the SAME batch SQL oracle
+    * as `q_interval_join`. Feeding each stream in nondecreasing
+    * event-time order means no row ever arrives behind the global
+    * watermark, so the streaming result provably equals the complete
+    * batch join — the replay proves the state-expiry bound drops
+    * nothing it shouldn't. The driver-side collect here is the replay
+    * HARNESS, not the operator: the joined plan is the same
+    * distributed stream-stream join a cluster runs against Kafka.
+    */
+  def streamIntervalReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val e = Tables(spark, dir).events
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
+        $"value".cast("double").as("value"), $"event_type")
+    def side(tpe: String): Array[(Long, Long, Long, Double)] =
+      e.filter($"event_type" === tpe)
+        .select($"user_id", $"ts_us", $"event_id", $"value")
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._2, r._3))
+    def chunks(a: Array[(Long, Long, Long, Double)]) = {
+      val sz = math.max(1, (a.length + 3) / 4)
+      a.grouped(sz).toSeq.padTo(4, Array.empty[(Long, Long, Long, Double)])
+    }
+    val (clicks, buys) = (chunks(side("click")), chunks(side("purchase")))
+    val cs = MemoryStream[(Long, Long, Long, Double)]
+    val ps = MemoryStream[(Long, Long, Long, Double)]
+    def asEvents(m: MemoryStream[(Long, Long, Long, Double)]): DataFrame =
+      m.toDS().toDF("user_id", "ts_us", "event_id", "value")
+        .withColumn("ts", expr("timestamp_micros(ts_us)"))
+        .withWatermark("ts", "2 hours")
+    val name = "stream_interval_replay_" + java.util.UUID.randomUUID().toString.take(8)
+    val q = EventStream.intervalJoin(asEvents(cs), asEvents(ps))
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      (0 until 4).foreach { i =>
+        if (clicks(i).nonEmpty) cs.addData(clicks(i).toSeq)
+        if (buys(i).nonEmpty) ps.addData(buys(i).toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val out = spark.table(name).collect()
+    spark.catalog.dropTempView(name)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("click_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("purchase_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("c_us", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p_us", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("purchase_value", org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(out.toIndexedSeq, 4), schema)
+      .orderBy($"user_id", $"click_id", $"purchase_id")
+  }
+
+  private val streamIntervalReplaySql = qIntervalJoinSql
+
+  /** TRUE micro-batch replay of the `transformWithState` spend
+    * tracker ([[EventStream.spendTracker]], RocksDB state store):
+    * purchase events split into 4 deterministic `event_id`-ordered
+    * micro-batches, folded through per-user (count, total, max)
+    * integer-cents state, update-mode rows collected per batch. Each
+    * per-user statistic is CUMULATIVE and nondecreasing, so the final
+    * state is the per-user max over all emitted rows — and equals the
+    * batch aggregate the oracle computes, whatever the batch split.
+    * Cents parity: both engines round the same IEEE double
+    * `value*100` and all values are positive, where Java's
+    * floor(x+0.5) and DuckDB's half-away-from-zero agree.
+    */
+  def streamSpendReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = Tables(spark, dir).events
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"value".cast("double"))
+      .as[(Long, Long, Double)].collect()
+      .sortBy(_._2)
+      .map(t => EventStream.ValEv(t._1, t._2, t._3))
+    val sz = math.max(1, (evs.length + 3) / 4)
+    val batches = evs.grouped(sz).toSeq
+    val priorProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val name = "stream_spend_replay_" + java.util.UUID.randomUUID().toString.take(8)
+    try {
+      val input = MemoryStream[EventStream.ValEv]
+      val q = EventStream.spendTracker(input.toDS())
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      try batches.foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+      finally q.stop()
+    } finally priorProvider match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val out = spark.table(name)
+      .groupBy($"user_id")
+      .agg(max($"n").as("n"), max($"total_cents").as("total_cents"),
+        max($"max_cents").as("max_cents"))
+      .orderBy($"user_id")
+      .collect()
+    spark.catalog.dropTempView(name)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("total_cents", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("max_cents", org.apache.spark.sql.types.LongType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(out.toIndexedSeq, 1), schema)
+      .orderBy($"user_id")
+  }
+
+  private val streamSpendReplaySql =
+    """SELECT user_id, count(*) AS n,
+      |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents,
+      |  max(CAST(round(value * 100, 0) AS BIGINT)) AS max_cents
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Index-quality evaluation: recall@10 of the IVF index against
     * the brute-force ground truth, per query — the number that
     * decides nprobe/nlist BEFORE an index ships. Runs the two
@@ -972,5 +1094,7 @@ object SimilarityQ {
     QueryDef.sql("stream_window_counts", streamWindowCounts _, streamWindowCountsSql),
     QueryDef.sql("stream_top_event", streamTopEvent _, streamTopEventSql),
     QueryDef.sql("stream_sliding_counts", streamSlidingCounts _, streamSlidingCountsSql),
-    QueryDef.sql("q_interval_join", qIntervalJoin _, qIntervalJoinSql))
+    QueryDef.sql("q_interval_join", qIntervalJoin _, qIntervalJoinSql),
+    QueryDef.sql("stream_interval_replay", streamIntervalReplay _, streamIntervalReplaySql),
+    QueryDef.sql("stream_spend_replay", streamSpendReplay _, streamSpendReplaySql))
 }

@@ -506,4 +506,27 @@ class StreamingSpec extends GraftSuite {
       } finally q.stop()
     }
   }
+
+  test("stream_interval_replay gate: true micro-batch replay equals the batch join") {
+    val stream = graft.queries.SimilarityQ.streamIntervalReplay(spark, sf0001)
+      .collect().map(_.toSeq.toList).toSet
+    val batch = graft.queries.SimilarityQ.qIntervalJoin(spark, sf0001)
+      .collect().map(_.toSeq.toList).toSet
+    assert(stream === batch)
+    assert(stream.nonEmpty)
+  }
+
+  test("stream_spend_replay gate: replayed transformWithState equals the batch aggregate") {
+    import spark.implicits._
+    val stream = graft.queries.SimilarityQ.streamSpendReplay(spark, sf0001)
+      .collect().map(_.toSeq.toList).toSet
+    val batch = Tables(spark, sf0001).events
+      .filter($"event_type" === "purchase")
+      .select($"user_id", expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("total_cents"), max($"cents").as("max_cents"))
+      .collect().map(_.toSeq.toList).toSet
+    assert(stream === batch)
+    assert(stream.nonEmpty)
+  }
 }
