@@ -104,40 +104,40 @@ object Bench {
     // number is steady-state, not cold-start. SPARK_GRAFT_BENCH_FRESH=0
     // disables (e.g. under a tight driver time budget).
     val freshOn = only.isEmpty && sys.env.getOrElse("SPARK_GRAFT_BENCH_FRESH", "1") != "0"
-    val fresh = if (!freshOn) Seq.empty else {
+    // time one gate against one lake in a CHILD JVM that has run
+    // nothing else (same classpath/flags; warms at warmDir first)
+    def freshTime(name: String, dir: String): Double = {
       import scala.jdk.CollectionConverters._
       val javaBin = new java.io.File(new java.io.File(System.getProperty("java.home"), "bin"), "java").getAbsolutePath
       val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments.asScala.toSeq
       val cp = System.getProperty("java.class.path")
-      slow.map { name =>
-        val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")
-        val pb = new ProcessBuilder(cmd: _*)
-        pb.environment().put("SPARK_GRAFT_BENCH_ONLY", name)
-        pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
-        pb.environment().put("SPARK_GRAFT_CPUS", cpus)
-        pb.environment().put("SPARK_GRAFT_BENCH_ITERS", iters.toString)
-        // the child must warm up where the parent did (a custom or
-        // disabled warmup dir would otherwise silently revert to the
-        // default path, which may not exist in that configuration)
-        pb.environment().put("SPARK_GRAFT_WARMUP_DIR", warmDir)
-        pb.redirectErrorStream(false)
-        val t = try {
-          val p = pb.start()
-          val outF = scala.concurrent.Future(scala.io.Source.fromInputStream(p.getInputStream).mkString)(scala.concurrent.ExecutionContext.global)
-          scala.concurrent.Future(scala.io.Source.fromInputStream(p.getErrorStream).mkString)(scala.concurrent.ExecutionContext.global)
-          if (!p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)) { p.destroyForcibly(); -1.0 }
-          else {
-            val out = scala.concurrent.Await.result(outF, scala.concurrent.duration.Duration(10, "s"))
-            val re = ("\"" + java.util.regex.Pattern.quote(name) +
-              "\":(-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)").r
-            re.findFirstMatchIn(out).map(_.group(1).toDouble).getOrElse(-1.0)
-          }
-        } catch { case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[bench] fresh $name FAILED: ${e.getMessage}"); -1.0
+      val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_BENCH_ONLY", name)
+      pb.environment().put("SPARK_GRAFT_SF_DIR", dir)
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      pb.environment().put("SPARK_GRAFT_BENCH_ITERS", iters.toString)
+      // the child must warm up where the parent did (a custom or
+      // disabled warmup dir would otherwise silently revert to the
+      // default path, which may not exist in that configuration)
+      pb.environment().put("SPARK_GRAFT_WARMUP_DIR", warmDir)
+      pb.redirectErrorStream(false)
+      try {
+        val p = pb.start()
+        val outF = scala.concurrent.Future(scala.io.Source.fromInputStream(p.getInputStream).mkString)(scala.concurrent.ExecutionContext.global)
+        scala.concurrent.Future(scala.io.Source.fromInputStream(p.getErrorStream).mkString)(scala.concurrent.ExecutionContext.global)
+        if (!p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)) { p.destroyForcibly(); -1.0 }
+        else {
+          val out = scala.concurrent.Await.result(outF, scala.concurrent.duration.Duration(10, "s"))
+          val re = ("\"" + java.util.regex.Pattern.quote(name) +
+            "\":(-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)").r
+          re.findFirstMatchIn(out).map(_.group(1).toDouble).getOrElse(-1.0)
         }
-        name -> t
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] fresh $name FAILED: ${e.getMessage}"); -1.0
       }
     }
+    val fresh = if (!freshOn) Seq.empty else slow.map(n => n -> freshTime(n, sfDir))
     val fr = fresh.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // failure sentinels must not shrink the headline number
@@ -196,9 +196,18 @@ object Bench {
     }
     val sf1J = sf1.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // the sf1 tier runs at the END of the full suite inside a JVM full
+    // of heap/codegen debris — the in-process numbers above inflate up
+    // to ~5× (round-9 postmortem: q6 read 2.01 s in-suite vs 0.41 s
+    // isolated, a phantom "superlinearity"). Re-time every sf1
+    // headliner in a fresh child JVM; the fresh number is the record.
+    val sf1Fresh = if (sf1.isEmpty || !freshOn) Seq.empty
+      else sf1.map { case (name, _) => name -> freshTime(name, "/tmp/graft_bench_sf1") }
+    val sf1FreshJ = sf1Fresh.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val ok = results.values.filter(_ >= 0.0)
     val total = if (results.values.exists(_ < 0.0)) -1.0 else ok.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$iso,"fresh":$fr,"sf1_headliners":$sf1J,"sf":"$sfDir","iters":$iters,"warmup":"$warmDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$iso,"fresh":$fr,"sf1_headliners":$sf1J,"sf1_headliners_fresh":$sf1FreshJ,"sf":"$sfDir","iters":$iters,"warmup":"$warmDir"}"""
     println(json)
     // the stdout line is scraped from a log tail that truncates past a
     // few hundred gates (round-7 postmortem: the official record ended

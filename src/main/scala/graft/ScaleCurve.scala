@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 100× scale curve (`runMain graft.ScaleCurve [replicas,...]`): builds
+  * replicated lakes at 10× and 100× of sf0.1 (≈ sf1 / sf10 — 6M / 60M
+  * lineitem rows) and times the round's heaviest gates at each tier,
+  * emitting one JSON line per gate plus a `SCALE_r{N}.json`-able
+  * summary: the sf0.1→sf1→sf10 scaling curve, machine-readable. A plan
+  * that survives 100 TB grows ~linearly here; a superlinear curve is a
+  * finding, not a benchmark artifact (each timing runs in THIS otherwise
+  * idle JVM, min-of-iters, warmed — the Bench sf1-tier contention
+  * pitfall doesn't apply).
+  *
+  * Replica construction keeps the WORKLOAD SHAPE honest at scale:
+  *  - `lineitem`/`orders` replicate with consistent `orderkey` shifts
+  *    (per-key join fan-out unchanged); dims are reused, as in a real
+  *    lake where facts outgrow dims.
+  *  - `customer` replicas get fresh custkeys AND fresh names in the
+  *    same `Customer#%09d` format — otherwise every replica pair is an
+  *    exact name match and entity resolution degenerates to a
+  *    quadratic all-replicas-merge that no real corpus exhibits.
+  *  - `documents` replicas Caesar-rotate lowercase letters by
+  *    `r mod 26` and digits by `(r/26) mod 10`: shingle distributions
+  *    and within-replica duplicate structure are preserved, but
+  *    cross-replica near-dup pairs (a quadratic explosion by
+  *    construction, not a property of real 100 TB corpora) are not
+  *    created.
+  * Caveat recorded in the output: `q_pagerank`'s node set is the
+  * reused dims, so its ITERATION stage is fixed-size; what scales is
+  * the edge-extraction join + distinct over the replicated facts.
+  */
+object ScaleCurve {
+  def main(args: Array[String]): Unit = {
+    val tiers = args.headOption.getOrElse("10,100").split(",").map(_.trim.toInt).toSeq
+    val iters = sys.env.getOrElse("SPARK_GRAFT_CURVE_ITERS", "2").toInt
+    val gates = sys.env.get("SPARK_GRAFT_CURVE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq("dedup_minhash_lsh", "q_pagerank", "dedup_minhash_eval",
+        "q_golden_record", "dedup_clusters", "q21_waiting_orders"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().min(32).toString)
+    val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = "/root/testdata/sf0.1"
+    val t = Tables(spark, base)
+
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val digits = "0123456789"
+    def buildLake(replicas: Int, out: String): Unit = {
+      val rep = spark.range(replicas).toDF("__r")
+      val maxOrder = t.orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1
+      val maxCust = t.customer.agg(max(col("c_custkey"))).head().getLong(0) + 1
+      val maxDoc = t.documents.agg(max(col("doc_id"))).head().getLong(0) + 1
+      def shifted(df: DataFrame, shifts: Map[String, Long]) =
+        df.crossJoin(rep).select(df.columns.map { c =>
+          shifts.get(c) match {
+            case Some(step) => (col(c) + col("__r") * step).as(c)
+            case None => col(c)
+          }
+        }: _*)
+      shifted(t.orders, Map("o_orderkey" -> maxOrder))
+        .write.mode("overwrite").parquet(s"$out/orders.parquet")
+      shifted(t.lineitem, Map("l_orderkey" -> maxOrder))
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      // fresh keys AND fresh same-format names per replica
+      val cust = t.customer.crossJoin(rep)
+        .withColumn("c_custkey", col("c_custkey") + col("__r") * maxCust)
+        .withColumn("c_name",
+          concat(lit("Customer#"), lpad(col("c_custkey").cast("string"), 9, "0")))
+        .drop("__r")
+      cust.select(t.customer.columns.map(col): _*)
+        .write.mode("overwrite").parquet(s"$out/customer.parquet")
+      // per-replica Caesar cipher: lowercase by r%26, digits by (r/26)%10
+      val docs = t.documents.crossJoin(rep)
+        .withColumn("__lo", (col("__r") % 26).cast("int"))
+        .withColumn("__di", ((col("__r") / 26) % 10).cast("int"))
+        .withColumn("text", expr(
+          s"""translate(translate(text,
+             |  '$lower', substr('$lower$lower', __lo + 1, 26)),
+             |  '$digits', substr('$digits$digits', __di + 1, 10))""".stripMargin))
+        .withColumn("doc_id", col("doc_id") + col("__r") * maxDoc)
+        .drop("__r", "__lo", "__di")
+      docs.select(t.documents.columns.map(col): _*)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      for (n <- Seq("region", "nation", "supplier", "part", "events", "embeddings"))
+        t.byName(n).write.mode("overwrite").parquet(s"$out/$n.parquet")
+    }
+
+    def time(name: String, dir: String): Double = {
+      val fn = SparkEntry.queries(name)
+      val times = (1 to iters).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[curve] $name @ $dir FAILED: ${e.getMessage}"); -1.0
+        }
+      }
+      spark.catalog.clearCache()
+      if (times.contains(-1.0)) -1.0 else times.min
+    }
+
+    val dirs: Seq[(String, String)] = ("sf0.1" -> base) +: tiers.map { r =>
+      val out = s"/tmp/graft_curve_x$r"
+      val marker = new java.io.File(s"$out/.built")
+      if (!marker.exists()) {
+        System.err.println(s"[curve] building ${r}x lake at $out")
+        buildLake(r, out)
+        marker.getParentFile.mkdirs(); marker.createNewFile()
+      }
+      s"x$r" -> out
+    }
+    // warm codegen once per gate at the smallest SF
+    gates.foreach { g =>
+      try SparkEntry.queries(g)(spark, "/root/testdata/sf0.001")
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    spark.catalog.clearCache()
+    val rows = gates.map { g =>
+      val per = dirs.map { case (label, dir) =>
+        val s = time(g, dir)
+        System.err.println(f"[curve] $g @ $label = $s%.2f s")
+        label -> s
+      }
+      g -> per
+    }
+    val json = rows.map { case (g, per) =>
+      val cells = per.map { case (l, s) => s""""$l":$s""" }.mkString(",")
+      val ratios = per.sliding(2).collect {
+        case Seq((_, a), (l2, b)) if a > 0 && b > 0 =>
+          s""""ratio_$l2":${math.round(100.0 * b / a) / 100.0}"""
+      }.mkString(",")
+      s""""$g":{$cells${if (ratios.nonEmpty) "," + ratios else ""}}"""
+    }.mkString(",")
+    println(s"""{"metric":"scale_curve","base":"sf0.1","tiers":"${tiers.mkString(",")}","iters":$iters,""" +
+      s""""note":"q_pagerank node set is the reused dims; its edge-extraction join scales, the iteration stage is graph-bound",""" +
+      s""""gates":{$json}}""")
+    spark.stop()
+  }
+}

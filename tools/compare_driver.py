@@ -22,8 +22,8 @@ gates = sorted(n for n in os.listdir(out) if n != "oracle_sql.json")
 here = os.path.dirname(os.path.abspath(__file__))
 
 def run(gate):
-    if gate in skip:
-        return gate, f"SKIP-QUADRATIC-ORACLE {gate} (policy)", True
+    # skip-listed gates still go through compare.py, whose SKIP branch
+    # does the rows>0 check (a 0-row dump must fail even under policy)
     env = dict(os.environ, COMPARE_ONLY=gate)
     try:
         p = subprocess.run(
@@ -45,4 +45,29 @@ timeouts = [g for g, ok in results if ok is None]
 fails = [g for g, ok in results if ok is False]
 print("TIMEOUTS:", len(timeouts), ",".join(timeouts))
 print("FAILS:", len(fails), ",".join(fails))
+
+# machine-readable record (COMPARE_JSON_OUT=path): the per-gate status
+# map that becomes the round's large-SF parity artifact
+json_out = os.environ.get("COMPARE_JSON_OUT")
+if json_out:
+    status = {}
+    for gate, ok in results:
+        status[gate] = ("oracle-hard-timeout" if ok is None
+                        else "fail" if ok is False
+                        else "skip-quadratic-oracle-rows-only" if gate in skip
+                        else "ok")
+    rec = {
+        "sf_dir": sfdir,
+        "timeout_s": timeout_s,
+        "skip_policy": sorted(skip),
+        "n_gates": len(results),
+        "n_ok": sum(1 for g, ok in results if ok is True and g not in skip),
+        "n_skip": sum(1 for g, _ in results if g in skip),
+        "n_timeout": len(timeouts),
+        "n_fail": len(fails),
+        "gates": status,
+    }
+    with open(json_out, "w") as f:
+        json.dump(rec, f, indent=1, sort_keys=True)
+    print("WROTE", json_out)
 sys.exit(1 if fails else 0)
