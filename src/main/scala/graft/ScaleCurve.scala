@@ -97,10 +97,23 @@ object ScaleCurve {
         t.byName(n).write.mode("overwrite").parquet(s"$out/$n.parquet")
     }
 
+    // release EVERYTHING a gate pinned: persisted frames, the cache
+    // ledger, and localCheckpoint blocks (which clearCache does NOT
+    // drop — round-9 lesson: 74 GB of checkpoint debris accumulated
+    // and inflated every later tier's timing, a systematic bias toward
+    // phantom superlinearity since higher tiers time later)
+    def releaseAll(): Unit = {
+      graft.operators.CacheLedger.release()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(r => try r.unpersist(blocking = true) catch { case _: Throwable => () })
+      System.gc()
+    }
+
     def time(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)
       val times = (1 to iters).map { _ =>
-        spark.catalog.clearCache()
+        releaseAll()
         val t0 = System.nanoTime()
         try {
           fn(spark, dir).write.format("noop").mode("overwrite").save()
@@ -109,7 +122,7 @@ object ScaleCurve {
           System.err.println(s"[curve] $name @ $dir FAILED: ${e.getMessage}"); -1.0
         }
       }
-      spark.catalog.clearCache()
+      releaseAll()
       if (times.contains(-1.0)) -1.0 else times.min
     }
 

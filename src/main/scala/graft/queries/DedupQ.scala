@@ -9,6 +9,13 @@ import org.apache.spark.sql.functions._
 /** Dedup queries over `documents`/`embeddings` (SURVEY.md §2.3). */
 object DedupQ {
 
+  /** Target size of the minhash-eval slice: the modulus scales with
+    * the corpus so the all-pairs truth side stays O(target²) forever
+    * (≈ half the sf0.1 corpus, preserving that tier's recorded
+    * behavior; the whole corpus below it).
+    */
+  private val EvalSliceTarget: Double = 2500.0
+
   /** Exact dedup on raw content hash; survivors with copy counts. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -206,15 +213,23 @@ object DedupQ {
     */
   def dedupMinhashEval(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // evaluate on a DETERMINISTIC HALF-CORPUS SLICE — the production
-    // posture this gate's own contract states: the truth side is
-    // all-pairs (quadratic by design), so an index-quality eval runs
-    // it on a bounded sample, never the full corpus. md5-addressed
+    // evaluate on a DETERMINISTIC BOUNDED-SIZE SLICE (~2500 docs
+    // whatever the corpus) — the production posture this gate's own
+    // contract states: the truth side is all-pairs (quadratic by
+    // design), so an index-quality eval runs it on a bounded sample,
+    // never the full corpus. Round-9 scale-curve lesson: the previous
+    // HALF-corpus slice was a constant FRACTION, so truth stayed
+    // quadratic in corpus size (41× time for 10× docs at the x10
+    // tier); the modulus now scales with the corpus and the slice —
+    // and therefore the eval — is O(1) in corpus growth. md5-addressed
     // membership is retry/partitioning-stable and exactly replayed by
-    // the oracle (the etl_stratified_sample machinery).
-    val docs = Tables(spark, dir).documents
+    // the oracle; the one count() that sizes the modulus is a cheap
+    // metadata-ish scan both engines share.
+    val all = Tables(spark, dir).documents
+    val evalMod = math.max(1L, math.ceil(all.count() / EvalSliceTarget).toLong)
+    val docs = all
       .filter(conv(substring(md5(concat(lit("mheval:"), $"doc_id".cast("string"))), 1, 13), 16, 10)
-        .cast("long") % 2 === 0)
+        .cast("long") % evalMod === 0)
     val cand = Dedup.lshCandidates(docs, "doc_id", "text", perms = 128, bands = 16)
     val sets = Dedup.tokenSets(docs, "doc_id", "text")
     val verified = Dedup.verifyJaccard(cand, sets, tau = 0.9)
@@ -234,7 +249,8 @@ object DedupQ {
     */
   private val minhashCtesSampled: String =
     "WITH mheval_docs AS (SELECT * FROM documents " +
-      "WHERE CAST(('0x' || substr(md5('mheval:' || doc_id), 1, 13)) AS BIGINT) % 2 = 0), " +
+      "WHERE CAST(('0x' || substr(md5('mheval:' || doc_id), 1, 13)) AS BIGINT) % " +
+      s"(SELECT GREATEST(1, CAST(CEIL(count(*) / $EvalSliceTarget) AS BIGINT)) FROM documents) = 0), " +
       minhashCtes.replace("FROM documents", "FROM mheval_docs").stripPrefix("WITH ")
 
   private val dedupMinhashEvalSql =

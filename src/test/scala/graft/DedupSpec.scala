@@ -155,11 +155,15 @@ class DedupSpec extends GraftSuite {
     assert(ver <= cand, "verified pairs must be a subset of candidates")
     assert(ver <= truth, "verified pairs are exact-jaccard matches, so <= truth")
     // the verified set IS the pair gate's output restricted to the
-    // md5-addressed eval slice (both endpoints sampled)
+    // md5-addressed eval slice (both endpoints sampled); the modulus
+    // scales with corpus size so the slice is BOUNDED (~2500 docs) —
+    // at sf0.001's 500 docs it is 1, i.e. the whole corpus
+    val nDocs = Tables(spark, sf0001).documents.count()
+    val evalMod = math.max(1L, math.ceil(nDocs / 2500.0).toLong)
     def inSlice(id: Long): Boolean = {
       val md = java.security.MessageDigest.getInstance("MD5")
       val hex = md.digest(s"mheval:$id".getBytes).map(b => f"${b & 0xff}%02x").mkString
-      java.lang.Long.parseLong(hex.take(13), 16) % 2 == 0
+      java.lang.Long.parseLong(hex.take(13), 16) % evalMod == 0
     }
     val gate = graft.queries.DedupQ.dedupMinhashLsh(spark, sf0001).collect()
       .count(r => inSlice(r.getLong(0)) && inSlice(r.getLong(1)))

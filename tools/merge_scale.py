@@ -1,0 +1,30 @@
+#!/usr/bin/env python3
+"""Merge per-gate graft.ScaleCurve JSON lines into one SCALE artifact.
+
+The per-gate-fresh-JVM runner emits one {"metric":"scale_curve",...}
+line per gate; this folds their `gates` maps together.
+
+Usage: merge_scale.py <curve_stdout_file> <out_json>
+"""
+import json, sys
+
+src = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_curve_r9.out"
+dst = sys.argv[2] if len(sys.argv) > 2 else "SCALE_r9.json"
+
+merged = None
+for line in open(src):
+    line = line.strip()
+    if not line.startswith("{"):
+        continue
+    rec = json.loads(line)
+    if rec.get("metric") != "scale_curve":
+        continue
+    if merged is None:
+        merged = rec
+    else:
+        merged["gates"].update(rec["gates"])
+assert merged, f"no scale_curve lines in {src}"
+merged["isolation"] = "one fresh JVM per gate; full unpersist (incl. localCheckpoint blocks) between tiers"
+with open(dst, "w") as f:
+    json.dump(merged, f, indent=1, sort_keys=True)
+print("wrote", dst, "gates:", sorted(merged["gates"]))
