@@ -319,11 +319,23 @@ object Dedup {
     * intersect — see SortedIntersectSize); keeps pairs >= tau with
     * the unrounded jaccard column.
     */
+  /** Exact verification of candidate pairs. The sets side carries the
+    * token arrays, so the join strategy matters at scale: a sort-merge
+    * join would SORT the candidate stream with a toks payload attached
+    * — on an adversarial corpus (one templated family put 2 338 of
+    * sf0.1's 5 000 docs in a single band bucket → 6.2M candidates;
+    * linear with corpus growth but ~1 200 pairs/doc) that sort spilled
+    * >65 GB at the 100× tier. SHUFFLE_HASH on the sets side keeps the
+    * pair stream unsorted: candidates shuffle as bare (id_a, id_b)
+    * rows, each partition hash-builds its slice of the (much smaller,
+    * one-row-per-doc) sets table, and the only sort anywhere is
+    * whatever the caller does with the verified survivors.
+    */
   private[graft] def verifyJaccard(candidates: DataFrame, sets: DataFrame,
                                    tau: Double): DataFrame =
     candidates
-      .join(sets.select($("id").as("id_a"), $("toks").as("toks_a")), "id_a")
-      .join(sets.select($("id").as("id_b"), $("toks").as("toks_b")), "id_b")
+      .join(sets.select($("id").as("id_a"), $("toks").as("toks_a")).hint("shuffle_hash"), "id_a")
+      .join(sets.select($("id").as("id_b"), $("toks").as("toks_b")).hint("shuffle_hash"), "id_b")
       .withColumn("inter",
         graft.functions.SortedIntersectSize($("toks_a"), $("toks_b")).cast("double"))
       .withColumn("jaccard",
