@@ -148,6 +148,44 @@ object Dedup {
       .filter(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
 
+  /** Exact token-set Jaccard pairs >= tau via PREFIX FILTERING (the
+    * AllPairs/PPJoin candidate scheme) — the third exact-join recipe
+    * next to the DF-capped inverted index and MinHash banding. Under
+    * a global token order (ascending document frequency, rarest
+    * first), a doc of n tokens only needs its first
+    * n − ⌈τ·n⌉ + 1 tokens indexed: with the length-ratio prune
+    * (n_a/n_b ∈ [τ, 1/τ], implied by J ≥ τ), any qualifying pair
+    * shares ⌈τ·max(n_a,n_b)⌉ tokens, so the globally-smallest shared
+    * token must sit inside BOTH prefixes — indexing the suffixes
+    * buys nothing. Candidates are an equi-join on prefix tokens
+    * (rare by construction — the prefix holds each doc's LOWEST-df
+    * tokens, so postings stay short without any cap), then the usual
+    * exact shuffle-hash verify. Fully linear in corpus + output; a
+    * spec pins the candidate set lossless against the all-pairs
+    * baseline.
+    */
+  def prefixFilterPairs(df: DataFrame, idCol: String, textCol: String,
+                        tau: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sets = tokenSets(df, idCol, textCol)
+    val tok = sets.select($("id"), size($("toks")).as("n"),
+      explode($("toks")).as("tok"))
+    val dfreq = tok.groupBy($("tok")).agg(count(lit(1)).as("df_"))
+    val prefix = tok.join(dfreq, "tok")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy($("id")).orderBy($("df_"), $("tok"))))
+      .filter($("pos") <= $("n") - ceil($("n") * tau) + 1)
+      .select($("id"), $("n"), $("tok"))
+    val cands = prefix.as("a").join(prefix.as("b"), "tok")
+      .filter(col("a.id") < col("b.id") &&
+        col("a.n") >= ceil(col("b.n") * tau) &&
+        col("b.n") >= ceil(col("a.n") * tau))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifyJaccard(cands, sets, tau)
+      .select($("id_a"), $("id_b"), round($("jaccard"), 4).as("jaccard"))
+  }
+
   /** Exact containment pairs >= tau over the same capped inverted
     * shingle index: containment = |A∩B| / min(|A|, |B|) — the
     * quote/boilerplate detector Jaccard misses when sizes differ (a

@@ -131,6 +131,31 @@ object DedupQ {
       |SELECT id_a, id_b, round(jaccard, 4) AS jaccard
       |FROM j WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin
 
+  /** Exact token-set Jaccard >= 0.85 via the AllPairs/PPJoin PREFIX
+    * FILTER ([[Dedup.prefixFilterPairs]]): candidates only from each
+    * doc's n − ⌈τ·n⌉ + 1 rarest tokens under the global df order,
+    * with the length-ratio prune, then exact verify. The ORACLE
+    * states the quadratic all-pairs definition, so the hash match
+    * proves the prefix scheme lossless (the q_skyline pattern);
+    * DedupSpec additionally pins equality with the all-pairs
+    * baseline in-engine.
+    */
+  def dedupPrefixFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.prefixFilterPairs(Tables(spark, dir).documents, "doc_id", "text", tau = 0.85)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  private val dedupPrefixFilterSql =
+    s"""WITH s AS (SELECT doc_id, list_distinct(${QueryDef.toksSql()}) AS toks
+      |           FROM documents),
+      |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |        len(list_intersect(a.toks, b.toks)) * 1.0 /
+      |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+      |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, round(jaccard, 4) AS jaccard
+      |FROM j WHERE jaccard >= 0.85 ORDER BY id_a, id_b""".stripMargin
+
   /** MinHash(128) + LSH(16 bands × 8 rows) candidates, verified by
     * exact token-set Jaccard >= 0.9. The signature arithmetic is
     * md5-derived end to end (token base hash, multiply-add constants,
@@ -530,6 +555,7 @@ object DedupQ {
     QueryDef.sql("dedup_incremental", dedupIncremental _, dedupIncrementalSql),
     QueryDef.sql("dedup_incremental_bloom", dedupIncrementalBloom _, dedupIncrementalSql),
     QueryDef.sql("dedup_ngram_jaccard", dedupNgramJaccard _, dedupNgramJaccardSql),
+    QueryDef.sql("dedup_prefix_filter", dedupPrefixFilter _, dedupPrefixFilterSql),
     QueryDef.sql("dedup_containment", dedupContainment _, dedupContainmentSql),
     QueryDef.sql("dedup_minhash_lsh", dedupMinhashLsh _, dedupMinhashLshSql),
     QueryDef.sql("text_decontaminate_fuzzy", textDecontaminateFuzzy _, textDecontaminateFuzzySql),

@@ -117,8 +117,134 @@ object EntityQ {
       |  min_by(cents, id) AS cents
       |FROM j GROUP BY cluster ORDER BY cluster""".stripMargin
 
+  // ------------------------------------------------------ q_fellegi_sunter
+  /** Fellegi–Sunter probabilistic record-linkage weights over the
+    * same dirty-duplicate fixture as [[qGoldenRecord]]: candidates
+    * come from DF-capped name-trigram blocking (df ≤ 50 — blocking
+    * is the only pruning, never all-pairs), and every candidate pair
+    * gets the classic log-odds match weight over the non-name
+    * attributes (balance cents, market segment, nation):
+    * agree ⇒ log₂(m/u), disagree ⇒ log₂((1−m)/(1−u)), with m = 0.98
+    * declared and each u ESTIMATED from the data as the
+    * random-agreement probability Σ f(f−1) / (N(N−1)) over that
+    * attribute's exact value frequencies — the standard frequency
+    * shortcut, and pure integer arithmetic until one division. Each
+    * log term is e6-quantized before the sum so both engines add the
+    * same integers. True copies agree everywhere (weight ≈
+    * Σ log₂(m/u) ≫ 0); a chance trigram collision between distinct
+    * entities disagrees on the near-unique attributes and sinks.
+    * 100 TB shape: blocked equi-join candidates + three broadcast
+    * 1-row u estimates + two hash joins for attributes.
+    */
+  def qFellegiSunter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables(spark, dir).customer.select(
+      $"c_custkey".cast("long").as("id"), $"c_name".as("name"),
+      expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"),
+      $"c_mktsegment".as("mkt"), $"c_nationkey".cast("long").as("nat"))
+    val dirty = c
+      .withColumn("p",
+        (conv(substring(md5(concat(lit("gr:"), $"name")), 1, 13), 16, 10).cast("long")
+          % (length($"name") - 2) + 1).cast("int"))
+      .select(($"id" + 10000000L).as("id"),
+        expr("concat(substr(name, 1, p), substr(name, p + 2))").as("name"),
+        $"cents", $"mkt", $"nat")
+    val all = c.unionByName(dirty).transform(graft.operators.CacheLedger.persist)
+    // u per attribute: random-agreement probability from exact value
+    // frequencies, one row, broadcast
+    def uEst(attr: String): DataFrame =
+      all.groupBy(col(attr)).agg(count(lit(1)).as("f"))
+        .agg((sum($"f" * ($"f" - 1)).cast("double") /
+          (sum($"f") * (sum($"f") - 1)).cast("double")).as(s"u_$attr"))
+    val u = uEst("cents").crossJoin(uEst("mkt")).crossJoin(uEst("nat"))
+    val g = all.select($"id", $"name",
+      explode(expr(
+        "array_distinct(transform(sequence(1, length(name) - 2), i -> substring(name, i, 3)))"))
+        .as("gram"))
+    val rare = g.join(
+      g.groupBy($"gram").agg(count(lit(1)).as("df_"))
+        .filter($"df_" <= 50).select($"gram"),
+      "gram")
+    val cand = rare.as("a").join(rare.as("b"), "gram")
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    def side(s: String) = all.select($"id".as(s"id_$s"), $"name".as(s"name_$s"),
+      $"cents".as(s"cents_$s"), $"mkt".as(s"mkt_$s"), $"nat".as(s"nat_$s"))
+    def term(agree: String, uCol: String) =
+      s"CAST(round((CASE WHEN $agree THEN log2(0.98 / $uCol) " +
+        s"ELSE log2(0.02 / (1.0 - $uCol)) END) * 1e6) AS BIGINT)"
+    cand.join(side("a"), "id_a").join(side("b"), "id_b")
+      .crossJoin(broadcast(u))
+      .select($"id_a", $"id_b",
+        levenshtein($"name_a", $"name_b").cast("long").as("name_lev"),
+        ($"cents_a" === $"cents_b").as("cents_agree"),
+        ($"mkt_a" === $"mkt_b").as("mkt_agree"),
+        ($"nat_a" === $"nat_b").as("nat_agree"),
+        ((expr(term("cents_a = cents_b", "u_cents")) +
+          expr(term("mkt_a = mkt_b", "u_mkt")) +
+          expr(term("nat_a = nat_b", "u_nat"))) / 1e6).as("w"))
+      .select($"id_a", $"id_b", $"name_lev", $"cents_agree", $"mkt_agree",
+        $"nat_agree", round($"w", 4).as("weight"), ($"w" > 5.0).as("is_match"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  private val qFellegiSunterSql = {
+    def term(agree: String, uCol: String) =
+      s"CAST(round((CASE WHEN $agree THEN log2(0.98 / $uCol) " +
+        s"ELSE log2(0.02 / (1.0 - $uCol)) END) * 1e6) AS BIGINT)"
+    s"""WITH c AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+      |    c_mktsegment AS mkt, CAST(c_nationkey AS BIGINT) AS nat
+      |  FROM customer),
+      |d AS (
+      |  SELECT id + 10000000 AS id,
+      |    substr(name, 1, CAST(p AS INTEGER)) || substr(name, CAST(p AS INTEGER) + 2) AS name,
+      |    cents, mkt, nat
+      |  FROM (SELECT *,
+      |      CAST(('0x' || substr(md5('gr:' || name), 1, 13)) AS BIGINT)
+      |        % (length(name) - 2) + 1 AS p
+      |    FROM c)),
+      |allr AS (SELECT * FROM c UNION ALL SELECT * FROM d),
+      |uc AS (SELECT CAST(sum(f * (f - 1)) AS DOUBLE) /
+      |         CAST(sum(f) * (sum(f) - 1) AS DOUBLE) AS u_cents
+      |       FROM (SELECT count(*) AS f FROM allr GROUP BY cents)),
+      |um AS (SELECT CAST(sum(f * (f - 1)) AS DOUBLE) /
+      |         CAST(sum(f) * (sum(f) - 1) AS DOUBLE) AS u_mkt
+      |       FROM (SELECT count(*) AS f FROM allr GROUP BY mkt)),
+      |up AS (SELECT CAST(sum(f * (f - 1)) AS DOUBLE) /
+      |         CAST(sum(f) * (sum(f) - 1) AS DOUBLE) AS u_nat
+      |       FROM (SELECT count(*) AS f FROM allr GROUP BY nat)),
+      |g AS (
+      |  SELECT id,
+      |    unnest(list_distinct([substr(name, i, 3) for i in range(1, length(name) - 1)])) AS gram
+      |  FROM allr),
+      |dfc AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+      |rare AS (SELECT g.id, g.gram FROM g JOIN dfc USING (gram) WHERE df <= 50),
+      |cand AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM rare a JOIN rare b ON a.gram = b.gram AND a.id < b.id),
+      |w AS (
+      |  SELECT id_a, id_b,
+      |    CAST(levenshtein(x.name, y.name) AS BIGINT) AS name_lev,
+      |    x.cents = y.cents AS cents_agree,
+      |    x.mkt = y.mkt AS mkt_agree,
+      |    x.nat = y.nat AS nat_agree,
+      |    (${term("x.cents = y.cents", "u_cents")} +
+      |     ${term("x.mkt = y.mkt", "u_mkt")} +
+      |     ${term("x.nat = y.nat", "u_nat")}) / 1e6 AS w
+      |  FROM cand
+      |  JOIN allr x ON x.id = cand.id_a JOIN allr y ON y.id = cand.id_b,
+      |  uc, um, up)
+      |SELECT id_a, id_b, name_lev, cents_agree, mkt_agree, nat_agree,
+      |  round(w, 4) AS weight, w > 5.0 AS is_match
+      |FROM w ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ---------------------------------------------------------------- registry
 
   val defs: Seq[QueryDef] = Seq(
-    QueryDef.sql("q_golden_record", qGoldenRecord _, qGoldenRecordSql))
+    QueryDef.sql("q_golden_record", qGoldenRecord _, qGoldenRecordSql),
+    QueryDef.sql("q_fellegi_sunter", qFellegiSunter _, qFellegiSunterSql))
 }

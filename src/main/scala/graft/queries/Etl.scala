@@ -50,6 +50,31 @@ object Etl {
   private val etlXlsxRoundtripSql =
     "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
 
+  /** XML sink/source round-trip through Spark 4's BUILT-IN xml data
+    * source (the spark-xml lineage, in sql/core since 4.0) — the
+    * fourth intake format a real ingest surface meets after
+    * CSV/XLSX/JSON. Writes `nation` as one row-tagged XML document
+    * set, re-reads with an explicit schema (inference off: schema-on
+    * -read for XML is a per-file scan) and matches the identity
+    * oracle.
+    */
+  def etlXmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = s"/tmp/graft_xml/${dir.replaceAll("[^A-Za-z0-9]", "_")}/nation"
+    Tables(spark, dir).nation
+      .coalesce(1).write.mode("overwrite")
+      .option("rootTag", "nations").option("rowTag", "nation")
+      .format("xml").save(tmp)
+    spark.read
+      .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+      .option("rowTag", "nation").format("xml").load(tmp)
+      .select($"n_nationkey", $"n_name", $"n_regionkey")
+      .orderBy($"n_nationkey")
+  }
+
+  private val etlXmlRoundtripSql =
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+
   /** ORC sink/source round-trip (Spark-native columnar alternative —
     * same identity oracle as the CSV path).
     */
@@ -264,6 +289,7 @@ object Etl {
     QueryDef.sql("etl_csv_roundtrip", etlCsvRoundtrip _, etlCsvRoundtripSql),
     QueryDef.sql("etl_xlsx_roundtrip", etlXlsxRoundtrip _, etlXlsxRoundtripSql),
     QueryDef.sql("etl_orc_roundtrip", etlOrcRoundtrip _, etlOrcRoundtripSql),
+    QueryDef.sql("etl_xml_roundtrip", etlXmlRoundtrip _, etlXmlRoundtripSql),
     QueryDef.sql("etl_json_roundtrip", etlJsonRoundtrip _, etlJsonRoundtripSql),
     QueryDef.sql("etl_validate_rows", etlValidateRows _, etlValidateRowsSql),
     QueryDef.sql("etl_validate_files", etlValidateFiles _, etlValidateFilesSql),

@@ -619,8 +619,101 @@ object MlQ {
        |FROM git3""".stripMargin
   }
 
+  // --------------------------------------------------------- q_huber_irls
+  /** Huber robust regression of daily order counts on the day index —
+    * the M-estimation member of the in-plan training family (OLS
+    * assumes Gaussian noise everywhere; one bursty day drags its fit,
+    * while the Huber ψ caps any day's influence at c). One OLS seed +
+    * 2 IRLS reweights, unrolled: per-day weights
+    * w = min(1, c/|r|) (c = 10 orders, the declared robustness
+    * threshold) and their x/y products quantize to e6 longs BEFORE
+    * the sums, so each iteration's five sufficient statistics are
+    * exact integers and the 2×2 weighted-least-squares solve is one
+    * deterministic double expression. Output adds the final
+    * downweighted-day count and the e4-quantized Huber loss. 100 TB
+    * shape: 3 aggregates over the day-cardinality table (bounded
+    * metadata), state = 2 doubles. Oracle unrolls the identical
+    * iterations from the same sub-expression strings.
+    */
+  private object Huber {
+    val c = "10.0"
+    val absr = "abs(y - a - b * t)"
+    val wH = s"(CASE WHEN $absr <= $c THEN 1.0 ELSE $c / $absr END)"
+    def t0(w: String) = s"CAST(round($w * 1e6) AS BIGINT)"
+    def t1(w: String) = s"CAST(round($w * t * 1e6) AS BIGINT)"
+    def t2(w: String) = s"CAST(round($w * t * t * 1e6) AS BIGINT)"
+    def z0(w: String) = s"CAST(round($w * y * 1e6) AS BIGINT)"
+    def z1(w: String) = s"CAST(round($w * y * t * 1e6) AS BIGINT)"
+    val det = "(CAST(s0 AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)"
+    val aNew = s"(CAST(z0 AS DOUBLE) * s2 - CAST(z1 AS DOUBLE) * s1) / $det"
+    val bNew = s"(CAST(z1 AS DOUBLE) * s0 - CAST(z0 AS DOUBLE) * s1) / $det"
+    val loss = s"CAST(round((CASE WHEN $absr <= $c THEN 0.5 * (y - a - b * t) * (y - a - b * t) " +
+      s"ELSE $c * ($absr - $c / 2.0) END) * 1e4) AS BIGINT)"
+    val out = s"CASE WHEN $absr > $c THEN 1 ELSE 0 END"
+  }
+
+  def qHuberIrls(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val raw = Tables(spark, dir).orders
+      .groupBy(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val base = raw.agg(min($"day").as("d0"))
+    val d = raw.crossJoin(broadcast(base))
+      .select(($"day" - $"d0").cast("double").as("t"), $"y".cast("double").as("y"))
+    var beta = d.sparkSession.range(1)
+      .select(lit(0.0).as("a"), lit(0.0).as("b"))
+    for (i <- 1 to 3) {
+      val w = if (i == 1) "1.0" else Huber.wH
+      beta = d.crossJoin(broadcast(beta))
+        .agg(sum(expr(Huber.t0(w))).as("s0"), sum(expr(Huber.t1(w))).as("s1"),
+          sum(expr(Huber.t2(w))).as("s2"), sum(expr(Huber.z0(w))).as("z0"),
+          sum(expr(Huber.z1(w))).as("z1"))
+        .select(expr(Huber.aNew).as("a"), expr(Huber.bNew).as("b"))
+    }
+    d.crossJoin(broadcast(beta))
+      .agg(count(lit(1)).as("n_days"),
+        min($"a").as("a"), min($"b").as("b"),
+        sum(expr(Huber.out)).as("n_downweighted"),
+        sum(expr(Huber.loss)).as("loss_e4"))
+      .select($"n_days",
+        expr("round(a, 6)").as("beta0"),
+        expr("round(b, 8)").as("beta1_daily"),
+        $"n_downweighted",
+        expr("round(loss_e4 / 1e4, 4)").as("huber_loss"))
+  }
+
+  private val qHuberIrlsSql = {
+    val step = (i: Int) => {
+      val w = if (i == 1) "1.0" else Huber.wH
+      s"""hs$i AS (
+         |  SELECT CAST(sum(${Huber.t0(w)}) AS BIGINT) AS s0,
+         |    CAST(sum(${Huber.t1(w)}) AS BIGINT) AS s1,
+         |    CAST(sum(${Huber.t2(w)}) AS BIGINT) AS s2,
+         |    CAST(sum(${Huber.z0(w)}) AS BIGINT) AS z0,
+         |    CAST(sum(${Huber.z1(w)}) AS BIGINT) AS z1
+         |  FROM d, hit${i - 1}),
+         |hit$i AS (SELECT ${Huber.aNew} AS a, ${Huber.bNew} AS b FROM hs$i)""".stripMargin
+    }
+    s"""WITH raw AS (
+       |  SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
+       |    count(*) AS y
+       |  FROM orders GROUP BY 1),
+       |base AS (SELECT min(day) AS d0 FROM raw),
+       |d AS (SELECT CAST(day - d0 AS DOUBLE) AS t, CAST(y AS DOUBLE) AS y FROM raw, base),
+       |hit0 AS (SELECT CAST(0.0 AS DOUBLE) AS a, CAST(0.0 AS DOUBLE) AS b),
+       |${step(1)},
+       |${step(2)},
+       |${step(3)}
+       |SELECT count(*) AS n_days,
+       |  round(min(a), 6) AS beta0, round(min(b), 8) AS beta1_daily,
+       |  CAST(sum(${Huber.out}) AS BIGINT) AS n_downweighted,
+       |  round(CAST(sum(${Huber.loss}) AS BIGINT) / 1e4, 4) AS huber_loss
+       |FROM d, hit3""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q_gmm_em", qGmmEm _, qGmmEmSql),
+    QueryDef.sql("q_huber_irls", qHuberIrls _, qHuberIrlsSql),
     QueryDef.sql("ts_poisson_trend", tsPoissonTrend _, tsPoissonTrendSql),
     QueryDef.sql("q_logreg_irls", qLogregIrls _, qLogregIrlsSql),
     QueryDef.sql("emb_dbscan", embDbscan _, embDbscanSql),

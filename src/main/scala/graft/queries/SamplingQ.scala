@@ -207,11 +207,60 @@ object SamplingQ {
        |FROM m""".stripMargin
   }
 
+  // ------------------------------------------------------ q_weighted_sample
+  /** Weighted sampling WITHOUT replacement, k per stratum — the
+    * Efraimidis–Spirakis A-ES one-pass reservoir: each doc draws a
+    * priority ln(u)/w (u an md5-derived uniform, w its token count),
+    * and the k LARGEST priorities per source are exactly a
+    * probability-∝-weight draw without replacement. Unlike the
+    * Bernoulli samplers ([[graft.operators.Sample]]) this yields an
+    * EXACT sample size — the contract a training-mixture budget needs
+    * ("10 documents per source, long docs favored"). One scan, no
+    * shuffle before the per-source bounded heap: the priority is a
+    * map-side expression and the top-k runs through the native
+    * GroupTopK operator, never a per-source sort — the 100 TB plan.
+    * Priorities are nano-quantized (round·1e9 → BIGINT) so both
+    * engines rank the same integers; u = (h+0.5)/2³² keeps ln away
+    * from ln(0).
+    */
+  def qWeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables(spark, dir).documents
+      .select($"doc_id", $"source",
+        greatest(TextFns.tokenCount($"text"), lit(1L)).as("n_tokens"),
+        conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      .withColumn("prio_e9",
+        expr("CAST(round(1e9 * ln((h + 0.5) / 4294967296.0) / n_tokens) AS BIGINT)"))
+    graft.operators.TopK.native(d, Seq($"source"),
+        Seq($"prio_e9".desc, $"doc_id".asc), k = 10)
+      .select($"source", $"doc_id", $"n_tokens", $"rk".cast("long").as("rk"))
+      .orderBy($"source", $"rk")
+  }
+
+  private val qWeightedSampleSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    greatest(len(${QueryDef.toksSql()}), 1) AS w,
+       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, source, w,
+       |    CAST(round(1e9 * ln((h + 0.5) / 4294967296.0) / w) AS BIGINT) AS prio_e9
+       |  FROM d),
+       |r AS (
+       |  SELECT doc_id, source, w,
+       |    row_number() OVER (PARTITION BY source ORDER BY prio_e9 DESC, doc_id) AS rk
+       |  FROM p)
+       |SELECT source, doc_id, CAST(w AS BIGINT) AS n_tokens, CAST(rk AS BIGINT) AS rk
+       |FROM r WHERE rk <= 10 ORDER BY source, rk""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q_horvitz_thompson", qHorvitzThompson _, qHorvitzThompsonSql),
     QueryDef.sql("q_neyman_allocation", qNeymanAllocation _, qNeymanAllocationSql),
     QueryDef.sql("corpus_importance_weights", corpusImportanceWeights _, corpusImportanceWeightsSql),
-    QueryDef.sql("q_cohens_kappa", qCohensKappa _, qCohensKappaSql))
+    QueryDef.sql("q_cohens_kappa", qCohensKappa _, qCohensKappaSql),
+    QueryDef.sql("q_weighted_sample", qWeightedSample _, qWeightedSampleSql))
 }

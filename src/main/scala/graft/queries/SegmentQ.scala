@@ -201,9 +201,16 @@ object SegmentQ {
     val fences = e.groupBy($"event_type")
       .agg(expr("percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
         .as("fs"))
+    // e6-quantized fence comparison: on EQUAL neighboring order
+    // statistics Spark's (1−γ)·a + γ·a interpolation can land a±ulp
+    // where DuckDB's a + γ·(b−a) is exactly a, flipping rows whose
+    // value IS the fence (surfaced by the first recorded sf0.1
+    // full-battery parity run — 3 rows of 1.5M). Values are 2-decimal
+    // money, so rounding both sides at 1e-6 collapses the ulp noise
+    // without moving any genuine comparison.
     e.join(broadcast(fences), "event_type")
       .withColumn("bin",
-        (lit(1L) + expr("size(filter(fs, f -> value > f))")).cast("long"))
+        (lit(1L) + expr("size(filter(fs, f -> round(value * 1e6) > round(f * 1e6)))")).cast("long"))
       .groupBy($"event_type", $"bin")
       .agg(count(lit(1)).as("n"),
         sum(round($"value" * 100).cast("long")).as("cents"))
@@ -216,7 +223,7 @@ object SegmentQ {
       |    quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS fs
       |  FROM events GROUP BY event_type)
       |SELECT e.event_type,
-      |  CAST(1 + len(list_filter(f.fs, x -> e.value > x)) AS BIGINT) AS bin,
+      |  CAST(1 + len(list_filter(f.fs, x -> round(e.value * 1e6) > round(x * 1e6))) AS BIGINT) AS bin,
       |  count(*) AS n,
       |  CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS cents
       |FROM events e JOIN f USING (event_type)

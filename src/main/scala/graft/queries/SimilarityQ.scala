@@ -509,21 +509,33 @@ object SimilarityQ {
       |    (acc, x) -> (acc * 257 + x) % 2147483647) AS rolling_fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** DuckDB fragment: the UTF-8 byte sequence of a text column as a
+    * list of 0–255 integers — replicates the encoder (1/2/3/4-byte
+    * sequences) so the byte-level multimodal oracles hold on ANY
+    * corpus. This closed the round-9 multibyte-sweep findings: the
+    * previous substr/ascii formulations indexed CODEPOINTS and only
+    * matched the engines' UTF-8 BYTE framing on pure-ASCII lakes (a
+    * documented precondition, now removed).
+    */
+  private def utf8BytesSql(col: String): String =
+    s"flatten(list_transform(string_split($col, ''), c -> " +
+      "CASE WHEN unicode(c) < 128 THEN [unicode(c)] " +
+      "WHEN unicode(c) < 2048 THEN [192 + unicode(c) // 64, 128 + unicode(c) % 64] " +
+      "WHEN unicode(c) < 65536 THEN [224 + unicode(c) // 4096, " +
+      "128 + (unicode(c) // 64) % 64, 128 + unicode(c) % 64] " +
+      "ELSE [240 + unicode(c) // 262144, 128 + (unicode(c) // 4096) % 64, " +
+      "128 + (unicode(c) // 64) % 64, 128 + unicode(c) % 64] END))"
+
   /** Frame sampling through the REAL Y4M codec ([[graft.multimodal
     * .Y4m]]): each document is packed into a C420 stream of 8×8
     * frames carrying its content bytes as luma, then the operator
     * PARSES the stream (header + FRAME markers + planar layout),
     * keeps every 4th frame, and reduces kept frames to their mean
-    * luma. The oracle replays the byte math exactly: each frame mean
-    * is an integer sum / 64 (exact in binary), so both engines
-    * produce bit-identical doubles; truncation (not rounding) guards
-    * the half-way divergence class.
-    *
-    * Oracle precondition: the corpus is pure ASCII (TESTDATA
-    * contract), so the oracle's CHARACTER-based substr/ascii math
-    * equals the engine's UTF-8 BYTE framing. MultimodalSpec pins
-    * ASCII-ness at every SF so a future generator change surfaces as
-    * a named spec failure, not a silent oracle divergence.
+    * luma. The oracle replays the byte math exactly — frame slices
+    * over the [[utf8BytesSql]] byte list, each frame mean an integer
+    * sum / 64 (exact in binary) — so both engines produce
+    * bit-identical doubles on any corpus; truncation (not rounding)
+    * guards the half-way divergence class.
     */
   /** GIF frame sampling through the REAL LZW decoder
     * ([[graft.multimodal.Gif]]): documents pack into animated GIFs
@@ -547,8 +559,8 @@ object SimilarityQ {
   }
 
   private val mmGifFramesSql =
-    """WITH f AS (
-      |  SELECT doc_id, text,
+    s"""WITH f AS (
+      |  SELECT doc_id, ${utf8BytesSql("text")} AS bs,
       |    CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames,
       |    CAST(ceil(ceil(octet_length(encode(text)) / 64.0) / 3.0) AS BIGINT) AS n_sampled
       |  FROM documents)
@@ -556,9 +568,9 @@ object SimilarityQ {
       |  n_frames, n_sampled,
       |  floor(coalesce(
       |    list_sum(list_transform(range(0, n_sampled), k ->
-      |      coalesce(list_sum(list_transform(
-      |        string_split(substr(text, CAST(k * 192 AS INTEGER) + 1, 64), ''),
-      |        c -> ascii(c))), 0) / 64.0)) / n_sampled,
+      |      coalesce(list_sum(list_slice(bs,
+      |        CAST(k * 192 AS INTEGER) + 1, CAST(k * 192 AS INTEGER) + 64)), 0) / 64.0))
+      |      / n_sampled,
       |    CAST(0.0 AS DOUBLE)) * 1e4) / 1e4 AS mean_gray_t
       |FROM f ORDER BY doc_id""".stripMargin
 
@@ -573,8 +585,8 @@ object SimilarityQ {
   }
 
   private val mmFrameSampleSql =
-    """WITH f AS (
-      |  SELECT doc_id, text,
+    s"""WITH f AS (
+      |  SELECT doc_id, ${utf8BytesSql("text")} AS bs,
       |    CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames,
       |    CAST(ceil(ceil(octet_length(encode(text)) / 64.0) / 4.0) AS BIGINT) AS n_sampled
       |  FROM documents)
@@ -582,9 +594,9 @@ object SimilarityQ {
       |  n_frames, n_sampled,
       |  floor(coalesce(
       |    list_sum(list_transform(range(0, n_sampled), k ->
-      |      coalesce(list_sum(list_transform(
-      |        string_split(substr(text, CAST(k * 256 AS INTEGER) + 1, 64), ''),
-      |        c -> ascii(c))), 0) / 64.0)) / n_sampled,
+      |      coalesce(list_sum(list_slice(bs,
+      |        CAST(k * 256 AS INTEGER) + 1, CAST(k * 256 AS INTEGER) + 64)), 0) / 64.0))
+      |      / n_sampled,
       |    CAST(0.0 AS DOUBLE)) * 1e4) / 1e4 AS mean_luma_t
       |FROM f ORDER BY doc_id""".stripMargin
 
@@ -611,11 +623,11 @@ object SimilarityQ {
   }
 
   private val mmAudioEnergySql =
-    """WITH f AS (
+    s"""WITH f AS (
       |  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
       |s AS (
       |  SELECT doc_id, n,
-      |    list_transform(string_split(text, ''), c -> CAST((ascii(c) - 128) * 256 AS BIGINT)) AS sm
+      |    list_transform(${utf8BytesSql("text")}, x -> CAST((x - 128) * 256 AS BIGINT)) AS sm
       |  FROM f)
       |SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate, CAST(n AS BIGINT) AS n_samples,
       |  CAST((n + 63) // 64 AS BIGINT) AS n_frames,
@@ -930,6 +942,61 @@ object SimilarityQ {
       |FROM events WHERE event_type = 'purchase'
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** TRUE micro-batch replay of the streaming dedup
+    * ([[EventStream.dedupStream]], `dropDuplicatesWithinWatermark`)
+    * under an at-least-once transport: events split into 4
+    * (ts, event_id)-ordered chunks; every batch delivers its chunk
+    * TWICE (in-batch redelivery) and batches 2–4 additionally replay
+    * the previous chunk's LAST event (cross-batch redelivery — its
+    * event time equals the prior max, so it is provably still above
+    * the watermark AND its first-arrival state is provably still
+    * live when the replay arrives: watermark at that point is
+    * prev_max − delay < prev_max + delay). Every redelivery must be
+    * dropped, so the streamed output equals the batch DISTINCT the
+    * oracle states — the exactly-once-from-at-least-once contract,
+    * hash-matched.
+    */
+  def streamDedupReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = Tables(spark, dir).events
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id", $"event_type")
+      .as[(Long, Long, Long, String)].collect().sortBy(r => (r._2, r._3))
+    val sz = math.max(1, (evs.length + 3) / 4)
+    val batches = evs.grouped(sz).toSeq.padTo(4, Array.empty[(Long, Long, Long, String)])
+    val in = MemoryStream[(Long, Long, Long, String)]
+    val src = in.toDS().toDF("user_id", "ts_us", "event_id", "event_type")
+      .withColumn("ts", expr("timestamp_micros(ts_us)"))
+      .withWatermark("ts", "2 hours")
+    val name = "stream_dedup_replay_" + java.util.UUID.randomUUID().toString.take(8)
+    val q = EventStream.dedupStream(src)
+      .select($"user_id", $"event_id", $"ts_us", $"event_type")
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      (0 until 4).foreach { i =>
+        val replayTail =
+          if (i > 0 && batches(i - 1).nonEmpty) Seq(batches(i - 1).last) else Seq.empty
+        val b = batches(i)
+        if ((b ++ b ++ replayTail).nonEmpty) in.addData(b.toSeq ++ b.toSeq ++ replayTail)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val out = spark.table(name).collect()
+    spark.catalog.dropTempView(name)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts_us", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(out.toIndexedSeq, 4), schema)
+      .orderBy($"event_id")
+  }
+
+  private val streamDedupReplaySql =
+    """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+      |FROM events ORDER BY event_id""".stripMargin
+
   /** Index-quality evaluation: recall@10 of the IVF index against
     * the brute-force ground truth, per query — the number that
     * decides nprobe/nlist BEFORE an index ships. Runs the two
@@ -1096,5 +1163,6 @@ object SimilarityQ {
     QueryDef.sql("stream_sliding_counts", streamSlidingCounts _, streamSlidingCountsSql),
     QueryDef.sql("q_interval_join", qIntervalJoin _, qIntervalJoinSql),
     QueryDef.sql("stream_interval_replay", streamIntervalReplay _, streamIntervalReplaySql),
+    QueryDef.sql("stream_dedup_replay", streamDedupReplay _, streamDedupReplaySql),
     QueryDef.sql("stream_spend_replay", streamSpendReplay _, streamSpendReplaySql))
 }

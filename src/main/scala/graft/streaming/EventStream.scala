@@ -156,6 +156,20 @@ object EventStream {
         round(col("value"), 4).as("purchase_value"))
   }
 
+  /** Streaming exactly-once dedup for an at-least-once transport:
+    * keep the FIRST arrival of each `event_id`, drop any redelivery
+    * that lands within the watermark delay of the original
+    * (`dropDuplicatesWithinWatermark` — state per key is evicted once
+    * the watermark passes its event time + delay, so the dedup map is
+    * bounded by the delay window, not the stream's lifetime — the
+    * property that makes a 100 TB/day Kafka intake dedup feasible).
+    * Callers add `withWatermark` on `ts` first; the batch twin of
+    * this plan is plain DISTINCT, which is what the replay gate's
+    * oracle states.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.dropDuplicatesWithinWatermark("event_id")
+
   final case class ValEv(user_id: Long, event_id: Long, value: Double)
   final case class EwmaState(ewma: Double, n: Long)
   final case class EwmaOut(user_id: Long, n_events: Long, ewma: Double)

@@ -223,4 +223,19 @@ class DedupSpec extends GraftSuite {
     assert(spark.sparkContext.getPersistentRDDs.size <= before,
       "release() must unpersist every ledger entry")
   }
+
+  test("prefix-filter pairs equal the all-pairs truth (lossless candidates)") {
+    val exact = docs.select($"doc_id".as("id"), TextFns.distinctToks($"text").as("toks"))
+    val truth = exact.as("a").crossJoin(exact.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .withColumn("inter", size(array_intersect(col("a.toks"), col("b.toks"))).cast("double"))
+      .withColumn("j", col("inter") / (size(col("a.toks")) + size(col("b.toks")) - col("inter")))
+      .filter(col("j") >= 0.85)
+      .select(col("a.id"), col("b.id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.prefixFilterPairs(docs, "doc_id", "text", tau = 0.85)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture must contain near-dup pairs")
+    assert(got == truth, s"prefix filter must be LOSSLESS: missing ${(truth -- got).take(3)}, extra ${(got -- truth).take(3)}")
+  }
 }

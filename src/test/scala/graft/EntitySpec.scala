@@ -25,4 +25,36 @@ class EntitySpec extends GraftSuite {
     // no chain-merging: balance agreement keeps clusters tight
     assert(rows.count(_.getAs[Long]("n_members") > 2L) <= (nCust * 0.02).toInt)
   }
+
+  test("fellegi-sunter: true copies outscore chance collisions") {
+    import org.apache.spark.sql.functions._
+    val rows = EntityQ.qFellegiSunter(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val matches = rows.filter(_.getAs[Boolean]("is_match"))
+    // every planted copy pair that survived blocking agrees on all
+    // three scored attributes and clears the match threshold
+    val copyPairs = rows.filter(r =>
+      r.getAs[Long]("id_b") == r.getAs[Long]("id_a") + 10000000L)
+    assert(copyPairs.nonEmpty, "blocking must surface planted copies")
+    copyPairs.foreach { r =>
+      assert(r.getAs[Boolean]("cents_agree") && r.getAs[Boolean]("mkt_agree")
+        && r.getAs[Boolean]("nat_agree"), s"copy pair disagrees: $r")
+      assert(r.getAs[Boolean]("is_match"), s"copy pair below threshold: $r")
+    }
+    // the near-unique attribute carries the weight: every match
+    // agrees on balance cents (segment/nation alone cannot clear 5)
+    matches.foreach(r => assert(r.getAs[Boolean]("cents_agree"),
+      s"match without the dominant evidence: $r"))
+    // weights are calibrated log-odds: full agreement beats any
+    // single disagreement
+    val full = rows.filter(r => r.getAs[Boolean]("cents_agree")
+      && r.getAs[Boolean]("mkt_agree") && r.getAs[Boolean]("nat_agree"))
+      .map(_.getAs[Double]("weight"))
+    val partial = rows.filterNot(r => r.getAs[Boolean]("cents_agree")
+      && r.getAs[Boolean]("mkt_agree") && r.getAs[Boolean]("nat_agree"))
+      .map(_.getAs[Double]("weight"))
+    if (full.nonEmpty && partial.nonEmpty)
+      assert(full.min > partial.max,
+        s"log-odds ordering violated: full min ${full.min} <= partial max ${partial.max}")
+  }
 }

@@ -232,4 +232,29 @@ class MlSpec extends GraftSuite {
     assert(math.abs(r.getAs[Double]("weight1") - w1) < 1e-3)
     assert(m1 < m2, "components must stay ordered from the percentile seed")
   }
+
+  test("huber IRLS shrugs off a planted outlier day that drags OLS") {
+    import spark.implicits._
+    // 60 days of counts 20 + j (true slope 1), day 30 bursts to 420
+    val rows = (0 until 60).flatMap { j =>
+      val n = if (j == 30) 420 else 20 + j
+      Seq.fill(n)(java.sql.Date.valueOf(java.time.LocalDate.of(1995, 1, 1).plusDays(j)))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("huber_lake").toString
+    rows.toDF("o_orderdate").write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = MlQ.qHuberIrls(spark, dir).collect().head
+    assert(r.getAs[Long]("n_days") == 60L)
+    assert(r.getAs[Long]("n_downweighted") >= 1L, "the burst day must be downweighted")
+    val huber = r.getAs[Double]("beta1_daily")
+    // OLS on the same frame for comparison
+    val ols = spark.sql(
+      s"""SELECT regr_slope(y, t) FROM (
+         |  SELECT CAST(count(*) AS DOUBLE) AS y,
+         |    CAST(datediff(o_orderdate, DATE'1995-01-01') AS DOUBLE) AS t
+         |  FROM parquet.`$dir/orders.parquet` GROUP BY o_orderdate)""".stripMargin)
+      .collect().head.getDouble(0)
+    assert(math.abs(huber - 1.0) < math.abs(ols - 1.0),
+      s"huber $huber must sit closer to the true slope 1 than OLS $ols")
+    assert(math.abs(huber - 1.0) < 0.2, s"huber slope $huber drifted")
+  }
 }

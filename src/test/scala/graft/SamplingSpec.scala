@@ -64,4 +64,25 @@ class SamplingSpec extends GraftSuite {
     assert(math.abs(r.getAs[Double]("kappa") - (po - pe) / (1 - pe)) < 1e-4)
     assert(r.getAs[Double]("kappa") <= 1.0)
   }
+
+  test("weighted sample: exact k per stratum, long docs overrepresented") {
+    import org.apache.spark.sql.functions._
+    val rows = SamplingQ.qWeightedSample(spark, sf001).collect()
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    val sizes = Tables(spark, sf001).documents.groupBy(col("source"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySource.foreach { case (src, rs) =>
+      assert(rs.length == math.min(10L, sizes(src)).toInt,
+        s"$src drew ${rs.length} of ${sizes(src)}")
+      assert(rs.map(_.getAs[Long]("rk")).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    // A-ES with weight = token count must favor long documents: the
+    // sampled mean token count exceeds the corpus mean (drawing 10 of
+    // each source's 25, proportionally to length)
+    val sampleMean = rows.map(_.getAs[Long]("n_tokens")).sum.toDouble / rows.length
+    val corpusMean = Tables(spark, sf001).documents
+      .agg(avg(graft.functions.TextFns.tokenCount(col("text")))).collect().head.getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighted draw must skew long: sample $sampleMean vs corpus $corpusMean")
+  }
 }
