@@ -131,14 +131,20 @@ object TextFilters {
     import spark.implicits._
     val terms = Seq("spark", "join", "window")
     val d = Tables(spark, dir).documents
-    val dlen = d.select($"doc_id", tokenCount($"text").as("dl"))
-    val stats = dlen.agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))
-    val tf = d.select($"doc_id", explode(toks($"text")).as("token"))
+    // dl rides the exploded rows (one long per row) so the per-doc
+    // length table never shuffles into a doc_id join — at 100 TB only
+    // the term-filtered tf rows move, not a doc-cardinality side
+    val base = d.select($"doc_id", toks($"text").as("ts"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      avg(size($"ts").cast("long")).as("avgdl"))
+    val tf = base
+      .select($"doc_id", size($"ts").cast("long").as("dl"), explode($"ts").as("token"))
       .filter($"token".isin(terms: _*))
-      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+      .groupBy($"doc_id", $"token")
+      .agg(count(lit(1)).as("tf"), first($"dl").as("dl"))
     val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
     val contrib = tf.join(broadcast(df), "token")
-      .join(dlen, "doc_id").crossJoin(broadcast(stats))
+      .crossJoin(broadcast(stats))
       .withColumn("idf", log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0))
       .withColumn("c",
         round($"idf" * ($"tf" * 2.2) /
