@@ -62,27 +62,64 @@ object Recall {
     val edges = Similarity.knnJoin(emb, "vec_id", "embedding", k = 5)
       .select(col("q_id").as("src"), col("neighbor_id").as("dst"))
 
-    val shapes: Seq[(String, () => Double)] = Seq(
-      "lsh" -> (() => recallOf(
-        pairs(Similarity.lshTopK(emb, qs, "vec_id", "embedding", k)), cosTruth)),
-      "ivf" -> (() => recallOf(
-        pairs(Similarity.ivfTopK(emb, qs, "vec_id", "embedding", k)), cosTruth)),
-      "pq" -> (() => recallOf(
-        pairs(Similarity.pqTopK(emb, qs, "vec_id", "embedding", k)), cosTruth)),
-      "ivf_pq" -> (() => recallOf(
-        pairs(Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", k)), cosTruth)),
-      "mips" -> (() => recallOf(
-        pairs(Similarity.mipsTopK(emb, qs, "vec_id", "embedding", k)), mipsTruth)),
-      "graph" -> (() => recallOf(
-        pairs(Similarity.graphSearch(emb, qs, edges, "vec_id", "embedding",
-          k = k, beam = 4, hops = 3)), cosTruth)))
+    // The default operating point per shape (the flat keys, compared
+    // round-over-round) PLUS a recall/parameter curve: each knob is
+    // the recall↔cost trade an index shopper tunes BEFORE shipping —
+    // the artifact shows the knob actually buys recall, and how much.
+    val curve: Seq[(String, Seq[(String, () => Double)])] = Seq(
+      "lsh" -> Seq(
+        "planes=4" -> (() => recallOf(
+          pairs(Similarity.lshTopK(emb, qs, "vec_id", "embedding", k, planes = 4)), cosTruth)),
+        "planes=3" -> (() => recallOf(
+          pairs(Similarity.lshTopK(emb, qs, "vec_id", "embedding", k, planes = 3)), cosTruth)),
+        "planes=2" -> (() => recallOf(
+          pairs(Similarity.lshTopK(emb, qs, "vec_id", "embedding", k, planes = 2)), cosTruth))),
+      "ivf" -> Seq(
+        "c=10,nprobe=2" -> (() => recallOf(
+          pairs(Similarity.ivfTopK(emb, qs, "vec_id", "embedding", k, 10, 2)), cosTruth)),
+        "c=10,nprobe=4" -> (() => recallOf(
+          pairs(Similarity.ivfTopK(emb, qs, "vec_id", "embedding", k, 10, 4)), cosTruth)),
+        "c=10,nprobe=8" -> (() => recallOf(
+          pairs(Similarity.ivfTopK(emb, qs, "vec_id", "embedding", k, 10, 8)), cosTruth))),
+      "pq" -> Seq(
+        "sub=4,cb=8" -> (() => recallOf(
+          pairs(Similarity.pqTopK(emb, qs, "vec_id", "embedding", k, 4, 8)), cosTruth)),
+        "sub=8,cb=8" -> (() => recallOf(
+          pairs(Similarity.pqTopK(emb, qs, "vec_id", "embedding", k, 8, 8)), cosTruth)),
+        "sub=8,cb=16" -> (() => recallOf(
+          pairs(Similarity.pqTopK(emb, qs, "vec_id", "embedding", k, 8, 16)), cosTruth))),
+      "ivf_pq" -> Seq(
+        "c=10,np=4,sub=4,cb=8" -> (() => recallOf(
+          pairs(Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", k, 10, 4, 4, 8)), cosTruth)),
+        "c=10,np=8,sub=8,cb=16" -> (() => recallOf(
+          pairs(Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", k, 10, 8, 8, 16)), cosTruth))),
+      "mips" -> Seq(
+        "planes=4" -> (() => recallOf(
+          pairs(Similarity.mipsTopK(emb, qs, "vec_id", "embedding", k, planes = 4)), mipsTruth)),
+        "planes=2" -> (() => recallOf(
+          pairs(Similarity.mipsTopK(emb, qs, "vec_id", "embedding", k, planes = 2)), mipsTruth))),
+      "graph" -> Seq(
+        "beam=4,hops=3" -> (() => recallOf(
+          pairs(Similarity.graphSearch(emb, qs, edges, "vec_id", "embedding", k, 4, 3)), cosTruth)),
+        "beam=8,hops=4" -> (() => recallOf(
+          pairs(Similarity.graphSearch(emb, qs, edges, "vec_id", "embedding", k, 8, 4)), cosTruth)),
+        "beam=16,hops=5" -> (() => recallOf(
+          pairs(Similarity.graphSearch(emb, qs, edges, "vec_id", "embedding", k, 16, 5)), cosTruth))))
 
-    val results = shapes.map { case (name, f) => name -> f() }
-    val params = """"params":{"k":10,"lsh_planes":4,"ivf_centroids":10,""" +
-      """"ivf_nprobe":4,"pq_sub":4,"pq_codebook":8,"graph_beam":4,"graph_hops":3,""" +
-      s""""n_queries":$nQueries}"""
+    val defaults = Map("lsh" -> "planes=4", "ivf" -> "c=10,nprobe=4",
+      "pq" -> "sub=4,cb=8", "ivf_pq" -> "c=10,np=4,sub=4,cb=8",
+      "mips" -> "planes=4", "graph" -> "beam=4,hops=3")
+    val evaluated = curve.map { case (shape, pts) =>
+      shape -> pts.map { case (p, f) => p -> f() }
+    }
+    val flat = evaluated.map { case (shape, pts) =>
+      s""""$shape":${pts.toMap.apply(defaults(shape))}"""
+    }.mkString(",")
+    val curveJson = evaluated.map { case (shape, pts) =>
+      s""""$shape":{${pts.map { case (p, r) => s""""$p":$r""" }.mkString(",")}}"""
+    }.mkString(",")
     println(s"""{"metric":"recall_at_10","sf":"${sfDir.split('/').last}",""" +
-      results.map { case (n, r) => s""""$n":$r""" }.mkString(",") + s",$params}")
+      flat + s""","curve":{$curveJson},"params":{"k":10,"n_queries":$nQueries}}""")
     spark.stop()
   }
 }
