@@ -174,12 +174,12 @@ object Dedup {
     val prefix = tok.join(dfreq, "tok")
       .withColumn("pos", row_number().over(
         Window.partitionBy($("id")).orderBy($("df_"), $("tok"))))
-      .filter($("pos") <= $("n") - ceil($("n") * tau) + 1)
+      .filter($("pos") <= $("n") - ceilTau($("n"), tau) + 1)
       .select($("id"), $("n"), $("tok"))
     val cands = prefix.as("a").join(prefix.as("b"), "tok")
       .filter(col("a.id") < col("b.id") &&
-        col("a.n") >= ceil(col("b.n") * tau) &&
-        col("b.n") >= ceil(col("a.n") * tau))
+        col("a.n") >= ceilTau(col("b.n"), tau) &&
+        col("b.n") >= ceilTau(col("a.n"), tau))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     verifyJaccard(cands, sets, tau)
@@ -234,6 +234,25 @@ object Dedup {
   }
   private def $(s: String): Column = col(s)
 
+  /** ⌈n·τ⌉ in EXACT integer arithmetic. The naive `ceil(n * tau)`
+    * computes the double product first; for some (n, τ) the product
+    * rounds UP across an integer (e.g. the exact n·τ is the integer m
+    * but the double is m + 4e-15), so `ceil` lands one too high —
+    * which SHORTENS a prefix by one token and silently loses pairs,
+    * breaking the prefix filter's advertised losslessness. Here τ is
+    * taken as the rational ⌈τ·10⁶⌋/10⁶ (exact for every published
+    * threshold: 0.6, 0.85, 0.9, …) and the ceiling is computed on
+    * longs: ⌈n·num/10⁶⌉ = ⌊(n·num + 10⁶ − 1)/10⁶⌋. The one double
+    * division is of an exact ≤2⁵³ integer by 10⁶, and IEEE division is
+    * correctly rounded, so `floor` of it is exact for any n·num whose
+    * fractional part r/10⁶ stays ≥ one ulp away from 1 — true for all
+    * n < ~10⁹ tokens/doc, far past any real document.
+    */
+  private[graft] def ceilTau(n: Column, tau: Double): Column = {
+    val num = math.round(tau * 1e6)
+    floor((n.cast("long") * lit(num) + lit(999999L)) / lit(1000000L)).cast("long")
+  }
+
   /** MinHash signatures + LSH banding candidates, verified by exact
     * token-set Jaccard. `perms` permutations in `bands` bands of
     * perms/bands rows. Probabilistic recall (tuned ~0.97+ at tau=0.9
@@ -245,6 +264,48 @@ object Dedup {
     val sets = tokenSets(df, idCol, textCol)
     verifyJaccard(candidates, sets, tau)
       .select($("id_a"), $("id_b"), round($("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Cluster-output MinHash dedup — the formulation that SURVIVES 100×
+    * where [[minhashLshPairs]] cannot: on an adversarial corpus one
+    * templated near-dup family of m docs makes the qualifying PAIR set
+    * m(m−1)/2 — inherently quadratic OUTPUT however linear the plan
+    * (the round-9 scale probe's one incompletable tier: ~590M pair
+    * verifications at x100). A dedup pipeline doesn't need the pairs;
+    * it needs "keep one per cluster". This variant never materializes
+    * a pair set at all: docs sharing an LSH band bucket connect
+    * through the bucket's MINIMUM doc id — a STAR of m−1 edges per
+    * bucket instead of the clique's m(m−1)/2, same connected
+    * components — and [[ClusterDedup]] pointer-jumps those edges to
+    * (doc_id, cluster_id). Total edge volume is ≤ docs × bands before
+    * the distinct, output is ≤ docs rows: everything is linear in the
+    * corpus, whatever the duplicate-family structure.
+    *
+    * Semantics (the production MinHash-dedup recipe, e.g. the
+    * MassiveText/Gopher and SlimPajama pipelines): clusters are
+    * connected components of the "shares ≥ 1 of `bands` band
+    * signatures" relation — band collision IS the near-dup judgment,
+    * with P(collision) = 1−(1−J^r)^b (r = perms/bands rows per band).
+    * No per-pair exact verify: transitive merges through a
+    * false-positive collision are accepted by design (the pair-level
+    * gates keep precision 1.0 where pair output is feasible). Fully
+    * deterministic — md5-derived signatures and band keys — so the
+    * DuckDB oracle replays banding, star edges and the min-label walk
+    * exactly. Docs colliding with nothing are absent (singletons).
+    */
+  def minhashClusters(df: DataFrame, idCol: String, textCol: String,
+                      perms: Int, bands: Int): DataFrame = {
+    val bs = bandSignatures(df, idCol, textCol, perms, bands)
+    val root = bs.groupBy($("band"), $("bsig"))
+      .agg(min($("id")).as("id_a"), count(lit(1)).as("m"))
+      .filter($("m") > 1)
+      .select($("band"), $("bsig"), $("id_a"))
+    val star = bs.join(root, Seq("band", "bsig"))
+      .filter($("id") =!= $("id_a"))
+      .select($("id_a"), $("id").as("id_b"))
+      .distinct()
+    ClusterDedup.connectedComponents(star)
+      .select($("id").as("doc_id"), $("cluster").as("cluster_id"))
   }
 
   /** The banding stage of [[minhashLshPairs]], exposed so the index-
@@ -341,7 +402,7 @@ object Dedup {
       size($("toks")).as("na"))
     val sizes = sets.select(size($("toks")).as("nb")).distinct()
     val compat = a.crossJoin(broadcast(sizes))
-      .filter($("na") >= ceil($("nb") * tau) && $("nb") >= ceil($("na") * tau))
+      .filter($("na") >= ceilTau($("nb"), tau) && $("nb") >= ceilTau($("na"), tau))
     val b = sets.select($("id").as("id_b"), $("toks").as("toks_b"),
       size($("toks")).as("nb"))
     compat.join(broadcast(b), "nb")

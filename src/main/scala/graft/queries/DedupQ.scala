@@ -226,6 +226,42 @@ object DedupQ {
       |SELECT id_a, id_b, round(jaccard, 4) AS jaccard
       |FROM j WHERE jaccard >= 0.9 ORDER BY id_a, id_b""".stripMargin
 
+  /** Cluster-output MinHash dedup ([[Dedup.minhashClusters]]): the
+    * scale-safe sibling of `dedup_minhash_lsh` — band buckets connect
+    * docs through the bucket-min STAR (m−1 edges per bucket, never the
+    * clique), pointer jumping labels components, output is (doc_id,
+    * cluster_id). Pair output is inherently quadratic in dup-family
+    * size; cluster output is linear in the corpus — this gate is the
+    * one that completes the 100× scale probe on the adversarial
+    * corpus whose pair set cannot be materialized there. Deterministic
+    * end to end (md5 signatures/band keys), so the oracle replays the
+    * banding and unrolls the min-label walk exactly.
+    */
+  def dedupMinhashClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.minhashClusters(Tables(spark, dir).documents, "doc_id", "text",
+        perms = 128, bands = 16)
+      .orderBy($"doc_id")
+  }
+
+  private val dedupMinhashClustersSql =
+    s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      |bkt AS (
+      |  SELECT band, bsig, min(doc_id) AS root
+      |  FROM bs GROUP BY band, bsig HAVING count(*) > 1),
+      |star AS (
+      |  SELECT DISTINCT k.root AS id_a, b.doc_id AS id_b
+      |  FROM bs b JOIN bkt k ON k.band = b.band AND k.bsig = b.bsig
+      |  WHERE b.doc_id <> k.root),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM star UNION SELECT id_b, id_a FROM star),
+      |nodes AS (SELECT DISTINCT u AS id FROM edges),
+      |walk(id, lbl) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.u, w.lbl FROM walk w JOIN edges e ON e.v = w.id WHERE w.lbl < e.u),
+      |comp AS (SELECT id, min(lbl) AS cluster_id FROM walk GROUP BY id)
+      |SELECT id AS doc_id, cluster_id FROM comp ORDER BY doc_id""".stripMargin
+
   /** MinHash-LSH index-quality evaluation: candidate count, verified
     * count, and the brute-force ground-truth pair count at the same
     * τ = 0.9 — precision says how much verify work the banding wastes,
@@ -558,6 +594,7 @@ object DedupQ {
     QueryDef.sql("dedup_prefix_filter", dedupPrefixFilter _, dedupPrefixFilterSql),
     QueryDef.sql("dedup_containment", dedupContainment _, dedupContainmentSql),
     QueryDef.sql("dedup_minhash_lsh", dedupMinhashLsh _, dedupMinhashLshSql),
+    QueryDef.sql("dedup_minhash_clusters", dedupMinhashClusters _, dedupMinhashClustersSql),
     QueryDef.sql("text_decontaminate_fuzzy", textDecontaminateFuzzy _, textDecontaminateFuzzySql),
     QueryDef.sql("dedup_minhash_eval", dedupMinhashEval _, dedupMinhashEvalSql),
     QueryDef.sql("dedup_simhash", dedupSimhash _, dedupSimhashSql),

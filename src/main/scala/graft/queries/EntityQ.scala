@@ -171,6 +171,16 @@ object EntityQ {
       .distinct()
     def side(s: String) = all.select($"id".as(s"id_$s"), $"name".as(s"name_$s"),
       $"cents".as(s"cents_$s"), $"mkt".as(s"mkt_$s"), $"nat".as(s"nat_$s"))
+    // e6-quantized log terms (the repo's quantized-log discipline), with
+    // a DECLARED residual risk: log2 is evaluated independently by the
+    // JVM (StrictMath) and DuckDB (C libm), and while both are faithful
+    // to <1 ulp they are not bit-contracted — a 1-ulp divergence whose
+    // e6-scaled value lands EXACTLY on a .5 rounding boundary would flip
+    // the BIGINT term. The u estimates are data-derived ratios of large
+    // integers, so a boundary landing is measure-zero in practice; three
+    // recorded sweeps (sf0.01 / sf0.1 / multibyte) have hash-matched. If
+    // it ever bites, the fix is a shared integer log recipe (md5-style),
+    // at the cost of making the weights unreadable as log-odds.
     def term(agree: String, uCol: String) =
       s"CAST(round((CASE WHEN $agree THEN log2(0.98 / $uCol) " +
         s"ELSE log2(0.02 / (1.0 - $uCol)) END) * 1e6) AS BIGINT)"

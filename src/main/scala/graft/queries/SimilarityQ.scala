@@ -13,6 +13,44 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQ {
 
+  /** Typed failure for the replay harnesses' driver-side collects: the
+    * three micro-batch replay gates are documented as gate-scale
+    * HARNESSES (the collected corpus feeds MemoryStream batch by
+    * batch; the joined/stateful plan under test is the distributed
+    * one), so the collect is bounded by contract — this cap enforces
+    * the contract instead of merely commenting it, the same recipe as
+    * [[graft.sources.Xlsx]]'s `toLocalIterator` row guard. A future sf
+    * bump that would silently pull a huge table to the driver fails
+    * with this error, not an OOM.
+    */
+  final case class ReplayCorpusTooLarge(rows: Long, cap: Long)
+    extends RuntimeException(
+      s"replay-harness corpus exceeds $cap driver-side rows (saw row $rows): " +
+        "the stream_*_replay gates collect the gate corpus to feed MemoryStream " +
+        "micro-batches and are bounded by contract — run the replay on a " +
+        "gate-scale slice, not a production table")
+
+  private[graft] val ReplayRowCap = 2000000L
+
+  /** Bounded driver-side collect for the replay harnesses: streams
+    * through `toLocalIterator` (one partition on the driver at a time)
+    * and throws the typed [[ReplayCorpusTooLarge]] at `cap` instead of
+    * materializing an over-contract corpus.
+    */
+  private[graft] def collectReplay[T: scala.reflect.ClassTag](
+      ds: org.apache.spark.sql.Dataset[T], cap: Long = ReplayRowCap): Array[T] = {
+    import scala.jdk.CollectionConverters._
+    val buf = scala.collection.mutable.ArrayBuffer.empty[T]
+    val it = ds.toLocalIterator().asScala
+    var n = 0L
+    for (r <- it) {
+      n += 1
+      if (n > cap) throw ReplayCorpusTooLarge(n, cap)
+      buf += r
+    }
+    buf.toArray
+  }
+
   private def queriesOf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables(spark, dir).embeddings.filter($"vec_id" < 10)
@@ -842,9 +880,9 @@ object SimilarityQ {
       .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
         $"value".cast("double").as("value"), $"event_type")
     def side(tpe: String): Array[(Long, Long, Long, Double)] =
-      e.filter($"event_type" === tpe)
+      collectReplay(e.filter($"event_type" === tpe)
         .select($"user_id", $"ts_us", $"event_id", $"value")
-        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._2, r._3))
+        .as[(Long, Long, Long, Double)]).sortBy(r => (r._2, r._3))
     def chunks(a: Array[(Long, Long, Long, Double)]) = {
       val sz = math.max(1, (a.length + 3) / 4)
       a.grouped(sz).toSeq.padTo(4, Array.empty[(Long, Long, Long, Double)])
@@ -897,10 +935,10 @@ object SimilarityQ {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val evs = Tables(spark, dir).events
+    val evs = collectReplay(Tables(spark, dir).events
       .filter($"event_type" === "purchase")
       .select($"user_id", $"event_id", $"value".cast("double"))
-      .as[(Long, Long, Double)].collect()
+      .as[(Long, Long, Double)])
       .sortBy(_._2)
       .map(t => EventStream.ValEv(t._1, t._2, t._3))
     val sz = math.max(1, (evs.length + 3) / 4)
@@ -960,9 +998,18 @@ object SimilarityQ {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val evs = Tables(spark, dir).events
+    val evs = collectReplay(Tables(spark, dir).events
       .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id", $"event_type")
-      .as[(Long, Long, Long, String)].collect().sortBy(r => (r._2, r._3))
+      .as[(Long, Long, Long, String)]).sortBy(r => (r._2, r._3))
+    // the oracle is the batch DISTINCT of the full event rows; the
+    // streaming side dedups on event_id — these coincide only when the
+    // fixture's event_ids are unique, so pin that assumption here
+    // rather than letting a generator change silently shift the gate's
+    // meaning (the two sides would drift apart confusingly, or worse,
+    // drift together and mask a dedup bug)
+    require(evs.iterator.map(_._3).toSet.size == evs.length,
+      "stream_dedup_replay fixture has duplicate event_ids: the batch-DISTINCT " +
+        "oracle and the dedup-by-event_id stream would no longer state the same contract")
     val sz = math.max(1, (evs.length + 3) / 4)
     val batches = evs.grouped(sz).toSeq.padTo(4, Array.empty[(Long, Long, Long, String)])
     val in = MemoryStream[(Long, Long, Long, String)]
@@ -994,7 +1041,7 @@ object SimilarityQ {
   }
 
   private val streamDedupReplaySql =
-    """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+    """SELECT DISTINCT user_id, event_id, epoch_us(ts) AS ts_us, event_type
       |FROM events ORDER BY event_id""".stripMargin
 
   /** Index-quality evaluation: recall@10 of the IVF index against

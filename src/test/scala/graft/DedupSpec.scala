@@ -39,6 +39,30 @@ class DedupSpec extends GraftSuite {
       s"recall ${got.size}/${truth.size}")
   }
 
+  test("minhash cluster output equals the components of the pair graph, with linear edges") {
+    // cluster semantics: connected components of the shares-a-band
+    // relation. The pair gate's candidate stage IS that relation, so
+    // pointer-jumped star clusters must equal components of the
+    // (unverified) candidate pair graph — on any corpus, including the
+    // adversarial templated-family one where the pair OUTPUT is
+    // quadratic and the star stays linear.
+    val cands = Dedup.lshCandidates(docs, "doc_id", "text", perms = 128, bands = 16)
+    val fromPairs = graft.operators.ClusterDedup.connectedComponents(cands)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fromStars = Dedup.minhashClusters(docs, "doc_id", "text", perms = 128, bands = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromStars == fromPairs,
+      "star-edge components must equal pair-graph components")
+    assert(fromStars.nonEmpty)
+    // every verified near-dup pair lands in one cluster (band sharing
+    // is exactly how those pairs were generated)
+    val verified = Dedup.minhashLshPairs(docs, "doc_id", "text", 128, 16, tau = 0.9)
+      .select($"id_a", $"id_b").collect()
+    verified.foreach { r =>
+      assert(fromStars(r.getLong(0)) == fromStars(r.getLong(1)))
+    }
+  }
+
   test("simhash is deterministic and identical docs collide at hamming 0") {
     val df = Seq((1L, "spark query engine"), (2L, "spark query engine"), (3L, "totally other words here"))
       .toDF("doc_id", "text")

@@ -31,4 +31,16 @@ class StreamDedupSpec extends GraftSuite {
       assert(ids.toSeq == Seq(1L, 2L, 3L))
     } finally q.stop()
   }
+
+  test("replay-harness collect enforces its gate-scale contract with a typed cap") {
+    import graft.queries.SimilarityQ
+    val big = spark.range(0, 100L).select($"id")
+    // over-cap: typed error, not an OOM-ish silent pull
+    val e = intercept[SimilarityQ.ReplayCorpusTooLarge] {
+      SimilarityQ.collectReplay(big.as[Long], cap = 10L)
+    }
+    assert(e.cap == 10L && e.rows == 11L)
+    // at-cap passes and returns the full corpus
+    assert(SimilarityQ.collectReplay(big.as[Long], cap = 100L).length == 100)
+  }
 }

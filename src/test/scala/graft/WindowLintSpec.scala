@@ -103,7 +103,12 @@ object WindowLintSpec {
     "ts_periodogram" -> "daily aggregated series (calendar days)",
     "ts_rolling_corr" -> "daily aggregated series (calendar days)",
     "ts_seasonal_decompose" -> "daily aggregated series (calendar days)",
-    "ts_theil_sen" -> "day-pair slopes over the daily series (calendar^2, still data-free)",
+    // concrete bound: the gate calendar spans ~2.4k distinct days, so the
+    // single-task slope window sorts ~n_days^2/2 ≈ 3M day-pair rows —
+    // bounded by the CALENDAR (data-free), but 1-2 orders larger than any
+    // other whitelisted domain; repartition the slope table if the daily
+    // span ever grows past ~10k days (~50M pairs)
+    "ts_theil_sen" -> "day-pair slopes over the daily series (calendar^2 ~ 2.4k days -> ~3M pair rows, still data-free)",
     // value-domain bounded (distinct values of a bounded attribute,
     // chunked through PrefixSum's bucket-offset two-pass)
     "q_abc_analysis" -> "PrefixSum chunk totals over distinct revenue values",
