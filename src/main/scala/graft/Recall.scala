@@ -6,11 +6,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** ANN recall artifact (`runMain graft.Recall [sfDir] [nQueries]`):
-  * recall@10 vs brute force for every index shape at fixed parameters,
-  * printed as ONE JSON line — the per-round `RECALL_r{N}.json` record,
-  * so recall drift is visible round-over-round exactly like bench
-  * times. (The SimilaritySpec floors catch catastrophic regressions;
-  * this artifact catches the slow kind the floors are too loose for.)
+  * recall@10 vs brute force for every index shape at its SHIPPED
+  * default operating point, plus the recall/parameter curve and — new
+  * in r10 — a COST column per default (scored candidates, the
+  * denominator of the recall/cost trade): recall without cost reads
+  * as free, and the r9 curve showed exactly that trap (the old
+  * defaults sat at the cheap low-recall knee). Printed as ONE JSON
+  * line — the per-round `RECALL_r{N}.json` record, so recall drift is
+  * visible round-over-round exactly like bench times.
   *
   * Ground truth: cosine brute force for the cosine-ranked shapes (LSH,
   * IVF, PQ, IVF-PQ, graph); raw inner product for MIPS — the two
@@ -38,7 +41,9 @@ object Recall {
 
     val k = 10
     val emb = Tables(spark, sfDir).embeddings.persist()
+    val nVec = emb.count()
     val qs = emb.filter($"vec_id" < nQueries)
+    val nq = qs.count()
 
     def pairs(df: DataFrame): Set[(Long, Long)] =
       df.select(col("q_id"), col("neighbor_id")).collect()
@@ -59,8 +64,15 @@ object Recall {
     def recallOf(got: Set[(Long, Long)], truth: Set[(Long, Long)]): Double =
       math.round(10000.0 * (got & truth).size / truth.size) / 10000.0
 
-    val edges = Similarity.knnJoin(emb, "vec_id", "embedding", k = 5)
+    // kNN edge graphs for beam search: k=5 is the ann_knn_join gate
+    // artifact; the graph default ships on the denser k=10 build (the
+    // r9 curve topped out at 0.41 on 5 edges/node — graph recall is
+    // bounded by graph DENSITY before beam width, so the fix is edges,
+    // not a wider beam over a too-sparse graph)
+    def edgesOf(kE: Int): DataFrame = Similarity.knnJoin(emb, "vec_id", "embedding", k = kE)
       .select(col("q_id").as("src"), col("neighbor_id").as("dst"))
+    val edges5 = edgesOf(5).persist()
+    val edges10 = edgesOf(10).persist()
 
     // The default operating point per shape (the flat keys, compared
     // round-over-round) PLUS a recall/parameter curve: each knob is
@@ -84,31 +96,57 @@ object Recall {
       "pq" -> Seq(
         "sub=4,cb=8" -> (() => recallOf(
           pairs(Similarity.pqTopK(emb, qs, "vec_id", "embedding", k, 4, 8)), cosTruth)),
-        "sub=8,cb=8" -> (() => recallOf(
-          pairs(Similarity.pqTopK(emb, qs, "vec_id", "embedding", k, 8, 8)), cosTruth)),
         "sub=8,cb=16" -> (() => recallOf(
-          pairs(Similarity.pqTopK(emb, qs, "vec_id", "embedding", k, 8, 16)), cosTruth))),
+          pairs(Similarity.pqTopK(emb, qs, "vec_id", "embedding", k, 8, 16)), cosTruth)),
+        "sub=8,cb=32" -> (() => recallOf(
+          pairs(Similarity.pqTopK(emb, qs, "vec_id", "embedding", k, 8, 32)), cosTruth)),
+        "sub=16,cb=32" -> (() => recallOf(
+          pairs(Similarity.pqTopK(emb, qs, "vec_id", "embedding", k, 16, 32)), cosTruth)),
+        "sub=16,cb=64" -> (() => recallOf(
+          pairs(Similarity.pqTopK(emb, qs, "vec_id", "embedding", k, 16, 64)), cosTruth))),
       "ivf_pq" -> Seq(
         "c=10,np=4,sub=4,cb=8" -> (() => recallOf(
           pairs(Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", k, 10, 4, 4, 8)), cosTruth)),
         "c=10,np=8,sub=8,cb=16" -> (() => recallOf(
-          pairs(Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", k, 10, 8, 8, 16)), cosTruth))),
+          pairs(Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", k, 10, 8, 8, 16)), cosTruth)),
+        "c=10,np=8,sub=16,cb=32" -> (() => recallOf(
+          pairs(Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", k, 10, 8, 16, 32)), cosTruth)),
+        "c=10,np=8,sub=16,cb=64" -> (() => recallOf(
+          pairs(Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", k, 10, 8, 16, 64)), cosTruth))),
       "mips" -> Seq(
         "planes=4" -> (() => recallOf(
           pairs(Similarity.mipsTopK(emb, qs, "vec_id", "embedding", k, planes = 4)), mipsTruth)),
         "planes=2" -> (() => recallOf(
           pairs(Similarity.mipsTopK(emb, qs, "vec_id", "embedding", k, planes = 2)), mipsTruth))),
       "graph" -> Seq(
-        "beam=4,hops=3" -> (() => recallOf(
-          pairs(Similarity.graphSearch(emb, qs, edges, "vec_id", "embedding", k, 4, 3)), cosTruth)),
-        "beam=8,hops=4" -> (() => recallOf(
-          pairs(Similarity.graphSearch(emb, qs, edges, "vec_id", "embedding", k, 8, 4)), cosTruth)),
-        "beam=16,hops=5" -> (() => recallOf(
-          pairs(Similarity.graphSearch(emb, qs, edges, "vec_id", "embedding", k, 16, 5)), cosTruth))))
+        "edges=5,beam=4,hops=3" -> (() => recallOf(
+          pairs(Similarity.graphSearch(emb, qs, edges5, "vec_id", "embedding", k, 4, 3)), cosTruth)),
+        "edges=5,beam=16,hops=5" -> (() => recallOf(
+          pairs(Similarity.graphSearch(emb, qs, edges5, "vec_id", "embedding", k, 16, 5)), cosTruth)),
+        "edges=10,beam=16,hops=5" -> (() => recallOf(
+          pairs(Similarity.graphSearch(emb, qs, edges10, "vec_id", "embedding", k, 16, 5)), cosTruth)),
+        "edges=10,beam=32,hops=6" -> (() => recallOf(
+          pairs(Similarity.graphSearch(emb, qs, edges10, "vec_id", "embedding", k, 32, 6)), cosTruth))))
 
-    val defaults = Map("lsh" -> "planes=4", "ivf" -> "c=10,nprobe=4",
-      "pq" -> "sub=4,cb=8", "ivf_pq" -> "c=10,np=4,sub=4,cb=8",
-      "mips" -> "planes=4", "graph" -> "beam=4,hops=3")
+    val defaults = Map("lsh" -> "planes=2", "ivf" -> "c=10,nprobe=8",
+      "pq" -> "sub=16,cb=32", "ivf_pq" -> "c=10,np=8,sub=16,cb=32",
+      "mips" -> "planes=2", "graph" -> "edges=10,beam=32,hops=6")
+
+    // cost at the default operating point: scored candidates (the rows
+    // the exact re-rank actually touches). Brute force = nq·(N−1) is
+    // the 1.0-recall anchor every pruning factor reads against. PQ has
+    // no candidate pruning — it scans every CODE (that is the point:
+    // memory compression, not candidate pruning), so its cost equals
+    // brute force in rows while each row is numSub bytes, not d floats.
+    val costs: Map[String, Long] = Map(
+      "brute" -> nq * (nVec - 1),
+      "lsh" -> Similarity.lshCandidateCount(emb, qs, "vec_id", "embedding", planes = 2),
+      "ivf" -> Similarity.ivfCandidateCount(emb, qs, "vec_id", "embedding", 10, 8),
+      "pq" -> nq * (nVec - 1),
+      "ivf_pq" -> Similarity.ivfCandidateCount(emb, qs, "vec_id", "embedding", 10, 8),
+      "mips" -> Similarity.mipsCandidateCount(emb, qs, "vec_id", "embedding", planes = 2),
+      "graph" -> Similarity.graphVisited(emb, qs, edges10, "vec_id", "embedding", 32, 6).count())
+
     val evaluated = curve.map { case (shape, pts) =>
       shape -> pts.map { case (p, f) => p -> f() }
     }
@@ -118,8 +156,11 @@ object Recall {
     val curveJson = evaluated.map { case (shape, pts) =>
       s""""$shape":{${pts.map { case (p, r) => s""""$p":$r""" }.mkString(",")}}"""
     }.mkString(",")
+    val defJson = defaults.map { case (s, p) => s""""$s":"$p"""" }.mkString(",")
+    val costJson = costs.map { case (s, c) => s""""$s":$c""" }.mkString(",")
     println(s"""{"metric":"recall_at_10","sf":"${sfDir.split('/').last}",""" +
-      flat + s""","curve":{$curveJson},"params":{"k":10,"n_queries":$nQueries}}""")
+      flat + s""","defaults":{$defJson},"cost_candidates_at_default":{$costJson},""" +
+      s""""curve":{$curveJson},"params":{"k":10,"n_queries":$nQueries,"n_vectors":$nVec}}""")
     spark.stop()
   }
 }

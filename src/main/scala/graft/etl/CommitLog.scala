@@ -65,11 +65,15 @@ object CommitLog {
     extends RuntimeException(s"version $version was claimed by a concurrent writer")
 
   /** Schemes of stores with no exclusive create and copy+delete rename.
-    * (`s3sim` is the test shim that emulates those semantics locally.)
+    * (`s3sim` / `ccsim` are the test shims that emulate those
+    * semantics locally — `s3sim` models a store exposing its own
+    * conditional write as [[AtomicPut]], `ccsim` models the S3A
+    * public surface: no AtomicPut, conditional create advertised via
+    * path capability.)
     */
   private[etl] val ObjectStoreSchemes: Set[String] =
     Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss", "oss",
-      "cos", "swift", "s3sim")
+      "cos", "swift", "s3sim", "ccsim")
 
   private def fs(spark: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
@@ -85,21 +89,34 @@ object CommitLog {
     s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
 
   /** Publish `bytes` at the contended `path` iff absent — the single
-    * claim primitive. [[AtomicPut]]-capable stores use their
-    * conditional PUT; HDFS/local use the genuinely exclusive
-    * `create(p, false)`; a known object-store scheme with neither
-    * fails fast (see class doc).
+    * claim primitive, resolved in strict preference order (the full
+    * scheme → guarantee table lives on [[ConditionalCreate]]):
+    *
+    *  1. the FileSystem implements [[AtomicPut]] → its own
+    *     conditional write;
+    *  2. the FileSystem ADVERTISES Hadoop 3.4.x conditional create
+    *     (`hasPathCapability(fs.option.create.conditional.overwrite)`
+    *     — S3A with hadoop-aws ≥ 3.4.1 does) → the
+    *     [[ConditionalCreateAtomicPut]] adapter: one builder create
+    *     whose publish carries the store's If-None-Match guard;
+    *  3. a KNOWN object-store scheme with neither → fail fast (see
+    *     class doc — check-then-create is not a commit protocol);
+    *  4. otherwise (HDFS/local) → the genuinely exclusive
+    *     `create(p, false)`.
     */
   private[etl] def putIfAbsent(f: org.apache.hadoop.fs.FileSystem,
                                p: org.apache.hadoop.fs.Path,
                                bytes: Array[Byte]): Boolean = f match {
     case ap: AtomicPut => ap.putIfAbsent(p, bytes)
+    case cc if ConditionalCreate.supports(cc, p) =>
+      new ConditionalCreateAtomicPut(cc).putIfAbsent(p, bytes)
     case _ =>
       if (ObjectStoreSchemes(scheme(f))) throw new IllegalStateException(
         s"scheme '${scheme(f)}' is an object store without exclusive create: " +
-          "its FileSystem must implement graft.etl.AtomicPut (conditional PUT — " +
-          "S3 If-None-Match, GCS generation 0, Azure If-None-Match) or commits " +
-          "need an external coordinator; refusing an unsafe check-then-create")
+          "its FileSystem must implement graft.etl.AtomicPut or advertise " +
+          "Hadoop 3.4.x conditional create (conditional PUT — S3 If-None-Match, " +
+          "GCS generation 0, Azure If-None-Match) or commits need an external " +
+          "coordinator; refusing an unsafe check-then-create")
       try {
         val out = f.create(p, false) // exclusive on HDFS/local: the guard
         try out.write(bytes) finally out.close()

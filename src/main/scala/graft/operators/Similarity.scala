@@ -54,12 +54,35 @@ object Similarity {
   private def planeSig(vecCol: String, planes: Int): Column =
     element_at(graft.functions.HyperplaneBands(col(vecCol), 1, planes), 1)
 
+  /** Probe-bucket set for a query whose own bucket is in `q_bucket`:
+    * the bucket itself plus every 1-bit flip — one shared SQL fragment
+    * so the LSH, MIPS and kNN-join probes can never drift apart.
+    */
+  private def probeSetExpr(planes: Int): String =
+    s"array_union(array(q_bucket), transform(sequence(0, ${planes - 1}), p -> " +
+      "CAST(q_bucket AS BIGINT) ^ shiftleft(CAST(1 AS BIGINT), p)))"
+
+  /** Scored-candidate count of [[lshTopK]] at an operating point — the
+    * COST side of the recall/cost trade `RECALL_r{N}.json` records
+    * (same bucketing + probe construction, counting instead of
+    * scoring).
+    */
+  private[graft] def lshCandidateCount(vectors: DataFrame, queries: DataFrame,
+                                       idCol: String, vecCol: String,
+                                       planes: Int): Long = {
+    val v = vectors.select(col(idCol).as("id"), planeSig(vecCol, planes).as("bucket"))
+    val q = queries.select(col(idCol).as("q_id"), planeSig(vecCol, planes).as("q_bucket"))
+      .withColumn("bucket", explode(expr(probeSetExpr(planes))))
+      .select(col("q_id"), col("bucket"))
+    v.join(broadcast(q), "bucket").filter(col("id") =!= col("q_id")).count()
+  }
+
   /** Random-hyperplane LSH top-k: vectors bucket by sign pattern;
     * queries probe their own bucket plus all 1-bit-flip neighbors.
     */
   def lshTopK(vectors: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              planes: Int = 4): DataFrame = {
+              planes: Int = 2): DataFrame = {
     val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
       VecFns.norm(col(vecCol)).as("nrm"),
       planeSig(vecCol, planes).as("bucket"))
@@ -67,9 +90,7 @@ object Similarity {
       VecFns.norm(col(vecCol)).as("q_nrm"),
       planeSig(vecCol, planes).as("q_bucket"))
       // probe set: own bucket + 1-bit flips
-      .withColumn("bucket", explode(expr(
-        s"array_union(array(q_bucket), transform(sequence(0, ${planes - 1}), p -> " +
-          "CAST(q_bucket AS BIGINT) ^ shiftleft(CAST(1 AS BIGINT), p)))")))
+      .withColumn("bucket", explode(expr(probeSetExpr(planes))))
       .select(col("q_id"), col("q_v"), col("q_nrm"), col("bucket"))
     val scored = v.join(broadcast(q), "bucket")
       .filter(col("id") =!= col("q_id"))
@@ -105,7 +126,7 @@ object Similarity {
     */
   def mipsTopK(vectors: DataFrame, queries: DataFrame,
                idCol: String, vecCol: String, k: Int,
-               planes: Int = 4): DataFrame = {
+               planes: Int = 2): DataFrame = {
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
       VecFns.dot(col(vecCol), col(vecCol)).as("n2"))
     val m2 = base.agg(max(col("n2")).as("m2"))
@@ -122,9 +143,7 @@ object Similarity {
         expr("transform(q_v, x -> cast(x as double))"), array(lit(0.0))))
       .withColumn("q_bucket",
         element_at(graft.functions.HyperplaneBands(col("qa"), 1, planes), 1))
-      .withColumn("bucket", explode(expr(
-        s"array_union(array(q_bucket), transform(sequence(0, ${planes - 1}), p -> " +
-          "CAST(q_bucket AS BIGINT) ^ shiftleft(CAST(1 AS BIGINT), p)))")))
+      .withColumn("bucket", explode(expr(probeSetExpr(planes))))
       .select(col("q_id"), col("q_v"), col("bucket"))
     val scored = v.join(broadcast(q), "bucket")
       .filter(col("id") =!= col("q_id"))
@@ -141,7 +160,7 @@ object Similarity {
     */
   def ivfTopK(vectors: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              numCentroids: Int = 10, nprobe: Int = 4): DataFrame = {
+              numCentroids: Int = 10, nprobe: Int = 8): DataFrame = {
     val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
       VecFns.norm(col(vecCol)).as("nrm"))
     // first-N-by-id seed set: non-empty for any id distribution
@@ -271,9 +290,7 @@ object Similarity {
     val probes = v
       .select(col("id").as("q_id"), col("v").as("q_v"),
         col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
-      .withColumn("bucket", explode(expr(
-        s"array_union(array(q_bucket), transform(sequence(0, ${planes - 1}), p -> " +
-          "CAST(q_bucket AS BIGINT) ^ shiftleft(CAST(1 AS BIGINT), p)))")))
+      .withColumn("bucket", explode(expr(probeSetExpr(planes))))
       .select(col("q_id"), col("q_v"), col("q_nrm"), col("bucket"))
     val scored = v.join(probes, "bucket") // no hint: both sides corpus-sized
       .filter(col("id") =!= col("q_id"))
@@ -300,7 +317,30 @@ object Similarity {
     */
   def graphSearch(vectors: DataFrame, queries: DataFrame, edges: DataFrame,
                   idCol: String, vecCol: String,
-                  k: Int, beam: Int, hops: Int): DataFrame = {
+                  k: Int, beam: Int = 32, hops: Int = 6): DataFrame = {
+    val v = vectors.select(col(idCol).as("node"), col(vecCol).as("nv"),
+      VecFns.norm(col(vecCol)).as("nnrm"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
+      VecFns.norm(col(vecCol)).as("qnrm"))
+    val visited = graphVisited(vectors, queries, edges, idCol, vecCol, beam, hops)
+    val scored = visited.join(v, "node").join(broadcast(q), "q_id")
+      .withColumn("cos", VecFns.cosinePrenormed(
+        VecFns.dot(col("nv"), col("qv")), col("nnrm"), col("qnrm")))
+    TopK(scored.filter(col("node") =!= col("q_id")),
+      Seq(col("q_id")), Seq(col("cos").desc, col("node")), k)
+      .select(col("q_id"), col("node").as("neighbor_id"),
+        round(col("cos"), 4).as("cosine"), col("rk").cast("long").as("rk"))
+  }
+
+  /** The visited (q_id, node) set [[graphSearch]] scores — exposed so
+    * the recall artifact can record |visited| as the beam search's
+    * cost (the scored-candidate count, comparable across index
+    * shapes). Same loop, same plans; graphSearch is exactly
+    * `TopK(score(graphVisited(...)))`.
+    */
+  private[graft] def graphVisited(vectors: DataFrame, queries: DataFrame,
+                                  edges: DataFrame, idCol: String, vecCol: String,
+                                  beam: Int, hops: Int): DataFrame = {
     val v = vectors.select(col(idCol).as("node"), col(vecCol).as("nv"),
       VecFns.norm(col(vecCol)).as("nnrm"))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
@@ -320,10 +360,57 @@ object Similarity {
         Seq(col("q_id")), Seq(col("cos").desc, col("node")), beam)
         .select(col("q_id"), col("node"))
     }
-    TopK(scoreOf(visited).filter(col("node") =!= col("q_id")),
-      Seq(col("q_id")), Seq(col("cos").desc, col("node")), k)
-      .select(col("q_id"), col("node").as("neighbor_id"),
-        round(col("cos"), 4).as("cosine"), col("rk").cast("long").as("rk"))
+    visited
+  }
+
+  /** Scored-candidate count of [[mipsTopK]] at an operating point —
+    * same augmentation + bucketing, counting instead of scoring.
+    */
+  private[graft] def mipsCandidateCount(vectors: DataFrame, queries: DataFrame,
+                                        idCol: String, vecCol: String,
+                                        planes: Int): Long = {
+    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VecFns.dot(col(vecCol), col(vecCol)).as("n2"))
+    val m2 = base.agg(max(col("n2")).as("m2"))
+    val v = base.crossJoin(broadcast(m2))
+      .withColumn("va", concat(
+        expr("transform(v, x -> cast(x as double))"),
+        array(sqrt(greatest(col("m2") - col("n2"), lit(0.0))))))
+      .select(col("id"),
+        element_at(graft.functions.HyperplaneBands(col("va"), 1, planes), 1).as("bucket"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
+      .withColumn("qa", concat(
+        expr("transform(q_v, x -> cast(x as double))"), array(lit(0.0))))
+      .withColumn("q_bucket",
+        element_at(graft.functions.HyperplaneBands(col("qa"), 1, planes), 1))
+      .withColumn("bucket", explode(expr(probeSetExpr(planes))))
+      .select(col("q_id"), col("bucket"))
+    v.join(broadcast(q), "bucket").filter(col("id") =!= col("q_id")).count()
+  }
+
+  /** Scored-candidate count of [[ivfTopK]] (and the coarse tier of
+    * [[ivfPqTopK]]) at an operating point — same seed assignment +
+    * nprobe probing, counting instead of scoring.
+    */
+  private[graft] def ivfCandidateCount(vectors: DataFrame, queries: DataFrame,
+                                       idCol: String, vecCol: String,
+                                       numCentroids: Int, nprobe: Int): Long = {
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val cents = vectors.orderBy(col(idCol)).limit(numCentroids)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_v"))
+    val assigned = TopK(
+      v.crossJoin(broadcast(cents))
+        .withColumn("c_cos", VecFns.cosine(col("v"), col("c_v"))),
+      Seq(col("id")), Seq(col("c_cos").desc, col("c_id")), 1)
+      .select(col("id"), col("c_id").as("cluster"))
+    val probes = TopK(
+      queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
+        .crossJoin(broadcast(cents))
+        .withColumn("c_cos", VecFns.cosine(col("q_v"), col("c_v"))),
+      Seq(col("q_id")), Seq(col("c_cos").desc, col("c_id")), nprobe)
+      .select(col("q_id"), col("c_id").as("cluster"))
+    assigned.join(broadcast(probes), "cluster")
+      .filter(col("id") =!= col("q_id")).count()
   }
 
   /** Product-quantization ANN (inner-product PQ with asymmetric
@@ -348,7 +435,7 @@ object Similarity {
     */
   def pqTopK(vectors: DataFrame, queries: DataFrame,
              idCol: String, vecCol: String, k: Int,
-             numSub: Int = 4, codebook: Int = 8): DataFrame = {
+             numSub: Int = 16, codebook: Int = 32): DataFrame = {
     val subIdx = sequence(lit(0), lit(numSub - 1))
     val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
     val cents = vectors.orderBy(col(idCol)).limit(codebook)
@@ -400,8 +487,8 @@ object Similarity {
     */
   def ivfPqTopK(vectors: DataFrame, queries: DataFrame,
                 idCol: String, vecCol: String, k: Int,
-                numCentroids: Int = 10, nprobe: Int = 4,
-                numSub: Int = 4, codebook: Int = 8): DataFrame = {
+                numCentroids: Int = 10, nprobe: Int = 8,
+                numSub: Int = 16, codebook: Int = 32): DataFrame = {
     val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
     // ---- coarse tier (as ivfTopK) ----
     val cents = vectors.orderBy(col(idCol)).limit(numCentroids)

@@ -80,7 +80,8 @@ object SimilarityQ {
       |FROM r WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
 
   /** LSH-bucketed ANN. Still approximate vs brute force (recall in
-    * SimilaritySpec), but fully deterministic: the 4-plane bucket
+    * SimilaritySpec), but fully deterministic: the 2-plane bucket
+    * (the r10 default — the measured ≥0.8-recall point, RECALL_r10)
     * signature uses [[graft.functions.HyperplaneBands]]'s md5-derived
     * integer arithmetic, so the DuckDB oracle replays bucketing,
     * 1-bit-flip probing and candidate top-k exactly — hash-match gate.
@@ -99,7 +100,7 @@ object SimilarityQ {
       |  FROM embeddings),
       |w AS (
       |  SELECT p, list(CAST(CAST(CAST(('0x'||substr(md5('hp:'||p||':'||j),1,16)) AS UBIGINT) % 2001 AS BIGINT) - 1000 AS DOUBLE) ORDER BY j) AS wv
-      |  FROM range(0, 4) t(p), range(0, 64) d(j) GROUP BY p),
+      |  FROM range(0, 2) t(p), range(0, 64) d(j) GROUP BY p),
       |bk AS (
       |  SELECT vec_id, SUM(CASE WHEN list_dot_product(qx, wv) > 0 THEN CAST(1 AS BIGINT) << CAST(p AS INTEGER) ELSE 0 END) AS bucket
       |  FROM v, w GROUP BY vec_id),
@@ -108,7 +109,7 @@ object SimilarityQ {
       |    SELECT vec_id AS q_id, bucket AS pb FROM bk WHERE vec_id < 10
       |    UNION ALL
       |    SELECT vec_id, CAST(xor(bucket, CAST(1 AS BIGINT) << CAST(p AS INTEGER)) AS BIGINT)
-      |    FROM bk, range(0, 4) r(p) WHERE vec_id < 10)),
+      |    FROM bk, range(0, 2) r(p) WHERE vec_id < 10)),
       |scored AS (
       |  SELECT p.q_id, b.vec_id AS neighbor_id,
       |    list_dot_product(e.e, q.e) / (sqrt(list_dot_product(e.e, e.e)) * sqrt(list_dot_product(q.e, q.e))) AS c
@@ -151,7 +152,7 @@ object SimilarityQ {
       |  FROM v WHERE vec_id < 10),
       |w AS (
       |  SELECT p, list(CAST(CAST(CAST(('0x'||substr(md5('hp:'||p||':'||j),1,16)) AS UBIGINT) % 2001 AS BIGINT) - 1000 AS DOUBLE) ORDER BY j) AS wv
-      |  FROM range(0, 4) t(p), range(0, 65) d(j) GROUP BY p),
+      |  FROM range(0, 2) t(p), range(0, 65) d(j) GROUP BY p),
       |bk AS (
       |  SELECT vec_id, SUM(CASE WHEN list_dot_product(qx, wv) > 0 THEN CAST(1 AS BIGINT) << CAST(p AS INTEGER) ELSE 0 END) AS bucket
       |  FROM av, w GROUP BY vec_id),
@@ -163,7 +164,7 @@ object SimilarityQ {
       |    SELECT vec_id AS q_id, bucket AS pb FROM qb
       |    UNION ALL
       |    SELECT vec_id, CAST(xor(bucket, CAST(1 AS BIGINT) << CAST(p AS INTEGER)) AS BIGINT)
-      |    FROM qb, range(0, 4) r(p))),
+      |    FROM qb, range(0, 2) r(p))),
       |scored AS (
       |  SELECT p.q_id, b.vec_id AS neighbor_id,
       |    list_dot_product(e.e, q.e) AS ip
@@ -237,7 +238,7 @@ object SimilarityQ {
       |    row_number() OVER (PARTITION BY vec_id ORDER BY
       |      list_dot_product(e, ce) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))) DESC, c_id) AS rn
       |  FROM v, cents WHERE vec_id < 10),
-      |probes AS (SELECT q_id, cluster FROM qp WHERE rn <= 4),
+      |probes AS (SELECT q_id, cluster FROM qp WHERE rn <= 8),
       |scored AS (
       |  SELECT p.q_id, a.vec_id AS neighbor_id,
       |    list_dot_product(e.e, q.e) / (sqrt(list_dot_product(e.e, e.e)) * sqrt(list_dot_product(q.e, q.e))) AS c
@@ -247,11 +248,19 @@ object SimilarityQ {
       |r AS (SELECT q_id, neighbor_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, neighbor_id) AS rk FROM scored)
       |SELECT q_id, neighbor_id, round(c, 4) AS cosine, rk FROM r WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
 
-  /** Product-quantization ANN (asymmetric distance over 4 subspaces ×
-    * 8-entry seed codebooks). Codes + distance-table partials are
-    * integer-quantized, so the DuckDB oracle replays encoding, table
-    * build and the summed ADC ranking bit-for-bit — hash-match gate;
-    * recall vs brute force stays in SimilaritySpec.
+  /** Product-quantization ANN (asymmetric distance over 16 subspaces ×
+    * 32-entry seed codebooks — the best point on the measured recall
+    * curve). PQ-alone is a MEMORY tier, not a recall tier: with
+    * untrained seed codebooks its curve tops out around 0.4 recall@10
+    * (RECALL_r10 — more seed entries do not help), because every
+    * vector is scored only through its quantized codes; production
+    * stacks train codebooks per subspace (k-means) and use PQ to
+    * compress the scan, recovering recall with an exact re-rank of
+    * the ADC top candidates — the composition IVF-PQ + rerank. Codes
+    * + distance-table partials are integer-quantized, so the DuckDB
+    * oracle replays encoding, table build and the summed ADC ranking
+    * bit-for-bit — hash-match gate; recall vs brute force stays in
+    * SimilaritySpec.
     */
   def annPq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -262,11 +271,11 @@ object SimilarityQ {
 
   private val annPqSql =
     """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-      |cents AS (SELECT vec_id AS c_id, e AS ce FROM v ORDER BY vec_id LIMIT 8),
-      |cs AS (SELECT c_id, p, list_slice(ce, p * (len(ce) // 4) + 1, (p + 1) * (len(ce) // 4)) AS cse
-      |       FROM cents, range(0, 4) t(p)),
-      |vs AS (SELECT vec_id, p, list_slice(e, p * (len(e) // 4) + 1, (p + 1) * (len(e) // 4)) AS es
-      |       FROM v, range(0, 4) t(p)),
+      |cents AS (SELECT vec_id AS c_id, e AS ce FROM v ORDER BY vec_id LIMIT 32),
+      |cs AS (SELECT c_id, p, list_slice(ce, p * (len(ce) // 16) + 1, (p + 1) * (len(ce) // 16)) AS cse
+      |       FROM cents, range(0, 16) t(p)),
+      |vs AS (SELECT vec_id, p, list_slice(e, p * (len(e) // 16) + 1, (p + 1) * (len(e) // 16)) AS es
+      |       FROM v, range(0, 16) t(p)),
       |cd AS (SELECT vec_id, vs.p, c_id,
       |         row_number() OVER (PARTITION BY vec_id, vs.p
       |           ORDER BY list_dot_product(es, cse) DESC, c_id) AS rn
@@ -307,12 +316,12 @@ object SimilarityQ {
       |        row_number() OVER (PARTITION BY vec_id ORDER BY
       |          list_dot_product(e, ce) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))) DESC, c_id) AS rn
       |      FROM v, cents WHERE vec_id < 10),
-      |probes AS (SELECT q_id, cluster FROM qp WHERE rn <= 4),
-      |pqc AS (SELECT vec_id AS c_id, e AS ce FROM v ORDER BY vec_id LIMIT 8),
-      |cs AS (SELECT c_id, p, list_slice(ce, p * (len(ce) // 4) + 1, (p + 1) * (len(ce) // 4)) AS cse
-      |       FROM pqc, range(0, 4) t(p)),
-      |vs AS (SELECT vec_id, p, list_slice(e, p * (len(e) // 4) + 1, (p + 1) * (len(e) // 4)) AS es
-      |       FROM v, range(0, 4) t(p)),
+      |probes AS (SELECT q_id, cluster FROM qp WHERE rn <= 8),
+      |pqc AS (SELECT vec_id AS c_id, e AS ce FROM v ORDER BY vec_id LIMIT 32),
+      |cs AS (SELECT c_id, p, list_slice(ce, p * (len(ce) // 16) + 1, (p + 1) * (len(ce) // 16)) AS cse
+      |       FROM pqc, range(0, 16) t(p)),
+      |vs AS (SELECT vec_id, p, list_slice(e, p * (len(e) // 16) + 1, (p + 1) * (len(e) // 16)) AS es
+      |       FROM v, range(0, 16) t(p)),
       |cd AS (SELECT vec_id, vs.p, c_id,
       |         row_number() OVER (PARTITION BY vec_id, vs.p
       |           ORDER BY list_dot_product(es, cse) DESC, c_id) AS rn
@@ -376,30 +385,36 @@ object SimilarityQ {
 
   /** Greedy beam search over the kNN graph ([[Similarity
     * .graphSearch]]) — the HNSW-layer-0 query pattern: from the
-    * deterministic entry point (min vec_id), 3 hops of
-    * expand-neighbors / score / keep-top-4-beam over the
-    * `ann_knn_join` edge artifact, then the best 10 visited nodes.
+    * deterministic entry point (min vec_id), 6 hops of
+    * expand-neighbors / score / keep-top-32-beam over the k=10 kNN
+    * edge build, then the best 10 visited nodes.
     * Per hop the work is queries×beam bounded equi-joins against a
-    * 5-edges-per-node list — never a corpus scan per query (the
-    * reason graph ANN wins at scale). The oracle unrolls the three
-    * hops over the composed ann_knn_join SQL, so entry, expansion,
-    * beam ties and final ranking are hash-matched exactly;
+    * 10-edges-per-node list — never a corpus scan per query (the
+    * reason graph ANN wins at scale). The oracle unrolls the six
+    * hops over the composed (k-widened) ann_knn_join SQL, so entry,
+    * expansion, beam ties and final ranking are hash-matched exactly;
     * SimilaritySpec measures recall vs brute force.
     */
   def annGraphSearch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = Tables(spark, dir).embeddings
-    val edges = Similarity.knnJoin(e, "vec_id", "embedding", k = 5)
+    // r10 operating point, set from the measured recall/cost curve
+    // (RECALL_r10): recall on the 5-edge graph TOPPED OUT at 0.41 —
+    // graph ANN recall is bounded by graph DENSITY before beam width,
+    // so the default ships the k=10 edge build (ann_knn_join's gate
+    // artifact stays the k=5 graph) with beam=32, hops=6 → 0.90
+    // recall@10 at a scored-candidate cost still below brute force.
+    val edges = Similarity.knnJoin(e, "vec_id", "embedding", k = 10)
       .select(col("q_id").as("src"), col("neighbor_id").as("dst"))
     Similarity.graphSearch(e, queriesOf(spark, dir), edges, "vec_id", "embedding",
-        k = 10, beam = 4, hops = 3)
+        k = 10, beam = 32, hops = 6)
       .orderBy($"q_id", $"rk")
   }
 
   private val annGraphSearchSql = {
     def cosExpr(n: String, q: String): String =
       s"list_dot_product($n.e, $q.qe) / (sqrt(list_dot_product($n.e, $n.e)) * sqrt(list_dot_product($q.qe, $q.qe)))"
-    val hops = (1 to 3).map { h =>
+    val hops = (1 to 6).map { h =>
       val pv = s"v${h - 1}"
       s"""x$h AS (SELECT b.q_id, ed.dst AS node FROM b${h - 1} b JOIN ed ON ed.src = b.node),
          |v$h AS (SELECT DISTINCT q_id, node FROM
@@ -408,9 +423,13 @@ object SimilarityQ {
          |  FROM v$h w JOIN v n ON n.vec_id = w.node JOIN q ON q.q_id = w.q_id),
          |b$h AS (SELECT q_id, node FROM (
          |  SELECT q_id, node, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, node) AS rn
-         |  FROM s$h) t WHERE rn <= 4)""".stripMargin
+         |  FROM s$h) t WHERE rn <= 32)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ed AS (SELECT q_id AS src, neighbor_id AS dst FROM ($annKnnJoinSql)),
+    // the ed CTE is the composed ann_knn_join SQL widened to the k=10
+    // edge build the operating point ships (the gate artifact itself
+    // stays k=5 — one string surgery on the one shared definition, so
+    // the two edge recipes cannot drift)
+    s"""WITH ed AS (SELECT q_id AS src, neighbor_id AS dst FROM (${annKnnJoinSql.replace("rk <= 5", "rk <= 10")})),
        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 10),
        |ent AS (SELECT min(vec_id) AS node FROM embeddings),
@@ -419,7 +438,7 @@ object SimilarityQ {
        |$hops
        |SELECT q_id, node AS neighbor_id, round(c, 4) AS cosine, rk FROM (
        |  SELECT q_id, node, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, node) AS rk
-       |  FROM s3 WHERE node <> q_id) t
+       |  FROM s6 WHERE node <> q_id) t
        |WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
   }
 

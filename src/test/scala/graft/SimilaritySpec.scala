@@ -26,21 +26,24 @@ class SimilaritySpec extends GraftSuite {
     }
   }
 
-  test("LSH ANN recall@10 >= 0.3 vs brute force") {
+  test("LSH ANN recall@10 >= 0.6 vs brute force at the shipped default") {
+    // floor backs the r10 default operating point (planes=2, measured
+    // 0.83 at sf0.01 in RECALL_r10) with margin for corpus variance
     val got = pairs(Similarity.lshTopK(emb, qs, "vec_id", "embedding", 10))
     val recall = (got & truth).size.toDouble / truth.size
     info(s"lsh recall@10 = $recall")
-    assert(recall >= 0.3)
+    assert(recall >= 0.6)
   }
 
-  test("IVF ANN recall@10 >= 0.3 vs brute force") {
+  test("IVF ANN recall@10 >= 0.7 vs brute force at the shipped default") {
+    // floor backs the r10 default (nprobe=8 of 10 lists, measured 0.98)
     val got = pairs(Similarity.ivfTopK(emb, qs, "vec_id", "embedding", 10))
     val recall = (got & truth).size.toDouble / truth.size
     info(s"ivf recall@10 = $recall")
-    assert(recall >= 0.3)
+    assert(recall >= 0.7)
   }
 
-  test("MIPS ANN recall@10 >= 0.3 vs brute-force max inner product") {
+  test("MIPS ANN recall@10 >= 0.6 vs brute-force max inner product at the default") {
     // MIPS ground truth ranks by raw inner product, NOT cosine — the
     // two orders genuinely differ (that difference is why the
     // augmented transform exists), so recompute truth here instead of
@@ -57,7 +60,7 @@ class SimilaritySpec extends GraftSuite {
     val got = pairs(Similarity.mipsTopK(emb, qs, "vec_id", "embedding", 10))
     val recall = (got & mipsTruth).size.toDouble / mipsTruth.size
     info(s"mips recall@10 = $recall")
-    assert(recall >= 0.3)
+    assert(recall >= 0.6)
     // asymmetry sanity on a norm-SKEWED copy (the sf0.001 embeddings
     // are near-unit-norm, so raw MIPS and cosine orders can coincide
     // there): scaling one non-top vector by 3× must pull it into MIPS
@@ -106,11 +109,13 @@ class SimilaritySpec extends GraftSuite {
 
   test("kNN join agrees with lshTopK on any query subset (same buckets, same probes)") {
     // knnJoin's probe set for a vector is identical to lshTopK's for
-    // the same vector (own bucket + 1-bit flips), so restricting the
-    // corpus-wide graph to the query ids must reproduce lshTopK@5
+    // the same vector (own bucket + 1-bit flips) AT THE SAME plane
+    // count, so restricting the corpus-wide graph to the query ids
+    // must reproduce lshTopK@5 — planes pinned to 4 on both sides
+    // (knnJoin's default; lshTopK's query-side default is 2 since r10)
     val graph = Similarity.knnJoin(emb, "vec_id", "embedding", k = 5)
       .filter($"q_id" < 10)
-    val direct = Similarity.lshTopK(emb, qs, "vec_id", "embedding", k = 5)
+    val direct = Similarity.lshTopK(emb, qs, "vec_id", "embedding", k = 5, planes = 4)
     assert(graph.collect().toSet === direct.collect().toSet)
   }
 
