@@ -158,9 +158,21 @@ object Recall {
     }.mkString(",")
     val defJson = defaults.map { case (s, p) => s""""$s":"$p"""" }.mkString(",")
     val costJson = costs.map { case (s, c) => s""""$s":$c""" }.mkString(",")
+    // the pq/ivf_pq rows are NOT recall tiers and their curve is flat
+    // in cb (0.40 @ cb=32 vs 0.36 @ cb=64 — seeded codebooks, not
+    // k-means): PQ's contribution is memory compression of the scoring
+    // scan (numSub bytes/vector vs d floats), so its production role
+    // is the first pass of a rerank pipeline whose recall comes from
+    // the exact re-rank over PQ's shortlist, not from the codes.
+    val note = "pq/ivf_pq are memory-bound RERANK tiers, not recall tiers: " +
+      "ADC over numSub-byte codes compresses the scan 64x but caps recall " +
+      "(~0.4 with deterministic seeded codebooks); production recall comes from " +
+      "the exact re-rank over the PQ shortlist. lsh/ivf/mips/graph defaults sit " +
+      "at the >=0.8 recall@10 points of their measured curves."
     println(s"""{"metric":"recall_at_10","sf":"${sfDir.split('/').last}",""" +
       flat + s""","defaults":{$defJson},"cost_candidates_at_default":{$costJson},""" +
-      s""""curve":{$curveJson},"params":{"k":10,"n_queries":$nQueries,"n_vectors":$nVec}}""")
+      s""""curve":{$curveJson},"note":"$note",""" +
+      s""""params":{"k":10,"n_queries":$nQueries,"n_vectors":$nVec}}""")
     spark.stop()
   }
 }

@@ -32,6 +32,59 @@ import org.apache.spark.sql.functions._
   * the edge-extraction join + distinct over the replicated facts.
   */
 object ScaleCurve {
+
+  /** Replicated-lake builder shared by the curve and the diagnosis
+    * probes (tools.CcProbe) so every tier measurement reads the SAME
+    * lake recipe. See the class doc for why each table replicates the
+    * way it does. One KNOWN wrinkle, deliberate and bounded: the doc
+    * Caesar key is (r mod 26, (r div 26) mod 10), so a document with
+    * NO digits collides with its r±26k replicas — at ≤×26 every
+    * replica is distinct; at ×100 digit-free docs form cross-replica
+    * exact-dup families of up to 4 (measured by CcProbe; it is the
+    * identified driver of the dedup_clusters ×100 edge growth).
+    */
+  def buildLake(spark: SparkSession, t: Tables, replicas: Int, out: String): Unit = {
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val digits = "0123456789"
+    val rep = spark.range(replicas).toDF("__r")
+    val maxOrder = t.orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1
+    val maxCust = t.customer.agg(max(col("c_custkey"))).head().getLong(0) + 1
+    val maxDoc = t.documents.agg(max(col("doc_id"))).head().getLong(0) + 1
+    def shifted(df: DataFrame, shifts: Map[String, Long]) =
+      df.crossJoin(rep).select(df.columns.map { c =>
+        shifts.get(c) match {
+          case Some(step) => (col(c) + col("__r") * step).as(c)
+          case None => col(c)
+        }
+      }: _*)
+    shifted(t.orders, Map("o_orderkey" -> maxOrder))
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    shifted(t.lineitem, Map("l_orderkey" -> maxOrder))
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    // fresh keys AND fresh same-format names per replica
+    val cust = t.customer.crossJoin(rep)
+      .withColumn("c_custkey", col("c_custkey") + col("__r") * maxCust)
+      .withColumn("c_name",
+        concat(lit("Customer#"), lpad(col("c_custkey").cast("string"), 9, "0")))
+      .drop("__r")
+    cust.select(t.customer.columns.map(col): _*)
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    // per-replica Caesar cipher: lowercase by r%26, digits by (r/26)%10
+    val docs = t.documents.crossJoin(rep)
+      .withColumn("__lo", (col("__r") % 26).cast("int"))
+      .withColumn("__di", ((col("__r") / 26) % 10).cast("int"))
+      .withColumn("text", expr(
+        s"""translate(translate(text,
+           |  '$lower', substr('$lower$lower', __lo + 1, 26)),
+           |  '$digits', substr('$digits$digits', __di + 1, 10))""".stripMargin))
+      .withColumn("doc_id", col("doc_id") + col("__r") * maxDoc)
+      .drop("__r", "__lo", "__di")
+    docs.select(t.documents.columns.map(col): _*)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    for (n <- Seq("region", "nation", "supplier", "part", "events", "embeddings"))
+      t.byName(n).write.mode("overwrite").parquet(s"$out/$n.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val tiers = args.headOption.getOrElse("10,100").split(",").map(_.trim.toInt).toSeq
     val iters = sys.env.getOrElse("SPARK_GRAFT_CURVE_ITERS", "2").toInt
@@ -55,47 +108,8 @@ object ScaleCurve {
     val base = "/root/testdata/sf0.1"
     val t = Tables(spark, base)
 
-    val lower = "abcdefghijklmnopqrstuvwxyz"
-    val digits = "0123456789"
-    def buildLake(replicas: Int, out: String): Unit = {
-      val rep = spark.range(replicas).toDF("__r")
-      val maxOrder = t.orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1
-      val maxCust = t.customer.agg(max(col("c_custkey"))).head().getLong(0) + 1
-      val maxDoc = t.documents.agg(max(col("doc_id"))).head().getLong(0) + 1
-      def shifted(df: DataFrame, shifts: Map[String, Long]) =
-        df.crossJoin(rep).select(df.columns.map { c =>
-          shifts.get(c) match {
-            case Some(step) => (col(c) + col("__r") * step).as(c)
-            case None => col(c)
-          }
-        }: _*)
-      shifted(t.orders, Map("o_orderkey" -> maxOrder))
-        .write.mode("overwrite").parquet(s"$out/orders.parquet")
-      shifted(t.lineitem, Map("l_orderkey" -> maxOrder))
-        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
-      // fresh keys AND fresh same-format names per replica
-      val cust = t.customer.crossJoin(rep)
-        .withColumn("c_custkey", col("c_custkey") + col("__r") * maxCust)
-        .withColumn("c_name",
-          concat(lit("Customer#"), lpad(col("c_custkey").cast("string"), 9, "0")))
-        .drop("__r")
-      cust.select(t.customer.columns.map(col): _*)
-        .write.mode("overwrite").parquet(s"$out/customer.parquet")
-      // per-replica Caesar cipher: lowercase by r%26, digits by (r/26)%10
-      val docs = t.documents.crossJoin(rep)
-        .withColumn("__lo", (col("__r") % 26).cast("int"))
-        .withColumn("__di", ((col("__r") / 26) % 10).cast("int"))
-        .withColumn("text", expr(
-          s"""translate(translate(text,
-             |  '$lower', substr('$lower$lower', __lo + 1, 26)),
-             |  '$digits', substr('$digits$digits', __di + 1, 10))""".stripMargin))
-        .withColumn("doc_id", col("doc_id") + col("__r") * maxDoc)
-        .drop("__r", "__lo", "__di")
-      docs.select(t.documents.columns.map(col): _*)
-        .write.mode("overwrite").parquet(s"$out/documents.parquet")
-      for (n <- Seq("region", "nation", "supplier", "part", "events", "embeddings"))
-        t.byName(n).write.mode("overwrite").parquet(s"$out/$n.parquet")
-    }
+    def buildLake(replicas: Int, out: String): Unit =
+      ScaleCurve.buildLake(spark, t, replicas, out)
 
     // release EVERYTHING a gate pinned: persisted frames, the cache
     // ledger, and localCheckpoint blocks (which clearCache does NOT
