@@ -19,37 +19,59 @@ object Relational {
   /** TPC-H Q1 shape: map-side-combinable multi-aggregate over lineitem.
     * Scale: one shuffle to 6 groups; partial aggregation does all the
     * work map-side at 100 TB.
+    *
+    * The money aggregates sum EXACT INTEGER CENTS (TPC-H money columns
+    * are 2-decimal by spec; the lake stores them as exactly-2-decimal
+    * doubles), widened to decimal(38,0) so the sum cannot overflow,
+    * with ONE double division at the end. A double-product sum is
+    * order-dependent: the first sf1 parity run caught Spark and DuckDB
+    * disagreeing in sum_charge's 4th decimal at 6M rows purely from
+    * summation order. Integer sums are order-independent, and the
+    * final int→double conversion + division round identically (IEEE)
+    * in both engines whatever the partitioning. TPC-H itself specifies
+    * decimal arithmetic — the quantized form is the faithful one.
     */
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val p100 = round($"l_extendedprice" * 100).cast("decimal(38,0)")
+    val dm100 = round(lit(100) - $"l_discount" * 100).cast("decimal(38,0)")
+    val tp100 = round(lit(100) + $"l_tax" * 100).cast("decimal(38,0)")
+    val d100 = round($"l_discount" * 100).cast("decimal(38,0)")
+    val cnt = count(lit(1))
     Tables(spark, dir).lineitem
       .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
         round(sum($"l_quantity"), 4).as("sum_qty"),
-        round(sum($"l_extendedprice"), 4).as("sum_base_price"),
-        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("sum_disc_price"),
-        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")), 4)
-          .as("sum_charge"),
-        round(avg($"l_quantity"), 4).as("avg_qty"),
-        round(avg($"l_extendedprice"), 4).as("avg_price"),
-        round(avg($"l_discount"), 4).as("avg_disc"),
-        count(lit(1)).as("count_order"))
+        round(sum(p100).cast("double") / 100.0, 4).as("sum_base_price"),
+        round(sum(p100 * dm100).cast("double") / 10000.0, 4).as("sum_disc_price"),
+        round(sum(p100 * dm100 * tp100).cast("double") / 1000000.0, 4).as("sum_charge"),
+        round(sum($"l_quantity") / cnt, 4).as("avg_qty"),
+        round(sum(p100).cast("double") / 100.0 / cnt, 4).as("avg_price"),
+        round(sum(d100).cast("double") / 100.0 / cnt, 4).as("avg_disc"),
+        cnt.as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
   private val q1Sql =
-    """SELECT l_returnflag, l_linestatus,
+    """WITH c AS (
+      |  SELECT l_returnflag, l_linestatus, l_quantity,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS p100,
+      |    CAST(round(100 - l_discount * 100) AS BIGINT) AS dm100,
+      |    CAST(round(100 + l_tax * 100) AS BIGINT) AS tp100,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS d100
+      |  FROM lineitem
+      |  WHERE l_shipdate <= TIMESTAMP '1998-09-02')
+      |SELECT l_returnflag, l_linestatus,
       |  round(sum(l_quantity), 4) AS sum_qty,
-      |  round(sum(l_extendedprice), 4) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
-      |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 4) AS sum_charge,
-      |  round(avg(l_quantity), 4) AS avg_qty,
-      |  round(avg(l_extendedprice), 4) AS avg_price,
-      |  round(avg(l_discount), 4) AS avg_disc,
+      |  round(CAST(sum(p100) AS DOUBLE) / 100.0, 4) AS sum_base_price,
+      |  round(CAST(sum(p100 * dm100) AS DOUBLE) / 10000.0, 4) AS sum_disc_price,
+      |  round(CAST(sum(p100 * dm100 * tp100) AS DOUBLE) / 1000000.0, 4) AS sum_charge,
+      |  round(sum(l_quantity) / count(*), 4) AS avg_qty,
+      |  round(CAST(sum(p100) AS DOUBLE) / 100.0 / count(*), 4) AS avg_price,
+      |  round(CAST(sum(d100) AS DOUBLE) / 100.0 / count(*), 4) AS avg_disc,
       |  count(*) AS count_order
-      |FROM lineitem
-      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |FROM c
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 

@@ -7,7 +7,12 @@ out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
 sfdir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    # testdata tables are single parquet files; replicated lakes are
+    # Spark-written DIRECTORIES of part files — glob those
+    p = f"{sfdir}/{t}.parquet"
+    if os.path.isdir(p):
+        p = f"{p}/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 fails = 0
 # COMPARE_SKIP: comma-separated gates whose ORACLE is declared
