@@ -124,13 +124,19 @@ object Analytics {
       .select((floor($"l_extendedprice" / 5000.0)).cast("long").as("bucket"),
         $"l_extendedprice")
       .groupBy($"bucket")
-      .agg(count(lit(1)).as("cnt"), round(sum($"l_extendedprice"), 4).as("bucket_sum"))
+      // exact-cents bucket sums: ~20 buckets over the whole fact table
+      // (see QueryDef.cents / q1PricingSummary)
+      .agg(count(lit(1)).as("cnt"),
+        round(QueryDef.exactSum(QueryDef.cents($"l_extendedprice")) / 100.0, 4)
+          .as("bucket_sum"))
       .orderBy($"bucket")
   }
 
   private val qHistogramSql =
     """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
-      |  count(*) AS cnt, round(sum(l_extendedprice), 4) AS bucket_sum
+      |  count(*) AS cnt,
+      |  round(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE) / 100.0, 4)
+      |    AS bucket_sum
       |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin
 
   /** Grouped correlation statistics — Pearson corr, population

@@ -177,14 +177,20 @@ object Extra {
       .join(cust, $"o_custkey" === $"c_custkey")
       .filter($"supp_nation" =!= $"cust_nation")
       .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").as("l_year"))
-      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("volume"))
+      // exact-cents sum: nation-pair-year groups span the whole fact
+      // table (see QueryDef.cents / q1PricingSummary)
+      .agg(round(QueryDef.exactSum(
+        QueryDef.cents($"l_extendedprice") * (lit(100) - QueryDef.cents($"l_discount")))
+        / 10000.0, 4).as("volume"))
       .orderBy($"supp_nation", $"cust_nation", $"l_year")
   }
 
   private val q7Sql =
     """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
       |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS volume
+      |  round(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      |                 * CAST(100 - round(l_discount*100) AS BIGINT)) AS DOUBLE)
+      |        / 10000.0, 4) AS volume
       |FROM lineitem
       |JOIN supplier ON l_suppkey = s_suppkey
       |JOIN orders ON l_orderkey = o_orderkey

@@ -24,4 +24,23 @@ object QueryDef {
     */
   def toksSql(col: String = "text"): String =
     s"string_split_regex(lower(trim($col)),'\\s+')"
+
+  /** Exact-cents money term: a 2-decimal-by-spec money column scaled
+    * to an integral double (`round(col*100)` — exact, the values fit
+    * far under 2^53), for ORDER-INDEPENDENT big-group revenue sums.
+    * Large-group sums of double products are order-dependent across
+    * engines (the first sf1 parity run caught q1's sum_charge
+    * diverging in the 4th decimal at 6M rows); summing exact integers
+    * widened to decimal(38,0) and dividing ONCE at the end is
+    * deterministic whatever the partitioning. Small-group sums (per
+    * order / per customer) don't need this — √n ulp error can't reach
+    * the 4th decimal there. See [[Relational.q1PricingSummary]].
+    */
+  def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.round(c * 100)
+
+  /** Sum of an exact-integer-valued double column, widened so the sum
+    * cannot overflow, as a double: `sum(decimal(38,0))::double`. */
+  def exactSum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.sum(c.cast("decimal(38,0)")).cast("double")
 }

@@ -129,13 +129,20 @@ object Relational {
       .join(t.customer.select($"c_custkey", $"c_nationkey"), $"o_custkey" === $"c_custkey")
       .join(broadcast(dims), $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
       .groupBy($"n_name")
-      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"))
+      // exact-cents sum: 5 nation groups over the whole fact table sit
+      // exactly where cross-engine double-sum order divergence bites
+      // (see QueryDef.cents / q1PricingSummary)
+      .agg(round(QueryDef.exactSum(
+        QueryDef.cents($"l_extendedprice") * (lit(100) - QueryDef.cents($"l_discount")))
+        / 10000.0, 4).as("revenue"))
       .orderBy($"revenue".desc, $"n_name")
   }
 
   private val q5Sql =
     """SELECT n_name,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+      |  round(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      |                 * CAST(100 - round(l_discount*100) AS BIGINT)) AS DOUBLE)
+      |        / 10000.0, 4) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -283,11 +290,17 @@ object Relational {
       .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
         $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
         $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24.0)
-      .agg(round(sum($"l_extendedprice" * $"l_discount"), 4).as("revenue"))
+      // exact-cents sum: ONE group over the filtered scan — the worst
+      // order-divergence shape (see QueryDef.cents)
+      .agg(round(QueryDef.exactSum(
+        QueryDef.cents($"l_extendedprice") * QueryDef.cents($"l_discount"))
+        / 10000.0, 4).as("revenue"))
   }
 
   private val q6Sql =
-    """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+    """SELECT round(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      |                    * CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)
+      |           / 10000.0, 4) AS revenue
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       |  AND l_shipdate < TIMESTAMP '1997-01-01'

@@ -83,19 +83,26 @@ object TpchMore {
       .join(t.orders, $"l_orderkey" === $"o_orderkey")
       .join(broadcast(t.supplier), $"l_suppkey" === $"s_suppkey")
       .join(broadcast(t.nation), $"s_nationkey" === $"n_nationkey")
+      // exact 1e-4-unit profit: p100·dm100 − 60·r100·qty is integral
+      // (money is 2-decimal, quantity integral, 0.6·r100·100 = 60·r100),
+      // so the nation-year sums are order-independent across engines
+      // (see QueryDef.cents / q1PricingSummary)
       .select($"n_name".as("nation"),
         year($"o_orderdate").cast("long").as("o_year"),
-        ($"l_extendedprice" * (lit(1.0) - $"l_discount") -
-          lit(0.6) * $"p_retailprice" * $"l_quantity").as("amount"))
+        (QueryDef.cents($"l_extendedprice") * (lit(100) - QueryDef.cents($"l_discount")) -
+          lit(60) * QueryDef.cents($"p_retailprice") * $"l_quantity").as("amount_e4"))
       .groupBy($"nation", $"o_year")
-      .agg(round(sum($"amount"), 4).as("sum_profit"))
+      .agg(round(QueryDef.exactSum($"amount_e4") / 10000.0, 4).as("sum_profit"))
       .orderBy($"nation", $"o_year".desc)
   }
 
   private val q9Sql =
     """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)
-      |            - 0.6 * p_retailprice * l_quantity), 4) AS sum_profit
+      |  round(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      |                 * CAST(100 - round(l_discount*100) AS BIGINT)
+      |               - 60 * CAST(round(p_retailprice*100) AS BIGINT)
+      |                    * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+      |        / 10000.0, 4) AS sum_profit
       |FROM lineitem
       |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
       |JOIN orders ON l_orderkey = o_orderkey
