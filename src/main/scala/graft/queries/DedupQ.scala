@@ -244,8 +244,34 @@ object DedupQ {
       .orderBy($"doc_id")
   }
 
-  private val dedupMinhashClustersSql =
-    s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+  /** The oracle's connected components are the UNROLLED min-label walk
+    * (the ClusterDedup recipe: per round, one min-over-neighbors
+    * propagation + one pointer jump), NOT a recursive flood CTE — the
+    * flood (`walk(id,lbl) UNION join edges`) materializes every
+    * (doc, smaller-reachable-label) pair and timed out after 900 s on
+    * the ×10 lake's 2.3k-doc dup families, while 8 propagate+jump
+    * rounds are 16 cheap joins over ≤ docs×bands star edges (the sig
+    * CTEs dominate). 8 rounds cover component diameter far beyond any
+    * band-overlap chain; if that ever stops holding, the oracle is
+    * SELF-AUDITING: a final propagation pass that would still lower
+    * any label emits a (-1,-1) sentinel row, turning silent
+    * non-convergence into a loud row-count mismatch.
+    */
+  private val dedupMinhashClustersSql = {
+    // every round table is MATERIALIZED: the jump joins each round to
+    // itself and the next round consumes it again, so default CTE
+    // inlining would re-expand the whole upstream sig pipeline 2^k
+    // times (first attempt died on fd exhaustion from 256 inlined
+    // document scans)
+    val rounds = (1 to 8).map { k =>
+      s"""p$k AS MATERIALIZED (SELECT e.u AS id, min(l.lbl) AS nl
+         |  FROM edges e JOIN j${k - 1} l ON l.id = e.v GROUP BY e.u),
+         |m$k AS MATERIALIZED (SELECT l.id, least(l.lbl, coalesce(p.nl, l.lbl)) AS lbl
+         |  FROM j${k - 1} l LEFT JOIN p$k p ON p.id = l.id),
+         |j$k AS MATERIALIZED (SELECT a.id, least(a.lbl, coalesce(b.lbl, a.lbl)) AS lbl
+         |  FROM m$k a LEFT JOIN m$k b ON b.id = a.lbl)""".stripMargin
+    }.mkString(",\n")
+    s"""$minhashCtes,
       |bkt AS (
       |  SELECT band, bsig, min(doc_id) AS root
       |  FROM bs GROUP BY band, bsig HAVING count(*) > 1),
@@ -253,14 +279,17 @@ object DedupQ {
       |  SELECT DISTINCT k.root AS id_a, b.doc_id AS id_b
       |  FROM bs b JOIN bkt k ON k.band = b.band AND k.bsig = b.bsig
       |  WHERE b.doc_id <> k.root),
-      |edges AS (SELECT id_a AS u, id_b AS v FROM star UNION SELECT id_b, id_a FROM star),
-      |nodes AS (SELECT DISTINCT u AS id FROM edges),
-      |walk(id, lbl) AS (
-      |  SELECT id, id FROM nodes
-      |  UNION
-      |  SELECT e.u, w.lbl FROM walk w JOIN edges e ON e.v = w.id WHERE w.lbl < e.u),
-      |comp AS (SELECT id, min(lbl) AS cluster_id FROM walk GROUP BY id)
-      |SELECT id AS doc_id, cluster_id FROM comp ORDER BY doc_id""".stripMargin
+      |edges AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM star UNION SELECT id_b, id_a FROM star),
+      |j0 AS MATERIALIZED (SELECT u AS id, least(u, min(v)) AS lbl FROM edges GROUP BY u),
+      |$rounds,
+      |chk AS (SELECT count(*) AS n
+      |  FROM (SELECT e.u AS id, min(l.lbl) AS nl
+      |        FROM edges e JOIN j8 l ON l.id = e.v GROUP BY e.u) p
+      |  JOIN j8 l ON l.id = p.id WHERE p.nl < l.lbl)
+      |SELECT id AS doc_id, lbl AS cluster_id FROM j8
+      |UNION ALL SELECT -1 AS doc_id, -1 AS cluster_id WHERE (SELECT n FROM chk) > 0
+      |ORDER BY doc_id""".stripMargin
+  }
 
   /** MinHash-LSH index-quality evaluation: candidate count, verified
     * count, and the brute-force ground-truth pair count at the same
