@@ -12,7 +12,7 @@ object SparkEntry {
       Extra.defs ++ TrainingQ.defs ++ TpchMore.defs ++ Analytics.defs ++ CorpusQ.defs ++
       QualityQ.defs ++ TextFilters.defs ++ SequenceQ.defs ++ AuditQ.defs ++
       StatsQ.defs ++ SegmentQ.defs ++ TsQ.defs ++ LexQ.defs ++ DriftQ.defs ++ BasketQ.defs ++
-      InferQ.defs ++ AssocQ.defs ++ OpsQ.defs ++ MlQ.defs ++ LearnQ.defs ++ MineQ.defs ++ OptimQ.defs ++ PatternQ.defs ++ TemporalQ.defs ++ GraphQ.defs ++ ShardQ.defs ++ RobustQ.defs ++ SqlFaceQ.defs ++ HeaderQ.defs ++ CurateQ.defs ++ InsightQ.defs ++ EvalQ.defs ++ TrendQ.defs ++ MetricsQ.defs ++ RankQ.defs ++ DiagQ.defs ++ SeriesQ.defs ++ GovQ.defs ++ ExperimentQ.defs ++ InfraQ.defs ++ SamplingQ.defs ++ RigorQ.defs ++ SpatialQ.defs ++ EntityQ.defs
+      InferQ.defs ++ AssocQ.defs ++ OpsQ.defs ++ MlQ.defs ++ LearnQ.defs ++ MineQ.defs ++ OptimQ.defs ++ PatternQ.defs ++ TemporalQ.defs ++ GraphQ.defs ++ ShardQ.defs ++ RobustQ.defs ++ SqlFaceQ.defs ++ HeaderQ.defs ++ CurateQ.defs ++ InsightQ.defs ++ EvalQ.defs ++ TrendQ.defs ++ MetricsQ.defs ++ RankQ.defs ++ DiagQ.defs ++ SeriesQ.defs ++ GovQ.defs ++ ExperimentQ.defs ++ InfraQ.defs ++ SamplingQ.defs ++ RigorQ.defs ++ SpatialQ.defs ++ EntityQ.defs ++ CausalQ.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -342,10 +342,125 @@ object LearnQ {
       |SELECT q_id, n_overlap, round(CAST(n_overlap AS DOUBLE) / 10, 4) AS recall_at_10
       |FROM hits ORDER BY q_id""".stripMargin
 
+  // ---------------------------------------------------------------- q_gbdt_stumps
+
+  /** Gain / leaf-value / rmse expressions over the exact cumulative
+    * sums (`cn`/`crs` cumulative count & residual-sum by month,
+    * `nt`/`rst` totals) — shared verbatim between the Spark plan and
+    * the DuckDB oracle so the argmax and the fitted leaves cannot
+    * drift across engines.
+    */
+  private object Gbdt {
+    val gain = "((CAST(crs AS DOUBLE) * CAST(crs AS DOUBLE)) / CAST(cn AS DOUBLE) + " +
+      "(CAST(rst AS DOUBLE) - CAST(crs AS DOUBLE)) * (CAST(rst AS DOUBLE) - CAST(crs AS DOUBLE)) " +
+      "/ (CAST(nt AS DOUBLE) - CAST(cn AS DOUBLE)))"
+    val leafL = "CAST(round(CAST(crs AS DOUBLE) / CAST(cn AS DOUBLE)) AS BIGINT)"
+    val leafR = "CAST(round((CAST(rst AS DOUBLE) - CAST(crs AS DOUBLE)) / " +
+      "(CAST(nt AS DOUBLE) - CAST(cn AS DOUBLE))) AS BIGINT)"
+  }
+
+  /** Three rounds of gradient boosting with depth-1 regression stumps
+    * (least-squares boosting, learning rate 1): predict order total
+    * (exact cents) from order month. Each round picks the month
+    * threshold with the largest SSE reduction over the CURRENT
+    * residuals, fits integer-cent leaf means, and the next round
+    * boosts what is left — q_tree_stump is one round of this.
+    *
+    * Scale: the fact scan reduces ONCE to 12 month rows of exact
+    * sufficient statistics (n, Σy, Σy² as decimal(38,0)); because a
+    * stump on month is a function of month alone, every round's
+    * residual sums are DERIVED algebraically (Σ(y−f)² = Σy² − 2fΣy +
+    * nf² per month) — no second pass over the data, however many
+    * rounds. Leaf values are integer cents (quantized once per
+    * round), so residual statistics stay exact end to end; gains are
+    * final-mile doubles on exact ints, identical in both engines.
+    */
+  def qGbdtStumps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables(spark, dir).orders
+      .select(month($"o_orderdate").cast("long").as("m"),
+        QueryDef.cents($"o_totalprice").cast("long").as("y"))
+      .groupBy($"m")
+      .agg(count(lit(1)).as("n"),
+        sum($"y".cast("decimal(38,0)")).as("sy"),
+        sum(($"y" * $"y").cast("decimal(38,0)")).as("ssq"))
+    val wCum = Window.orderBy($"m").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    var st = base.withColumn("f", lit(0L))
+    val rounds = (1 to 3).map { r =>
+      val cum = st
+        .withColumn("rs", $"sy" - ($"n".cast("decimal(38,0)") * $"f".cast("decimal(38,0)")).cast("decimal(38,0)"))
+        .withColumn("cn", sum($"n").over(wCum))
+        .withColumn("crs", sum($"rs").over(wCum))
+        .withColumn("nt", sum($"n").over(wAll))
+        .withColumn("rst", sum($"rs").over(wAll))
+      val best = cum.filter($"cn" < $"nt")
+        .withColumn("gain", expr(Gbdt.gain))
+        .withColumn("rk", row_number().over(Window.orderBy($"gain".desc, $"m")))
+        .filter($"rk" === 1)
+        .select($"m".as("c"), $"cn".as("n_left"), ($"nt" - $"cn").as("n_right"),
+          expr(Gbdt.leafL).as("ll"), expr(Gbdt.leafR).as("lr"))
+      st = st.crossJoin(broadcast(best))
+        .withColumn("f", $"f" + when($"m" <= $"c", $"ll").otherwise($"lr"))
+        .select($"m", $"n", $"sy", $"ssq", $"f")
+      st.withColumn("rss",
+          $"ssq" - (lit(2L).cast("decimal(38,0)") * $"f".cast("decimal(38,0)") * $"sy").cast("decimal(38,0)")
+            + ($"n".cast("decimal(38,0)") * $"f".cast("decimal(38,0)") * $"f".cast("decimal(38,0)")).cast("decimal(38,0)"))
+        .agg(sum($"rss").as("rsst"), sum($"n").as("ntot"))
+        .crossJoin(broadcast(best))
+        .select(lit(r.toLong).as("round"), $"c".as("split_month"),
+          $"n_left", $"n_right", $"ll".as("leaf_left_cents"), $"lr".as("leaf_right_cents"),
+          expr("round(sqrt(CAST(rsst AS DOUBLE) / CAST(ntot AS DOUBLE)), 4)").as("rmse_after"))
+    }
+    rounds.reduce(_ union _).orderBy($"round")
+  }
+
+  private val qGbdtStumpsSql = {
+    def round(i: Int) =
+      s"""cum$i AS (
+         |  SELECT m, n,
+         |    sum(n) OVER w AS cn,
+         |    sum(sy - n * f) OVER w AS crs,
+         |    sum(n) OVER () AS nt,
+         |    sum(sy - n * f) OVER () AS rst
+         |  FROM st$i
+         |  WINDOW w AS (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |best$i AS (
+         |  SELECT m AS c, cn AS n_left, nt - cn AS n_right,
+         |    ${Gbdt.leafL} AS ll, ${Gbdt.leafR} AS lr
+         |  FROM cum$i WHERE cn < nt
+         |  ORDER BY ${Gbdt.gain} DESC, m LIMIT 1),
+         |st${i + 1} AS (
+         |  SELECT s.m, s.n, s.sy, s.ssq,
+         |    s.f + CASE WHEN s.m <= b.c THEN b.ll ELSE b.lr END AS f
+         |  FROM st$i s, best$i b),
+         |out$i AS (
+         |  SELECT CAST($i AS BIGINT) AS round, CAST(b.c AS BIGINT) AS split_month,
+         |    CAST(b.n_left AS BIGINT) AS n_left, CAST(b.n_right AS BIGINT) AS n_right,
+         |    CAST(b.ll AS BIGINT) AS leaf_left_cents, CAST(b.lr AS BIGINT) AS leaf_right_cents,
+         |    round(sqrt(CAST(sum(s.ssq - 2 * s.f * s.sy + s.n * s.f * s.f) AS DOUBLE)
+         |      / CAST(sum(s.n) AS DOUBLE)), 4) AS rmse_after
+         |  FROM st${i + 1} s, best$i b
+         |  GROUP BY b.c, b.n_left, b.n_right, b.ll, b.lr)""".stripMargin
+    s"""WITH base AS (
+       |  SELECT month(o_orderdate) AS m, count(*) AS n,
+       |    CAST(sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT)) AS HUGEINT) AS sy,
+       |    CAST(sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT)
+       |      * CAST(round(o_totalprice * 100) AS BIGINT)) AS HUGEINT) AS ssq
+       |  FROM orders GROUP BY m),
+       |st1 AS (SELECT m, n, sy, ssq, CAST(0 AS HUGEINT) AS f FROM base),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT * FROM out1 UNION ALL SELECT * FROM out2 UNION ALL SELECT * FROM out3
+       |ORDER BY round""".stripMargin
+  }
+
   // ---------------------------------------------------------------- registry
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q_tree_stump", qTreeStump _, qTreeStumpSql),
+    QueryDef.sql("q_gbdt_stumps", qGbdtStumps _, qGbdtStumpsSql),
     QueryDef.sql("q_welch_ttest", qWelchTtest _, qWelchTtestSql),
     QueryDef.sql("q_permutation_test", qPermutationTest _, qPermutationTestSql),
     QueryDef.sql("emb_rand_proj", embRandProj _, embRandProjSql),

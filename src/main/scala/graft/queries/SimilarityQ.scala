@@ -1063,6 +1063,94 @@ object SimilarityQ {
     """SELECT DISTINCT user_id, event_id, epoch_us(ts) AS ts_us, event_type
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** TRUE micro-batch replay of Spark's native `session_window`
+    * MERGING aggregate: all events in 4 deterministic
+    * (ts, event_id)-ordered chunks through a watermarked streaming
+    * session aggregation (30-minute gap, append mode — a session row
+    * is emitted exactly once, when the watermark proves no later
+    * event can extend or merge it), then two far-future SENTINEL
+    * batches for an out-of-id-space user advance the watermark past
+    * every real session's end so the final open sessions flush
+    * (sentinel rows are filtered back out; the watermark updates from
+    * the PREVIOUS batch's max event time, hence two). Sessions that
+    * SPAN chunk boundaries exercise the state-merge path — the thing
+    * a tumbling window never tests. Sums are exact integer cents, so
+    * partial-session merge order cannot move the result; the streamed
+    * output hash-matches the batch gaps-and-islands oracle
+    * (q_session_window's formulation with cents). Driver-side collect
+    * = replay harness only (capped by [[collectReplay]]); the
+    * session-window plan is the same distributed stateful operator a
+    * cluster runs against Kafka.
+    */
+  def streamSessionReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = collectReplay(Tables(spark, dir).events
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
+        $"value".cast("double"))
+      .as[(Long, Long, Long, Double)]).sortBy(r => (r._2, r._3))
+    val sz = math.max(1, (evs.length + 3) / 4)
+    val batches = evs.grouped(sz).toSeq.padTo(4, Array.empty[(Long, Long, Long, Double)])
+    val maxTs = evs.iterator.map(_._2).max
+    val in = MemoryStream[(Long, Long, Long, Double)]
+    val src = in.toDS().toDF("user_id", "ts_us", "event_id", "value")
+      .withColumn("ts", expr("timestamp_micros(ts_us)"))
+      .withWatermark("ts", "2 hours")
+    val agg = src
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round($"value" * 100).cast("long")).as("total_cents"))
+      .select($"user_id",
+        unix_micros($"session_window.start").as("start_us"),
+        unix_micros($"session_window.end").as("end_us"),
+        $"n_events", $"total_cents")
+    val name = "stream_session_replay_" + java.util.UUID.randomUUID().toString.take(8)
+    val q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      (0 until 4).foreach { i =>
+        if (batches(i).nonEmpty) in.addData(batches(i).toSeq)
+        q.processAllAvailable()
+      }
+      (1 to 2).foreach { j =>
+        in.addData(Seq((-1L, maxTs + j * 30L * 86400000000L, -j.toLong, 0.0)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val out = spark.table(name).filter($"user_id" >= 0).collect()
+    spark.catalog.dropTempView(name)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("start_us", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("end_us", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_events", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("total_cents", org.apache.spark.sql.types.LongType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(out.toIndexedSeq, 4), schema)
+      .orderBy($"user_id", $"start_us")
+  }
+
+  private val streamSessionReplaySql =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |    THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_session) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM marked)
+      |SELECT user_id,
+      |  min(epoch_us(ts)) AS start_us,
+      |  max(epoch_us(ts)) + 1800000000 AS end_us,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, start_us""".stripMargin
+
   /** Index-quality evaluation: recall@10 of the IVF index against
     * the brute-force ground truth, per query — the number that
     * decides nprobe/nlist BEFORE an index ships. Runs the two
@@ -1230,5 +1318,6 @@ object SimilarityQ {
     QueryDef.sql("q_interval_join", qIntervalJoin _, qIntervalJoinSql),
     QueryDef.sql("stream_interval_replay", streamIntervalReplay _, streamIntervalReplaySql),
     QueryDef.sql("stream_dedup_replay", streamDedupReplay _, streamDedupReplaySql),
-    QueryDef.sql("stream_spend_replay", streamSpendReplay _, streamSpendReplaySql))
+    QueryDef.sql("stream_spend_replay", streamSpendReplay _, streamSpendReplaySql),
+    QueryDef.sql("stream_session_replay", streamSessionReplay _, streamSessionReplaySql))
 }

@@ -1,0 +1,68 @@
+package graft
+
+import graft.queries.{CausalQ, SequenceQ, SimilarityQ}
+
+/** Round-10 causal/survival wave (queries/CausalQ.scala): Cox
+  * proportional hazards, IV/2SLS, split conformal intervals, ARCH LM —
+  * plus the streaming session-window replay gate's batch parity.
+  */
+class CausalSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("cox ph: counts reconcile and the Newton solve is finite") {
+    val r = CausalQ.qCoxPh(spark, sf0001).collect().head
+    val nCust = Tables(spark, sf0001).orders
+      .select($"o_custkey").distinct().count()
+    assert(r.getAs[Long]("n_subjects") === nCust)
+    assert(r.getAs[Long]("n_events") <= r.getAs[Long]("n_subjects"))
+    assert(r.getAs[Long]("n_events") > 0L)
+    val beta = r.getAs[Double]("beta")
+    assert(java.lang.Double.isFinite(beta))
+    // hazard_ratio is exp(beta) by construction (both rounded at 6)
+    assert(math.abs(r.getAs[Double]("hazard_ratio") - math.exp(beta)) < 1e-4)
+    // Breslow partial likelihood is a product of probabilities < 1
+    assert(r.getAs[Double]("partial_ll") < 0.0)
+  }
+
+  test("iv 2sls: first-stage F is nonnegative and estimates are finite") {
+    val r = CausalQ.qIv2sls(spark, sf0001).collect().head
+    assert(r.getAs[Long]("n_customers") > 0L)
+    assert(java.lang.Double.isFinite(r.getAs[Double]("beta_ols_cents_per_order")))
+    assert(java.lang.Double.isFinite(r.getAs[Double]("beta_iv_cents_per_order")))
+    assert(r.getAs[Double]("first_stage_f") >= 0.0)
+    // more orders -> more lifetime spend, whatever the instrument says
+    assert(r.getAs[Double]("beta_ols_cents_per_order") > 0.0)
+  }
+
+  test("conformal interval: splits partition the orders and coverage tracks 0.9") {
+    val r = CausalQ.qConformalInterval(spark, sf001).collect().head
+    val nOrders = Tables(spark, sf001).orders.count()
+    assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_cal") + r.getAs[Long]("n_test") === nOrders)
+    val cov = r.getAs[Double]("coverage")
+    // the split-conformal guarantee is P(cover) >= 0.9 up to the
+    // finite-sample 1/(n_cal+1) term; leave slack for the md5 split
+    assert(cov >= 0.85 && cov <= 1.0)
+    assert(math.abs(r.getAs[Double]("interval_width") - 2.0 * r.getAs[Double]("q_hat")) < 1e-4)
+    assert(r.getAs[Double]("q_hat") > 0.0)
+  }
+
+  test("arch lm: R-squared is a proportion and LM is (n-1) R^2") {
+    val r = CausalQ.tsArchLm(spark, sf0001).collect().head
+    val n = r.getAs[Long]("n_pairs")
+    val r2 = r.getAs[Double]("r2")
+    assert(n > 100L)
+    assert(r2 >= 0.0 && r2 <= 1.0)
+    assert(math.abs(r.getAs[Double]("lm_stat") - (n - 1).toDouble * r2) < 0.05)
+    assert(r.getAs[Boolean]("arch_present") === (r.getAs[Double]("lm_stat") > 3.841459))
+  }
+
+  test("stream session replay equals the batch session aggregate") {
+    val streamed = SimilarityQ.streamSessionReplay(spark, sf0001)
+      .select($"user_id", $"start_us", $"end_us", $"n_events").collect()
+    val batch = SequenceQ.qSessionWindow(spark, sf0001)
+      .select($"user_id", $"start_us", $"end_us", $"n_events").collect()
+    // same sessions, same boundaries, same sizes — merge-across-batch
+    // state agrees with the one-shot batch plan row for row
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
+}

@@ -119,6 +119,8 @@ object WindowLintSpec {
     "q_pr_curve" -> "PrefixSum chunk totals over the score domain (div 512)",
     "q_roc_auc" -> "PrefixSum chunk totals over the score domain (div 512)",
     "q_tree_stump" -> "candidate split thresholds (quantity domain <= 50)",
+    "q_gbdt_stumps" -> "month-domain boosting state (12 rows per round)",
+    "q_cox_ph" -> "risk-set cumulative counts over distinct duration days (calendar-bounded)",
     "q_bootstrap_ci" -> "bootstrap replicate table (fixed B)",
     // explicitly limited or distributively pruned inputs
     "text_zipf_fit" -> "top-1000 vocabulary heap (limit 1000)",
