@@ -8,9 +8,20 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *
   * {{{
   * fs.createFile(path).overwrite(false)
-  *   .must("fs.option.create.conditional.overwrite", false)
+  *   .must("fs.option.create.conditional.overwrite", true)
   *   .build()          // guard is enforced when the object publishes
   * }}}
+  *
+  * '''Option polarity''' (HADOOP-19256): the boolean is an ENABLE
+  * flag, read with default `false` — `true` engages the conditional
+  * write (the `If-None-Match: *` guard on the publishing PUT);
+  * `false`/absent leaves the store's default create path. S3A's
+  * `CreateFileBuilder` reads it as
+  * `options.getBoolean(FS_OPTION_CREATE_CONDITIONAL_OVERWRITE, false)`
+  * — passing `false` on a real bucket would perform a plain
+  * (HEAD-check-then-)unguarded PUT and silently void the commit log's
+  * mutual exclusion. The `ccsim://` test shim mirrors the same
+  * enable-flag read so the contract suite exercises the true polarity.
   *
   * On S3A (hadoop-aws ≥ 3.4.1, `fs.s3a.create.conditional.enabled`,
   * on by default) the final `close()` PUT carries `If-None-Match: *`;
@@ -65,8 +76,30 @@ object ConditionalCreate {
     val msg = Option(e.getMessage).getOrElse("").toLowerCase
     e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
       e.getClass.getSimpleName == "RemoteFileChangedException" ||
-      msg.contains("412") || msg.contains("precondition") ||
-      msg.contains("if-none-match") || msg.contains("already exists")
+      statusCode(e).contains(412) ||
+      // anchored patterns only: commit files are zero-padded version
+      // numbers (…/000412.json), and S3/Hadoop messages embed the
+      // path, so a bare contains("412")/"already exists" would misread
+      // a genuine failure (state unknown!) as a clean lost race and
+      // let the writer double-commit at N+1
+      msg.contains("status code: 412") || msg.contains("precondition failed") ||
+      msg.contains("if-none-match")
+  }
+
+  /** Structured HTTP status off an S3A/AWS-shaped exception, via
+    * reflection so graft needs no hadoop-aws compile dep: AWS SDK v2
+    * style `statusCode()` (AwsServiceException) and hadoop-aws
+    * `getStatusCode()` (AWSServiceIOException) both probed, on the
+    * exception and its cause.
+    */
+  private def statusCode(e: Throwable): Option[Int] = {
+    def probe(t: Throwable): Option[Int] =
+      Seq("statusCode", "getStatusCode").iterator.flatMap { m =>
+        try Option(t.getClass.getMethod(m).invoke(t)).collect {
+          case i: java.lang.Integer => i.intValue
+        } catch { case _: Throwable => None }
+      }.find(_ => true)
+    probe(e).orElse(Option(e.getCause).flatMap(probe))
   }
 }
 
@@ -78,7 +111,9 @@ final class ConditionalCreateAtomicPut(fs: FileSystem) extends AtomicPut {
   override def putIfAbsent(path: Path, bytes: Array[Byte]): Boolean = {
     try {
       val builder = fs.createFile(path).overwrite(false)
-      builder.must(ConditionalCreate.OverwriteOption, false)
+      // true = ENGAGE the If-None-Match guard (enable flag, default
+      // false — see the polarity note in the companion scaladoc)
+      builder.must(ConditionalCreate.OverwriteOption, true)
       val out = builder.build()
       // the conditional PUT happens when the object publishes (S3A:
       // at close) — keep close INSIDE the try so a 412 there reads as

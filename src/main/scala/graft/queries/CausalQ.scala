@@ -336,11 +336,14 @@ object CausalQ {
     val mean = daily.agg(count(lit(1)).as("nd"),
       sum($"cents".cast("decimal(38,0)")).as("sc"))
     // e = round(cents - mean): exact BIGINT residual (quantized once,
-    // identically in both engines); e² stays a BIGINT
+    // identically in both engines); e² is squared in WIDE integer
+    // arithmetic (decimal(38,0) / HUGEINT) — a BIGINT square would
+    // silently wrap in Spark (ANSI off) while DuckDB raised, the
+    // moment |e| passed ~3.04e9 cents (ADVICE r10)
     val e = daily.crossJoin(broadcast(mean))
       .select($"day",
         expr("CAST(round(CAST(cents AS DOUBLE) - CAST(sc AS DOUBLE) / CAST(nd AS DOUBLE)) AS BIGINT)").as("e"))
-      .select($"day", ($"e" * $"e").as("e2"))
+      .select($"day", ($"e".cast("decimal(38,0)") * $"e".cast("decimal(38,0)")).as("e2"))
     val pairs = e.as("a")
       .join(e.as("b"), expr("b.day = a.day - 1"))
       .select(col("a.e2").as("v"), col("b.e2").as("u"))
@@ -380,7 +383,7 @@ object CausalQ {
        |  SELECT day,
        |    CAST(round(CAST(cents AS DOUBLE) - CAST(sc AS DOUBLE) / CAST(nd AS DOUBLE)) AS BIGINT) AS e
        |  FROM daily, mean),
-       |e2 AS (SELECT day, e * e AS e2 FROM e),
+       |e2 AS (SELECT day, CAST(e AS HUGEINT) * e AS e2 FROM e),
        |pairs AS (
        |  SELECT a.e2 AS v, b.e2 AS u
        |  FROM e2 a JOIN e2 b ON b.day = a.day - 1),

@@ -30,25 +30,33 @@ object Relational {
     * final int→double conversion + division round identically (IEEE)
     * in both engines whatever the partitioning. TPC-H itself specifies
     * decimal arithmetic — the quantized form is the faithful one.
+    *
+    * PER-ROW arithmetic stays in LONG codegen (the r10 exact-cents
+    * rewrite multiplied non-compact decimal(38,0) per row and paid
+    * 5.8× at sf1): p100·dm100·tp100 ≤ ~1.2e11 fits a long with 7
+    * orders of magnitude to spare, so the products are long multiplies
+    * and the ONE widening cast to decimal(38,0) happens at the sum
+    * input — the sums themselves still cannot overflow at any scale.
     */
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val p100 = round($"l_extendedprice" * 100).cast("decimal(38,0)")
-    val dm100 = round(lit(100) - $"l_discount" * 100).cast("decimal(38,0)")
-    val tp100 = round(lit(100) + $"l_tax" * 100).cast("decimal(38,0)")
-    val d100 = round($"l_discount" * 100).cast("decimal(38,0)")
+    val p100 = round($"l_extendedprice" * 100).cast("long")
+    val dm100 = round(lit(100) - $"l_discount" * 100).cast("long")
+    val tp100 = round(lit(100) + $"l_tax" * 100).cast("long")
+    val d100 = round($"l_discount" * 100).cast("long")
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     val cnt = count(lit(1))
     Tables(spark, dir).lineitem
       .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
         round(sum($"l_quantity"), 4).as("sum_qty"),
-        round(sum(p100).cast("double") / 100.0, 4).as("sum_base_price"),
-        round(sum(p100 * dm100).cast("double") / 10000.0, 4).as("sum_disc_price"),
-        round(sum(p100 * dm100 * tp100).cast("double") / 1000000.0, 4).as("sum_charge"),
+        round(sum(dec(p100)).cast("double") / 100.0, 4).as("sum_base_price"),
+        round(sum(dec(p100 * dm100)).cast("double") / 10000.0, 4).as("sum_disc_price"),
+        round(sum(dec(p100 * dm100 * tp100)).cast("double") / 1000000.0, 4).as("sum_charge"),
         round(sum($"l_quantity") / cnt, 4).as("avg_qty"),
-        round(sum(p100).cast("double") / 100.0 / cnt, 4).as("avg_price"),
-        round(sum(d100).cast("double") / 100.0 / cnt, 4).as("avg_disc"),
+        round(sum(dec(p100)).cast("double") / 100.0 / cnt, 4).as("avg_price"),
+        round(sum(dec(d100)).cast("double") / 100.0 / cnt, 4).as("avg_disc"),
         cnt.as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }

@@ -357,8 +357,14 @@ object SimilarityQ {
       .orderBy($"q_id", $"rk")
   }
 
-  private val annKnnJoinSql =
-    """WITH v AS (
+  /** The composed kNN-join oracle, parameterized by k — the gate ships
+    * k=5; ann_graph_search's oracle widens the same definition to the
+    * k=10 edge build (a function parameter, not string surgery, so a
+    * reformat can't silently desynchronize the two edge recipes —
+    * ADVICE r10).
+    */
+  private def annKnnJoinSqlK(k: Int) =
+    s"""WITH v AS (
       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * 1048576.0)) AS qx,
       |         CAST(embedding AS DOUBLE[]) AS e
       |  FROM embeddings),
@@ -381,7 +387,9 @@ object SimilarityQ {
       |  JOIN v e ON e.vec_id = b.vec_id JOIN v q ON q.vec_id = p.q_id
       |  WHERE b.vec_id <> p.q_id),
       |r AS (SELECT q_id, neighbor_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, neighbor_id) AS rk FROM scored)
-      |SELECT q_id, neighbor_id, round(c, 4) AS cosine, rk FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+      |SELECT q_id, neighbor_id, round(c, 4) AS cosine, rk FROM r WHERE rk <= $k ORDER BY q_id, rk""".stripMargin
+
+  private val annKnnJoinSql = annKnnJoinSqlK(5)
 
   /** Greedy beam search over the kNN graph ([[Similarity
     * .graphSearch]]) — the HNSW-layer-0 query pattern: from the
@@ -427,9 +435,9 @@ object SimilarityQ {
     }.mkString(",\n")
     // the ed CTE is the composed ann_knn_join SQL widened to the k=10
     // edge build the operating point ships (the gate artifact itself
-    // stays k=5 — one string surgery on the one shared definition, so
-    // the two edge recipes cannot drift)
-    s"""WITH ed AS (SELECT q_id AS src, neighbor_id AS dst FROM (${annKnnJoinSql.replace("rk <= 5", "rk <= 10")})),
+    // stays k=5 — one shared parameterized definition, so the two
+    // edge recipes cannot drift)
+    s"""WITH ed AS (SELECT q_id AS src, neighbor_id AS dst FROM (${annKnnJoinSqlK(10)})),
        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 10),
        |ent AS (SELECT min(vec_id) AS node FROM embeddings),

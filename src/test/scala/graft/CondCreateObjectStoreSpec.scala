@@ -41,7 +41,7 @@ class CondCreateObjectStoreSpec extends ObjectStoreContractSuite {
     val c = new Path(s"$root/cond.txt")
     def conditionalWrite(payload: String): Unit = {
       val b = f.createFile(c).overwrite(false)
-      b.must(ConditionalCreate.OverwriteOption, false)
+      b.must(ConditionalCreate.OverwriteOption, true)
       val out = b.build()
       try out.write(bytes(payload)) finally out.close()
     }
@@ -50,6 +50,34 @@ class CondCreateObjectStoreSpec extends ObjectStoreContractSuite {
     assert(ConditionalCreate.isLostRace(e), s"expected a 412-family failure, got: $e")
     val in2 = f.open(c)
     assert((try scala.io.Source.fromInputStream(in2, "UTF-8").mkString finally in2.close()) === "winner")
+    // polarity pin (HADOOP-19256): the boolean is an ENABLE flag —
+    // must(option, false) does NOT engage the guard; both writers
+    // land, last wins (a shim that inverted the reading would throw)
+    val u = new Path(s"$root/uncond.txt")
+    def uncondWrite(payload: String): Unit = {
+      val b = f.createFile(u).overwrite(false)
+      b.must(ConditionalCreate.OverwriteOption, false)
+      val out = b.build()
+      try out.write(bytes(payload)) finally out.close()
+    }
+    uncondWrite("first"); uncondWrite("last")
+    val in3 = f.open(u)
+    assert((try scala.io.Source.fromInputStream(in3, "UTF-8").mkString finally in3.close()) === "last")
+  }
+
+  test("isLostRace: a genuine failure whose message embeds '412' or 'already exists' in a PATH propagates") {
+    // commit files are zero-padded versions — .../000412.json — and
+    // store messages embed the path; only ANCHORED markers may read as
+    // a lost race (ADVICE r10: unanchored contains() double-commits)
+    val notRaces = Seq(
+      new java.io.IOException("connection reset writing s3a://bkt/_log/000412.json"),
+      new java.io.IOException("credential expired for /tables/x/already existsish/v1.json"))
+    notRaces.foreach(e => assert(!ConditionalCreate.isLostRace(e), e.getMessage))
+    val races = Seq(
+      new java.io.IOException("PUT failed: Status Code: 412; precondition"),
+      new java.io.IOException("412 Precondition Failed (If-None-Match: *)"),
+      new org.apache.hadoop.fs.FileAlreadyExistsException("s3a://bkt/_log/000007.json"))
+    races.foreach(e => assert(ConditionalCreate.isLostRace(e), e.getMessage))
   }
 
   test("the adapter maps conditional create onto the AtomicPut contract") {

@@ -18,7 +18,8 @@ import org.apache.hadoop.util.Progressable
   *    graft's own type hierarchy marks it safe;
   *  - instead it advertises `fs.option.create.conditional.overwrite`
   *    through `hasPathCapability` and honors it through the
-  *    `createFile` builder: when the option is set (must) to `false`,
+  *    `createFile` builder: when the option is set (must) to `true`
+  *    (S3A's enable-flag polarity, default false — HADOOP-19256),
   *    the stream buffers and the object publishes at `close()` under
   *    an if-absent guard — an existing object makes close throw a
   *    [[PathIOException]] carrying the `412 Precondition Failed`
@@ -133,9 +134,11 @@ object CondCreateSimFileSystem {
       val key = graft.etl.ConditionalCreate.OverwriteOption
       // the option is only honored as a MUST key (Hadoop contract:
       // must() keys an FS does not understand fail the build; opt()
-      // keys may be ignored) — and conditional means overwrite=false
+      // keys may be ignored). Polarity mirrors S3A's CreateFileBuilder
+      // (HADOOP-19256): an ENABLE flag read with default false — TRUE
+      // engages the If-None-Match guard on the publishing PUT.
       val conditional =
-        getMandatoryKeys.contains(key) && !getOptions.getBoolean(key, true)
+        getMandatoryKeys.contains(key) && getOptions.getBoolean(key, false)
       val tmp = new Path(path.getParent,
         s".inflight-${java.util.UUID.randomUUID().toString.take(8)}")
       fs.mkdirs(path.getParent)
