@@ -26,8 +26,7 @@ object QueryDef {
     s"string_split_regex(lower(trim($col)),'\\s+')"
 
   /** Exact-cents money term: a 2-decimal-by-spec money column scaled
-    * to an integral double (`round(col*100)` — exact, the values fit
-    * far under 2^53), for ORDER-INDEPENDENT big-group revenue sums.
+    * to an integral LONG, for ORDER-INDEPENDENT big-group revenue sums.
     * Large-group sums of double products are order-dependent across
     * engines (the first sf1 parity run caught q1's sum_charge
     * diverging in the 4th decimal at 6M rows); summing exact integers
@@ -35,9 +34,15 @@ object QueryDef {
     * deterministic whatever the partitioning. Small-group sums (per
     * order / per customer) don't need this — √n ulp error can't reach
     * the 4th decimal there. See [[Relational.q1PricingSummary]].
+    *
+    * Implementation is `floor(c·100 + 0.5)` via a straight long cast —
+    * equal to `round(c·100)` on the NONNEGATIVE 2-decimal money domain
+    * (every TPC-H money column), and pure codegen: Spark's `round()`
+    * on a double allocates a `BigDecimal.setScale` per row, which at
+    * sf1 was a measurable share of q1's regression.
     */
   def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.round(c * 100)
+    (c * 100 + 0.5).cast("long")
 
   /** Sum of an exact-integer-valued double column, widened so the sum
     * cannot overflow, as a double. The per-row value is cast

@@ -31,32 +31,43 @@ object Relational {
     * in both engines whatever the partitioning. TPC-H itself specifies
     * decimal arithmetic — the quantized form is the faithful one.
     *
-    * PER-ROW arithmetic stays in LONG codegen (the r10 exact-cents
+    * PER-ROW arithmetic stays in pure LONG codegen (the r10 exact-cents
     * rewrite multiplied non-compact decimal(38,0) per row and paid
-    * 5.8× at sf1): p100·dm100·tp100 ≤ ~1.2e11 fits a long with 7
-    * orders of magnitude to spare, so the products are long multiplies
-    * and the ONE widening cast to decimal(38,0) happens at the sum
-    * input — the sums themselves still cannot overflow at any scale.
+    * 5.8× at sf1; Spark's `round()` on a double ALSO allocates a
+    * BigDecimal per row): cents terms use [[QueryDef.cents]]'s
+    * `floor(x·100 + 0.5)` (== round for the nonneg 2-decimal money
+    * domain) and the sums are TWO-PHASE — per-partition partials in
+    * LONG (row product ≤ ~1.2e11, so a partition needs ~75M rows to
+    * overflow a long partial; default maxPartitionBytes sizes them at
+    * ~1M), widened to decimal(38,0) only at the 6-group final, so
+    * 100 TB overflow safety costs 6·n_partitions decimal adds instead
+    * of one per row. Both phases sum exact integers → the result is
+    * identical to the single-phase decimal sum whatever the
+    * partitioning.
     */
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val p100 = round($"l_extendedprice" * 100).cast("long")
-    val dm100 = round(lit(100) - $"l_discount" * 100).cast("long")
-    val tp100 = round(lit(100) + $"l_tax" * 100).cast("long")
-    val d100 = round($"l_discount" * 100).cast("long")
+    val p100 = QueryDef.cents($"l_extendedprice")
+    val d100 = QueryDef.cents($"l_discount")
+    val dm100 = lit(100L) - d100
+    val tp100 = lit(100L) + QueryDef.cents($"l_tax")
     val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
-    val cnt = count(lit(1))
-    Tables(spark, dir).lineitem
+    val part = Tables(spark, dir).lineitem
       .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
-      .groupBy($"l_returnflag", $"l_linestatus")
+      .groupBy($"l_returnflag", $"l_linestatus", spark_partition_id().as("_pid"))
+      .agg(sum($"l_quantity").as("qty"), sum(p100).as("s1"),
+        sum(p100 * dm100).as("s2"), sum(p100 * dm100 * tp100).as("s3"),
+        sum(d100).as("sd"), count(lit(1)).as("c"))
+    val cnt = sum($"c")
+    part.groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        round(sum($"l_quantity"), 4).as("sum_qty"),
-        round(sum(dec(p100)).cast("double") / 100.0, 4).as("sum_base_price"),
-        round(sum(dec(p100 * dm100)).cast("double") / 10000.0, 4).as("sum_disc_price"),
-        round(sum(dec(p100 * dm100 * tp100)).cast("double") / 1000000.0, 4).as("sum_charge"),
-        round(sum($"l_quantity") / cnt, 4).as("avg_qty"),
-        round(sum(dec(p100)).cast("double") / 100.0 / cnt, 4).as("avg_price"),
-        round(sum(dec(d100)).cast("double") / 100.0 / cnt, 4).as("avg_disc"),
+        round(sum($"qty"), 4).as("sum_qty"),
+        round(sum(dec($"s1")).cast("double") / 100.0, 4).as("sum_base_price"),
+        round(sum(dec($"s2")).cast("double") / 10000.0, 4).as("sum_disc_price"),
+        round(sum(dec($"s3")).cast("double") / 1000000.0, 4).as("sum_charge"),
+        round(sum($"qty") / cnt, 4).as("avg_qty"),
+        round(sum(dec($"s1")).cast("double") / 100.0 / cnt, 4).as("avg_price"),
+        round(sum(dec($"sd")).cast("double") / 100.0 / cnt, 4).as("avg_disc"),
         cnt.as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
