@@ -103,7 +103,14 @@ object Recall {
         "sub=16,cb=32" -> (() => recallOf(
           pairs(Similarity.pqTopK(emb, qs, "vec_id", "embedding", k, 16, 32)), cosTruth)),
         "sub=16,cb=64" -> (() => recallOf(
-          pairs(Similarity.pqTopK(emb, qs, "vec_id", "embedding", k, 16, 64)), cosTruth))),
+          pairs(Similarity.pqTopK(emb, qs, "vec_id", "embedding", k, 16, 64)), cosTruth)),
+        // the r11 production tier: ADC shortlist + exact re-rank
+        "sub=16,cb=32,rerank=2x" -> (() => recallOf(
+          pairs(Similarity.pqRerankTopK(emb, qs, "vec_id", "embedding", k, 16, 32, 2)), cosTruth)),
+        "sub=16,cb=32,rerank=4x" -> (() => recallOf(
+          pairs(Similarity.pqRerankTopK(emb, qs, "vec_id", "embedding", k, 16, 32, 4)), cosTruth)),
+        "sub=16,cb=32,rerank=8x" -> (() => recallOf(
+          pairs(Similarity.pqRerankTopK(emb, qs, "vec_id", "embedding", k, 16, 32, 8)), cosTruth))),
       "ivf_pq" -> Seq(
         "c=10,np=4,sub=4,cb=8" -> (() => recallOf(
           pairs(Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", k, 10, 4, 4, 8)), cosTruth)),
@@ -112,7 +119,13 @@ object Recall {
         "c=10,np=8,sub=16,cb=32" -> (() => recallOf(
           pairs(Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", k, 10, 8, 16, 32)), cosTruth)),
         "c=10,np=8,sub=16,cb=64" -> (() => recallOf(
-          pairs(Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", k, 10, 8, 16, 64)), cosTruth))),
+          pairs(Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", k, 10, 8, 16, 64)), cosTruth)),
+        "c=10,np=8,sub=16,cb=32,rerank=2x" -> (() => recallOf(
+          pairs(Similarity.ivfPqRerankTopK(emb, qs, "vec_id", "embedding", k, 10, 8, 16, 32, 2)), cosTruth)),
+        "c=10,np=8,sub=16,cb=32,rerank=4x" -> (() => recallOf(
+          pairs(Similarity.ivfPqRerankTopK(emb, qs, "vec_id", "embedding", k, 10, 8, 16, 32, 4)), cosTruth)),
+        "c=10,np=8,sub=16,cb=32,rerank=8x" -> (() => recallOf(
+          pairs(Similarity.ivfPqRerankTopK(emb, qs, "vec_id", "embedding", k, 10, 8, 16, 32, 8)), cosTruth))),
       "mips" -> Seq(
         "planes=4" -> (() => recallOf(
           pairs(Similarity.mipsTopK(emb, qs, "vec_id", "embedding", k, planes = 4)), mipsTruth)),
@@ -128,8 +141,12 @@ object Recall {
         "edges=10,beam=32,hops=6" -> (() => recallOf(
           pairs(Similarity.graphSearch(emb, qs, edges10, "vec_id", "embedding", k, 32, 6)), cosTruth))))
 
+    // r11: the PQ shapes' shipped default is the re-rank composition
+    // (ann_pq_rerank / ann_ivf_pq_rerank gates) — the raw ADC points
+    // stay on the curve as the memory tier they are
     val defaults = Map("lsh" -> "planes=2", "ivf" -> "c=10,nprobe=8",
-      "pq" -> "sub=16,cb=32", "ivf_pq" -> "c=10,np=8,sub=16,cb=32",
+      "pq" -> "sub=16,cb=32,rerank=8x",
+      "ivf_pq" -> "c=10,np=8,sub=16,cb=32,rerank=8x",
       "mips" -> "planes=2", "graph" -> "edges=10,beam=32,hops=6")
 
     // cost at the default operating point: scored candidates (the rows
@@ -164,11 +181,13 @@ object Recall {
     // scan (numSub bytes/vector vs d floats), so its production role
     // is the first pass of a rerank pipeline whose recall comes from
     // the exact re-rank over PQ's shortlist, not from the codes.
-    val note = "pq/ivf_pq are memory-bound RERANK tiers, not recall tiers: " +
-      "ADC over numSub-byte codes compresses the scan 64x but caps recall " +
-      "(~0.4 with deterministic seeded codebooks); production recall comes from " +
-      "the exact re-rank over the PQ shortlist. lsh/ivf/mips/graph defaults sit " +
-      "at the >=0.8 recall@10 points of their measured curves."
+    val note = "pq/ivf_pq defaults are the r11 RERANK composition (ADC shortlist " +
+      "8x over-fetch + exact cosine re-rank, gated as ann_pq_rerank / " +
+      "ann_ivf_pq_rerank): the raw ADC tier tops out ~0.4 recall@10 on seed " +
+      "codebooks (memory tier, still on the curve); the exact pass touches only " +
+      "fetch*k rows per query, so the rerank cost rides the same code-scan " +
+      "candidate count. lsh/ivf/mips/graph defaults sit at the >=0.8 recall@10 " +
+      "points of their measured curves."
     println(s"""{"metric":"recall_at_10","sf":"${sfDir.split('/').last}",""" +
       flat + s""","defaults":{$defJson},"cost_candidates_at_default":{$costJson},""" +
       s""""curve":{$curveJson},"note":"$note",""" +

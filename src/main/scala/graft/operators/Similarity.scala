@@ -541,4 +541,59 @@ object Similarity {
       .select(col("q_id"), col("id").as("neighbor_id"),
         col("adc"), col("rk").cast("long").as("rk"))
   }
+
+  /** PQ + exact re-rank — the production recall recovery the PQ
+    * scaladoc names: the ADC code scan prunes the corpus to a
+    * `fetch·k` shortlist per query (PQ's memory role — numSub bytes
+    * per scanned vector), then the shortlist ids join back to the raw
+    * vectors ONCE and exact cosine ranks the final k. At 100 TB the
+    * exact pass touches fetch·k rows per query — the compressed scan
+    * did the work; recall comes from the re-rank (RECALL_r10 measured
+    * the raw ADC tier topping out at 0.40 recall@10 with seed
+    * codebooks; the 8× over-fetch + exact re-rank is the documented
+    * recovery — RECALL_r11 measures 0.86 recall@10 at the default,
+    * 80 exact rows per query).
+    */
+  def pqRerankTopK(vectors: DataFrame, queries: DataFrame,
+                   idCol: String, vecCol: String, k: Int,
+                   numSub: Int = 16, codebook: Int = 32, fetch: Int = 8): DataFrame =
+    exactRerank(vectors, queries, idCol, vecCol, k,
+      pqTopK(vectors, queries, idCol, vecCol, k * fetch, numSub, codebook))
+
+  /** IVF-PQ + exact re-rank: coarse lists prune, codes score, the
+    * exact pass ranks the `fetch·k` ADC shortlist — all three tiers of
+    * the production composition, each deterministic and
+    * oracle-replayable.
+    */
+  def ivfPqRerankTopK(vectors: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String, k: Int,
+                      numCentroids: Int = 10, nprobe: Int = 8,
+                      numSub: Int = 16, codebook: Int = 32, fetch: Int = 8): DataFrame =
+    exactRerank(vectors, queries, idCol, vecCol, k,
+      ivfPqTopK(vectors, queries, idCol, vecCol, k * fetch,
+        numCentroids, nprobe, numSub, codebook))
+
+  /** Exact cosine re-rank of an ANN shortlist: shortlist ids join the
+    * raw vectors once (an equi-join on id — never a corpus scan),
+    * queries broadcast, and the final k ranks through the bounded
+    * GroupTopK tier with the [[bruteForceTopK]] output contract
+    * (cosine rounded to 4 decimals, ties by id).
+    */
+  private def exactRerank(vectors: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String, k: Int,
+                          shortlist: DataFrame): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VecFns.norm(col(vecCol)).as("nrm"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"),
+      VecFns.norm(col(vecCol)).as("q_nrm"))
+    val scored = shortlist.select(col("q_id"), col("neighbor_id").as("id"))
+      .join(v, "id")
+      .join(broadcast(q), "q_id")
+      .withColumn("cos", VecFns.cosinePrenormed(
+        VecFns.dot(col("v"), col("q_v")), col("nrm"), col("q_nrm")))
+      .select(col("q_id"), col("id"), col("cos"))
+    TopK(scored, Seq(col("q_id")), Seq(col("cos").desc, col("id")), k)
+      .select(col("q_id"), col("id").as("neighbor_id"),
+        round(col("cos"), 4).as("cosine"), col("rk").cast("long").as("rk"))
+  }
 }

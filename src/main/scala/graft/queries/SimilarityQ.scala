@@ -269,8 +269,12 @@ object SimilarityQ {
       .orderBy($"q_id", $"rk")
   }
 
-  private val annPqSql =
-    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+  /** PQ ADC oracle parameterized by the emitted k — the rerank gate
+    * widens the same definition to its 4×k shortlist (the
+    * annKnnJoinSqlK pattern: one shared recipe, no drift).
+    */
+  private def annPqSqlK(k: Int) =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       |cents AS (SELECT vec_id AS c_id, e AS ce FROM v ORDER BY vec_id LIMIT 32),
       |cs AS (SELECT c_id, p, list_slice(ce, p * (len(ce) // 16) + 1, (p + 1) * (len(ce) // 16)) AS cse
       |       FROM cents, range(0, 16) t(p)),
@@ -290,7 +294,43 @@ object SimilarityQ {
       |r AS (SELECT q_id, neighbor_id, CAST(adcq AS DOUBLE) / 1048576.0 AS adc,
       |        row_number() OVER (PARTITION BY q_id ORDER BY adcq DESC, neighbor_id) AS rk
       |      FROM scored)
-      |SELECT q_id, neighbor_id, adc, rk FROM r WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
+      |SELECT q_id, neighbor_id, adc, rk FROM r WHERE rk <= $k ORDER BY q_id, rk""".stripMargin
+
+  private val annPqSql = annPqSqlK(10)
+
+  /** PQ + exact re-rank ([[Similarity.pqRerankTopK]]): the ADC code
+    * scan over-fetches 8×k, the exact cosine pass ranks the final 10 —
+    * the production recall recovery (RECALL_r10: raw ADC tops out at
+    * 0.40 recall@10 on seed codebooks; the re-rank tier restores
+    * brute-force-grade ordering over the shortlist at fetch·k exact
+    * rows per query). Oracle composes the shared PQ SQL (k=80) with
+    * the brute-force cosine recipe over the shortlist.
+    */
+  def annPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).embeddings
+    Similarity.pqRerankTopK(e, queriesOf(spark, dir), "vec_id", "embedding", k = 10)
+      .orderBy($"q_id", $"rk")
+  }
+
+  /** Shared exact-rerank oracle tail over a (q_id, neighbor_id)
+    * shortlist subquery — the brute-force cosine + rank recipe.
+    */
+  private def rerankSqlOver(shortlistSql: String) =
+    s"""WITH short AS (SELECT q_id, neighbor_id FROM ($shortlistSql)),
+       |vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |sc AS (
+       |  SELECT s.q_id, s.neighbor_id,
+       |    list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS c
+       |  FROM short s JOIN vv a ON a.vec_id = s.neighbor_id
+       |  JOIN vv b ON b.vec_id = s.q_id),
+       |rr AS (SELECT q_id, neighbor_id, c,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY c DESC, neighbor_id) AS rk
+       |       FROM sc)
+       |SELECT q_id, neighbor_id, round(c, 4) AS cosine, rk
+       |FROM rr WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
+
+  private val annPqRerankSql = rerankSqlOver(annPqSqlK(80))
 
   /** IVF-PQ composed ANN: coarse clusters prune candidates to nprobe
     * lists, PQ asymmetric distance scores them from the code table —
@@ -304,8 +344,8 @@ object SimilarityQ {
       .orderBy($"q_id", $"rk")
   }
 
-  private val annIvfPqSql =
-    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+  private def annIvfPqSqlK(k: Int) =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       |cents AS (SELECT vec_id AS c_id, e AS ce FROM v ORDER BY vec_id LIMIT 10),
       |ac AS (SELECT vec_id, c_id,
       |        row_number() OVER (PARTITION BY vec_id ORDER BY
@@ -340,7 +380,24 @@ object SimilarityQ {
       |r AS (SELECT q_id, neighbor_id, CAST(adcq AS DOUBLE) / 1048576.0 AS adc,
       |        row_number() OVER (PARTITION BY q_id ORDER BY adcq DESC, neighbor_id) AS rk
       |      FROM scored)
-      |SELECT q_id, neighbor_id, adc, rk FROM r WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
+      |SELECT q_id, neighbor_id, adc, rk FROM r WHERE rk <= $k ORDER BY q_id, rk""".stripMargin
+
+  private val annIvfPqSql = annIvfPqSqlK(10)
+
+  /** IVF-PQ + exact re-rank ([[Similarity.ivfPqRerankTopK]]): the full
+    * three-tier production shape — coarse lists prune, codes score,
+    * exact cosine ranks the 8×k ADC shortlist. The 100 TB operating
+    * point: (cluster, codes) artifact + nprobe list probes + fetch·k
+    * exact rows per query.
+    */
+  def annIvfPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).embeddings
+    Similarity.ivfPqRerankTopK(e, queriesOf(spark, dir), "vec_id", "embedding", k = 10)
+      .orderBy($"q_id", $"rk")
+  }
+
+  private val annIvfPqRerankSql = rerankSqlOver(annIvfPqSqlK(80))
 
   /** Corpus-wide kNN graph (r6, [[Similarity.knnJoin]]): every
     * vector's top-5 neighbors via the hyperplane-bucket equi-join —
@@ -1307,7 +1364,9 @@ object SimilarityQ {
     QueryDef.sql("ann_ivf_topk", annIvf _, annIvfSql),
     QueryDef.sql("emb_kmeans_step", embKmeansStep _, embKmeansStepSql),
     QueryDef.sql("ann_pq_topk", annPq _, annPqSql),
+    QueryDef.sql("ann_pq_rerank", annPqRerank _, annPqRerankSql),
     QueryDef.sql("ann_ivf_pq_topk", annIvfPq _, annIvfPqSql),
+    QueryDef.sql("ann_ivf_pq_rerank", annIvfPqRerank _, annIvfPqRerankSql),
     QueryDef.sql("ann_knn_join", annKnnJoin _, annKnnJoinSql),
     QueryDef.sql("emb_knn_components", embKnnComponents _, embKnnComponentsSql),
     QueryDef.sql("ann_graph_search", annGraphSearch _, annGraphSearchSql),

@@ -107,6 +107,30 @@ class SimilaritySpec extends GraftSuite {
     assert(recall >= 0.15)
   }
 
+  test("PQ + exact re-rank recovers brute-force-grade recall (the production tier)") {
+    val r = Similarity.pqRerankTopK(emb, qs, "vec_id", "embedding", 10)
+    val rows = r.collect()
+    assert(rows.length == qs.count() * 10)
+    // cosine descends within each query (exact re-rank output contract)
+    rows.groupBy(_.getAs[Long]("q_id")).values.foreach { g =>
+      val byRk = g.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("cosine"))
+      assert(byRk.zip(byRk.tail).forall { case (a, b) => a >= b })
+    }
+    val recall = (pairs(r) & truth).size.toDouble / truth.size
+    info(s"pq+rerank recall@10 = $recall")
+    assert(recall >= 0.8, s"rerank tier must clear 0.8 (raw ADC floor is 0.2): $recall")
+    // the re-rank can only surface ids the ADC shortlist contained
+    val shortlist = pairs(Similarity.pqTopK(emb, qs, "vec_id", "embedding", 80))
+    assert(pairs(r).subsetOf(shortlist))
+  }
+
+  test("IVF-PQ + exact re-rank clears the same 0.8 recall floor") {
+    val r = Similarity.ivfPqRerankTopK(emb, qs, "vec_id", "embedding", 10)
+    val recall = (pairs(r) & truth).size.toDouble / truth.size
+    info(s"ivf-pq+rerank recall@10 = $recall")
+    assert(recall >= 0.8, s"rerank tier must clear 0.8: $recall")
+  }
+
   test("kNN join agrees with lshTopK on any query subset (same buckets, same probes)") {
     // knnJoin's probe set for a vector is identical to lshTopK's for
     // the same vector (own bucket + 1-bit flips) AT THE SAME plane
