@@ -236,6 +236,70 @@ object Bench {
       else sf1.map { case (name, _) => name -> freshTime(name, "/tmp/graft_bench_sf1") }
     val sf1FreshJ = sf1Fresh.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // DuckDB-side baseline for the sf1 tier (r10 judge ask 8): time
+    // each headliner's ORACLE SQL on the SAME replicated lake through
+    // the driver box's python3+duckdb (min of iters, warm — the same
+    // discipline as the Spark side), so bench_vs_baseline is an
+    // artifact in BENCH itself, not a per-round judge computation.
+    // Empty (and noted) when python3/duckdb is unavailable; this is
+    // bench harness plumbing only — the library itself never touches
+    // DuckDB.
+    val sf1Oracle: Seq[(String, Double)] = if (sf1.isEmpty) Seq.empty else try {
+      val lake = "/tmp/graft_bench_sf1"
+      val py =
+        s"""import duckdb, json, time, os
+           |con = duckdb.connect()
+           |for t in ["region","nation","customer","supplier","part","orders",
+           |          "lineitem","events","documents","embeddings"]:
+           |    p = f"$lake/{t}.parquet"
+           |    if os.path.isdir(p): p = f"{p}/*.parquet"
+           |    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+           |oracle = json.load(open("$lake/_oracle_sql.json"))
+           |for name, sql in oracle.items():
+           |    best = None
+           |    for _ in range($iters):
+           |        t0 = time.time(); con.execute(sql).fetchall(); dt = time.time() - t0
+           |        best = dt if best is None or dt < best else best
+           |    print(f"ORACLE {name} {round(best, 4)}")
+           |""".stripMargin
+      def jq(s: String): String = "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+      val sqlJson = sf1.flatMap { case (n, _) => SparkEntry.oracleSql.get(n).map(n -> _) }
+        .map { case (n, s) => s"${jq(n)}: ${jq(s)}" }.mkString("{", ",", "}")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("/tmp/graft_bench_sf1/_oracle_sql.json"), sqlJson)
+      val pyFile = java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("/tmp/graft_bench_sf1/_oracle_bench.py"), py)
+      val pb = new ProcessBuilder("python3", pyFile.toString)
+      pb.redirectErrorStream(false)
+      val p = pb.start()
+      val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
+      p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
+      val re = "ORACLE (\\S+) (-?[0-9.]+)".r
+      re.findAllMatchIn(out).map(m => m.group(1) -> m.group(2).toDouble).toSeq
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] sf1 oracle baseline unavailable: ${e.getMessage}")
+      Seq.empty
+    }
+    val sf1OracleJ = sf1Oracle.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // the headline ratio the judge re-derived by hand in r9/r10: total
+    // Spark fresh-child sf1 time over total DuckDB oracle time on the
+    // identical lake + SQL semantics
+    val sf1Ratio: String = {
+      val sparkTotal = sf1Fresh.collect { case (_, v) if v > 0 => v }.sum
+      val duckTotal = sf1Oracle.collect { case (_, v) if v > 0 => v }.sum
+      if (sparkTotal > 0 && duckTotal > 0 && sf1Fresh.size == sf1Oracle.size)
+        (math.round(100.0 * sparkTotal / duckTotal) / 100.0).toString
+      else "null"
+    }
     val ok = results.values.filter(_ >= 0.0)
     val total = if (results.values.exists(_ < 0.0)) -1.0 else ok.sum
     // battery-vs-isolated agreement, written into the artifact itself:
@@ -258,8 +322,8 @@ object Bench {
     else
       s"battery >1.3x isolated (harness warmth; isolated is authoritative): ${outliers.mkString(",")}") +
       (if (watchNote.nonEmpty) s". watchlist: $watchNote" else "")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$iso,"battery_vs_isolated":$agreeJ,"notes":"$notes","fresh":$fr,"sf1_headliners":$sf1J,"sf1_headliners_fresh":$sf1FreshJ,""" +
-      s""""authoritative":"per-gate: isolated where present (top-20 + watchlist, each behind releaseAll+gc), else queries; sf1 tier: sf1_headliners_fresh (child JVM)","sf":"$sfDir","iters":$iters,"warmup":"$warmDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$iso,"battery_vs_isolated":$agreeJ,"notes":"$notes","fresh":$fr,"sf1_headliners":$sf1J,"sf1_headliners_fresh":$sf1FreshJ,"sf1_oracle":$sf1OracleJ,"sf1_spark_fresh_over_oracle":$sf1Ratio,""" +
+      s""""authoritative":"per-gate: isolated where present (top-20 + watchlist, each behind releaseAll+gc), else queries; sf1 tier: sf1_headliners_fresh (child JVM); sf1_oracle: DuckDB min-of-$iters warm on the same lake + same SQL","sf":"$sfDir","iters":$iters,"warmup":"$warmDir"}"""
     println(json)
     // the stdout line is scraped from a log tail that truncates past a
     // few hundred gates (round-7 postmortem: the official record ended
