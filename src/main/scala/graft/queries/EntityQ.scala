@@ -106,20 +106,20 @@ object EntityQ {
       |    FROM c)),
       |allr AS (SELECT * FROM c UNION ALL SELECT * FROM d),
       |g AS (
-      |  SELECT id, name,
+      |  SELECT id, name, cents,
       |    unnest(list_distinct([substr(name, i, 3) for i in range(1, length(name) - 1)])) AS gram
       |  FROM allr),
       |dfc AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
       |nn AS (SELECT count(*) AS n_all FROM allr),
-      |rare AS (SELECT g.id, g.name, g.gram FROM g JOIN dfc USING (gram), nn
+      |rare AS (SELECT g.id, g.name, g.cents, g.gram FROM g JOIN dfc USING (gram), nn
       |         WHERE df <= greatest(200, n_all // 100)),
       |cand AS (
       |  SELECT DISTINCT a.id AS id_a, a.name AS na, b.id AS id_b, b.name AS nb
-      |  FROM rare a JOIN rare b ON a.gram = b.gram AND a.id < b.id),
+      |  FROM rare a JOIN rare b
+      |    ON a.gram = b.gram AND a.cents = b.cents AND a.id < b.id),
       |pairs AS (
       |  SELECT id_a, id_b FROM cand
-      |  JOIN allr x ON x.id = cand.id_a JOIN allr y ON y.id = cand.id_b
-      |  WHERE levenshtein(na, nb) <= 2 AND x.cents = y.cents),
+      |  WHERE levenshtein(na, nb) <= 2),
       |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
       |nodes AS (SELECT DISTINCT u AS id FROM edges),
       |walk(id, lbl) AS (
