@@ -37,13 +37,17 @@ out = {
     "gates": dict(sorted(gates.items())),
     "n_gates": len(gates), "n_ok": n_ok, "n_skip": n_skip, "n_fail": n_fail,
     "sf_dir": "/tmp/graft_curve_x10 (sf0.1 replicated 10x by ScaleCurve.buildLake = sf1: 6M lineitem, 50k docs)",
-    "scope": "7 TPC-H headliners + the scale-probe gates (VERDICT r9 ask 6)",
+    "scope": "7 TPC-H headliners + the scale-probe gates (VERDICT r9 ask 6 / r10 ask 2)",
     "skip_policy": ["dedup_clusters"],
-    "notes": ("q1_pricing_summary initially FAILED here - Spark and DuckDB double-product sums "
-              "diverged in the 4th decimal at 6M rows; fixed by exact-integer-cent sums "
-              "(also q5/q6/q7/q9/histogram). dedup_minhash_clusters' oracle re-expressed as the "
-              "unrolled propagate+jump walk (8 materialized rounds, self-auditing sentinel) after "
-              "the recursive flood CTE timed out on 2.3k-doc dup families."),
+    "notes": ("q1_pricing_summary initially FAILED here in r10 - Spark and DuckDB double-product "
+              "sums diverged in the 4th decimal at 6M rows; fixed by exact-integer-cent sums "
+              "(also q5/q6/q7/q9/histogram); r11 keeps the exact sums but does the per-row "
+              "arithmetic in LONG codegen (q1 sf1 warm 6.79 -> 1.9 s). "
+              "dedup_minhash_clusters' oracle is the unrolled propagate+jump walk (8 materialized "
+              "rounds, self-auditing sentinel). q_golden_record was VACUOUS at this scale in r10 "
+              "(0 rows both engines - the absolute trigram-DF blocking cap zeroed the candidate "
+              "set on the replicated lake); r11's scale-relative cap (max(200, n/100), in-plan) "
+              "makes the cell real: 16,079 rows, hash-matched."),
 }
 json.dump(out, sys.stdout, indent=1, sort_keys=True)
 print()
