@@ -110,7 +110,13 @@ object Recall {
         "sub=16,cb=32,rerank=4x" -> (() => recallOf(
           pairs(Similarity.pqRerankTopK(emb, qs, "vec_id", "embedding", k, 16, 32, 4)), cosTruth)),
         "sub=16,cb=32,rerank=8x" -> (() => recallOf(
-          pairs(Similarity.pqRerankTopK(emb, qs, "vec_id", "embedding", k, 16, 32, 8)), cosTruth))),
+          pairs(Similarity.pqRerankTopK(emb, qs, "vec_id", "embedding", k, 16, 32, 8)), cosTruth)),
+        // trained codebooks (2 Lloyd rounds per subspace) — the
+        // quantization-quality half of the production recovery
+        "sub=16,cb=32,trained=2it" -> (() => recallOf(
+          pairs(Similarity.pqTrainedTopK(emb, qs, "vec_id", "embedding", k, 16, 32, 2)), cosTruth)),
+        "sub=16,cb=32,trained=2it,rerank=4x" -> (() => recallOf(
+          pairs(Similarity.pqTrainedRerankTopK(emb, qs, "vec_id", "embedding", k, 16, 32, 2, 4)), cosTruth))),
       "ivf_pq" -> Seq(
         "c=10,np=4,sub=4,cb=8" -> (() => recallOf(
           pairs(Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", k, 10, 4, 4, 8)), cosTruth)),
@@ -145,7 +151,7 @@ object Recall {
     // (ann_pq_rerank / ann_ivf_pq_rerank gates) — the raw ADC points
     // stay on the curve as the memory tier they are
     val defaults = Map("lsh" -> "planes=2", "ivf" -> "c=10,nprobe=8",
-      "pq" -> "sub=16,cb=32,rerank=8x",
+      "pq" -> "sub=16,cb=32,trained=2it,rerank=4x",
       "ivf_pq" -> "c=10,np=8,sub=16,cb=32,rerank=8x",
       "mips" -> "planes=2", "graph" -> "edges=10,beam=32,hops=6")
 
@@ -181,9 +187,10 @@ object Recall {
     // scan (numSub bytes/vector vs d floats), so its production role
     // is the first pass of a rerank pipeline whose recall comes from
     // the exact re-rank over PQ's shortlist, not from the codes.
-    val note = "pq/ivf_pq defaults are the r11 RERANK composition (ADC shortlist " +
-      "8x over-fetch + exact cosine re-rank, gated as ann_pq_rerank / " +
-      "ann_ivf_pq_rerank): the raw ADC tier tops out ~0.4 recall@10 on seed " +
+    val note = "pq default is the r11 TRAINED+RERANK composition (per-subspace " +
+      "L2 k-means codebooks, 2 Lloyd rounds, + 4x-over-fetch exact re-rank, " +
+      "gated as ann_pq_trained_rerank; 0.93 recall@10); ivf_pq default is the " +
+      "8x rerank composition (ann_ivf_pq_rerank). raw ADC tops out ~0.4 on seed " +
       "codebooks (memory tier, still on the curve); the exact pass touches only " +
       "fetch*k rows per query, so the rerank cost rides the same code-scan " +
       "candidate count. lsh/ivf/mips/graph defaults sit at the >=0.8 recall@10 " +

@@ -332,6 +332,84 @@ object SimilarityQ {
 
   private val annPqRerankSql = rerankSqlOver(annPqSqlK(80))
 
+  /** Trained-codebook PQ ([[Similarity.pqTrainedTopK]], 2 Lloyd rounds
+    * per subspace from the seed slices): the quantization-quality half
+    * of the production recovery — codebooks that tile each subspace
+    * instead of arbitrary seed vectors. The oracle unrolls both
+    * training rounds (assign by max subvector inner product, recompute
+    * entries as e6-quantized per-dim means, empty entries keep their
+    * previous value) and then replays the standard encode → ADC →
+    * rank pipeline over the trained codebooks.
+    */
+  def annPqTrained(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).embeddings
+    Similarity.pqTrainedTopK(e, queriesOf(spark, dir), "vec_id", "embedding", k = 10)
+      .orderBy($"q_id", $"rk")
+  }
+
+  /** Trained-codebook PQ + exact re-rank — both halves of the recovery
+    * composed ([[Similarity.pqTrainedRerankTopK]]).
+    */
+  def annPqTrainedRerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).embeddings
+    Similarity.pqTrainedRerankTopK(e, queriesOf(spark, dir), "vec_id", "embedding", k = 10)
+      .orderBy($"q_id", $"rk")
+  }
+
+  /** One unrolled Lloyd round over per-subspace codebooks: cs{i-1} →
+    * cs{i}. Subspace width is 4 (64-dim embeddings / 16 subspaces —
+    * the gate's pinned operating point, like the emb_kmeans_step
+    * oracle's range(0, 64)).
+    */
+  private def pqTrainRoundSql(i: Int): String = {
+    val prev = s"cs${i - 1}"
+    s"""a$i AS (
+       |  SELECT vec_id, vs.p, c_id, es,
+       |    row_number() OVER (PARTITION BY vec_id, vs.p
+       |      ORDER BY (list_dot_product(cse, cse) - 2 * list_dot_product(es, cse)) ASC, c_id) AS rn
+       |  FROM vs JOIN $prev ON $prev.p = vs.p),
+       |cells$i AS (
+       |  SELECT c_id, p, j, count(*) AS n,
+       |    CAST(sum(CAST(round(es[CAST(j + 1 AS INTEGER)] * 1e6) AS BIGINT)) AS BIGINT) AS s6
+       |  FROM (SELECT * FROM a$i WHERE rn = 1), range(0, 4) d(j)
+       |  GROUP BY 1, 2, 3),
+       |nc$i AS (SELECT c_id, p, list(round(s6 / (n * 1e6), 6) ORDER BY j) AS nw
+       |         FROM cells$i GROUP BY 1, 2),
+       |cs$i AS (SELECT c.c_id, c.p, coalesce(n.nw, c.cse) AS cse
+       |         FROM $prev c LEFT JOIN nc$i n ON n.c_id = c.c_id AND n.p = c.p)""".stripMargin
+  }
+
+  private def annPqTrainedSqlK(k: Int) =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |vs AS (SELECT vec_id, p, list_slice(e, p * (len(e) // 16) + 1, (p + 1) * (len(e) // 16)) AS es
+       |       FROM v, range(0, 16) t(p)),
+       |cs0 AS (
+       |  SELECT vec_id AS c_id, p,
+       |    list_slice(e, p * (len(e) // 16) + 1, (p + 1) * (len(e) // 16)) AS cse
+       |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 32), range(0, 16) t(p)),
+       |${pqTrainRoundSql(1)},
+       |${pqTrainRoundSql(2)},
+       |cd AS (SELECT vec_id, vs.p, c_id,
+       |         row_number() OVER (PARTITION BY vec_id, vs.p
+       |           ORDER BY (list_dot_product(cse, cse) - 2 * list_dot_product(es, cse)) ASC, c_id) AS rn
+       |       FROM vs JOIN cs2 ON cs2.p = vs.p),
+       |codes AS (SELECT vec_id, p, c_id AS code FROM cd WHERE rn = 1),
+       |dt AS (SELECT qs.vec_id AS q_id, qs.p, c_id AS code,
+       |         CAST(floor(list_dot_product(qs.es, cs2.cse) * 1048576.0) AS BIGINT) AS pd
+       |       FROM vs qs JOIN cs2 ON cs2.p = qs.p WHERE qs.vec_id < 10),
+       |scored AS (SELECT d.q_id, c.vec_id AS neighbor_id, SUM(d.pd) AS adcq
+       |           FROM codes c JOIN dt d ON d.p = c.p AND d.code = c.code
+       |           WHERE c.vec_id <> d.q_id GROUP BY d.q_id, c.vec_id),
+       |r AS (SELECT q_id, neighbor_id, CAST(adcq AS DOUBLE) / 1048576.0 AS adc,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY adcq DESC, neighbor_id) AS rk
+       |      FROM scored)
+       |SELECT q_id, neighbor_id, adc, rk FROM r WHERE rk <= $k ORDER BY q_id, rk""".stripMargin
+
+  private val annPqTrainedSql = annPqTrainedSqlK(10)
+  private val annPqTrainedRerankSql = rerankSqlOver(annPqTrainedSqlK(40))
+
   /** IVF-PQ composed ANN: coarse clusters prune candidates to nprobe
     * lists, PQ asymmetric distance scores them from the code table —
     * the memory-feasible 100 TB index shape. Fully deterministic, so
@@ -1365,6 +1443,8 @@ object SimilarityQ {
     QueryDef.sql("emb_kmeans_step", embKmeansStep _, embKmeansStepSql),
     QueryDef.sql("ann_pq_topk", annPq _, annPqSql),
     QueryDef.sql("ann_pq_rerank", annPqRerank _, annPqRerankSql),
+    QueryDef.sql("ann_pq_trained", annPqTrained _, annPqTrainedSql),
+    QueryDef.sql("ann_pq_trained_rerank", annPqTrainedRerank _, annPqTrainedRerankSql),
     QueryDef.sql("ann_ivf_pq_topk", annIvfPq _, annIvfPqSql),
     QueryDef.sql("ann_ivf_pq_rerank", annIvfPqRerank _, annIvfPqRerankSql),
     QueryDef.sql("ann_knn_join", annKnnJoin _, annKnnJoinSql),
