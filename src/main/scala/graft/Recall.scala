@@ -131,7 +131,9 @@ object Recall {
         "c=10,np=8,sub=16,cb=32,rerank=4x" -> (() => recallOf(
           pairs(Similarity.ivfPqRerankTopK(emb, qs, "vec_id", "embedding", k, 10, 8, 16, 32, 4)), cosTruth)),
         "c=10,np=8,sub=16,cb=32,rerank=8x" -> (() => recallOf(
-          pairs(Similarity.ivfPqRerankTopK(emb, qs, "vec_id", "embedding", k, 10, 8, 16, 32, 8)), cosTruth))),
+          pairs(Similarity.ivfPqRerankTopK(emb, qs, "vec_id", "embedding", k, 10, 8, 16, 32, 8)), cosTruth)),
+        "c=10,np=8,sub=16,cb=32,trained=2it,rerank=4x" -> (() => recallOf(
+          pairs(Similarity.ivfPqTrainedRerankTopK(emb, qs, "vec_id", "embedding", k, 10, 8, 16, 32, 2, 4)), cosTruth))),
       "mips" -> Seq(
         "planes=4" -> (() => recallOf(
           pairs(Similarity.mipsTopK(emb, qs, "vec_id", "embedding", k, planes = 4)), mipsTruth)),
@@ -152,7 +154,7 @@ object Recall {
     // stay on the curve as the memory tier they are
     val defaults = Map("lsh" -> "planes=2", "ivf" -> "c=10,nprobe=8",
       "pq" -> "sub=16,cb=32,trained=2it,rerank=4x",
-      "ivf_pq" -> "c=10,np=8,sub=16,cb=32,rerank=8x",
+      "ivf_pq" -> "c=10,np=8,sub=16,cb=32,trained=2it,rerank=4x",
       "mips" -> "planes=2", "graph" -> "edges=10,beam=32,hops=6")
 
     // cost at the default operating point: scored candidates (the rows
@@ -190,7 +192,8 @@ object Recall {
     val note = "pq default is the r11 TRAINED+RERANK composition (per-subspace " +
       "L2 k-means codebooks, 2 Lloyd rounds, + 4x-over-fetch exact re-rank, " +
       "gated as ann_pq_trained_rerank; 0.93 recall@10); ivf_pq default is the " +
-      "8x rerank composition (ann_ivf_pq_rerank). raw ADC tops out ~0.4 on seed " +
+      "same trained+rerank stack behind the IVF coarse tier " +
+      "(ann_ivf_pq_trained_rerank; 0.91). raw ADC tops out ~0.4 on seed " +
       "codebooks (memory tier, still on the curve); the exact pass touches only " +
       "fetch*k rows per query, so the rerank cost rides the same code-scan " +
       "candidate count. lsh/ivf/mips/graph defaults sit at the >=0.8 recall@10 " +

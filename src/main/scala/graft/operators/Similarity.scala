@@ -656,6 +656,77 @@ object Similarity {
     exactRerank(vectors, queries, idCol, vecCol, k,
       pqTrainedTopK(vectors, queries, idCol, vecCol, k * fetch, numSub, codebook, iters))
 
+  /** IVF coarse pruning over TRAINED PQ codes: the [[ivfPqTopK]]
+    * composition with the fine tier's codebooks trained ([[
+    * trainedCsub]]) and encoding by min-L2 reconstruction — the full
+    * production index artifact (cluster id + trained codes per
+    * vector).
+    */
+  def ivfPqTrainedTopK(vectors: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String, k: Int,
+                       numCentroids: Int = 10, nprobe: Int = 8,
+                       numSub: Int = 16, codebook: Int = 32, iters: Int = 2): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // coarse tier — identical to ivfPqTopK
+    val cents = vectors.orderBy(col(idCol)).limit(numCentroids)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_v"))
+    val assigned = TopK(
+      v.crossJoin(broadcast(cents))
+        .withColumn("c_cos", VecFns.cosine(col("v"), col("c_v"))),
+      Seq(col("id")), Seq(col("c_cos").desc, col("c_id")), 1)
+      .select(col("id"), col("c_id").as("cluster"))
+    val probes = TopK(
+      queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
+        .crossJoin(broadcast(cents))
+        .withColumn("c_cos", VecFns.cosine(col("q_v"), col("c_v"))),
+      Seq(col("q_id")), Seq(col("c_cos").desc, col("c_id")), nprobe)
+      .select(col("q_id"), col("c_id").as("cluster"))
+    // fine tier — trained codebooks, min-L2 encode (as pqTrainedTopK)
+    val subIdx = sequence(lit(0), lit(numSub - 1))
+    val csub = trainedCsub(vectors, idCol, vecCol, numSub, codebook, iters)
+      .transform(graft.operators.CacheLedger.persist)
+    val vsub = v.select(col("id"), col("v"), explode(subIdx).as("m"))
+      .withColumn("sd", expr(s"size(v) div $numSub").cast("int"))
+      .withColumn("v_sub",
+        expr("transform(slice(v, m * sd + 1, sd), x -> cast(x as double))"))
+    val codes = TopK(
+      vsub.join(broadcast(csub), "m")
+        .withColumn("d2", VecFns.dot(col("c_sub"), col("c_sub"))
+          - lit(2.0) * VecFns.dot(col("v_sub"), col("c_sub"))),
+      Seq(col("id"), col("m")), Seq(col("d2").asc, col("c_id")), 1)
+      .select(col("id"), col("m"), col("c_id").as("code"))
+    val qsub = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"),
+        explode(subIdx).as("m"))
+      .withColumn("sd", expr(s"size(q_v) div $numSub").cast("int"))
+      .withColumn("q_sub",
+        expr("transform(slice(q_v, m * sd + 1, sd), x -> cast(x as double))"))
+    val dt = qsub.join(broadcast(csub), "m")
+      .withColumn("pd",
+        floor(VecFns.dot(col("q_sub"), col("c_sub")) * lit(1048576.0)).cast("long"))
+      .select(col("q_id"), col("m"), col("c_id").as("code"), col("pd"))
+    val cand = assigned.join(broadcast(probes), "cluster")
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id")).distinct()
+    val scored = cand.join(codes, "id")
+      .join(broadcast(dt), Seq("q_id", "m", "code"))
+      .groupBy(col("q_id"), col("id"))
+      .agg(sum(col("pd")).as("adcq"))
+      .withColumn("adc", col("adcq").cast("double") / lit(1048576.0))
+    TopK(scored, Seq(col("q_id")), Seq(col("adcq").desc, col("id")), k)
+      .select(col("q_id"), col("id").as("neighbor_id"),
+        col("adc"), col("rk").cast("long").as("rk"))
+  }
+
+  /** IVF + trained PQ + exact re-rank: the complete production stack. */
+  def ivfPqTrainedRerankTopK(vectors: DataFrame, queries: DataFrame,
+                             idCol: String, vecCol: String, k: Int,
+                             numCentroids: Int = 10, nprobe: Int = 8,
+                             numSub: Int = 16, codebook: Int = 32,
+                             iters: Int = 2, fetch: Int = 4): DataFrame =
+    exactRerank(vectors, queries, idCol, vecCol, k,
+      ivfPqTrainedTopK(vectors, queries, idCol, vecCol, k * fetch,
+        numCentroids, nprobe, numSub, codebook, iters))
+
   /** PQ + exact re-rank — the production recall recovery the PQ
     * scaladoc names: the ADC code scan prunes the corpus to a
     * `fetch·k` shortlist per query (PQ's memory role — numSub bytes

@@ -477,6 +477,61 @@ object SimilarityQ {
 
   private val annIvfPqRerankSql = rerankSqlOver(annIvfPqSqlK(80))
 
+  /** IVF + trained PQ + exact re-rank ([[Similarity
+    * .ivfPqTrainedRerankTopK]]): the complete production stack —
+    * coarse lists prune, TRAINED codes (min-L2, 2 Lloyd rounds) score,
+    * exact cosine ranks the 4×k shortlist.
+    */
+  def annIvfPqTrainedRerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).embeddings
+    Similarity.ivfPqTrainedRerankTopK(e, queriesOf(spark, dir), "vec_id", "embedding", k = 10)
+      .orderBy($"q_id", $"rk")
+  }
+
+  private def annIvfPqTrainedSqlK(k: Int) =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cents AS (SELECT vec_id AS c_id, e AS ce FROM v ORDER BY vec_id LIMIT 10),
+       |ac AS (SELECT vec_id, c_id,
+       |        row_number() OVER (PARTITION BY vec_id ORDER BY
+       |          list_dot_product(e, ce) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))) DESC, c_id) AS rn
+       |      FROM v, cents),
+       |assigned AS (SELECT vec_id, c_id AS cluster FROM ac WHERE rn = 1),
+       |qp AS (SELECT vec_id AS q_id, c_id AS cluster,
+       |        row_number() OVER (PARTITION BY vec_id ORDER BY
+       |          list_dot_product(e, ce) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))) DESC, c_id) AS rn
+       |      FROM v, cents WHERE vec_id < 10),
+       |probes AS (SELECT q_id, cluster FROM qp WHERE rn <= 8),
+       |vs AS (SELECT vec_id, p, list_slice(e, p * (len(e) // 16) + 1, (p + 1) * (len(e) // 16)) AS es
+       |       FROM v, range(0, 16) t(p)),
+       |cs0 AS (
+       |  SELECT vec_id AS c_id, p,
+       |    list_slice(e, p * (len(e) // 16) + 1, (p + 1) * (len(e) // 16)) AS cse
+       |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 32), range(0, 16) t(p)),
+       |${pqTrainRoundSql(1)},
+       |${pqTrainRoundSql(2)},
+       |cd AS (SELECT vec_id, vs.p, c_id,
+       |         row_number() OVER (PARTITION BY vec_id, vs.p
+       |           ORDER BY (list_dot_product(cse, cse) - 2 * list_dot_product(es, cse)) ASC, c_id) AS rn
+       |       FROM vs JOIN cs2 ON cs2.p = vs.p),
+       |codes AS (SELECT vec_id, p, c_id AS code FROM cd WHERE rn = 1),
+       |dt AS (SELECT qs.vec_id AS q_id, qs.p, c_id AS code,
+       |         CAST(floor(list_dot_product(qs.es, cs2.cse) * 1048576.0) AS BIGINT) AS pd
+       |       FROM vs qs JOIN cs2 ON cs2.p = qs.p WHERE qs.vec_id < 10),
+       |cand AS (SELECT DISTINCT p.q_id, a.vec_id AS id
+       |         FROM probes p JOIN assigned a ON a.cluster = p.cluster
+       |         WHERE a.vec_id <> p.q_id),
+       |scored AS (SELECT c.q_id, c.id AS neighbor_id, SUM(d.pd) AS adcq
+       |           FROM cand c JOIN codes kc ON kc.vec_id = c.id
+       |           JOIN dt d ON d.q_id = c.q_id AND d.p = kc.p AND d.code = kc.code
+       |           GROUP BY c.q_id, c.id),
+       |r AS (SELECT q_id, neighbor_id, CAST(adcq AS DOUBLE) / 1048576.0 AS adc,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY adcq DESC, neighbor_id) AS rk
+       |      FROM scored)
+       |SELECT q_id, neighbor_id, adc, rk FROM r WHERE rk <= $k ORDER BY q_id, rk""".stripMargin
+
+  private val annIvfPqTrainedRerankSql = rerankSqlOver(annIvfPqTrainedSqlK(40))
+
   /** Corpus-wide kNN graph (r6, [[Similarity.knnJoin]]): every
     * vector's top-5 neighbors via the hyperplane-bucket equi-join —
     * the probe side is the corpus itself, so unlike `ann_lsh_topk`
@@ -1447,6 +1502,7 @@ object SimilarityQ {
     QueryDef.sql("ann_pq_trained_rerank", annPqTrainedRerank _, annPqTrainedRerankSql),
     QueryDef.sql("ann_ivf_pq_topk", annIvfPq _, annIvfPqSql),
     QueryDef.sql("ann_ivf_pq_rerank", annIvfPqRerank _, annIvfPqRerankSql),
+    QueryDef.sql("ann_ivf_pq_trained_rerank", annIvfPqTrainedRerank _, annIvfPqTrainedRerankSql),
     QueryDef.sql("ann_knn_join", annKnnJoin _, annKnnJoinSql),
     QueryDef.sql("emb_knn_components", embKnnComponents _, embKnnComponentsSql),
     QueryDef.sql("ann_graph_search", annGraphSearch _, annGraphSearchSql),
