@@ -175,11 +175,25 @@ object Dedup {
       .withColumn("pos", row_number().over(
         Window.partitionBy($("id")).orderBy($("df_"), $("tok"))))
       .filter($("pos") <= $("n") - ceilTau($("n"), tau) + 1)
-      .select($("id"), $("n"), $("tok"))
+      .select($("id"), $("n"), $("pos"), $("tok"))
+    // PPJoin POSITIONAL filter (Xiao et al., WWW'08), lossless: J ≥ τ
+    // needs overlap α = ⌈τ(n_a+n_b)/(1+τ)⌉, and at a shared token at
+    // sorted positions (i, j) the achievable overlap is at most
+    // 1 + min(n_a − i, n_b − j) (every other shared token sorts after
+    // both). A true pair's EARLIEST shared prefix token maximizes that
+    // bound and must pass, so pruning failing matches before the
+    // DISTINCT loses no pair — it only cuts verify candidates (the
+    // gate's cost is the exact verify; the spec pins losslessness
+    // against the all-pairs baseline). α in exact integers via the
+    // same rational-τ recipe as [[ceilTau]].
+    val num = math.round(tau * 1e6)
+    val den = 1000000L + num
     val cands = prefix.as("a").join(prefix.as("b"), "tok")
       .filter(col("a.id") < col("b.id") &&
         col("a.n") >= ceilTau(col("b.n"), tau) &&
         col("b.n") >= ceilTau(col("a.n"), tau))
+      .filter(lit(1L) + least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")).cast("long")
+        >= expr(s"(CAST(a.n + b.n AS BIGINT) * ${num}L + ${den - 1}L) div ${den}L"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     verifyJaccard(cands, sets, tau)
