@@ -1089,10 +1089,27 @@ object SimilarityQ {
     * HARNESS, not the operator: the joined plan is the same
     * distributed stream-stream join a cluster runs against Kafka.
     */
+  /** Child session for the replay harnesses: same SparkContext, OWN
+    * SQLConf with replay-sized shuffle partitions. A stateful
+    * streaming micro-batch commits one state-store instance per
+    * shuffle partition per stateful operator; at the battery's 32
+    * partitions the 4-batch replays spent most of their wall clock in
+    * near-empty store commits. 4 partitions keeps the replay
+    * distributed and changes NOTHING semantically — the gates
+    * hash-match the batch oracle at any partitioning (that is the
+    * point of the exact-integer folds).
+    */
+  private def replaySession(spark: SparkSession): SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss
+  }
+
   def streamIntervalReplay(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ss = replaySession(spark)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
     val e = Tables(spark, dir).events
       .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
         $"value".cast("double").as("value"), $"event_type")
@@ -1121,8 +1138,8 @@ object SimilarityQ {
         q.processAllAvailable()
       }
     } finally q.stop()
-    val out = spark.table(name).collect()
-    spark.catalog.dropTempView(name)
+    val out = ss.table(name).collect()
+    ss.catalog.dropTempView(name)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("click_id", org.apache.spark.sql.types.LongType),
@@ -1151,7 +1168,8 @@ object SimilarityQ {
   def streamSpendReplay(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ss = replaySession(spark)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
     val evs = collectReplay(Tables(spark, dir).events
       .filter($"event_type" === "purchase")
       .select($"user_id", $"event_id", $"value".cast("double"))
@@ -1160,27 +1178,22 @@ object SimilarityQ {
       .map(t => EventStream.ValEv(t._1, t._2, t._3))
     val sz = math.max(1, (evs.length + 3) / 4)
     val batches = evs.grouped(sz).toSeq
-    val priorProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+    // the provider set on the THROWAWAY child session — nothing to restore
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val name = "stream_spend_replay_" + java.util.UUID.randomUUID().toString.take(8)
-    try {
-      val input = MemoryStream[EventStream.ValEv]
-      val q = EventStream.spendTracker(input.toDS())
-        .writeStream.outputMode("update").format("memory").queryName(name).start()
-      try batches.foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
-      finally q.stop()
-    } finally priorProvider match {
-      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    }
-    val out = spark.table(name)
+    val input = MemoryStream[EventStream.ValEv]
+    val q = EventStream.spendTracker(input.toDS())
+      .writeStream.outputMode("update").format("memory").queryName(name).start()
+    try batches.foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+    finally q.stop()
+    val out = ss.table(name)
       .groupBy($"user_id")
       .agg(max($"n").as("n"), max($"total_cents").as("total_cents"),
         max($"max_cents").as("max_cents"))
       .orderBy($"user_id")
       .collect()
-    spark.catalog.dropTempView(name)
+    ss.catalog.dropTempView(name)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType),
@@ -1214,7 +1227,8 @@ object SimilarityQ {
   def streamDedupReplay(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ss = replaySession(spark)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
     val evs = collectReplay(Tables(spark, dir).events
       .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id", $"event_type")
       .as[(Long, Long, Long, String)]).sortBy(r => (r._2, r._3))
@@ -1246,8 +1260,8 @@ object SimilarityQ {
         q.processAllAvailable()
       }
     } finally q.stop()
-    val out = spark.table(name).collect()
-    spark.catalog.dropTempView(name)
+    val out = ss.table(name).collect()
+    ss.catalog.dropTempView(name)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
@@ -1283,7 +1297,8 @@ object SimilarityQ {
   def streamSessionReplay(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ss = replaySession(spark)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
     val evs = collectReplay(Tables(spark, dir).events
       .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
         $"value".cast("double"))
@@ -1315,8 +1330,8 @@ object SimilarityQ {
         q.processAllAvailable()
       }
     } finally q.stop()
-    val out = spark.table(name).filter($"user_id" >= 0).collect()
-    spark.catalog.dropTempView(name)
+    val out = ss.table(name).filter($"user_id" >= 0).collect()
+    ss.catalog.dropTempView(name)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("start_us", org.apache.spark.sql.types.LongType),
