@@ -146,6 +146,13 @@ class SimilaritySpec extends GraftSuite {
     assert(trained >= seed - 2, "training should not degrade the raw ADC tier")
   }
 
+  test("IVF + trained PQ + re-rank (the shipped ivf_pq default) clears 0.8") {
+    val r = Similarity.ivfPqTrainedRerankTopK(emb, qs, "vec_id", "embedding", 10)
+    val recall = (pairs(r) & truth).size.toDouble / truth.size
+    info(s"ivf-pq trained+rerank recall@10 = $recall")
+    assert(recall >= 0.8, s"the shipped ivf_pq default must clear 0.8: $recall")
+  }
+
   test("kNN join agrees with lshTopK on any query subset (same buckets, same probes)") {
     // knnJoin's probe set for a vector is identical to lshTopK's for
     // the same vector (own bucket + 1-bit flips) AT THE SAME plane
