@@ -60,6 +60,14 @@ object Bench {
     }
     val gcEvery = 25
     var gateIdx = 0
+    // 0.1 ms precision in every emitted map: full-precision doubles made
+    // the one-line suite record ~14 KB, and the driver's log tail
+    // truncates that into an unparseable fragment (the r11 BENCH_r11
+    // "parsed": null) — sub-0.1 ms digits carry no information here
+    def f4(v: Double): String =
+      if (v < 0) "-1.0" else (math.round(v * 10000.0) / 10000.0).toString
+    def jmap(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + f4(v) }.mkString("{", ",", "}")
     val results = candidates
       .map { case (name, fn) =>
       val times = (1 to iters).map { _ =>
@@ -83,8 +91,7 @@ object Bench {
       releaseAll(gc = gateIdx % gcEvery == 0)
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val qs = jmap(results.toSeq.sortBy(_._1))
     // contention self-diagnosis: re-time the 20 slowest queries ALONE
     // after the whole suite, each behind a full releaseAll + gc. In
     // the main pass a query shares the JVM with its neighbors'
@@ -100,7 +107,10 @@ object Bench {
     // answers "real or harness warmth" without a manual triage pass
     // (r8: q_confusion_metrics/text_bm25; r9: dedup_ngram_jaccard,
     // q_regression_diagnostics — both re-measured fine isolated)
-    val watch = Seq("dedup_ngram_jaccard", "q_regression_diagnostics")
+    val watch = Seq("dedup_ngram_jaccard", "q_regression_diagnostics",
+      // r11 battery drifters (1.6-1.8x their r10 battery reads) — on the
+      // list until an isolated re-time rules a real regression in or out
+      "q_approx_quantile", "q_user_paths")
       .filter(g => results.getOrElse(g, -1.0) >= 0.0)
     val slow = (slow0 ++ watch).distinct
     // both diagnostic passes are skipped under BENCH_ONLY — that mode is
@@ -124,8 +134,7 @@ object Bench {
       releaseAll(gc = false)
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
-    val iso = isolated.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val iso = jmap(isolated)
     // fresh-JVM re-times: the isolated pass above still runs inside a
     // JVM that has executed the whole suite (heap/codegen/GC debris
     // inflates post-suite re-times ~1.7× — the round-3 memory gotcha),
@@ -169,8 +178,7 @@ object Bench {
       }
     }
     val fresh = if (!freshOn) Seq.empty else slow.map(n => n -> freshTime(n, sfDir))
-    val fr = fresh.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val fr = jmap(fresh)
     // failure sentinels must not shrink the headline number
     // sf1 headliner tier: when benching at sf0.1, ALSO time the TPC-H
     // shape headliners against a 10×-replicated lake (≈6M lineitem
@@ -225,8 +233,7 @@ object Bench {
         Seq.empty
       }
     }
-    val sf1J = sf1.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val sf1J = jmap(sf1)
     // the sf1 tier runs at the END of the full suite inside a JVM full
     // of heap/codegen debris — the in-process numbers above inflate up
     // to ~5× (round-9 postmortem: q6 read 2.01 s in-suite vs 0.41 s
@@ -234,8 +241,7 @@ object Bench {
     // headliner in a fresh child JVM; the fresh number is the record.
     val sf1Fresh = if (sf1.isEmpty || !freshOn) Seq.empty
       else sf1.map { case (name, _) => name -> freshTime(name, "/tmp/graft_bench_sf1") }
-    val sf1FreshJ = sf1Fresh.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val sf1FreshJ = jmap(sf1Fresh)
     // DuckDB-side baseline for the sf1 tier (r10 judge ask 8): time
     // each headliner's ORACLE SQL on the SAME replicated lake through
     // the driver box's python3+duckdb (min of iters, warm — the same
@@ -260,7 +266,7 @@ object Bench {
            |    for _ in range($iters):
            |        t0 = time.time(); con.execute(sql).fetchall(); dt = time.time() - t0
            |        best = dt if best is None or dt < best else best
-           |    print(f"ORACLE {name} {round(best, 4)}")
+           |    print(f"ORACLE {name} {best:.4f}")
            |""".stripMargin
       def jq(s: String): String = "\"" + s.flatMap {
         case '"' => "\\\""
@@ -278,18 +284,31 @@ object Bench {
       val pyFile = java.nio.file.Files.writeString(
         java.nio.file.Paths.get("/tmp/graft_bench_sf1/_oracle_bench.py"), py)
       val pb = new ProcessBuilder("python3", pyFile.toString)
+      // both pipes drain on background threads BEFORE the bounded
+      // waitFor: the r11 form read stdout to EOF first with stderr
+      // never drained, so a chatty-or-hung child could fill the stderr
+      // pipe and wedge the whole bench run past any timeout
       pb.redirectErrorStream(false)
       val p = pb.start()
-      val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
-      p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
-      val re = "ORACLE (\\S+) (-?[0-9.]+)".r
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val outF = scala.concurrent.Future(
+        scala.io.Source.fromInputStream(p.getInputStream).mkString)
+      scala.concurrent.Future {
+        val err = scala.io.Source.fromInputStream(p.getErrorStream).mkString
+        if (err.nonEmpty) System.err.println(s"[bench] oracle stderr: ${err.take(2000)}")
+      }
+      if (!p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)) p.destroyForcibly()
+      val out = scala.concurrent.Await.result(outF,
+        scala.concurrent.duration.Duration(15, "s"))
+      // exponent-tolerant: python's %.4f never emits one, but a regex
+      // that silently reads 6e-05 as 6.0 is a 1e5x skew waiting to land
+      val re = "ORACLE (\\S+) (-?[0-9.]+(?:[eE][+-]?[0-9]+)?)".r
       re.findAllMatchIn(out).map(m => m.group(1) -> m.group(2).toDouble).toSeq
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] sf1 oracle baseline unavailable: ${e.getMessage}")
       Seq.empty
     }
-    val sf1OracleJ = sf1Oracle.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val sf1OracleJ = jmap(sf1Oracle)
     // the headline ratio the judge re-derived by hand in r9/r10: total
     // Spark fresh-child sf1 time over total DuckDB oracle time on the
     // identical lake + SQL semantics
@@ -335,6 +354,27 @@ object Bench {
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] writing $outPath failed: ${e.getMessage}")
+      }
+      // ALSO write a ROUND-STAMPED immutable copy (r11 judge ask #4):
+      // BENCH_FULL.json is overwritten every run, and the driver's own
+      // BENCH_r{N}.json wraps a truncated stdout tail — the per-gate
+      // maps must survive in a file no later run mutates. The round
+      // number is inferred as max(existing BENCH_r*.json) + 1: this
+      // suite run IS the next round's record.
+      try {
+        val cwd = java.nio.file.Paths.get(".")
+        val rx = "BENCH_r0*([0-9]+)\\.json".r
+        val seen = java.nio.file.Files.list(cwd).iterator()
+        var maxR = 0
+        while (seen.hasNext) {
+          val f = seen.next().getFileName.toString
+          rx.findFirstMatchIn(f).foreach(m => maxR = maxR.max(m.group(1).toInt))
+        }
+        if (maxR > 0)
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(f"BENCH_FULL_r${maxR + 1}%02d.json"), json + "\n")
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] round-stamped copy failed: ${e.getMessage}")
       }
     }
     spark.stop()

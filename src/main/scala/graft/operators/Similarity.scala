@@ -545,7 +545,9 @@ object Similarity {
   /** Per-subspace k-means-TRAINED PQ codebooks (`iters` Lloyd rounds
     * from the deterministic seed slices — the [[kmeansFit]] discipline
     * applied independently in each of the `numSub` subspaces): assign
-    * every subvector to its max-inner-product entry (ties by c_id),
+    * every subvector to its MIN-L2-RECONSTRUCTION entry (d2 ascending,
+    * ties by c_id — the quantizer objective; max-IP assignment was
+    * evaluated and rejected, see the inline comment),
     * recompute each entry as the e6-quantized per-dim mean of its
     * members, empty entries keep their previous value (deterministic —
     * no re-seeding randomness). Everything stays in-plan: the codebook

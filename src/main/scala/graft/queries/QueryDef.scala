@@ -49,7 +49,15 @@ object QueryDef {
     * double→long (cheap codegen — every caller's value fits a long by
     * orders of magnitude) and widened to decimal(38,0) only at the sum
     * input: the r10 form cast each ROW straight to non-compact decimal
-    * and paid for it per row at sf1 (judge ask #4). */
+    * and paid for it per row at sf1 (judge ask #4).
+    *
+    * PRECONDITION (unchecked, for codegen cost): the input double must
+    * be EXACTLY integral. The double→long cast truncates toward zero —
+    * a value like 898.999999999 from upstream fp error would silently
+    * lose a unit where the old decimal cast's HALF_UP would not. Every
+    * caller passes values built from exact integer arithmetic (cents
+    * products, counts); a new caller feeding a computed double must
+    * round() it first. */
   def exactSum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.sum(c.cast("long").cast("decimal(38,0)")).cast("double")
 }

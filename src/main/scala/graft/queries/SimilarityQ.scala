@@ -336,7 +336,8 @@ object SimilarityQ {
     * per subspace from the seed slices): the quantization-quality half
     * of the production recovery — codebooks that tile each subspace
     * instead of arbitrary seed vectors. The oracle unrolls both
-    * training rounds (assign by max subvector inner product, recompute
+    * training rounds (assign by min L2 reconstruction error — d2
+    * ascending, ties by c_id — recompute
     * entries as e6-quantized per-dim means, empty entries keep their
     * previous value) and then replays the standard encode → ADC →
     * rank pipeline over the trained codebooks.
