@@ -319,6 +319,69 @@ object Bench {
         (math.round(100.0 * sparkTotal / duckTotal) / 100.0).toString
       else "null"
     }
+    // BUCKETED-LAYOUT tier (r11 judge ask #1): the fact⋈fact headliners
+    // (q12/q18/q21, +q3 borderline) pay 3.4-3.7× the DuckDB oracle on
+    // the unbucketed lake — their plans are already optimal there, so
+    // the next factor is LAYOUT: write the same 6M-row lake ONCE
+    // bucketed by orderkey (graft.sources.BucketedLake — the marker
+    // makes the layout durable across sessions, including the fresh
+    // child JVMs below) and re-time the same four gates unchanged.
+    // The build cost is recorded too: at 100 TB it is the one-shuffle
+    // write-time investment every future join on the key amortizes.
+    val bucketGates = Seq("q3_top_orders", "q12_ship_mode",
+      "q18_large_orders", "q21_waiting_orders")
+    val sf1BDir = "/tmp/graft_bench_sf1b"
+    var sf1BucketBuild = -1.0
+    val sf1Bucketed: Seq[(String, Double)] = if (sf1.isEmpty) Seq.empty else try {
+      val tb0 = System.nanoTime()
+      val src = graft.Tables(spark, "/tmp/graft_bench_sf1")
+      graft.sources.BucketedLake.write(src.orders, s"$sf1BDir/orders.parquet",
+        cpus.toInt, Seq("o_orderkey"), Seq("o_orderkey"))
+      graft.sources.BucketedLake.write(src.lineitem, s"$sf1BDir/lineitem.parquet",
+        cpus.toInt, Seq("l_orderkey"), Seq("l_orderkey"))
+      for (n <- Seq("region", "nation", "customer", "supplier", "part", "events",
+        "documents", "embeddings"))
+        spark.read.parquet(s"/tmp/graft_bench_sf1/$n.parquet")
+          .write.mode("overwrite").parquet(s"$sf1BDir/$n.parquet")
+      sf1BucketBuild = (System.nanoTime() - tb0) / 1e9
+      bucketGates.map { name =>
+        val fn = SparkEntry.queries(name)
+        val times = (1 to iters).map { _ =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sf1BDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] sf1_bucketed $name FAILED: ${e.getMessage}"); -1.0
+          }
+        }
+        spark.catalog.clearCache()
+        name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      }
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] sf1 bucketed tier build FAILED: ${e.getMessage}")
+      Seq.empty
+    }
+    val sf1BucketedFresh = if (sf1Bucketed.isEmpty || !freshOn) Seq.empty
+      else sf1Bucketed.map { case (name, _) => name -> freshTime(name, sf1BDir) }
+    // the dividend the layout buys, per gate: unbucketed fresh over
+    // bucketed fresh on identical data + identical query code
+    val sf1Dividend = sf1BucketedFresh.flatMap { case (name, b) =>
+      sf1Fresh.toMap.get(name) match {
+        case Some(u) if u > 0 && b > 0 =>
+          Some(name -> math.round(100.0 * u / b) / 100.0)
+        case _ => None
+      }
+    }
+    val sf1BucketedRatio: String = {
+      val oracleMap = sf1Oracle.toMap
+      val pairs = sf1BucketedFresh.collect {
+        case (n, v) if v > 0 && oracleMap.getOrElse(n, -1.0) > 0 => (v, oracleMap(n))
+      }
+      if (pairs.nonEmpty && pairs.size == bucketGates.size)
+        (math.round(100.0 * pairs.map(_._1).sum / pairs.map(_._2).sum) / 100.0).toString
+      else "null"
+    }
     val ok = results.values.filter(_ >= 0.0)
     val total = if (results.values.exists(_ < 0.0)) -1.0 else ok.sum
     // battery-vs-isolated agreement, written into the artifact itself:
@@ -342,7 +405,8 @@ object Bench {
       s"battery >1.3x isolated (harness warmth; isolated is authoritative): ${outliers.mkString(",")}") +
       (if (watchNote.nonEmpty) s". watchlist: $watchNote" else "")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$iso,"battery_vs_isolated":$agreeJ,"notes":"$notes","fresh":$fr,"sf1_headliners":$sf1J,"sf1_headliners_fresh":$sf1FreshJ,"sf1_oracle":$sf1OracleJ,"sf1_spark_fresh_over_oracle":$sf1Ratio,""" +
-      s""""authoritative":"per-gate: isolated where present (top-20 + watchlist, each behind releaseAll+gc), else queries; sf1 tier: sf1_headliners_fresh (child JVM); sf1_oracle: DuckDB min-of-$iters warm on the same lake + same SQL","sf":"$sfDir","iters":$iters,"warmup":"$warmDir"}"""
+      s""""sf1_bucketed":${jmap(sf1Bucketed)},"sf1_bucketed_fresh":${jmap(sf1BucketedFresh)},"sf1_bucketed_build_sec":${f4(sf1BucketBuild)},"sf1_layout_dividend_fresh":${sf1Dividend.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")},"sf1_bucketed_fresh_over_oracle":$sf1BucketedRatio,""" +
+      s""""authoritative":"per-gate: isolated where present (top-20 + watchlist, each behind releaseAll+gc), else queries; sf1 tier: sf1_headliners_fresh (child JVM); sf1_bucketed tier: sf1_bucketed_fresh (child JVM, orderkey-bucketed layout, same query code); sf1_oracle: DuckDB min-of-$iters warm on the same lake + same SQL","sf":"$sfDir","iters":$iters,"warmup":"$warmDir"}"""
     println(json)
     // the stdout line is scraped from a log tail that truncates past a
     // few hundred gates (round-7 postmortem: the official record ended

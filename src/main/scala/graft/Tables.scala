@@ -9,8 +9,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the directory URI changes.
   */
 final case class Tables(spark: SparkSession, dir: String) {
+  /** Layout-aware load: a table directory carrying a
+    * [[graft.sources.BucketedLake]] marker reads through a
+    * re-registered bucketed table (joins/aggregates on the bucket key
+    * skip their exchange — the write-once layout survives into every
+    * session); a plain directory is a plain parquet read. The marker
+    * probe is one `getFileStatus` per load — nothing at scan time.
+    */
   private def load(name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    graft.sources.BucketedLake.read(spark, s"$dir/$name.parquet")
 
   def region: DataFrame     = load("region")
   def nation: DataFrame     = load("nation")
