@@ -160,14 +160,40 @@ object Dedup {
     * buys nothing. Candidates are an equi-join on prefix tokens
     * (rare by construction — the prefix holds each doc's LOWEST-df
     * tokens, so postings stay short without any cap), then the usual
-    * exact shuffle-hash verify. Fully linear in corpus + output; a
+    * exact shuffle-hash verify. Since r12 the join runs over one
+    * representative per DISTINCT token set (exact-set collapse — see
+    * the inline comment), so exact-duplicate families cost the join
+    * once, not |family|² times. Fully linear in corpus + output; a
     * spec pins the candidate set lossless against the all-pairs
     * baseline.
     */
   def prefixFilterPairs(df: DataFrame, idCol: String, textCol: String,
                         tau: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sets = tokenSets(df, idCol, textCol)
+    val sets0 = tokenSets(df, idCol, textCol)
+    // EXACT-SET COLLAPSE (r12): identical token sets are
+    // indistinguishable to Jaccard, so only one REPRESENTATIVE per
+    // distinct set enters the quadratic candidate join and verify;
+    // member pairs expand afterwards by two equi-joins on the id→rep
+    // map (cross-group pairs inherit the representative pair's
+    // jaccard; intra-group pairs are exactly 1.0 ≥ τ by identity).
+    // Templated corpora are FULL of exact-set duplicates — the sf0.1
+    // gate corpus holds a 248-copy group, and every copy used to ride
+    // the join separately, squaring the family's cost (PrefixProbe
+    // r11: 4.9M distinct candidates for 1.71M true pairs; the probe's
+    // "output-bound" floor was the EXPANDED output, which the collapse
+    // defers to two cheap joins). Empty token sets are excluded up
+    // front: the all-pairs definition gives them NULL jaccard (0/0),
+    // never a pair, while the identity path would claim 1.0. The
+    // groupBy/join key is the token ARRAY itself — exact, no
+    // fingerprint-collision caveat.
+    val nonEmpty = sets0.filter(size($("toks")) > 0)
+    val groups = nonEmpty.groupBy($("toks")).agg(min($("id")).as("rep"))
+    val mapped = persistTracked(
+      nonEmpty.join(groups, "toks").select($("id"), $("rep")))
+    val sets = persistTracked(
+      mapped.filter($("id") === $("rep")).select($("id"))
+        .join(sets0, "id"))
     val tok = sets.select($("id"), size($("toks")).as("n"),
       explode($("toks")).as("tok"))
     val dfreq = tok.groupBy($("tok")).agg(count(lit(1)).as("df_"))
@@ -196,7 +222,22 @@ object Dedup {
         >= expr(s"(CAST(a.n + b.n AS BIGINT) * ${num}L + ${den - 1}L) div ${den}L"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    verifyJaccard(cands, sets, tau)
+    val repPairs = verifyJaccard(cands, sets, tau)
+      .select($("id_a"), $("id_b"), $("jaccard"))
+    // expand representatives back to member pairs (see the collapse
+    // comment above): cross-group via two equi-joins on the id→rep
+    // map, intra-group via a self-join on rep — both linear in the
+    // OUTPUT, which is the answer's own size
+    val cross = repPairs
+      .join(mapped.select($("rep").as("id_a"), $("id").as("_ma")), "id_a")
+      .join(mapped.select($("rep").as("id_b"), $("id").as("_mb")), "id_b")
+      .select(least($("_ma"), $("_mb")).as("id_a"),
+        greatest($("_ma"), $("_mb")).as("id_b"), $("jaccard"))
+    val intra = mapped.as("x").join(mapped.as("y"), col("x.rep") === col("y.rep"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(intra)
       .select($("id_a"), $("id_b"), round($("jaccard"), 4).as("jaccard"))
   }
 

@@ -39,10 +39,21 @@ object PrefixProbe {
       r
     }
 
-    // the gate's own stages, same recipe (Dedup.prefixFilterPairs)
-    val sets = Dedup.tokenSets(docs, "doc_id", "text")
+    // the gate's own stages, same recipe (Dedup.prefixFilterPairs,
+    // incl. the r12 exact-set collapse: the join runs on one
+    // representative per distinct token set)
+    val sets0 = Dedup.tokenSets(docs, "doc_id", "text")
       .transform(graft.operators.CacheLedger.persist)
-    val nDocs = timed("token sets (count)")(sets.count())
+    val nDocs = timed("token sets (count)")(sets0.count())
+    val nonEmpty = sets0.filter(size(col("toks")) > 0)
+    val groups = nonEmpty.groupBy(col("toks"))
+      .agg(min(col("id")).as("rep"))
+    val mapped = nonEmpty.join(groups, "toks").select(col("id"), col("rep"))
+      .transform(graft.operators.CacheLedger.persist)
+    val sets = mapped.filter(col("id") === col("rep")).select(col("id"))
+      .join(sets0, "id")
+      .transform(graft.operators.CacheLedger.persist)
+    val nReps = timed("distinct-set reps (count)")(sets.count())
     val tok = sets.select(col("id"), size(col("toks")).as("n"), explode(col("toks")).as("tok"))
     val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df_"))
     val prefix = tok.join(dfreq, "tok")
@@ -70,9 +81,10 @@ object PrefixProbe {
     graft.operators.CacheLedger.release()
     val full = timed("FULL gate (cold ledger)")(
       Dedup.prefixFilterPairs(docs, "doc_id", "text", tau).count())
-    println(s"""{"metric":"prefix_probe","dir":"$dir","docs":$nDocs,"prefix_rows":$nPrefix,""" +
+    println(s"""{"metric":"prefix_probe","dir":"$dir","docs":$nDocs,"distinct_set_reps":$nReps,""" +
+      s""""prefix_rows":$nPrefix,""" +
       s""""raw_matches":$nRaw,"post_positional":$nPos,"candidates":$nCand,""" +
-      s""""true_pairs":$nPairs,"full_gate_pairs":$full}""")
+      s""""rep_pairs":$nPairs,"full_gate_pairs":$full}""")
     spark.stop()
   }
 }
