@@ -24,6 +24,19 @@ object Recall {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val nQueries = args.lift(1).map(_.toInt).getOrElse(10)
+    // big-fixture knobs (r11 judge ask #3 — recall at >=50k vectors):
+    //  SHAPES: comma-list subset of the curve (the graph tier's kNN
+    //    edge build is the one shape whose cost is quadratic-ish in
+    //    bucket occupancy, so a scale run can exclude or re-bucket it)
+    //  IVF_C: coarse-centroid count for the ivf/ivf_pq shapes — the
+    //    knob a 100 TB deployment scales ~sqrt(N); the gate default
+    //    (10) stops pruning at 200k vectors (every probe list is
+    //    corpus/10) and would misread as "high recall, honest cost"
+    //  KNN_PLANES: hyperplane count for the kNN edge build's buckets
+    val shapesEnv = sys.env.get("SPARK_GRAFT_RECALL_SHAPES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val ivfC = sys.env.getOrElse("SPARK_GRAFT_RECALL_IVF_C", "10").toInt
+    val knnPlanes = sys.env.getOrElse("SPARK_GRAFT_RECALL_KNN_PLANES", "4").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().min(32).toString)
     val spark = SparkSession.builder()
@@ -69,10 +82,11 @@ object Recall {
     // r9 curve topped out at 0.41 on 5 edges/node — graph recall is
     // bounded by graph DENSITY before beam width, so the fix is edges,
     // not a wider beam over a too-sparse graph)
-    def edgesOf(kE: Int): DataFrame = Similarity.knnJoin(emb, "vec_id", "embedding", k = kE)
+    def edgesOf(kE: Int): DataFrame = Similarity.knnJoin(emb, "vec_id", "embedding", k = kE,
+        planes = knnPlanes)
       .select(col("q_id").as("src"), col("neighbor_id").as("dst"))
-    val edges5 = edgesOf(5).persist()
-    val edges10 = edgesOf(10).persist()
+    lazy val edges5 = edgesOf(5).persist()
+    lazy val edges10 = edgesOf(10).persist()
 
     // The default operating point per shape (the flat keys, compared
     // round-over-round) PLUS a recall/parameter curve: each knob is
@@ -87,12 +101,12 @@ object Recall {
         "planes=2" -> (() => recallOf(
           pairs(Similarity.lshTopK(emb, qs, "vec_id", "embedding", k, planes = 2)), cosTruth))),
       "ivf" -> Seq(
-        "c=10,nprobe=2" -> (() => recallOf(
-          pairs(Similarity.ivfTopK(emb, qs, "vec_id", "embedding", k, 10, 2)), cosTruth)),
-        "c=10,nprobe=4" -> (() => recallOf(
-          pairs(Similarity.ivfTopK(emb, qs, "vec_id", "embedding", k, 10, 4)), cosTruth)),
-        "c=10,nprobe=8" -> (() => recallOf(
-          pairs(Similarity.ivfTopK(emb, qs, "vec_id", "embedding", k, 10, 8)), cosTruth))),
+        s"c=$ivfC,nprobe=2" -> (() => recallOf(
+          pairs(Similarity.ivfTopK(emb, qs, "vec_id", "embedding", k, ivfC, 2)), cosTruth)),
+        s"c=$ivfC,nprobe=4" -> (() => recallOf(
+          pairs(Similarity.ivfTopK(emb, qs, "vec_id", "embedding", k, ivfC, 4)), cosTruth)),
+        s"c=$ivfC,nprobe=8" -> (() => recallOf(
+          pairs(Similarity.ivfTopK(emb, qs, "vec_id", "embedding", k, ivfC, 8)), cosTruth))),
       "pq" -> Seq(
         "sub=4,cb=8" -> (() => recallOf(
           pairs(Similarity.pqTopK(emb, qs, "vec_id", "embedding", k, 4, 8)), cosTruth)),
@@ -118,22 +132,22 @@ object Recall {
         "sub=16,cb=32,trained=2it,rerank=4x" -> (() => recallOf(
           pairs(Similarity.pqTrainedRerankTopK(emb, qs, "vec_id", "embedding", k, 16, 32, 2, 4)), cosTruth))),
       "ivf_pq" -> Seq(
-        "c=10,np=4,sub=4,cb=8" -> (() => recallOf(
-          pairs(Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", k, 10, 4, 4, 8)), cosTruth)),
-        "c=10,np=8,sub=8,cb=16" -> (() => recallOf(
-          pairs(Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", k, 10, 8, 8, 16)), cosTruth)),
-        "c=10,np=8,sub=16,cb=32" -> (() => recallOf(
-          pairs(Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", k, 10, 8, 16, 32)), cosTruth)),
-        "c=10,np=8,sub=16,cb=64" -> (() => recallOf(
-          pairs(Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", k, 10, 8, 16, 64)), cosTruth)),
-        "c=10,np=8,sub=16,cb=32,rerank=2x" -> (() => recallOf(
-          pairs(Similarity.ivfPqRerankTopK(emb, qs, "vec_id", "embedding", k, 10, 8, 16, 32, 2)), cosTruth)),
-        "c=10,np=8,sub=16,cb=32,rerank=4x" -> (() => recallOf(
-          pairs(Similarity.ivfPqRerankTopK(emb, qs, "vec_id", "embedding", k, 10, 8, 16, 32, 4)), cosTruth)),
-        "c=10,np=8,sub=16,cb=32,rerank=8x" -> (() => recallOf(
-          pairs(Similarity.ivfPqRerankTopK(emb, qs, "vec_id", "embedding", k, 10, 8, 16, 32, 8)), cosTruth)),
-        "c=10,np=8,sub=16,cb=32,trained=2it,rerank=4x" -> (() => recallOf(
-          pairs(Similarity.ivfPqTrainedRerankTopK(emb, qs, "vec_id", "embedding", k, 10, 8, 16, 32, 2, 4)), cosTruth))),
+        s"c=$ivfC,np=4,sub=4,cb=8" -> (() => recallOf(
+          pairs(Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", k, ivfC, 4, 4, 8)), cosTruth)),
+        s"c=$ivfC,np=8,sub=8,cb=16" -> (() => recallOf(
+          pairs(Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", k, ivfC, 8, 8, 16)), cosTruth)),
+        s"c=$ivfC,np=8,sub=16,cb=32" -> (() => recallOf(
+          pairs(Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", k, ivfC, 8, 16, 32)), cosTruth)),
+        s"c=$ivfC,np=8,sub=16,cb=64" -> (() => recallOf(
+          pairs(Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", k, ivfC, 8, 16, 64)), cosTruth)),
+        s"c=$ivfC,np=8,sub=16,cb=32,rerank=2x" -> (() => recallOf(
+          pairs(Similarity.ivfPqRerankTopK(emb, qs, "vec_id", "embedding", k, ivfC, 8, 16, 32, 2)), cosTruth)),
+        s"c=$ivfC,np=8,sub=16,cb=32,rerank=4x" -> (() => recallOf(
+          pairs(Similarity.ivfPqRerankTopK(emb, qs, "vec_id", "embedding", k, ivfC, 8, 16, 32, 4)), cosTruth)),
+        s"c=$ivfC,np=8,sub=16,cb=32,rerank=8x" -> (() => recallOf(
+          pairs(Similarity.ivfPqRerankTopK(emb, qs, "vec_id", "embedding", k, ivfC, 8, 16, 32, 8)), cosTruth)),
+        s"c=$ivfC,np=8,sub=16,cb=32,trained=2it,rerank=4x" -> (() => recallOf(
+          pairs(Similarity.ivfPqTrainedRerankTopK(emb, qs, "vec_id", "embedding", k, ivfC, 8, 16, 32, 2, 4)), cosTruth))),
       "mips" -> Seq(
         "planes=4" -> (() => recallOf(
           pairs(Similarity.mipsTopK(emb, qs, "vec_id", "embedding", k, planes = 4)), mipsTruth)),
@@ -152,9 +166,9 @@ object Recall {
     // r11: the PQ shapes' shipped default is the re-rank composition
     // (ann_pq_rerank / ann_ivf_pq_rerank gates) — the raw ADC points
     // stay on the curve as the memory tier they are
-    val defaults = Map("lsh" -> "planes=2", "ivf" -> "c=10,nprobe=8",
+    val defaults = Map("lsh" -> "planes=2", "ivf" -> s"c=$ivfC,nprobe=8",
       "pq" -> "sub=16,cb=32,trained=2it,rerank=4x",
-      "ivf_pq" -> "c=10,np=8,sub=16,cb=32,trained=2it,rerank=4x",
+      "ivf_pq" -> s"c=$ivfC,np=8,sub=16,cb=32,trained=2it,rerank=4x",
       "mips" -> "planes=2", "graph" -> "edges=10,beam=32,hops=6")
 
     // cost at the default operating point: scored candidates (the rows
@@ -163,25 +177,32 @@ object Recall {
     // no candidate pruning — it scans every CODE (that is the point:
     // memory compression, not candidate pruning), so its cost equals
     // brute force in rows while each row is numSub bytes, not d floats.
-    val costs: Map[String, Long] = Map(
-      "brute" -> nq * (nVec - 1),
-      "lsh" -> Similarity.lshCandidateCount(emb, qs, "vec_id", "embedding", planes = 2),
-      "ivf" -> Similarity.ivfCandidateCount(emb, qs, "vec_id", "embedding", 10, 8),
-      "pq" -> nq * (nVec - 1),
-      "ivf_pq" -> Similarity.ivfCandidateCount(emb, qs, "vec_id", "embedding", 10, 8),
-      "mips" -> Similarity.mipsCandidateCount(emb, qs, "vec_id", "embedding", planes = 2),
-      "graph" -> Similarity.graphVisited(emb, qs, edges10, "vec_id", "embedding", 32, 6).count())
+    val costThunks: Map[String, () => Long] = Map(
+      "brute" -> (() => nq * (nVec - 1)),
+      "lsh" -> (() => Similarity.lshCandidateCount(emb, qs, "vec_id", "embedding", planes = 2)),
+      "ivf" -> (() => Similarity.ivfCandidateCount(emb, qs, "vec_id", "embedding", ivfC, 8)),
+      "pq" -> (() => nq * (nVec - 1)),
+      "ivf_pq" -> (() => Similarity.ivfCandidateCount(emb, qs, "vec_id", "embedding", ivfC, 8)),
+      "mips" -> (() => Similarity.mipsCandidateCount(emb, qs, "vec_id", "embedding", planes = 2)),
+      "graph" -> (() => Similarity.graphVisited(emb, qs, edges10, "vec_id", "embedding", 32, 6).count()))
+    val costs: Map[String, Long] = costThunks
+      .filter { case (s0, _) => s0 == "brute" || shapesEnv.forall(_.contains(s0)) }
+      .map { case (s0, f) => s0 -> f() }
 
-    val evaluated = curve.map { case (shape, pts) =>
-      shape -> pts.map { case (p, f) => p -> f() }
-    }
+    val evaluated = curve
+      .filter { case (shape, _) => shapesEnv.forall(_.contains(shape)) }
+      .map { case (shape, pts) =>
+        shape -> pts.map { case (p, f) => p -> f() }
+      }
     val flat = evaluated.map { case (shape, pts) =>
       s""""$shape":${pts.toMap.apply(defaults(shape))}"""
     }.mkString(",")
     val curveJson = evaluated.map { case (shape, pts) =>
       s""""$shape":{${pts.map { case (p, r) => s""""$p":$r""" }.mkString(",")}}"""
     }.mkString(",")
-    val defJson = defaults.map { case (s, p) => s""""$s":"$p"""" }.mkString(",")
+    val shapesRun = evaluated.map(_._1).toSet
+    val defJson = defaults.filter { case (s, _) => shapesRun.contains(s) }
+      .map { case (s, p) => s""""$s":"$p"""" }.mkString(",")
     val costJson = costs.map { case (s, c) => s""""$s":$c""" }.mkString(",")
     // the pq/ivf_pq rows are NOT recall tiers and their curve is flat
     // in cb (0.40 @ cb=32 vs 0.36 @ cb=64 — seeded codebooks, not
@@ -201,7 +222,7 @@ object Recall {
     println(s"""{"metric":"recall_at_10","sf":"${sfDir.split('/').last}",""" +
       flat + s""","defaults":{$defJson},"cost_candidates_at_default":{$costJson},""" +
       s""""curve":{$curveJson},"note":"$note",""" +
-      s""""params":{"k":10,"n_queries":$nQueries,"n_vectors":$nVec}}""")
+      s""""params":{"k":10,"n_queries":$nQueries,"n_vectors":$nVec,"ivf_c":$ivfC,"knn_planes":$knnPlanes}}""")
     spark.stop()
   }
 }

@@ -27,6 +27,11 @@ import org.apache.spark.sql.functions._
   *    cross-replica near-dup pairs (a quadratic explosion by
   *    construction, not a property of real 100 TB corpora) are not
   *    created.
+  *  - `embeddings` replicas get fresh vec_ids and an ISOMETRIC
+  *    transform of the base vectors (circular dim shift by r + a
+  *    md5-keyed ±1 sign flip per dim): same norms, same intra-replica
+  *    neighbor structure, scrambled cross-replica — so ann/emb gates
+  *    face real n-fold corpora, not n copies of the same vector.
   * Caveat recorded in the output: `q_pagerank`'s node set is the
   * reused dims, so its ITERATION stage is fixed-size; what scales is
   * the edge-extraction join + distinct over the replicated facts.
@@ -81,7 +86,32 @@ object ScaleCurve {
       .drop("__r", "__lo", "__di")
     docs.select(t.documents.columns.map(col): _*)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
-    for (n <- Seq("region", "nation", "supplier", "part", "events", "embeddings"))
+    // embeddings: fresh vec_ids AND fresh-but-distribution-identical
+    // vectors per replica (r11 judge ask #3 — verbatim reuse left every
+    // ann/emb gate blind to scale). Replica r applies an ISOMETRY of
+    // the base cloud: a circular dimension shift by r plus a
+    // deterministic md5-keyed ±1 sign flip per dimension. Isometries
+    // preserve norms and all intra-replica distances (the corpus stays
+    // "the same distribution, more of it"), while cross-replica
+    // neighbor structure scrambles — no exact-duplicate vectors, so
+    // top-k/recall work scales honestly. Replica 0 is the identity:
+    // the base tier's vectors are a subset of every scaled lake.
+    val maxVec = t.embeddings.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val emb = t.embeddings.crossJoin(rep)
+      .withColumn("__d", size(col("embedding")))
+      .withColumn("__s", (col("__r") % col("__d")).cast("int"))
+      .withColumn("embedding",
+        when(col("__r") === 0, col("embedding")).otherwise(expr(
+          """transform(sequence(0, __d - 1), i -> CAST(
+            |  element_at(embedding, ((i + __s) % __d) + 1) *
+            |  (CASE WHEN substring(md5(concat('embflip:', CAST(__r AS STRING))),
+            |     i % 32 + 1, 1) IN ('0','1','2','3','4','5','6','7')
+            |   THEN 1.0 ELSE -1.0 END) AS FLOAT))""".stripMargin)))
+      .withColumn("vec_id", col("vec_id") + col("__r") * maxVec)
+      .drop("__r", "__d", "__s")
+    emb.select(t.embeddings.columns.map(col): _*)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    for (n <- Seq("region", "nation", "supplier", "part", "events"))
       t.byName(n).write.mode("overwrite").parquet(s"$out/$n.parquet")
   }
 
@@ -91,7 +121,9 @@ object ScaleCurve {
     val gates = sys.env.get("SPARK_GRAFT_CURVE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq("dedup_minhash_lsh", "dedup_minhash_clusters", "q_pagerank",
-        "dedup_minhash_eval", "q_golden_record", "dedup_clusters", "q21_waiting_orders"))
+        "dedup_minhash_eval", "q_golden_record", "dedup_clusters", "q21_waiting_orders",
+        // r12: the ANN/embedding scale cells (synthesized vector tiers)
+        "ann_ivf_pq_trained_rerank", "emb_knn_components"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().min(32).toString)
     val spark = SparkSession.builder()
@@ -142,7 +174,10 @@ object ScaleCurve {
 
     val dirs: Seq[(String, String)] = ("sf0.1" -> base) +: tiers.map { r =>
       val out = s"/tmp/graft_curve_x$r"
-      val marker = new java.io.File(s"$out/.built")
+      // marker v2: the r12 recipe synthesizes embeddings per replica —
+      // lakes cached under the old marker carry verbatim-reused vectors
+      // and must rebuild
+      val marker = new java.io.File(s"$out/.built_v2")
       if (!marker.exists()) {
         System.err.println(s"[curve] building ${r}x lake at $out")
         buildLake(r, out)
