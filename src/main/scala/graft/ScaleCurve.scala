@@ -200,7 +200,11 @@ object ScaleCurve {
     // the 100× tier. Recording the policy here keeps the artifact
     // honest: a missing x100 cell for the pair gate is a declared
     // bound, not an incomplete run.
-    val maxTier: Map[String, Int] = Map("dedup_minhash_lsh" -> 10)
+    // dedup_prefix_filter shares the pair-output policy: its output is
+    // every Jaccard-qualifying pair, quadratic in dup-family size on
+    // replicated lakes, so the linear-output cluster gates carry ×100
+    val maxTier: Map[String, Int] = Map("dedup_minhash_lsh" -> 10,
+      "dedup_prefix_filter" -> 10)
     val rows = gates.map { g =>
       val per = dirs.filter { case (label, _) =>
         !label.startsWith("x") || label.drop(1).toInt <= maxTier.getOrElse(g, Int.MaxValue)

@@ -7,14 +7,29 @@ import org.apache.spark.sql.functions._
   * assigns every involved doc the minimum doc id of its component —
   * the "keep one per near-dup cluster" step of an LLM data pipeline.
   *
-  * Min-label propagation with pointer jumping: each iteration (a) takes
-  * the elementwise min of neighbor labels across edges, then (b) jumps
-  * `lbl := min(lbl, label(lbl))` — the label graph halves in depth per
-  * round, so convergence is O(log diameter) shuffles instead of
-  * O(diameter) (a 50-deep chain converges in ~7 rounds, not 50).
-  * The driver only checks a converged flag per round (a `limit(1)`
-  * count), so the loop distributes at 100 TB; `maxIter` bounds the
-  * worst case.
+  * Two phases (r12 rework, measured on the golden-record ×100 edge set
+  * — 53M edges in ~28k near-clique families):
+  *
+  * 1. CONTRACTION pre-pass — one traversal of the full edge list maps
+  *    every node to the min of its closed neighborhood and keeps only
+  *    the surviving cross-label edges (label pairs that still differ),
+  *    deduplicated. Dense families — the dominant shape duplicate-heavy
+  *    corpora produce — collapse here: a k-clique's C(k,2) edges become
+  *    zero or a handful, so the expensive full edge list is touched
+  *    ONCE instead of once per iteration. Correctness: every label is a
+  *    node of the same component (closed-neighborhood min), the
+  *    component min always labels itself, and any component with a
+  *    surviving edge keeps its min among the contracted nodes — so
+  *    components of the contracted graph map 1:1 onto originals and
+  *    composing the two labelings returns the exact min-id labeling.
+  *
+  * 2. Min-label propagation with pointer jumping over the CONTRACTED
+  *    remnant: each iteration (a) takes the elementwise min of neighbor
+  *    labels across edges, then (b) jumps `lbl := min(lbl, label(lbl))`
+  *    — the label graph halves in depth per round, so convergence is
+  *    O(log diameter) shuffles instead of O(diameter). The driver only
+  *    checks a converged flag per round (a `limit(1)` count), so the
+  *    loop distributes at 100 TB; `maxIter` bounds the worst case.
   *
   * Loop mechanics (r7 rework, measured on the emb_dbscan ε-graph —
   * 7.3k edges, 6 rounds): each round EAGERLY `localCheckpoint`s the
@@ -32,6 +47,38 @@ object ClusterDedup {
 
   /** @param pairs DataFrame with `id_a` < `id_b` edge columns */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .persist()
+    // closed-neighborhood min per node — phase 1's labeling, and the
+    // node universe of the output (every edge endpoint appears)
+    val l = edges.groupBy(col("u"))
+      .agg(min(col("v")).as("nmin"))
+      .select(col("u").as("id"), least(col("u"), col("nmin")).as("lbl"))
+      .localCheckpoint()
+    // surviving cross-label edges, re-normalized to id_a < id_b — for a
+    // near-clique family this is empty or tiny; for a path it shrinks
+    // by a constant factor and phase 2's jumping does the log work
+    val contracted = edges
+      .join(l.select(col("id").as("u"), col("lbl").as("lu")), "u")
+      .join(l.select(col("id").as("v"), col("lbl").as("lv")), "v")
+      .filter(col("lu") =!= col("lv"))
+      .select(least(col("lu"), col("lv")).as("id_a"),
+        greatest(col("lu"), col("lv")).as("id_b"))
+      .distinct()
+    val inner = propagate(contracted, maxIter)
+    val out = l
+      .join(inner.select(col("id").as("p_id"), col("cluster").as("p_lbl")),
+        col("lbl") === col("p_id"), "left")
+      .select(col("id"), coalesce(col("p_lbl"), col("lbl")).as("cluster"))
+      .localCheckpoint()
+    edges.unpersist()
+    out
+  }
+
+  /** Phase 2: the pointer-jumping min-label loop (the pre-r12 whole
+    * algorithm), now fed only the contracted remnant. */
+  private def propagate(pairs: DataFrame, maxIter: Int): DataFrame = {
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .persist()

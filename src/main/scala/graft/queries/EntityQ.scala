@@ -73,13 +73,19 @@ object EntityQ {
         .filter($"df_" <= greatest(lit(200L), expr("n_all div 100")))
         .select($"gram"),
       "gram")
+    // Levenshtein BEFORE distinct (r12, EntityProbe finding): the two
+    // commute (a deterministic predicate on the pair's own columns),
+    // but the order decides WHAT the distinct shuffles. Distinct-first
+    // moved every blocked pair WITH both name strings through the
+    // exchange — 343M × ~60-byte rows at the ×100 tier, 264 s of the
+    // gate. Filter-first runs the lev check map-side on the join
+    // output (never materialized) and distincts only the surviving
+    // integer id pairs — the answer's own edges, 53M ints at ×100.
     val matched = rare.as("a").join(rare.as("b"), Seq("gram", "cents"))
       .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("a.name").as("s_a"),
-        col("b.id").as("id_b"), col("b.name").as("s_b"))
+      .filter(levenshtein(col("a.name"), col("b.name")) <= 2)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-      .filter(levenshtein($"s_a", $"s_b") <= 2)
-      .select($"id_a", $"id_b")
     val comp = graft.operators.ClusterDedup.connectedComponents(matched)
     comp.join(all, "id")
       .groupBy($"cluster")

@@ -80,17 +80,19 @@ object EntityProbe {
     val rawPairs = timed("raw blocked pairs (join count)")(
       rare.as("a").join(rare.as("b"), Seq("gram", "cents"))
         .filter(col("a.id") < col("b.id")).count())
-    val cand = rare.as("a").join(rare.as("b"), Seq("gram", "cents"))
+    // the gate's r12 order: lev runs MAP-SIDE on the raw join output,
+    // distinct shuffles only surviving integer id pairs (the r11
+    // distinct-first order shuffled every blocked pair with both name
+    // strings — 264 s of the ×100 gate)
+    val surv = rare.as("a").join(rare.as("b"), Seq("gram", "cents"))
       .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("a.name").as("s_a"),
-        col("b.id").as("id_b"), col("b.name").as("s_b"))
-      .distinct()
+      .filter(levenshtein(col("a.name"), col("b.name")) <= 2)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .transform(graft.operators.CacheLedger.persist)
-    val nCand = timed("distinct candidates")(cand.count())
-    val edges = cand.filter(levenshtein($"s_a", $"s_b") <= 2)
-      .select($"id_a", $"id_b")
+    val nSurv = timed("lev survivors (raw)")(surv.count())
+    val edges = surv.distinct()
       .transform(graft.operators.CacheLedger.persist)
-    val nEdges = timed("post-levenshtein edges")(edges.count())
+    val nEdges = timed("distinct edges")(edges.count())
     val nClusters = timed("connected components")(
       graft.operators.ClusterDedup.connectedComponents(edges)
         .select($"cluster").distinct().count())
@@ -102,7 +104,7 @@ object EntityProbe {
       s""""admitted_grams":$nAdmitted,"admitted_gram_rows":$nRareRows,""" +
       s""""blocks":${blockStats.getLong(0)},"max_block":${blockStats.getLong(1)},""" +
       s""""pair_mass":${blockStats.getLong(2)},""" +
-      s""""raw_pairs":$rawPairs,"candidates":$nCand,"edges":$nEdges,""" +
+      s""""raw_pairs":$rawPairs,"lev_survivors_raw":$nSurv,"edges":$nEdges,""" +
       s""""clusters":$nClusters,"full_gate_rows":$full}""")
     spark.stop()
   }

@@ -4,7 +4,9 @@
 # .built_v2 marker (embeddings are now SYNTHESIZED per replica — isometric
 # transforms, fresh vec_ids — so the ann/emb cells measure real n-fold
 # corpora), and the gate list adds the two ANN/embedding scale cells plus
-# the re-measured golden-record gate (block-capped this round).
+# the re-measured golden-record gate (lev-before-distinct + contraction CC
+# this round; the residual growth is the lake's fixed-cents family-size
+# artifact, recorded by graft.tools.EntityProbe).
 # 50-min hard cap per gate; a timed-out gate leaves no JSON line, which
 # merge_scale.py surfaces as a missing gate.
 set -u
