@@ -130,7 +130,16 @@ object Recall {
         "sub=16,cb=32,trained=2it" -> (() => recallOf(
           pairs(Similarity.pqTrainedTopK(emb, qs, "vec_id", "embedding", k, 16, 32, 2)), cosTruth)),
         "sub=16,cb=32,trained=2it,rerank=4x" -> (() => recallOf(
-          pairs(Similarity.pqTrainedRerankTopK(emb, qs, "vec_id", "embedding", k, 16, 32, 2, 4)), cosTruth))),
+          pairs(Similarity.pqTrainedRerankTopK(emb, qs, "vec_id", "embedding", k, 16, 32, 2, 4)), cosTruth)),
+        // the SCALED operating points (r12): at 200k vectors the sf-tier
+        // default (cb=32, 4x over-fetch) collapses to 0.44 — corpus
+        // density shrinks the ADC rank margin, so codebook size and the
+        // exact-re-rank fetch factor must grow with n. The re-rank cost
+        // stays fetch·k exact rows per query — noise next to the code scan.
+        "sub=16,cb=64,trained=2it,rerank=8x" -> (() => recallOf(
+          pairs(Similarity.pqTrainedRerankTopK(emb, qs, "vec_id", "embedding", k, 16, 64, 2, 8)), cosTruth)),
+        "sub=16,cb=64,trained=2it,rerank=16x" -> (() => recallOf(
+          pairs(Similarity.pqTrainedRerankTopK(emb, qs, "vec_id", "embedding", k, 16, 64, 2, 16)), cosTruth))),
       "ivf_pq" -> Seq(
         s"c=$ivfC,np=4,sub=4,cb=8" -> (() => recallOf(
           pairs(Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", k, ivfC, 4, 4, 8)), cosTruth)),
@@ -147,7 +156,11 @@ object Recall {
         s"c=$ivfC,np=8,sub=16,cb=32,rerank=8x" -> (() => recallOf(
           pairs(Similarity.ivfPqRerankTopK(emb, qs, "vec_id", "embedding", k, ivfC, 8, 16, 32, 8)), cosTruth)),
         s"c=$ivfC,np=8,sub=16,cb=32,trained=2it,rerank=4x" -> (() => recallOf(
-          pairs(Similarity.ivfPqTrainedRerankTopK(emb, qs, "vec_id", "embedding", k, ivfC, 8, 16, 32, 2, 4)), cosTruth))),
+          pairs(Similarity.ivfPqTrainedRerankTopK(emb, qs, "vec_id", "embedding", k, ivfC, 8, 16, 32, 2, 4)), cosTruth)),
+        s"c=$ivfC,np=8,sub=16,cb=64,trained=2it,rerank=8x" -> (() => recallOf(
+          pairs(Similarity.ivfPqTrainedRerankTopK(emb, qs, "vec_id", "embedding", k, ivfC, 8, 16, 64, 2, 8)), cosTruth)),
+        s"c=$ivfC,np=8,sub=16,cb=64,trained=2it,rerank=16x" -> (() => recallOf(
+          pairs(Similarity.ivfPqTrainedRerankTopK(emb, qs, "vec_id", "embedding", k, ivfC, 8, 16, 64, 2, 16)), cosTruth))),
       "mips" -> Seq(
         "planes=4" -> (() => recallOf(
           pairs(Similarity.mipsTopK(emb, qs, "vec_id", "embedding", k, planes = 4)), mipsTruth)),
@@ -210,15 +223,16 @@ object Recall {
     // scan (numSub bytes/vector vs d floats), so its production role
     // is the first pass of a rerank pipeline whose recall comes from
     // the exact re-rank over PQ's shortlist, not from the codes.
-    val note = "pq default is the r11 TRAINED+RERANK composition (per-subspace " +
-      "L2 k-means codebooks, 2 Lloyd rounds, + 4x-over-fetch exact re-rank, " +
-      "gated as ann_pq_trained_rerank; 0.93 recall@10); ivf_pq default is the " +
-      "same trained+rerank stack behind the IVF coarse tier " +
-      "(ann_ivf_pq_trained_rerank; 0.91). raw ADC tops out ~0.4 on seed " +
-      "codebooks (memory tier, still on the curve); the exact pass touches only " +
-      "fetch*k rows per query, so the rerank cost rides the same code-scan " +
-      "candidate count. lsh/ivf/mips/graph defaults sit at the >=0.8 recall@10 " +
-      "points of their measured curves."
+    val note = "pq/ivf_pq defaults are the TRAINED+RERANK composition " +
+      "(per-subspace L2 k-means codebooks, 2 Lloyd rounds, + over-fetch exact " +
+      "re-rank, gated as ann_pq_trained_rerank / ann_ivf_pq_trained_rerank). " +
+      "PQ recall is CORPUS-DENSITY-DEPENDENT: the sf-tier point (cb=32, 4x " +
+      "fetch) is not a universal number, and the curve carries the scaled " +
+      "points (cb=64, 8x/16x fetch) a bigger corpus needs — the re-rank cost " +
+      "stays fetch*k exact rows per query, noise next to the code scan. " +
+      "lsh/ivf/mips defaults sit at the >=0.8 recall@10 points of their " +
+      "measured curves; ivf's coarse-centroid count scales via " +
+      "SPARK_GRAFT_RECALL_IVF_C (~sqrt-to-const-fraction of n)."
     println(s"""{"metric":"recall_at_10","sf":"${sfDir.split('/').last}",""" +
       flat + s""","defaults":{$defJson},"cost_candidates_at_default":{$costJson},""" +
       s""""curve":{$curveJson},"note":"$note",""" +
