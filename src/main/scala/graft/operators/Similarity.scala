@@ -281,6 +281,20 @@ object Similarity {
     * scoring stays in whole-stage codegen and the final top-k runs
     * through the native bounded-heap tier.
     */
+  /** Scale-adaptive hyperplane count for [[knnJoin]]: the smallest
+    * `p ≥ 4` with `⌈n / targetBucket⌉ ≤ 2^p` — i.e. enough planes to
+    * hold mean bucket occupancy at ~`targetBucket`, so the bucket
+    * join's scored-pair count stays ~`n · targetBucket · (p + 1)`
+    * (near-linear) instead of the fixed-planes `n² / 2^p` (quadratic —
+    * the 62 GB ×100 spill the r12 scale run measured). Pure INTEGER
+    * arithmetic on purpose: a `ceil(log2(…))` formulation diverges by
+    * 1 ulp between engines exactly at power-of-two boundaries, where
+    * ceil then flips — the DuckDB oracles replay this same comparison
+    * scan over `range(4, 40)`, bit-for-bit.
+    */
+  def scaledPlanes(n: Long, targetBucket: Int = 64): Int =
+    (4 to 39).find(p => (n + targetBucket - 1) / targetBucket <= (1L << p)).getOrElse(39)
+
   def knnJoin(vectors: DataFrame, idCol: String, vecCol: String, k: Int,
               planes: Int = 4): DataFrame = {
     val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),

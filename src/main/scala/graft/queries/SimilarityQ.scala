@@ -548,6 +548,60 @@ object SimilarityQ {
       .orderBy($"q_id", $"rk")
   }
 
+  /** SCALE-ADAPTIVE kNN graph (r12): the fixed-planes recipe above
+    * pins 16 LSH buckets whatever the corpus, so its scored-pair count
+    * grows n²/16 — fine at the gate tier, a 62 GB shuffle spill at the
+    * ×100 scale tier. This variant derives the plane count from the
+    * corpus row count with [[Similarity.scaledPlanes]] (smallest p ≥ 4
+    * holding mean bucket occupancy ≤ 64), which keeps scored pairs
+    * ~n·64·(p+1) — near-linear, the recipe a 100 TB corpus needs. The
+    * Spark side reads ONE scalar (the count) onto the driver as the
+    * plan parameter — the k-means-centroid discipline, driver state
+    * bounded by design; the oracle derives the IDENTICAL plane count
+    * from `count(*)` in-query via the same integer comparison scan, so
+    * both engines bucket identically at any scale. At sf0.01 the
+    * formula lands on planes=4 — the static gate's operating point —
+    * so this gate's rows coincide with `ann_knn_join` there while
+    * diverging (correctly: more planes, fewer scored pairs) at scale.
+    */
+  def annKnnJoinScaled(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).embeddings
+    val planes = Similarity.scaledPlanes(e.count())
+    Similarity.knnJoin(e, "vec_id", "embedding", k = 5, planes = planes)
+      .orderBy($"q_id", $"rk")
+  }
+
+  private val annKnnJoinScaledSql =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * 1048576.0)) AS qx,
+      |         CAST(embedding AS DOUBLE[]) AS e
+      |  FROM embeddings),
+      |pl AS (
+      |  SELECT MIN(p) AS planes
+      |  FROM range(4, 40) t(p), (SELECT count(*) AS n FROM embeddings) c
+      |  WHERE (c.n + 63) // 64 <= (CAST(1 AS BIGINT) << CAST(p AS INTEGER))),
+      |w AS (
+      |  SELECT p, list(CAST(CAST(CAST(('0x'||substr(md5('hp:'||p||':'||j),1,16)) AS UBIGINT) % 2001 AS BIGINT) - 1000 AS DOUBLE) ORDER BY j) AS wv
+      |  FROM range(0, 40) t(p), range(0, 64) d(j), pl WHERE p < pl.planes GROUP BY p),
+      |bk AS (
+      |  SELECT vec_id, SUM(CASE WHEN list_dot_product(qx, wv) > 0 THEN CAST(1 AS BIGINT) << CAST(p AS INTEGER) ELSE 0 END) AS bucket
+      |  FROM v, w GROUP BY vec_id),
+      |probes AS (
+      |  SELECT DISTINCT q_id, pb FROM (
+      |    SELECT vec_id AS q_id, bucket AS pb FROM bk
+      |    UNION ALL
+      |    SELECT vec_id, CAST(xor(bucket, CAST(1 AS BIGINT) << CAST(p AS INTEGER)) AS BIGINT)
+      |    FROM bk, range(0, 40) r(p), pl WHERE p < pl.planes)),
+      |scored AS (
+      |  SELECT p.q_id, b.vec_id AS neighbor_id,
+      |    list_dot_product(e.e, q.e) / (sqrt(list_dot_product(e.e, e.e)) * sqrt(list_dot_product(q.e, q.e))) AS c
+      |  FROM probes p JOIN bk b ON b.bucket = p.pb
+      |  JOIN v e ON e.vec_id = b.vec_id JOIN v q ON q.vec_id = p.q_id
+      |  WHERE b.vec_id <> p.q_id),
+      |r AS (SELECT q_id, neighbor_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, neighbor_id) AS rk FROM scored)
+      |SELECT q_id, neighbor_id, round(c, 4) AS cosine, rk FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
   /** The composed kNN-join oracle, parameterized by k — the gate ships
     * k=5; ann_graph_search's oracle widens the same definition to the
     * k=10 edge build (a function parameter, not string surgery, so a
@@ -1604,6 +1658,7 @@ object SimilarityQ {
     QueryDef.sql("ann_ivf_pq_rerank", annIvfPqRerank _, annIvfPqRerankSql),
     QueryDef.sql("ann_ivf_pq_trained_rerank", annIvfPqTrainedRerank _, annIvfPqTrainedRerankSql),
     QueryDef.sql("ann_knn_join", annKnnJoin _, annKnnJoinSql),
+    QueryDef.sql("ann_knn_join_scaled", annKnnJoinScaled _, annKnnJoinScaledSql),
     QueryDef.sql("emb_knn_components", embKnnComponents _, embKnnComponentsSql),
     QueryDef.sql("ann_graph_search", annGraphSearch _, annGraphSearchSql),
     QueryDef.sql("mm_binary_stats", mmBinaryStats _, mmBinaryStatsSql),

@@ -239,6 +239,28 @@ class SimilaritySpec extends GraftSuite {
     assert(got.map(_.toSeq.toList).toList === again.map(_.toSeq.toList).toList)
   }
 
+  test("scaledPlanes: integer-exact occupancy bound, floor 4, boundary-safe") {
+    import graft.operators.Similarity.scaledPlanes
+    // floor: anything that fits 16 buckets at occupancy 64 stays at 4
+    assert(scaledPlanes(1) == 4 && scaledPlanes(64) == 4 && scaledPlanes(500) == 4)
+    assert(scaledPlanes(1024) == 4)   // 1024/64 = 16 = 2^4 exactly
+    assert(scaledPlanes(1025) == 5)   // one past the boundary
+    assert(scaledPlanes(2000) == 5)
+    assert(scaledPlanes(200000) == 12)
+    // the power-of-two boundary a float log2 would get wrong by 1 ulp
+    assert(scaledPlanes(64L << 12) == 12 && scaledPlanes((64L << 12) + 1) == 13)
+  }
+
+  test("ann_knn_join_scaled equals the static gate where the formula lands on 4 planes") {
+    // at the small fixture the scaled plane count IS the static gate's
+    // operating point, so the two recipes must coincide row for row
+    val scaled = graft.queries.SimilarityQ.annKnnJoinScaled(spark, sf0001)
+      .collect().map(_.toSeq.toList).toList
+    val static0 = graft.queries.SimilarityQ.annKnnJoin(spark, sf0001)
+      .collect().map(_.toSeq.toList).toList
+    assert(scaled.nonEmpty && scaled === static0)
+  }
+
   test("emb_knn_components gate: members >= 2 per component, purity in (0,1]") {
     val rows = graft.queries.SimilarityQ.embKnnComponents(spark, sf0001).collect()
     rows.foreach { r =>
