@@ -711,14 +711,37 @@ object SimilarityQ {
     * gated kNN join.
     */
   def embKnnComponents(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val e = Tables(spark, dir).embeddings
-    // cosine floor at the corpus's measured similarity gap (0.45, the
-    // dedup_embedding threshold): mutual-kNN alone percolates into one
-    // giant component on near-uniform vectors; the floor keeps only
-    // edges inside genuine similarity clusters
-    val knn = Similarity.knnJoin(e, "vec_id", "embedding", k = 5)
-      .filter(col("cosine") >= 0.45)
+    mutualKnnComponents(spark, e, Similarity.knnJoin(e, "vec_id", "embedding", k = 5))
+  }
+
+  /** SCALE-ADAPTIVE mutual-kNN clustering (r12): the same SemDeDup-
+    * style composition as [[embKnnComponents]], but the kNN edge build
+    * rides [[annKnnJoinScaled]]'s count-derived plane tier — so the
+    * one corpus-sized stage is near-linear and the gate carries ×100
+    * where the fixed-planes variant is policy-capped at ≤10×. The
+    * downstream stages were never the problem: mutual edges are ≤ 5
+    * per node by construction and the contraction-CC loop is
+    * output-bounded.
+    */
+  def embKnnComponentsScaled(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val planes = Similarity.scaledPlanes(e.count())
+    mutualKnnComponents(spark, e,
+      Similarity.knnJoin(e, "vec_id", "embedding", k = 5, planes = planes))
+  }
+
+  /** Shared tail of the two mutual-kNN clustering gates: cosine floor
+    * → mutual restriction → components → per-component label purity.
+    * The cosine floor sits at the corpus's measured similarity gap
+    * (0.45, the dedup_embedding threshold): mutual-kNN alone
+    * percolates into one giant component on near-uniform vectors; the
+    * floor keeps only edges inside genuine similarity clusters.
+    */
+  private def mutualKnnComponents(spark: SparkSession,
+                                  e: DataFrame, knn0: DataFrame): DataFrame = {
+    import spark.implicits._
+    val knn = knn0.filter(col("cosine") >= 0.45)
     val mutual = knn.as("a").join(knn.as("b"),
         col("a.q_id") === col("b.neighbor_id") && col("a.neighbor_id") === col("b.q_id"))
       .filter(col("a.q_id") < col("a.neighbor_id"))
@@ -737,8 +760,17 @@ object SimilarityQ {
       .orderBy($"cluster")
   }
 
-  private val embKnnComponentsSql =
-    s"""WITH RECURSIVE knn AS (SELECT * FROM ($annKnnJoinSql) WHERE cosine >= 0.45),
+  private val embKnnComponentsSql = mutualKnnComponentsSqlOver(annKnnJoinSql)
+
+  private val embKnnComponentsScaledSql = mutualKnnComponentsSqlOver(annKnnJoinScaledSql)
+
+  /** The mutual-kNN clustering oracle over a pluggable kNN edge SQL —
+    * one shared recipe for the fixed-planes and scaled-planes gates
+    * (the annKnnJoinSqlK discipline: a function parameter, not string
+    * surgery, so the two variants cannot drift).
+    */
+  private def mutualKnnComponentsSqlOver(knnSql: String) =
+    s"""WITH RECURSIVE knn AS (SELECT * FROM ($knnSql) WHERE cosine >= 0.45),
       |mutual AS (
       |  SELECT a.q_id AS id_a, a.neighbor_id AS id_b
       |  FROM knn a JOIN knn b ON a.q_id = b.neighbor_id AND a.neighbor_id = b.q_id
@@ -1659,6 +1691,7 @@ object SimilarityQ {
     QueryDef.sql("ann_ivf_pq_trained_rerank", annIvfPqTrainedRerank _, annIvfPqTrainedRerankSql),
     QueryDef.sql("ann_knn_join", annKnnJoin _, annKnnJoinSql),
     QueryDef.sql("ann_knn_join_scaled", annKnnJoinScaled _, annKnnJoinScaledSql),
+    QueryDef.sql("emb_knn_components_scaled", embKnnComponentsScaled _, embKnnComponentsScaledSql),
     QueryDef.sql("emb_knn_components", embKnnComponents _, embKnnComponentsSql),
     QueryDef.sql("ann_graph_search", annGraphSearch _, annGraphSearchSql),
     QueryDef.sql("mm_binary_stats", mmBinaryStats _, mmBinaryStatsSql),

@@ -261,6 +261,14 @@ class SimilaritySpec extends GraftSuite {
     assert(scaled.nonEmpty && scaled === static0)
   }
 
+  test("emb_knn_components_scaled equals the fixed gate where planes land on 4") {
+    val scaled = graft.queries.SimilarityQ.embKnnComponentsScaled(spark, sf0001)
+      .collect().map(_.toSeq.toList).toList
+    val fixed = graft.queries.SimilarityQ.embKnnComponents(spark, sf0001)
+      .collect().map(_.toSeq.toList).toList
+    assert(scaled.nonEmpty && scaled === fixed)
+  }
+
   test("emb_knn_components gate: members >= 2 per component, purity in (0,1]") {
     val rows = graft.queries.SimilarityQ.embKnnComponents(spark, sf0001).collect()
     rows.foreach { r =>
