@@ -295,6 +295,37 @@ object Similarity {
   def scaledPlanes(n: Long, targetBucket: Int = 64): Int =
     (4 to 39).find(p => (n + targetBucket - 1) / targetBucket <= (1L << p)).getOrElse(39)
 
+  /** Scale-adaptive IVF coarse-centroid count: the smallest `c` with
+    * `c² ≥ n` (ceil-isqrt — the classic `c ≈ √n` balance between
+    * assignment cost `n·c` and probe-list length `n/c`), floored at
+    * the gate-tier default 10. The r12 scale run measured WHY this
+    * must scale: a fixed c=10 stops pruning once lists are n/10 —
+    * every probe set is 80% of the corpus and the "index" degrades to
+    * brute force with PQ overhead (ann_ivf_pq_trained_rerank ×100 =
+    * 5.06×/10×). Pure INTEGER logic for the same reason as
+    * [[scaledPlanes]]: a float `ceil(sqrt(n))` can flip by 1 ulp at
+    * perfect squares between engines; here the float sqrt is only a
+    * STARTING GUESS (backed off by 2) and the integer climb decides —
+    * the DuckDB oracles replay the identical "smallest c with c²≥n"
+    * comparison over a range scan, bit-for-bit.
+    */
+  def scaledCentroids(n: Long, floorC: Int = 10): Int = {
+    var c = math.max(1L, math.sqrt(n.toDouble).toLong - 2L)
+    while (c * c < n) c += 1
+    math.max(floorC.toLong, c).toInt
+  }
+
+  /** Scale-adaptive probe width for [[scaledCentroids]]: `max(8,
+    * c/16)` — holds the scanned corpus fraction near `np/c ≈ 1/16`
+    * once c outgrows the gate-tier floor (at the floor, np=8 of c=10
+    * is the static gate's operating point). RECALL_r12 measured the
+    * ~6% scan fraction as the 0.99-recall IVF point at 200k vectors;
+    * a fixed np=8 over √n centroids would shrink the fraction — and
+    * the recall — with every scale-up. Integer division, replayed by
+    * the oracle as `GREATEST(8, cc // 16)`.
+    */
+  def scaledNprobe(c: Int, floorNp: Int = 8): Int = math.max(floorNp, c / 16)
+
   def knnJoin(vectors: DataFrame, idCol: String, vecCol: String, k: Int,
               planes: Int = 4): DataFrame = {
     val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
@@ -336,10 +367,7 @@ object Similarity {
       VecFns.norm(col(vecCol)).as("nnrm"))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
       VecFns.norm(col(vecCol)).as("qnrm"))
-    val visited = graphVisited(vectors, queries, edges, idCol, vecCol, beam, hops)
-    val scored = visited.join(v, "node").join(broadcast(q), "q_id")
-      .withColumn("cos", VecFns.cosinePrenormed(
-        VecFns.dot(col("nv"), col("qv")), col("nnrm"), col("qnrm")))
+    val scored = graphVisitedScored(vectors, queries, edges, idCol, vecCol, beam, hops)
     TopK(scored.filter(col("node") =!= col("q_id")),
       Seq(col("q_id")), Seq(col("cos").desc, col("node")), k)
       .select(col("q_id"), col("node").as("neighbor_id"),
@@ -349,32 +377,59 @@ object Similarity {
   /** The visited (q_id, node) set [[graphSearch]] scores — exposed so
     * the recall artifact can record |visited| as the beam search's
     * cost (the scored-candidate count, comparable across index
-    * shapes). Same loop, same plans; graphSearch is exactly
-    * `TopK(score(graphVisited(...)))`.
+    * shapes). Exactly `graphVisitedScored(...)` minus the scores.
     */
   private[graft] def graphVisited(vectors: DataFrame, queries: DataFrame,
                                   edges: DataFrame, idCol: String, vecCol: String,
-                                  beam: Int, hops: Int): DataFrame = {
+                                  beam: Int, hops: Int): DataFrame =
+    graphVisitedScored(vectors, queries, edges, idCol, vecCol, beam, hops)
+      .select(col("q_id"), col("node"))
+
+  /** The beam-search loop: every visited (q_id, node) with its exact
+    * cosine, each node scored EXACTLY ONCE — each hop anti-joins the
+    * expanded frontier against the already-scored set and scores only
+    * the fresh nodes, then the beam is a bounded top-`beam` over the
+    * accumulated scores (r12 shipped `scoreOf(visited)` on the
+    * cumulative union inside the loop: hops× redundant scoring joins
+    * plus a growing `distinct()` per hop — the battery's slowest gate
+    * for no structural reason; scores are deterministic, so the
+    * accumulator's top-beam is provably the same beam and the oracle
+    * hash match pins it). Each hop lazily localCheckpoints the
+    * accumulator — the [[KCore]]/[[LabelProp]] discipline — so the
+    * plan stays hop-local instead of doubling per hop.
+    */
+  private def graphVisitedScored(vectors: DataFrame, queries: DataFrame,
+                                 edges: DataFrame, idCol: String, vecCol: String,
+                                 beam: Int, hops: Int): DataFrame = {
     val v = vectors.select(col(idCol).as("node"), col(vecCol).as("nv"),
       VecFns.norm(col(vecCol)).as("nnrm"))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
       VecFns.norm(col(vecCol)).as("qnrm"))
     val entry = vectors.agg(min(col(idCol)).as("node"))
-    var visited = q.select(col("q_id")).crossJoin(broadcast(entry))
-    var beamDf = visited
+    // the edge table is probed once PER HOP — without a persist each
+    // hop re-runs the caller's whole edge-build plan (for the gate:
+    // the kNN bucket join) hops× over
+    val ed = CacheLedger.persist(edges)
     def scoreOf(df: DataFrame): DataFrame =
       df.join(v, "node").join(broadcast(q), "q_id")
         .withColumn("cos", VecFns.cosinePrenormed(
           VecFns.dot(col("nv"), col("qv")), col("nnrm"), col("qnrm")))
+        .select(col("q_id"), col("node"), col("cos"))
+    var scored = scoreOf(q.select(col("q_id")).crossJoin(broadcast(entry)))
+      .localCheckpoint(eager = false)
+    var beamDf = scored.select(col("q_id"), col("node"))
     for (_ <- 1 to hops) {
-      val expanded = beamDf.join(edges, beamDf("node") === edges("src"))
-        .select(col("q_id"), col("dst").as("node"))
-      visited = visited.unionByName(expanded).distinct()
-      beamDf = TopK(scoreOf(visited),
+      val expanded = beamDf.join(ed, beamDf("node") === ed("src"))
+        .select(col("q_id"), col("dst").as("node")).distinct()
+      val fresh = expanded.join(scored.select(col("q_id"), col("node")),
+        Seq("q_id", "node"), "left_anti")
+      scored = scored.unionByName(scoreOf(fresh))
+        .localCheckpoint(eager = false)
+      beamDf = TopK(scored,
         Seq(col("q_id")), Seq(col("cos").desc, col("node")), beam)
         .select(col("q_id"), col("node"))
     }
-    visited
+    scored
   }
 
   /** Scored-candidate count of [[mipsTopK]] at an operating point —

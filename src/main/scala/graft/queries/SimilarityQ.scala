@@ -533,6 +533,89 @@ object SimilarityQ {
 
   private val annIvfPqTrainedRerankSql = rerankSqlOver(annIvfPqTrainedSqlK(40))
 
+  /** SCALE-ADAPTIVE IVF + trained PQ + exact re-rank (r13): the fixed
+    * recipe above pins c=10 coarse lists whatever the corpus, so every
+    * probe set is nprobe/10 of ALL vectors — at the ×100 scale tier the
+    * "index" degrades to brute force with PQ overhead (SCALE_r12:
+    * 74.4 s, 5.06×/10×), and the sf-tier fine params (cb=32, 4×
+    * over-fetch) under-recall at 200k (RECALL_r12: 0.44). This gate is
+    * the production operating point, every knob either derived from the
+    * corpus row count or pinned at its measured big-corpus value:
+    * c = [[Similarity.scaledCentroids]] (smallest c²≥n, ≥10 — the √n
+    * balance), nprobe = [[Similarity.scaledNprobe]] (max(8, c/16) —
+    * holds the scan fraction ≈1/16, RECALL_r12's 0.99-recall IVF
+    * point), codebook=64 + fetch=16 (the measured PQ recovery:
+    * 0.873 recall@10 at 200k). The Spark side reads ONE count scalar
+    * as the plan parameter; the oracle derives the IDENTICAL c and
+    * nprobe from count(*) in-query via the same integer comparison
+    * scan, so both engines prune identically at any scale. At n=500
+    * (sf0.01) the formula lands on c=23/np=8.
+    */
+  def annIvfPqTrainedRerankScaled(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).embeddings
+    val c = Similarity.scaledCentroids(e.count())
+    val np = Similarity.scaledNprobe(c)
+    Similarity.ivfPqTrainedRerankTopK(e, queriesOf(spark, dir), "vec_id", "embedding", k = 10,
+      numCentroids = c, nprobe = np, numSub = 16, codebook = 64, iters = 2, fetch = 16)
+      .orderBy($"q_id", $"rk")
+  }
+
+  /** The scaled-IVF trained-PQ shortlist oracle: [[annIvfPqTrainedSqlK]]
+    * with c/nprobe derived in-query (ceil-isqrt over a range scan —
+    * the integer formulation [[Similarity.scaledCentroids]] replays)
+    * and the big-corpus fine tier (cb=64). The range bound 2_000_000
+    * covers corpora to 4×10¹² rows.
+    */
+  private def annIvfPqTrainedScaledSqlK(k: Int) =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |params AS (SELECT GREATEST(10, MIN(t.c)) AS cc
+       |           FROM range(1, 2000000) t(c), (SELECT count(*) AS n FROM embeddings) nn
+       |           WHERE t.c * t.c >= nn.n),
+       |npr AS (SELECT GREATEST(8, cc // 16) AS np FROM params),
+       |cents AS (SELECT c_id, ce FROM (
+       |    SELECT vec_id AS c_id, e AS ce, row_number() OVER (ORDER BY vec_id) AS crn FROM v) x,
+       |  params WHERE x.crn <= params.cc),
+       |ac AS (SELECT vec_id, c_id,
+       |        row_number() OVER (PARTITION BY vec_id ORDER BY
+       |          list_dot_product(e, ce) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))) DESC, c_id) AS rn
+       |      FROM v, cents),
+       |assigned AS (SELECT vec_id, c_id AS cluster FROM ac WHERE rn = 1),
+       |qp AS (SELECT vec_id AS q_id, c_id AS cluster,
+       |        row_number() OVER (PARTITION BY vec_id ORDER BY
+       |          list_dot_product(e, ce) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))) DESC, c_id) AS rn
+       |      FROM v, cents WHERE vec_id < 10),
+       |probes AS (SELECT q_id, cluster FROM qp, npr WHERE rn <= npr.np),
+       |vs AS (SELECT vec_id, p, list_slice(e, p * (len(e) // 16) + 1, (p + 1) * (len(e) // 16)) AS es
+       |       FROM v, range(0, 16) t(p)),
+       |cs0 AS (
+       |  SELECT vec_id AS c_id, p,
+       |    list_slice(e, p * (len(e) // 16) + 1, (p + 1) * (len(e) // 16)) AS cse
+       |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 64), range(0, 16) t(p)),
+       |${pqTrainRoundSql(1)},
+       |${pqTrainRoundSql(2)},
+       |cd AS (SELECT vec_id, vs.p, c_id,
+       |         row_number() OVER (PARTITION BY vec_id, vs.p
+       |           ORDER BY (list_dot_product(cse, cse) - 2 * list_dot_product(es, cse)) ASC, c_id) AS rn
+       |       FROM vs JOIN cs2 ON cs2.p = vs.p),
+       |codes AS (SELECT vec_id, p, c_id AS code FROM cd WHERE rn = 1),
+       |dt AS (SELECT qs.vec_id AS q_id, qs.p, c_id AS code,
+       |         CAST(floor(list_dot_product(qs.es, cs2.cse) * 1048576.0) AS BIGINT) AS pd
+       |       FROM vs qs JOIN cs2 ON cs2.p = qs.p WHERE qs.vec_id < 10),
+       |cand AS (SELECT DISTINCT p.q_id, a.vec_id AS id
+       |         FROM probes p JOIN assigned a ON a.cluster = p.cluster
+       |         WHERE a.vec_id <> p.q_id),
+       |scored AS (SELECT c.q_id, c.id AS neighbor_id, SUM(d.pd) AS adcq
+       |           FROM cand c JOIN codes kc ON kc.vec_id = c.id
+       |           JOIN dt d ON d.q_id = c.q_id AND d.p = kc.p AND d.code = kc.code
+       |           GROUP BY c.q_id, c.id),
+       |r AS (SELECT q_id, neighbor_id, CAST(adcq AS DOUBLE) / 1048576.0 AS adc,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY adcq DESC, neighbor_id) AS rk
+       |      FROM scored)
+       |SELECT q_id, neighbor_id, adc, rk FROM r WHERE rk <= $k ORDER BY q_id, rk""".stripMargin
+
+  private val annIvfPqTrainedRerankScaledSql = rerankSqlOver(annIvfPqTrainedScaledSqlK(160))
+
   /** Corpus-wide kNN graph (r6, [[Similarity.knnJoin]]): every
     * vector's top-5 neighbors via the hyperplane-bucket equi-join —
     * the probe side is the corpus itself, so unlike `ann_lsh_topk`
@@ -1689,6 +1772,7 @@ object SimilarityQ {
     QueryDef.sql("ann_ivf_pq_topk", annIvfPq _, annIvfPqSql),
     QueryDef.sql("ann_ivf_pq_rerank", annIvfPqRerank _, annIvfPqRerankSql),
     QueryDef.sql("ann_ivf_pq_trained_rerank", annIvfPqTrainedRerank _, annIvfPqTrainedRerankSql),
+    QueryDef.sql("ann_ivf_pq_trained_rerank_scaled", annIvfPqTrainedRerankScaled _, annIvfPqTrainedRerankScaledSql),
     QueryDef.sql("ann_knn_join", annKnnJoin _, annKnnJoinSql),
     QueryDef.sql("ann_knn_join_scaled", annKnnJoinScaled _, annKnnJoinScaledSql),
     QueryDef.sql("emb_knn_components_scaled", embKnnComponentsScaled _, embKnnComponentsScaledSql),

@@ -251,6 +251,30 @@ class SimilaritySpec extends GraftSuite {
     assert(scaledPlanes(64L << 12) == 12 && scaledPlanes((64L << 12) + 1) == 13)
   }
 
+  test("scaledCentroids/scaledNprobe: ceil-isqrt with floor 10, exact at perfect squares") {
+    import graft.operators.Similarity.{scaledCentroids, scaledNprobe}
+    // floor: tiny corpora stay at the gate-tier default c=10
+    assert(scaledCentroids(1) == 10 && scaledCentroids(100) == 10)
+    // ceil-isqrt, exact at and around perfect squares (the 1-ulp trap)
+    assert(scaledCentroids(101) == 11)
+    assert(scaledCentroids(500) == 23)    // 22²=484 < 500 ≤ 23²=529
+    assert(scaledCentroids(529) == 23 && scaledCentroids(530) == 24)
+    assert(scaledCentroids(2000) == 45)
+    assert(scaledCentroids(200000) == 448) // 447²=199809 < 200000 ≤ 448²
+    assert(scaledCentroids(448L * 448L) == 448)
+    assert(scaledCentroids(1000000) == 1000 && scaledCentroids(1000001) == 1001)
+    // nprobe holds the ~1/16 scan fraction once c outgrows the floor
+    assert(scaledNprobe(10) == 8 && scaledNprobe(128) == 8)
+    assert(scaledNprobe(129) == 8 && scaledNprobe(448) == 28)
+  }
+
+  test("ann_ivf_pq_trained_rerank_scaled: k rows per query, deterministic") {
+    val got = graft.queries.SimilarityQ.annIvfPqTrainedRerankScaled(spark, sf0001).collect()
+    assert(got.length == 100) // 10 queries × k=10
+    val again = graft.queries.SimilarityQ.annIvfPqTrainedRerankScaled(spark, sf0001).collect()
+    assert(got.map(_.toSeq.toList).toList === again.map(_.toSeq.toList).toList)
+  }
+
   test("ann_knn_join_scaled equals the static gate where the formula lands on 4 planes") {
     // at the small fixture the scaled plane count IS the static gate's
     // operating point, so the two recipes must coincide row for row

@@ -15,11 +15,15 @@ src = subprocess.run(
 gates = sorted(set(re.findall(r'"([a-z0-9_]+)"', src)))
 
 survey = open("SURVEY.md").read()
-missing = [g for g in gates if f"`{g}`" not in survey]
+sec2 = survey.split("## §3")[0]
+# forward direction: every registered gate needs a CHECKLIST LINE in
+# §2 itself (r12 verdict: two green gates were named only in round-
+# results prose — "anywhere in the file" is not an inventory)
+missing = [g for g in gates
+           if not re.search(rf"^- \[x\] `{re.escape(g)}`", sec2, re.M)]
 
 # reverse direction: backticked tokens in §2 that LOOK like gates
 # (known family prefixes) but are not registered
-sec2 = survey.split("## §3")[0]
 prefixes = ("q_", "q1", "q2", "q3", "q4", "q5", "q6", "q7", "q8", "q9",
             "etl_", "dedup_", "ann_", "emb_", "text_", "corpus_", "mm_",
             "stream_", "ts_", "pipeline_")
