@@ -328,7 +328,12 @@ object Bench {
     // child JVMs below) and re-time the same four gates unchanged.
     // The build cost is recorded too: at 100 TB it is the one-shuffle
     // write-time investment every future join on the key amortizes.
-    val bucketGates = Seq("q3_top_orders", "q12_ship_mode",
+    // r13: ALL 7 headliners get a bucketed cell (r12 measured only the
+    // four fact⋈fact gates, so the aggregate "within 2×" claim rested
+    // on the warm tier for q1/q5/q6 — q1/q6 are single-scan shapes the
+    // layout can't speed up, which is itself worth recording)
+    val bucketGates = Seq("q1_pricing_summary", "q3_top_orders",
+      "q5_region_revenue", "q6_forecast_revenue", "q12_ship_mode",
       "q18_large_orders", "q21_waiting_orders")
     val sf1BDir = "/tmp/graft_bench_sf1b"
     var sf1BucketBuild = -1.0
@@ -422,21 +427,29 @@ object Bench {
       // ALSO write a ROUND-STAMPED immutable copy (r11 judge ask #4):
       // BENCH_FULL.json is overwritten every run, and the driver's own
       // BENCH_r{N}.json wraps a truncated stdout tail — the per-gate
-      // maps must survive in a file no later run mutates. The round
-      // number is inferred as max(existing BENCH_r*.json) + 1: this
-      // suite run IS the next round's record.
+      // maps must survive in a file no later run mutates. The round is
+      // SPARK_GRAFT_BENCH_ROUND when set, else inferred as
+      // max(existing BENCH_r*.json) + 1 — and when NO round files are
+      // visible (first round, or a cwd that is not the repo root) the
+      // copy is still written as r01 rather than silently skipped
+      // (ADVICE r12: the no-op lost the only immutable record).
       try {
-        val cwd = java.nio.file.Paths.get(".")
-        val rx = "BENCH_r0*([0-9]+)\\.json".r
-        val seen = java.nio.file.Files.list(cwd).iterator()
-        var maxR = 0
-        while (seen.hasNext) {
-          val f = seen.next().getFileName.toString
-          rx.findFirstMatchIn(f).foreach(m => maxR = maxR.max(m.group(1).toInt))
+        val round = sys.env.get("SPARK_GRAFT_BENCH_ROUND").map(_.toInt).getOrElse {
+          val cwd = java.nio.file.Paths.get(".")
+          val rx = "BENCH_r0*([0-9]+)\\.json".r
+          val seen = java.nio.file.Files.list(cwd).iterator()
+          var maxR = 0
+          while (seen.hasNext) {
+            val f = seen.next().getFileName.toString
+            rx.findFirstMatchIn(f).foreach(m => maxR = maxR.max(m.group(1).toInt))
+          }
+          if (maxR == 0) System.err.println(
+            "[bench] no BENCH_r*.json in cwd — stamping the immutable copy r01 " +
+              "(set SPARK_GRAFT_BENCH_ROUND to override)")
+          maxR + 1
         }
-        if (maxR > 0)
-          java.nio.file.Files.writeString(
-            java.nio.file.Paths.get(f"BENCH_FULL_r${maxR + 1}%02d.json"), json + "\n")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(f"BENCH_FULL_r$round%02d.json"), json + "\n")
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] round-stamped copy failed: ${e.getMessage}")
       }

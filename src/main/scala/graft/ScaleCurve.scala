@@ -48,7 +48,33 @@ object ScaleCurve {
     * exact-dup families of up to 4 (measured by CcProbe; it is the
     * identified driver of the dedup_clusters ×100 edge growth).
     */
-  def buildLake(spark: SparkSession, t: Tables, replicas: Int, out: String): Unit = {
+  /** Deterministic md5-keyed permutation of the lowercase alphabet for
+    * replica `r` (Fisher–Yates, swap index from the first two md5
+    * bytes of "perm:r:i"); replica 0 is the identity, preserving the
+    * base-tier-is-a-subset property. 26! ≫ any replica count, so —
+    * unlike the 26-rotation Caesar — every replica re-letters the
+    * corpus distinctly: no cross-replica exact-dup families by
+    * construction (the GROWING-CARDINALITY lake, r13 judge ask #7).
+    */
+  private[graft] def permAlphabet(r: Int): String = {
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    if (r == 0) lower
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val arr = lower.toCharArray
+      var i = arr.length - 1
+      while (i > 0) {
+        val h = md.digest(s"perm:$r:$i".getBytes("UTF-8"))
+        val j = (((h(0) & 0xff) << 8) | (h(1) & 0xff)) % (i + 1)
+        val tmp = arr(i); arr(i) = arr(j); arr(j) = tmp
+        i -= 1
+      }
+      new String(arr)
+    }
+  }
+
+  def buildLake(spark: SparkSession, t: Tables, replicas: Int, out: String,
+                freshAttrs: Boolean = false): Unit = {
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val digits = "0123456789"
     val rep = spark.range(replicas).toDF("__r")
@@ -66,16 +92,45 @@ object ScaleCurve {
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
     shifted(t.lineitem, Map("l_orderkey" -> maxOrder))
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
-    // fresh keys AND fresh same-format names per replica
-    val cust = t.customer.crossJoin(rep)
+    // fresh keys AND fresh same-format names per replica; the
+    // GROWING-CARDINALITY variant (freshAttrs) also re-randomizes the
+    // balance CENTS per (replica, custkey) from md5 — the base lake
+    // reuses acctbals verbatim, so `distinct cents` is FROZEN at the
+    // sf0.1 value (14,907) while rows grow 100×, and every
+    // (attr, cents)-blocked pipeline sees duplicate families growing
+    // linearly with replicas and true pair mass quadratically (92× per
+    // 10×, ENTITY_PROBE_r12) — an adversarial construction no real
+    // corpus exhibits. Replica 0 keeps its exact base values.
+    val cust0 = t.customer.crossJoin(rep)
       .withColumn("c_custkey", col("c_custkey") + col("__r") * maxCust)
       .withColumn("c_name",
         concat(lit("Customer#"), lpad(col("c_custkey").cast("string"), 9, "0")))
-      .drop("__r")
-    cust.select(t.customer.columns.map(col): _*)
+    val cust1 = if (!freshAttrs) cust0 else cust0
+      .withColumn("c_acctbal",
+        when(col("__r") === 0, col("c_acctbal")).otherwise(
+          floor(col("c_acctbal")) + (conv(substring(
+            md5(concat(lit("cents:"), col("__r"), lit(":"), col("c_custkey"))),
+            1, 8), 16, 10).cast("long") % 100).cast("double") / 100.0))
+    cust1.drop("__r").select(t.customer.columns.map(col): _*)
       .write.mode("overwrite").parquet(s"$out/customer.parquet")
-    // per-replica Caesar cipher: lowercase by r%26, digits by (r/26)%10
-    val docs = t.documents.crossJoin(rep)
+    // per-replica re-lettering. Base lake: Caesar cipher (lowercase by
+    // r%26, digits by (r/26)%10) — only 260 distinct rotations, and on
+    // this all-lowercase corpus effectively 26: at ×100 every doc
+    // gains 3 EXACT cross-replica twins (r±26k share the rotation), so
+    // near-dup family sizes grow with the replica count — the
+    // adversarial stress lake. Growing-cardinality variant: a full
+    // md5-keyed alphabet PERMUTATION per replica (26! space, driver-
+    // computed lookup joined on __r) — no cross-replica collisions.
+    val docs0 = t.documents.crossJoin(rep)
+    val docs = if (freshAttrs) {
+      import spark.implicits._
+      val perms = (0 until replicas).map(r => (r.toLong, permAlphabet(r)))
+        .toDF("__r", "__perm")
+      docs0.join(broadcast(perms), "__r")
+        .withColumn("text", expr(s"translate(text, '$lower', __perm)"))
+        .withColumn("doc_id", col("doc_id") + col("__r") * maxDoc)
+        .drop("__r", "__perm")
+    } else docs0
       .withColumn("__lo", (col("__r") % 26).cast("int"))
       .withColumn("__di", ((col("__r") / 26) % 10).cast("int"))
       .withColumn("text", expr(
@@ -139,9 +194,14 @@ object ScaleCurve {
     spark.sparkContext.setLogLevel("WARN")
     val base = "/root/testdata/sf0.1"
     val t = Tables(spark, base)
+    // SPARK_GRAFT_CURVE_FRESH=1 selects the GROWING-CARDINALITY lake
+    // (fresh cents per replica, injective per-replica re-lettering) —
+    // the realistic counterpart to the default adversarial replication;
+    // both are kept, the adversarial lake is a good stress test
+    val freshAttrs = sys.env.getOrElse("SPARK_GRAFT_CURVE_FRESH", "0") == "1"
 
     def buildLake(replicas: Int, out: String): Unit =
-      ScaleCurve.buildLake(spark, t, replicas, out)
+      ScaleCurve.buildLake(spark, t, replicas, out, freshAttrs)
 
     // release EVERYTHING a gate pinned: persisted frames, the cache
     // ledger, and localCheckpoint blocks (which clearCache does NOT
@@ -173,7 +233,7 @@ object ScaleCurve {
     }
 
     val dirs: Seq[(String, String)] = ("sf0.1" -> base) +: tiers.map { r =>
-      val out = s"/tmp/graft_curve_x$r"
+      val out = s"/tmp/graft_curve_x$r${if (freshAttrs) "g" else ""}"
       // marker v2: the r12 recipe synthesizes embeddings per replica —
       // lakes cached under the old marker carry verbatim-reused vectors
       // and must rebuild
@@ -229,7 +289,7 @@ object ScaleCurve {
       }.mkString(",")
       s""""$g":{$cells${if (ratios.nonEmpty) "," + ratios else ""}}"""
     }.mkString(",")
-    println(s"""{"metric":"scale_curve","base":"sf0.1","tiers":"${tiers.mkString(",")}","iters":$iters,""" +
+    println(s"""{"metric":"scale_curve","base":"sf0.1","lake":"${if (freshAttrs) "growing-cardinality" else "adversarial-replicated"}","tiers":"${tiers.mkString(",")}","iters":$iters,""" +
       s""""note":"q_pagerank node set is the reused dims; its edge-extraction join scales, the iteration stage is graph-bound. dedup_minhash_lsh is measured at <=10x by declared policy (pair OUTPUT is quadratic in dup-family size); dedup_minhash_clusters is the linear-output variant that carries 100x",""" +
       s""""gates":{$json}}""")
     spark.stop()

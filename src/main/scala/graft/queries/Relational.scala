@@ -79,7 +79,7 @@ object Relational {
         round(sum(dec($"s1")).cast("double") / 100.0 / cnt, 4).as("avg_price"),
         round(sum(dec($"sd")).cast("double") / 100.0 / cnt, 4).as("avg_disc"),
         Relational.guardedLong(cnt, max($"c"), 70000000L,
-          "q1 long partial exceeded its 75M-rows-per-partition overflow envelope; repartition the input finer").as("count_order"))
+          "q1 long partial exceeded the enforced 70M-rows-per-partition bound (75M-row overflow envelope); repartition the input finer").as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 

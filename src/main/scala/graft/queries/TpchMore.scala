@@ -185,34 +185,40 @@ object TpchMore {
   def q21WaitingOrders(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val t = Tables(spark, dir)
-    // Both consumers below need only these three narrow columns;
-    // materialize the joined stream ONCE (eager local checkpoint) so
-    // the biggest join in the query can't silently run twice — the
-    // two branches prune differently, so ReuseExchange alone never
-    // dedupes them. Blocks are freed by the ContextCleaner when the
-    // result is dereferenced.
-    val lines = t.lineitem
+    // ONE pass over the fact join (r13 — the r12 shape localCheckpointed
+    // the joined stream and scanned it twice, once for the per-order
+    // distinct counts and once for the qualifying late lines; the
+    // checkpoint materialization was the measured residual over the
+    // oracle): aggregate to (order, supplier) grain map-side-combinably
+    // — late_lines per supplier per order carries EVERYTHING the query
+    // needs — then read both per-order existence counts (distinct
+    // suppliers, distinct late suppliers) from a window over that
+    // supplier-grain aggregate, which is lineitem/⌀(lines per supp-
+    // order) small. On the orderkey-bucketed layout the join, the
+    // group-by (orderkey ⊆ grouping keys) and the window (orderkey
+    // partition) all ride the bucket partitioning exchange-free; flat
+    // layouts pay one shuffle for the join and nothing after it.
+    val perSupp = t.lineitem
       .join(t.orders.filter($"o_orderstatus" === "F"),
         $"l_orderkey" === $"o_orderkey")
-      .withColumn("late",
-        $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
-      .select($"l_orderkey", $"l_suppkey", $"late")
-      .localCheckpoint()
-    val perOrder = lines.groupBy($"l_orderkey".as("ok")).agg(
-      countDistinct($"l_suppkey").as("nsupp"),
-      countDistinct(when($"late", $"l_suppkey")).as("nlate"))
+      .groupBy($"l_orderkey", $"l_suppkey")
+      .agg(sum(when($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"), 1L)
+        .otherwise(0L)).as("late_lines"))
+    val w = Window.partitionBy($"l_orderkey")
+    val flagged = perSupp
+      .withColumn("nsupp", count(lit(1)).over(w))
+      .withColumn("nlate", sum(when($"late_lines" > 0, 1).otherwise(0)).over(w))
+      .filter($"late_lines" > 0 && $"nsupp" > 1 && $"nlate" === 1)
     val euroSupp = t.supplier
       .join(broadcast(t.nation
         .join(broadcast(t.region.filter($"r_name" === "EUROPE")),
           $"n_regionkey" === $"r_regionkey")),
         $"s_nationkey" === $"n_nationkey")
       .select($"s_suppkey", $"s_name")
-    lines.filter($"late")
-      .join(perOrder.filter($"nsupp" > 1 && $"nlate" === 1),
-        $"l_orderkey" === $"ok")
+    flagged
       .join(broadcast(euroSupp), $"l_suppkey" === $"s_suppkey")
       .groupBy($"s_name")
-      .agg(count(lit(1)).as("numwait"))
+      .agg(sum($"late_lines").as("numwait"))
       .orderBy($"numwait".desc, $"s_name")
       .limit(20)
   }

@@ -63,7 +63,13 @@ object BucketedLake {
       writer.option("path", path).mode("overwrite").saveAsTable(tmp)
       // external table: DROP releases the catalog name, files stay
       spark.sql(s"DROP TABLE IF EXISTS $tmp")
+      // a REWRITE must also invalidate any read-side registration of
+      // the same path in this session (ADVICE r12: the stale entry —
+      // including Spark's cached relation/file listing and the old
+      // bucket spec — kept serving reads until session restart)
+      spark.sql(s"DROP TABLE IF EXISTS $Database.t_${pathTag(path)}")
     }
+    spark.catalog.refreshByPath(path)
     val json =
       s"""{"version":1,"numBuckets":$numBuckets,
          |"bucketCols":${bucketCols.map(q).mkString("[", ",", "]")},
@@ -78,25 +84,40 @@ object BucketedLake {
   /** Read `path`: with a layout marker present, through a re-registered
     * external bucketed table (so joins/aggregates on the bucket key
     * skip their exchange); otherwise a plain parquet read. The catalog
-    * entry is deterministic per path and created at most once per
-    * session — repeat reads are a hashtable hit.
+    * entry is deterministic per path; a registration created from an
+    * EARLIER marker (the path was re-written with a different spec —
+    * ADVICE r12) is detected by the marker-content fingerprint stored
+    * as a table property and re-registered, so repeat reads of an
+    * unchanged layout stay a hashtable hit while a spec change never
+    * serves stale metadata.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     val marker = new Path(path, MarkerFile)
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) return spark.read.parquet(path)
-    val spec = parse(readFully(fs, marker))
+    val raw = readFully(fs, marker)
+    val spec = parse(raw)
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(raw.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val tbl = s"$Database.t_${pathTag(path)}"
     this.synchronized {
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $Database")
-      if (!spark.catalog.tableExists(tbl)) {
+      val stale = spark.catalog.tableExists(tbl) && {
+        val prop = spark.sql(s"SHOW TBLPROPERTIES $tbl ('graft.marker.md5')")
+          .collect().headOption.map(_.getString(1)).getOrElse("")
+        if (prop == fp) false
+        else { spark.sql(s"DROP TABLE IF EXISTS $tbl"); true }
+      }
+      if (stale || !spark.catalog.tableExists(tbl)) {
         val sorted = if (spec.sortCols.nonEmpty)
           s"SORTED BY (${spec.sortCols.map(bq).mkString(", ")}) " else ""
         spark.sql(
           s"""CREATE TABLE $tbl (${spec.schemaDDL}) USING parquet
              |CLUSTERED BY (${spec.bucketCols.map(bq).mkString(", ")})
              |${sorted}INTO ${spec.numBuckets} BUCKETS
-             |LOCATION '$path'""".stripMargin)
+             |LOCATION '$path'
+             |TBLPROPERTIES ('graft.marker.md5' = '$fp')""".stripMargin)
+        spark.catalog.refreshByPath(path)
       }
     }
     spark.table(tbl)

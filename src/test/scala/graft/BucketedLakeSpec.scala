@@ -105,4 +105,35 @@ class BucketedLakeSpec extends GraftSuite {
       assert(!ap.contains("Exchange hashpartitioning"))
     }
   }
+
+  test("re-writing a read path in the same session never serves stale layout") {
+    // ADVICE r12: read() registered the table once per session keyed
+    // only on existence, so a later write() to the same path (new
+    // data, new bucket spec) kept serving the OLD registration — stale
+    // rows or FileNotFound until restart. write() now invalidates the
+    // read tag and read() fingerprints the marker.
+    val dir = java.nio.file.Files.createTempDirectory("graft_blake_rw").toString
+    val path = s"$dir/nation.parquet"
+    val t = Tables(spark, sf0001)
+    BucketedLake.write(t.nation.filter(col("n_nationkey") < 10), path, 2,
+      Seq("n_nationkey"))
+    val first = BucketedLake.read(spark, path)
+    assert(first.count() == 10)
+    // same session, same path: MORE rows, DIFFERENT bucket count
+    BucketedLake.write(t.nation, path, 4, Seq("n_nationkey"), Seq("n_nationkey"))
+    val second = BucketedLake.read(spark, path)
+    assert(second.count() == t.nation.count(),
+      "re-read after re-write served the stale registration")
+    val spec = BucketedLake.specOf(spark, path)
+    assert(spec.get.numBuckets == 4 && spec.get.sortCols == Seq("n_nationkey"))
+    // and the re-registered table carries the NEW spec (bucket-key agg
+    // still exchange-free proves it reads as a real bucketed table)
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val ap = BucketedLake.read(spark, path)
+        .groupBy(col("n_nationkey")).agg(count(lit(1)).as("n"))
+        .queryExecution.executedPlan.toString
+      assert(!ap.contains("Exchange hashpartitioning"))
+    }
+  }
 }

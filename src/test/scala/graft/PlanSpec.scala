@@ -139,17 +139,19 @@ class PlanSpec extends GraftSuite {
   }
 
   test("q21 runs the lineitem⋈orders join once, not once per branch") {
-    // `lines` feeds both the per-order aggregate and the late-line
-    // probe with different prunings, so ReuseExchange never dedupes
-    // them — the query materializes the narrow joined stream once
-    // via localCheckpoint instead. Pin it: the final plan must not
-    // scan lineitem at all (the scan happened in the checkpoint).
-    val df = graft.queries.TpchMore.q21WaitingOrders(spark, sf001)
-    df.collect()
-    val p = plan(df)
+    // r13 single-pass shape: the (orderkey, suppkey)-grain aggregate
+    // carries everything, both per-order existence counts come from
+    // windows over it — so the plan holds exactly ONE lineitem scan
+    // and no materialization barrier (the r12 shape localCheckpointed
+    // the joined stream and scanned it twice).
+    val p = plan(graft.queries.TpchMore.q21WaitingOrders(spark, sf001))
     val lineitemScans = "lineitem".r.findAllIn(p).size
-    assert(lineitemScans == 0,
-      s"q21 re-derives the lineitem join per branch ($lineitemScans scans):\n$p")
+    assert(lineitemScans == 1,
+      s"q21 must scan lineitem exactly once ($lineitemScans scans):\n$p")
+    // and the two windows must share the aggregate's orderkey
+    // clustering — no exchange between the per-order counts
+    assert(!p.split("Window", -1).drop(1).head.contains("Exchange"),
+      s"exchange between q21's two per-order windows:\n$p")
   }
 
   test("composed web pipeline: no quadratic operator, cap through GroupTopK") {

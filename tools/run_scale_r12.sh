@@ -13,7 +13,10 @@ set -u
 OUT=${1:-/tmp/scale_curve_r12.out}
 : > "$OUT"
 CP="$(cat /tmp/graft_cp.txt)"
-GATES=${GATES:-"dedup_minhash_clusters dedup_clusters dedup_minhash_lsh dedup_minhash_eval q_golden_record q21_waiting_orders dedup_prefix_filter ann_ivf_pq_trained_rerank emb_knn_components"}
+# default GATES matches the committed SCALE_r12.json exactly (ADVICE r12:
+# the two scaled ANN/embedding cells were run via GATES override and
+# missing here, so re-running as-is did not reproduce the artifact)
+GATES=${GATES:-"dedup_minhash_clusters dedup_clusters dedup_minhash_lsh dedup_minhash_eval q_golden_record q21_waiting_orders dedup_prefix_filter ann_ivf_pq_trained_rerank emb_knn_components ann_knn_join_scaled emb_knn_components_scaled"}
 for g in $GATES; do
   echo "[runner] $g start $(date +%T)" >&2
   SPARK_GRAFT_CURVE_ONLY="$g" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_CURVE_ITERS=2 \
