@@ -160,7 +160,18 @@ object Recall {
         s"c=$ivfC,np=8,sub=16,cb=64,trained=2it,rerank=8x" -> (() => recallOf(
           pairs(Similarity.ivfPqTrainedRerankTopK(emb, qs, "vec_id", "embedding", k, ivfC, 8, 16, 64, 2, 8)), cosTruth)),
         s"c=$ivfC,np=8,sub=16,cb=64,trained=2it,rerank=16x" -> (() => recallOf(
-          pairs(Similarity.ivfPqTrainedRerankTopK(emb, qs, "vec_id", "embedding", k, ivfC, 8, 16, 64, 2, 16)), cosTruth))),
+          pairs(Similarity.ivfPqTrainedRerankTopK(emb, qs, "vec_id", "embedding", k, ivfC, 8, 16, 64, 2, 16)), cosTruth)),
+        // the r13 SCALED gate's operating point: every knob derived
+        // from the corpus count (c = ceil-isqrt ≥ 10, np = max(8, c/16))
+        // or pinned at its measured big-corpus value (cb=64, 16× fetch)
+        // — the ann_ivf_pq_trained_rerank_scaled recipe, measured here
+        // at whatever n this run loads (200k for the big-fixture row)
+        "scaled:c=isqrt(n),np=c/16,sub=16,cb=64,trained=2it,rerank=16x" -> (() => {
+          val c = Similarity.scaledCentroids(nVec)
+          val np = Similarity.scaledNprobe(c)
+          recallOf(pairs(Similarity.ivfPqTrainedRerankScaledTopK(
+            emb, qs, "vec_id", "embedding", k, c, np, 16, 64, 2, 16)), cosTruth)
+        })),
       "mips" -> Seq(
         "planes=4" -> (() => recallOf(
           pairs(Similarity.mipsTopK(emb, qs, "vec_id", "embedding", k, planes = 4)), mipsTruth)),
@@ -196,10 +207,16 @@ object Recall {
       "ivf" -> (() => Similarity.ivfCandidateCount(emb, qs, "vec_id", "embedding", ivfC, 8)),
       "pq" -> (() => nq * (nVec - 1)),
       "ivf_pq" -> (() => Similarity.ivfCandidateCount(emb, qs, "vec_id", "embedding", ivfC, 8)),
+      "ivf_pq_scaled" -> (() => {
+        val c = Similarity.scaledCentroids(nVec)
+        Similarity.ivfCandidateCount(emb, qs, "vec_id", "embedding", c,
+          Similarity.scaledNprobe(c))
+      }),
       "mips" -> (() => Similarity.mipsCandidateCount(emb, qs, "vec_id", "embedding", planes = 2)),
       "graph" -> (() => Similarity.graphVisited(emb, qs, edges10, "vec_id", "embedding", 32, 6).count()))
     val costs: Map[String, Long] = costThunks
-      .filter { case (s0, _) => s0 == "brute" || shapesEnv.forall(_.contains(s0)) }
+      .filter { case (s0, _) =>
+        s0 == "brute" || shapesEnv.forall(_.exists(s0.startsWith)) }
       .map { case (s0, f) => s0 -> f() }
 
     val evaluated = curve

@@ -788,6 +788,106 @@ object Similarity {
         col("adc"), col("rk").cast("long").as("rk"))
   }
 
+  /** Restore task parallelism for compute-heavy map stages: a small
+    * parquet directory (the ×100 lake's 55 MB embedding table) opens
+    * as a handful of input partitions, and everything derived from it
+    * — the 89.6M-row centroid-assign crossJoin, the 205M-row PQ
+    * training join — inherits that width, running ≤5 tasks on 32
+    * cores (the r13 profile measured the coarse assign ALONE at
+    * 193 s for this reason). One round-robin shuffle of the narrow
+    * (id, vector) frame buys full-width execution; inputs already
+    * wider than the session's parallelism pass through untouched, so
+    * a real cluster reading thousands of splits never pays it.
+    */
+  private def widen(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
+  /** The SCALE-ADAPTIVE IVF + trained-PQ shortlist
+    * ([[ivfPqTrainedTopK]] with the coarse tier sized by
+    * [[scaledCentroids]]/[[scaledNprobe]] and re-costed for a c that
+    * GROWS): assignment ranks by `dot(v, c) / |c|` — the same argmax
+    * as cosine since `|v|` is constant within each vector's ranking
+    * group — which drops two of the three dot products the full
+    * cosine formula spends per (vector, centroid) pair; with c = √n
+    * pairs the assign is the one n·√n stage, so its constant matters.
+    * The corpus frame is [[widen]]ed once and persisted: cents,
+    * assign, training and encode all read the widened frame. The
+    * oracle replays the identical `dot/|c|` expression, so the
+    * cheaper scoring stays hash-matched.
+    */
+  def ivfPqTrainedScaledTopK(vectors: DataFrame, queries: DataFrame,
+                             idCol: String, vecCol: String, k: Int,
+                             numCentroids: Int, nprobe: Int,
+                             numSub: Int = 16, codebook: Int = 64,
+                             iters: Int = 2): DataFrame = {
+    val vw = CacheLedger.persist(widen(
+      vectors.select(col(idCol).as("id"), col(vecCol).as("v"))))
+    // coarse tier: prenormalized assign (dot / |centroid|)
+    val cents = vw.orderBy(col("id")).limit(numCentroids)
+      .select(col("id").as("c_id"), col("v").as("c_v"),
+        VecFns.norm(col("v")).as("c_nrm"))
+    val assigned = TopK(
+      vw.crossJoin(broadcast(cents))
+        .withColumn("c_sc", VecFns.dot(col("v"), col("c_v")) / col("c_nrm")),
+      Seq(col("id")), Seq(col("c_sc").desc, col("c_id")), 1)
+      .select(col("id"), col("c_id").as("cluster"))
+    val probes = TopK(
+      queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
+        .crossJoin(broadcast(cents))
+        .withColumn("c_sc", VecFns.dot(col("q_v"), col("c_v")) / col("c_nrm")),
+      Seq(col("q_id")), Seq(col("c_sc").desc, col("c_id")), nprobe)
+      .select(col("q_id"), col("c_id").as("cluster"))
+    // fine tier — trained codebooks, min-L2 encode (as ivfPqTrainedTopK),
+    // everything derived from the widened frame
+    val subIdx = sequence(lit(0), lit(numSub - 1))
+    val csub = trainedCsub(vw, "id", "v", numSub, codebook, iters)
+      .transform(CacheLedger.persist)
+    val vsub = vw.select(col("id"), col("v"), explode(subIdx).as("m"))
+      .withColumn("sd", expr(s"size(v) div $numSub").cast("int"))
+      .withColumn("v_sub",
+        expr("transform(slice(v, m * sd + 1, sd), x -> cast(x as double))"))
+    val codes = TopK(
+      vsub.join(broadcast(csub), "m")
+        .withColumn("d2", VecFns.dot(col("c_sub"), col("c_sub"))
+          - lit(2.0) * VecFns.dot(col("v_sub"), col("c_sub"))),
+      Seq(col("id"), col("m")), Seq(col("d2").asc, col("c_id")), 1)
+      .select(col("id"), col("m"), col("c_id").as("code"))
+    val qsub = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"),
+        explode(subIdx).as("m"))
+      .withColumn("sd", expr(s"size(q_v) div $numSub").cast("int"))
+      .withColumn("q_sub",
+        expr("transform(slice(q_v, m * sd + 1, sd), x -> cast(x as double))"))
+    val dt = qsub.join(broadcast(csub), "m")
+      .withColumn("pd",
+        floor(VecFns.dot(col("q_sub"), col("c_sub")) * lit(1048576.0)).cast("long"))
+      .select(col("q_id"), col("m"), col("c_id").as("code"), col("pd"))
+    val cand = assigned.join(broadcast(probes), "cluster")
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id")).distinct()
+    val scored = cand.join(codes, "id")
+      .join(broadcast(dt), Seq("q_id", "m", "code"))
+      .groupBy(col("q_id"), col("id"))
+      .agg(sum(col("pd")).as("adcq"))
+      .withColumn("adc", col("adcq").cast("double") / lit(1048576.0))
+    TopK(scored, Seq(col("q_id")), Seq(col("adcq").desc, col("id")), k)
+      .select(col("q_id"), col("id").as("neighbor_id"),
+        col("adc"), col("rk").cast("long").as("rk"))
+  }
+
+  /** Scale-adaptive IVF + trained PQ + exact re-rank — the
+    * [[ivfPqTrainedScaledTopK]] shortlist under the exact cosine
+    * re-rank. */
+  def ivfPqTrainedRerankScaledTopK(vectors: DataFrame, queries: DataFrame,
+                                   idCol: String, vecCol: String, k: Int,
+                                   numCentroids: Int, nprobe: Int,
+                                   numSub: Int = 16, codebook: Int = 64,
+                                   iters: Int = 2, fetch: Int = 16): DataFrame =
+    exactRerank(vectors, queries, idCol, vecCol, k,
+      ivfPqTrainedScaledTopK(vectors, queries, idCol, vecCol, k * fetch,
+        numCentroids, nprobe, numSub, codebook, iters))
+
   /** IVF + trained PQ + exact re-rank: the complete production stack. */
   def ivfPqTrainedRerankTopK(vectors: DataFrame, queries: DataFrame,
                              idCol: String, vecCol: String, k: Int,

@@ -556,8 +556,9 @@ object SimilarityQ {
     val e = Tables(spark, dir).embeddings
     val c = Similarity.scaledCentroids(e.count())
     val np = Similarity.scaledNprobe(c)
-    Similarity.ivfPqTrainedRerankTopK(e, queriesOf(spark, dir), "vec_id", "embedding", k = 10,
-      numCentroids = c, nprobe = np, numSub = 16, codebook = 64, iters = 2, fetch = 16)
+    Similarity.ivfPqTrainedRerankScaledTopK(e, queriesOf(spark, dir), "vec_id", "embedding",
+      k = 10, numCentroids = c, nprobe = np, numSub = 16, codebook = 64,
+      iters = 2, fetch = 16)
       .orderBy($"q_id", $"rk")
   }
 
@@ -573,17 +574,17 @@ object SimilarityQ {
        |           FROM range(1, 2000000) t(c), (SELECT count(*) AS n FROM embeddings) nn
        |           WHERE t.c * t.c >= nn.n),
        |npr AS (SELECT GREATEST(8, cc // 16) AS np FROM params),
-       |cents AS (SELECT c_id, ce FROM (
+       |cents AS (SELECT c_id, ce, sqrt(list_dot_product(ce, ce)) AS cnrm FROM (
        |    SELECT vec_id AS c_id, e AS ce, row_number() OVER (ORDER BY vec_id) AS crn FROM v) x,
        |  params WHERE x.crn <= params.cc),
        |ac AS (SELECT vec_id, c_id,
        |        row_number() OVER (PARTITION BY vec_id ORDER BY
-       |          list_dot_product(e, ce) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))) DESC, c_id) AS rn
+       |          list_dot_product(e, ce) / cnrm DESC, c_id) AS rn
        |      FROM v, cents),
        |assigned AS (SELECT vec_id, c_id AS cluster FROM ac WHERE rn = 1),
        |qp AS (SELECT vec_id AS q_id, c_id AS cluster,
        |        row_number() OVER (PARTITION BY vec_id ORDER BY
-       |          list_dot_product(e, ce) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))) DESC, c_id) AS rn
+       |          list_dot_product(e, ce) / cnrm DESC, c_id) AS rn
        |      FROM v, cents WHERE vec_id < 10),
        |probes AS (SELECT q_id, cluster FROM qp, npr WHERE rn <= npr.np),
        |vs AS (SELECT vec_id, p, list_slice(e, p * (len(e) // 16) + 1, (p + 1) * (len(e) // 16)) AS es
