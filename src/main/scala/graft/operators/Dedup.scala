@@ -619,4 +619,56 @@ object Dedup {
       .select($("id"), $("cluster"), $("dup_of"),
         $("dup_of").isNotNull.as("is_dup"))
   }
+
+  /** ExactSubstr-style substring dedup: per-doc fraction of tokens
+    * covered by a ≥`w`-token run that appears anywhere else in the
+    * corpus (the suffix-array dedup of "Deduplicating Training Data
+    * Makes Language Models Better", re-expressed shuffle-native).
+    * Every length-`w` token window (stride 1) hashes to one row; a
+    * window whose hash occurs at ≥2 sites (any doc, any position —
+    * within-doc repeats count, exactly like a suffix array) is
+    * duplicated, and per doc the union of its duplicated windows'
+    * [i, i+w−1] spans — interval-merged with one running-max window
+    * function — is the duplicated-token mass a trainer would cut.
+    *
+    * Scale shape: stride-1 windows are O(total corpus tokens) small
+    * rows — the same linear cost the suffix-array build pays, but as
+    * one count-over-hash shuffle (map-side combinable) instead of a
+    * global sort, then one doc-keyed window pass. Nothing is ever
+    * joined all-pairs; a production run at 100 TB would raise the
+    * stride to w/2 (guaranteed to still catch every 2w-token overlap)
+    * to cut row volume, at the cost of coverage granularity.
+    *
+    * Chunk dedup ([[graft.queries.DedupQ.chunkDedup]]) only catches
+    * ALIGNED copies — a one-token prefix insertion shifts every chunk
+    * hash; these overlapping windows are shift-invariant.
+    */
+  def substringCoverage(df: DataFrame, idCol: String, textCol: String,
+                        w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = df.select(col(idCol).as("doc_id"), toks(col(textCol)).as("t"))
+      .withColumn("n_tokens", size($("t")).cast("long"))
+    val sites = d.filter($("n_tokens") >= w)
+      .select($("doc_id"), $("t"),
+        explode(expr(s"sequence(1, size(t) - $w + 1)")).as("p"))
+      .select($("doc_id"), $("p").cast("long").as("i"),
+        md5(expr(s"array_join(slice(t, p, $w), ' ')")).as("h"))
+      .withColumn("sites", count(lit(1)).over(Window.partitionBy($("h"))))
+    val cov = sites.filter($("sites") >= 2)
+      .withColumn("prev_end", max($("i") + lit(w - 1)).over(
+        Window.partitionBy($("doc_id")).orderBy($("i"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("contrib", greatest(
+        ($("i") + lit(w - 1)) - greatest(coalesce($("prev_end"), lit(0L)), $("i") - 1),
+        lit(0L)))
+    val per = cov.groupBy($("doc_id"))
+      .agg(count(lit(1)).as("n_dup_windows"), sum($("contrib")).as("dup_tokens"))
+    d.select($("doc_id"), $("n_tokens"),
+        greatest($("n_tokens") - lit(w - 1), lit(0L)).as("n_windows"))
+      .join(per, Seq("doc_id"), "left")
+      .select($("doc_id"), $("n_tokens"), $("n_windows"),
+        coalesce($("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce($("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce($("dup_tokens"), lit(0L)) / $("n_tokens"), 4).as("dup_ratio"))
+  }
 }

@@ -929,6 +929,64 @@ object Similarity {
       ivfPqTopK(vectors, queries, idCol, vecCol, k * fetch,
         numCentroids, nprobe, numSub, codebook))
 
+  /** SQ8 scalar-quantized scan: each dimension affinely maps to an
+    * 8-bit code against per-dim corpus [min, max] bounds (the FAISS
+    * ScalarQuantizer layout — 1 byte/dim, 4× the memory-bandwidth
+    * headroom of float32 at 100 TB, and unlike PQ no codebook
+    * training). Scoring reconstructs x̂ = mn + code·Δ and sums
+    * per-dim products quantized to ×2²⁰ integers — the PQ-ADC
+    * discipline that makes the reduction order-independent, so the
+    * oracle replays it bit-for-bit. Bounds ride one exploded
+    * min/max aggregate (map-side combinable) re-assembled into two
+    * d-length arrays and broadcast — no driver collect.
+    */
+  def sq8TopK(vectors: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val bounds = v.select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(dim, mn))), s -> s.mn)").as("mns"),
+        expr("transform(array_sort(collect_list(struct(dim, mx))), s -> s.mx)").as("mxs"))
+      .select(col("mns"),
+        expr("zip_with(mns, mxs, (a, b) -> (b - a) / 255.0D)").as("dls"))
+    // reconstruct through the 8-bit code in one pass; op order is
+    // pinned to the oracle's: floor((x - mn) / dl + 0.5), then
+    // mn + code * dl (dl = 0 collapses the dim to its constant)
+    def recon(vc: String) = expr(
+      s"""transform($vc, (x, i) -> IF(element_at(dls, i + 1) = 0D,
+         |  element_at(mns, i + 1),
+         |  element_at(mns, i + 1) +
+         |    floor((x - element_at(mns, i + 1)) / element_at(dls, i + 1) + 0.5D) *
+         |    element_at(dls, i + 1)))""".stripMargin)
+    val vr = v.crossJoin(broadcast(bounds))
+      .withColumn("vr", recon("v")).select(col("id"), col("vr"))
+    val qr = queries.select(col(idCol).as("q_id"),
+        col(vecCol).cast("array<double>").as("q_v"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("qr", recon("q_v")).select(col("q_id"), col("qr"))
+    val scored = vr.crossJoin(broadcast(qr))
+      .filter(col("id") =!= col("q_id"))
+      .withColumn("dotq", expr(
+        "aggregate(zip_with(qr, vr, (a, b) -> CAST(floor(a * b * 1048576.0D) AS BIGINT)), 0L, (s, p) -> s + p)"))
+    TopK(scored, Seq(col("q_id")), Seq(col("dotq").desc, col("id")), k)
+      .select(col("q_id"), col("id").as("neighbor_id"),
+        (col("dotq").cast("double") / lit(1048576.0)).as("sq8"),
+        col("rk").cast("long").as("rk"))
+  }
+
+  /** SQ8 + exact re-rank: the code scan over-fetches `fetch`·k, the
+    * exact cosine pass ranks the final k — the uncompressed-recall
+    * tier over the 1-byte/dim scan (RECALL probe: the 8×k shortlist
+    * recovers brute-force-grade top-10 at the sf tiers).
+    */
+  def sq8RerankTopK(vectors: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    fetch: Int = 8): DataFrame =
+    exactRerank(vectors, queries, idCol, vecCol, k,
+      sq8TopK(vectors, queries, idCol, vecCol, k * fetch))
+
   /** Exact cosine re-rank of an ANN shortlist: shortlist ids join the
     * raw vectors once (an equi-join on id — never a corpus scan),
     * queries broadcast, and the final k ranks through the bounded

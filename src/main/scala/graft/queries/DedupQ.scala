@@ -589,6 +589,38 @@ object DedupQ {
       |  round(sum(CASE WHEN dup THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS dup_ratio
       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** ExactSubstr window dedup ([[Dedup.substringCoverage]], w=20):
+    * per-doc duplicated-token coverage from stride-1 20-token window
+    * hashes — the shift-invariant span detector `dedup_chunks`'
+    * aligned chunks structurally miss. Exact, so DuckDB replays the
+    * identical window/interval-union arithmetic as the oracle.
+    */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.substringCoverage(Tables(spark, dir).documents, "doc_id", "text", w = 20)
+      .orderBy($"doc_id")
+  }
+
+  private val dedupSubstringSql =
+    s"""WITH d AS (SELECT doc_id, ${QueryDef.toksSql()} AS t FROM documents),
+      |win AS (SELECT doc_id, unnest(range(1, greatest(len(t) - 20 + 2, 1))) AS i, t FROM d),
+      |wh AS (SELECT doc_id, i, md5(array_to_string(list_slice(t, i, i + 19), ' ')) AS h FROM win),
+      |cnt AS (SELECT doc_id, i, count(*) OVER (PARTITION BY h) AS sites FROM wh),
+      |cov AS (SELECT doc_id, i,
+      |         max(i + 19) OVER (PARTITION BY doc_id ORDER BY i
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |       FROM cnt WHERE sites >= 2),
+      |per AS (SELECT doc_id AS pid, count(*) AS n_dup_windows,
+      |         sum(greatest((i + 19) - greatest(coalesce(prev_end, 0), i - 1), 0)) AS dup_tokens
+      |       FROM cov GROUP BY doc_id)
+      |SELECT d.doc_id, len(d.t) AS n_tokens,
+      |  greatest(len(d.t) - 19, 0) AS n_windows,
+      |  coalesce(n_dup_windows, 0) AS n_dup_windows,
+      |  CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+      |  round(coalesce(dup_tokens, 0) * 1.0 / len(d.t), 4) AS dup_ratio
+      |FROM d LEFT JOIN per ON per.pid = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Per-source duplication rate: docs, distinct contents (md5) and
     * the dup share — the "which feed is flooding us with copies"
     * read that decides where dedup spend goes. One count-distinct
@@ -615,6 +647,7 @@ object DedupQ {
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("corpus_dup_rate", corpusDupRate _, corpusDupRateSql),
     QueryDef.sql("dedup_chunks", dedupChunks _, dedupChunksSql),
+    QueryDef.sql("dedup_substring", dedupSubstring _, dedupSubstringSql),
     QueryDef.sql("dedup_exact", dedupExact _, dedupExactSql),
     QueryDef.sql("dedup_exact_norm", dedupExactNorm _, dedupExactNormSql),
     QueryDef.sql("dedup_incremental", dedupIncremental _, dedupIncrementalSql),

@@ -332,6 +332,56 @@ object SimilarityQ {
 
   private val annPqRerankSql = rerankSqlOver(annPqSqlK(80))
 
+  /** SQ8 scalar-quantized scan ([[Similarity.sq8TopK]]): per-dim
+    * [min, max] bounds → 8-bit codes → reconstructed-value scoring
+    * with ×2²⁰-integer partials (the PQ-ADC order-independence
+    * discipline). The codebook-free quantized tier: 1 byte/dim, no
+    * training, exact oracle replay.
+    */
+  def annSq8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).embeddings
+    Similarity.sq8TopK(e, queriesOf(spark, dir), "vec_id", "embedding", k = 10)
+      .orderBy($"q_id", $"rk")
+  }
+
+  /** SQ8 oracle parameterized by the emitted k — the rerank gate
+    * widens the identical definition to its 8×k shortlist (the
+    * annPqSqlK pattern: one shared recipe, no drift).
+    */
+  private def annSq8SqlK(k: Int) =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |ex AS (SELECT vec_id, unnest(range(1, len(e)+1)) AS dim, unnest(e) AS x FROM v),
+      |st AS (SELECT dim, min(x) AS mn, (max(x) - min(x)) / 255.0 AS dl FROM ex GROUP BY dim),
+      |rec AS (SELECT vec_id, dim,
+      |         CASE WHEN dl = 0 THEN mn
+      |              ELSE mn + floor((x - mn) / dl + 0.5) * dl END AS xr
+      |       FROM ex JOIN st USING (dim)),
+      |sc AS (SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+      |        SUM(CAST(floor(q.xr * c.xr * 1048576.0) AS BIGINT)) AS dotq
+      |       FROM rec q JOIN rec c ON q.dim = c.dim AND c.vec_id <> q.vec_id
+      |       WHERE q.vec_id < 10 GROUP BY 1, 2),
+      |srt AS (SELECT q_id, neighbor_id, CAST(dotq AS DOUBLE) / 1048576.0 AS sq8,
+      |         row_number() OVER (PARTITION BY q_id ORDER BY dotq DESC, neighbor_id) AS rk
+      |        FROM sc)
+      |SELECT q_id, neighbor_id, sq8, rk FROM srt WHERE rk <= $k ORDER BY q_id, rk""".stripMargin
+
+  private val annSq8Sql = annSq8SqlK(10)
+
+  /** SQ8 + exact re-rank ([[Similarity.sq8RerankTopK]]): the 8×k code
+    * shortlist re-ranks through the shared exact-cosine tail — the
+    * production pairing (quantized scan for bandwidth, raw-vector
+    * equi-join for final order).
+    */
+  def annSq8Rerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).embeddings
+    Similarity.sq8RerankTopK(e, queriesOf(spark, dir), "vec_id", "embedding", k = 10)
+      .orderBy($"q_id", $"rk")
+  }
+
+  private val annSq8RerankSql = rerankSqlOver(annSq8SqlK(80))
+
   /** Trained-codebook PQ ([[Similarity.pqTrainedTopK]], 2 Lloyd rounds
     * per subspace from the seed slices): the quantization-quality half
     * of the production recovery — codebooks that tile each subspace
@@ -1768,6 +1818,8 @@ object SimilarityQ {
     QueryDef.sql("emb_kmeans_step", embKmeansStep _, embKmeansStepSql),
     QueryDef.sql("ann_pq_topk", annPq _, annPqSql),
     QueryDef.sql("ann_pq_rerank", annPqRerank _, annPqRerankSql),
+    QueryDef.sql("ann_sq8_topk", annSq8 _, annSq8Sql),
+    QueryDef.sql("ann_sq8_rerank", annSq8Rerank _, annSq8RerankSql),
     QueryDef.sql("ann_pq_trained", annPqTrained _, annPqTrainedSql),
     QueryDef.sql("ann_pq_trained_rerank", annPqTrainedRerank _, annPqTrainedRerankSql),
     QueryDef.sql("ann_ivf_pq_topk", annIvfPq _, annIvfPqSql),

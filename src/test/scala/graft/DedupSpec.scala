@@ -262,4 +262,37 @@ class DedupSpec extends GraftSuite {
     assert(truth.nonEmpty, "fixture must contain near-dup pairs")
     assert(got == truth, s"prefix filter must be LOSSLESS: missing ${(truth -- got).take(3)}, extra ${(got -- truth).take(3)}")
   }
+
+  test("substring coverage catches a SHIFTED copied run that chunk dedup misses") {
+    // doc 2 embeds doc 1's 24-token run at offset 1 — every 80-aligned
+    // chunk hash differs, but stride-1 windows share 5 window sites
+    val run = (1 to 24).map(i => s"tok$i").mkString(" ")
+    val df = Seq(
+      (1L, run + " " + (1 to 60).map(i => s"pad$i").mkString(" ")),
+      (2L, "shift " + run + " " + (1 to 60).map(i => s"alt$i").mkString(" ")),
+      (3L, (1 to 40).map(i => s"uniq$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.substringCoverage(df, "doc_id", "text", w = 20)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    // 24-token shared run ⇒ 5 windows per doc, interval-union = 24 tokens
+    assert(out(1L) == (5L, 24L), s"doc 1 got ${out(1L)}")
+    assert(out(2L) == (5L, 24L), s"doc 2 got ${out(2L)}")
+    assert(out(3L) == (0L, 0L), "unique doc must carry no dup mass")
+    val chunk = graft.queries.DedupQ.chunkDedup(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(chunk.values.forall(_ == 0L),
+      "aligned chunks must miss the shifted copy (that's the gap this operator closes)")
+  }
+
+  test("substring coverage merges overlapping dup windows: never exceeds n_tokens") {
+    // doc 2 is an exact copy of doc 1 — every window duplicated, and
+    // the interval union must clamp to the doc length, not 20×windows
+    val body = (1 to 50).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, body), (2L, body)).toDF("doc_id", "text")
+    val rows = Dedup.substringCoverage(df, "doc_id", "text", w = 20).collect()
+    rows.foreach { r =>
+      assert(r.getLong(3) == 31L, "50 tokens ⇒ 31 stride-1 windows, all duplicated")
+      assert(r.getLong(4) == 50L, "union of overlapping spans = whole doc")
+      assert(r.getDouble(5) == 1.0)
+    }
+  }
 }

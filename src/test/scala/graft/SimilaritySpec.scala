@@ -303,4 +303,40 @@ class SimilaritySpec extends GraftSuite {
       assert(r.getAs[Long]("n_labels") >= 1L)
     }
   }
+
+  test("SQ8 rerank equals brute force when the shortlist covers the corpus") {
+    // 8×k = 80 shortlist ≥ the sf0.001 corpus ⇒ the exact re-rank pass
+    // sees every candidate, so the output must be bit-identical to the
+    // brute-force contract (same cosine rounding, same tie order)
+    val bf = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val sq = Similarity.sq8RerankTopK(emb, qs, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(sq == bf, "full-coverage shortlist must reproduce brute force exactly")
+  }
+
+  test("SQ8 code scan: 8-bit reconstruction keeps per-dim error within half a step") {
+    // quantize-reconstruct error bound: |x − x̂| ≤ Δ/2 per dimension,
+    // checked against the raw vectors for every corpus row
+    import org.apache.spark.sql.functions._
+    val v = emb.select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val bounds = v.select(posexplode($"e").as(Seq("dim", "x")))
+      .groupBy($"dim").agg(min($"x").as("mn"), max($"x").as("mx"))
+      .withColumn("dl", ($"mx" - $"mn") / 255.0).collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(3))).toMap
+    val rows = v.select($"vec_id", posexplode($"e").as(Seq("dim", "x"))).collect()
+    rows.foreach { r =>
+      val (mn, dl) = bounds(r.getInt(1))
+      val x = r.getDouble(2)
+      val xr = if (dl == 0) mn else mn + math.floor((x - mn) / dl + 0.5) * dl
+      assert(math.abs(x - xr) <= dl / 2 + 1e-12,
+        s"dim ${r.getInt(1)}: |$x − $xr| exceeds half-step $dl")
+    }
+    // and the shortlist ordering the codes induce carries real signal:
+    // raw SQ8 top-10 already overlaps brute force heavily at this SF
+    val got = pairs(Similarity.sq8TopK(emb, qs, "vec_id", "embedding", 10))
+    val recall = (got & truth).size.toDouble / truth.size
+    info(s"sq8 raw recall@10 = $recall")
+    assert(recall >= 0.9, "8-bit reconstruction must be near-exact at 64 dims")
+  }
 }
