@@ -172,6 +172,15 @@ object Recall {
           recallOf(pairs(Similarity.ivfPqTrainedRerankScaledTopK(
             emb, qs, "vec_id", "embedding", k, c, np, 16, 64, 2, 16)), cosTruth)
         })),
+      // SQ8 (r13): codebook-free scalar quantization — like PQ it
+      // scans every code (memory tier, not candidate pruning), but at
+      // 1 byte/dim the 8-bit reconstruction error is tiny, so raw
+      // recall should sit near 1.0 at any corpus density
+      "sq8" -> Seq(
+        "raw" -> (() => recallOf(
+          pairs(Similarity.sq8TopK(emb, qs, "vec_id", "embedding", k)), cosTruth)),
+        "rerank=8x" -> (() => recallOf(
+          pairs(Similarity.sq8RerankTopK(emb, qs, "vec_id", "embedding", k, 8)), cosTruth))),
       "mips" -> Seq(
         "planes=4" -> (() => recallOf(
           pairs(Similarity.mipsTopK(emb, qs, "vec_id", "embedding", k, planes = 4)), mipsTruth)),
@@ -193,6 +202,7 @@ object Recall {
     val defaults = Map("lsh" -> "planes=2", "ivf" -> s"c=$ivfC,nprobe=8",
       "pq" -> "sub=16,cb=32,trained=2it,rerank=4x",
       "ivf_pq" -> s"c=$ivfC,np=8,sub=16,cb=32,trained=2it,rerank=4x",
+      "sq8" -> "rerank=8x",
       "mips" -> "planes=2", "graph" -> "edges=10,beam=32,hops=6")
 
     // cost at the default operating point: scored candidates (the rows
@@ -206,6 +216,7 @@ object Recall {
       "lsh" -> (() => Similarity.lshCandidateCount(emb, qs, "vec_id", "embedding", planes = 2)),
       "ivf" -> (() => Similarity.ivfCandidateCount(emb, qs, "vec_id", "embedding", ivfC, 8)),
       "pq" -> (() => nq * (nVec - 1)),
+      "sq8" -> (() => nq * (nVec - 1)),
       "ivf_pq" -> (() => Similarity.ivfCandidateCount(emb, qs, "vec_id", "embedding", ivfC, 8)),
       "ivf_pq_scaled" -> (() => {
         val c = Similarity.scaledCentroids(nVec)

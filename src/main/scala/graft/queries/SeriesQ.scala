@@ -37,6 +37,101 @@ object SeriesQ {
       .groupBy($"day").agg(expr("sum(c) div 100").as("y"))
   }
 
+  // ----------------------------------------------------- ts_matrix_profile
+  /** Matrix profile (Yeh et al., ICDM'16): for every 7-day window of
+    * each event-type's daily-count series, the nearest z-normalized
+    * neighbor among non-overlapping windows (|i−j| ≥ m — the
+    * exclusion zone) — THE motif/discord primitive: a low profile
+    * value is a repeated pattern, a high one an anomaly.
+    *
+    * Exactness: z-normalized distance reduces to Pearson correlation
+    * (d² = 2m(1 − r)), and with integer daily counts every Σ term of
+    * r (window sums, squares, cross products — 7 explicit indexed
+    * terms, no reduction) is an EXACT LONG; the one float step is
+    * num/√(da·db), e6-quantized before the argmax so neighbor choice
+    * is integer-deterministic in both engines. Zero-variance windows
+    * are excluded by an exact integer test (7·Σaa = Σa²).
+    *
+    * Scale shape: facts fold to the day×type series first (map-side
+    * combinable); the window pair join is per-series quadratic over
+    * BOUNDED series metadata (the documented serial-pass shape shared
+    * by every ts_ gate), partition-parallel across series keys. For a
+    * long series the production path is the same join banded to
+    * |i−j| ≤ horizon.
+    */
+  def tsMatrixProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    matrixProfile(Tables(spark, dir).events
+      .groupBy($"event_type", expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("cnt")))
+  }
+
+  /** The profile core over any (event_type, day, cnt) series frame —
+    * split out so fixtures exercise the REAL window/pair/argmax
+    * arithmetic (the chunkDedup convention).
+    */
+  def matrixProfile(dailyByType: DataFrame): DataFrame = {
+    val spark = dailyByType.sparkSession
+    import spark.implicits._
+    val m = 7
+    def terms(f: Int => String) = (1 to m).map(f).mkString(" + ")
+    val win = dailyByType.groupBy($"event_type")
+      .agg(expr("transform(array_sort(collect_list(struct(day, cnt))), s -> s.cnt)").as("ys"))
+      .select($"event_type", $"ys",
+        explode(expr(s"sequence(1, size(ys) - ${m - 1})")).as("p"))
+      .select($"event_type", $"p".cast("long").as("i"),
+        expr(s"slice(ys, p, $m)").as("w"))
+      .withColumn("sa", expr(terms(k => s"element_at(w, $k)")))
+      .withColumn("saa", expr(terms(k => s"element_at(w, $k) * element_at(w, $k)")))
+      .withColumn("d", lit(m.toLong) * $"saa" - $"sa" * $"sa")
+      .filter($"d" > 0)
+    val a = win.select($"event_type", $"i".as("ia"), $"w".as("wa"),
+      $"sa".as("sxa"), $"d".as("da"))
+    val b = win.select($"event_type", $"i".as("ib"), $"w".as("wb"),
+      $"sa".as("sxb"), $"d".as("db"))
+    val ce = a.join(b, Seq("event_type"))
+      .filter(abs($"ia" - $"ib") >= m)
+      .withColumn("num",
+        lit(m.toLong) * expr(terms(k => s"element_at(wa, $k) * element_at(wb, $k)")) -
+          $"sxa" * $"sxb")
+      .withColumn("corr_e6", expr(
+        "CAST(round(1e6 * CAST(num AS DOUBLE) / sqrt(CAST(da AS DOUBLE) * CAST(db AS DOUBLE))) AS BIGINT)"))
+    val w = Window.partitionBy($"event_type", $"ia")
+      .orderBy($"corr_e6".desc, $"ib")
+    ce.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"event_type", $"ia".as("win_i"), $"ib".as("nn_j"),
+        round($"corr_e6" / 1e6, 6).as("nn_corr"),
+        round(sqrt(greatest(lit(2.0 * m) * (lit(1.0) - $"corr_e6" / 1e6), lit(0.0))), 4)
+          .as("nn_dist"))
+      .orderBy($"event_type", $"win_i")
+  }
+
+  private val tsMatrixProfileSql = {
+    def t7(f: Int => String) = (1 to 7).map(f).mkString(" + ")
+    s"""WITH daily2 AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS cnt
+      |         FROM events GROUP BY 1, 2),
+      |arr AS (SELECT event_type, list(cnt ORDER BY day) AS ys FROM daily2 GROUP BY 1),
+      |win0 AS (SELECT event_type, ys, unnest(range(1, len(ys) - 5)) AS i FROM arr),
+      |win AS (SELECT event_type, i, list_slice(ys, i, i + 6) AS w FROM win0),
+      |ws AS (SELECT event_type, i, w,
+      |        ${t7(k => s"w[$k]")} AS sa,
+      |        ${t7(k => s"w[$k]*w[$k]")} AS saa
+      |       FROM win),
+      |wf AS (SELECT *, 7*saa - sa*sa AS d FROM ws WHERE 7*saa - sa*sa > 0),
+      |pr AS (SELECT a.event_type AS event_type, a.i AS ia, b.i AS ib,
+      |        7*(${t7(k => s"a.w[$k]*b.w[$k]")}) - a.sa*b.sa AS num,
+      |        a.d AS da, b.d AS db
+      |       FROM wf a JOIN wf b ON a.event_type = b.event_type AND abs(a.i - b.i) >= 7),
+      |ce AS (SELECT event_type, ia, ib,
+      |        CAST(round(1e6 * CAST(num AS DOUBLE) / sqrt(CAST(da AS DOUBLE) * CAST(db AS DOUBLE))) AS BIGINT) AS corr_e6
+      |       FROM pr),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type, ia ORDER BY corr_e6 DESC, ib) AS rn FROM ce)
+      |SELECT event_type, ia AS win_i, ib AS nn_j,
+      |  round(corr_e6 / 1e6, 6) AS nn_corr,
+      |  round(sqrt(greatest(14.0 * (1 - corr_e6 / 1e6), 0)), 4) AS nn_dist
+      |FROM rk WHERE rn = 1 ORDER BY event_type, win_i""".stripMargin
+  }
+
   // ----------------------------------------------------------------- ts_sax
   /** SAX: z-normalize the daily series, piecewise-aggregate over 7-day
     * frames, and map each frame mean to a 4-symbol alphabet at the
@@ -317,5 +412,6 @@ object SeriesQ {
     QueryDef.sql("ts_bollinger", tsBollinger _, tsBollingerSql),
     QueryDef.sql("ts_rolling_corr", tsRollingCorr _, tsRollingCorrSql),
     QueryDef.sql("ts_haar", tsHaar _, tsHaarSql),
-    QueryDef.sql("ts_kalman", tsKalman _, tsKalmanSql))
+    QueryDef.sql("ts_kalman", tsKalman _, tsKalmanSql),
+    QueryDef.sql("ts_matrix_profile", tsMatrixProfile _, tsMatrixProfileSql))
 }

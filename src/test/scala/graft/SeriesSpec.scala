@@ -131,4 +131,31 @@ class SeriesSpec extends GraftSuite {
       assert(math.abs(r.getAs[Double]("gain") - k) <= 1e-6)
     }
   }
+
+  test("matrix profile: a planted motif pair finds itself at corr 1, dist 0") {
+    // series s: pattern P at days 1-7 and an EXACT copy at days 21-27,
+    // noise elsewhere — windows 1 and 21 must be mutual nearest
+    // neighbors with z-normalized distance 0 (corr 1.0)
+    val p = Seq(5L, 9L, 2L, 8L, 3L, 7L, 4L)
+    val noise = Seq(10L, 11L, 13L, 10L, 12L, 14L, 10L, 15L, 11L, 13L, 12L, 10L, 14L)
+    val ys = p ++ noise ++ p ++ Seq(11L, 12L)
+    val df = ys.zipWithIndex.map { case (c, d) => ("s", d.toLong + 1L, c) }
+      .toDF("event_type", "day", "cnt")
+    val out = SeriesQ.matrixProfile(df).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getAs[Double]("nn_corr"), r.getAs[Double]("nn_dist")))
+      .toMap
+    assert(out(1L) == ((21L, 1.0, 0.0)), s"window 1 got ${out(1L)}")
+    assert(out(21L) == ((1L, 1.0, 0.0)), s"window 21 got ${out(21L)}")
+    // every profile row respects the exclusion zone and the d range
+    out.foreach { case (i, (j, corr, dist)) =>
+      assert(math.abs(i - j) >= 7, s"exclusion zone violated at $i -> $j")
+      assert(corr <= 1.0 && dist >= 0.0)
+    }
+  }
+
+  test("matrix profile: zero-variance windows are excluded from both sides") {
+    // constant series: every window has sigma 0 => no output rows
+    val flat = (1 to 30).map(d => ("c", d.toLong, 5L)).toDF("event_type", "day", "cnt")
+    assert(SeriesQ.matrixProfile(flat).count() == 0L)
+  }
 }
