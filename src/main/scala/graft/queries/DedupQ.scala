@@ -601,8 +601,12 @@ object DedupQ {
       .orderBy($"doc_id")
   }
 
-  private val dedupSubstringSql =
-    s"""WITH d AS (SELECT doc_id, ${QueryDef.toksSql()} AS t FROM documents),
+  /** Shared window/interval-union CTE chain — `per(pid, n_dup_windows,
+    * dup_tokens)` over `d(doc_id, t)`; composed by both the per-doc
+    * gate and the per-source savings rollup (one recipe, no drift).
+    */
+  private val substringCtes =
+    s"""d AS (SELECT doc_id, ${QueryDef.toksSql()} AS t FROM documents),
       |win AS (SELECT doc_id, unnest(range(1, greatest(len(t) - 20 + 2, 1))) AS i, t FROM d),
       |wh AS (SELECT doc_id, i, md5(array_to_string(list_slice(t, i, i + 19), ' ')) AS h FROM win),
       |cnt AS (SELECT doc_id, i, count(*) OVER (PARTITION BY h) AS sites FROM wh),
@@ -612,7 +616,10 @@ object DedupQ {
       |       FROM cnt WHERE sites >= 2),
       |per AS (SELECT doc_id AS pid, count(*) AS n_dup_windows,
       |         sum(greatest((i + 19) - greatest(coalesce(prev_end, 0), i - 1), 0)) AS dup_tokens
-      |       FROM cov GROUP BY doc_id)
+      |       FROM cov GROUP BY doc_id)""".stripMargin
+
+  private val dedupSubstringSql =
+    s"""WITH $substringCtes
       |SELECT d.doc_id, len(d.t) AS n_tokens,
       |  greatest(len(d.t) - 19, 0) AS n_windows,
       |  coalesce(n_dup_windows, 0) AS n_dup_windows,
@@ -620,6 +627,42 @@ object DedupQ {
       |  round(coalesce(dup_tokens, 0) * 1.0 / len(d.t), 4) AS dup_ratio
       |FROM d LEFT JOIN per ON per.pid = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
+
+  /** Per-source duplicated-SPAN mass ([[Dedup.substringCoverage]]
+    * rolled up to the feed level): the "which source floods us with
+    * copied passages" read — `corpus_dedup_savings` counts whole-doc
+    * copies, this counts the token mass inside ≥20-token shared runs,
+    * which boilerplate-heavy feeds accumulate without ever producing
+    * a full duplicate document.
+    */
+  def corpusSubstringSavings(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    Dedup.substringCoverage(docs, "doc_id", "text", w = 20)
+      .join(docs.select($"doc_id", $"source"), "doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"dup_tokens" > 0, 1L).otherwise(0L)).as("n_docs_with_dup"),
+        sum($"n_tokens").as("total_tokens"),
+        sum($"dup_tokens").as("dup_tokens"))
+      .select($"source", $"n_docs", $"n_docs_with_dup", $"total_tokens",
+        $"dup_tokens",
+        round($"dup_tokens" / $"total_tokens".cast("double"), 6).as("span_dup_share"))
+      .orderBy($"source")
+  }
+
+  private val corpusSubstringSavingsSql =
+    s"""WITH $substringCtes,
+      |j AS (SELECT doc.source, len(d.t) AS n_tokens,
+      |        coalesce(per.dup_tokens, 0) AS dup_tokens
+      |      FROM d LEFT JOIN per ON per.pid = d.doc_id
+      |      JOIN documents doc ON doc.doc_id = d.doc_id)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN dup_tokens > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_dup,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(sum(dup_tokens) AS BIGINT) AS dup_tokens,
+      |  round(sum(dup_tokens) * 1.0 / sum(n_tokens), 6) AS span_dup_share
+      |FROM j GROUP BY source ORDER BY source""".stripMargin
 
   /** Per-source duplication rate: docs, distinct contents (md5) and
     * the dup share — the "which feed is flooding us with copies"
@@ -648,6 +691,7 @@ object DedupQ {
     QueryDef.sql("corpus_dup_rate", corpusDupRate _, corpusDupRateSql),
     QueryDef.sql("dedup_chunks", dedupChunks _, dedupChunksSql),
     QueryDef.sql("dedup_substring", dedupSubstring _, dedupSubstringSql),
+    QueryDef.sql("corpus_substring_savings", corpusSubstringSavings _, corpusSubstringSavingsSql),
     QueryDef.sql("dedup_exact", dedupExact _, dedupExactSql),
     QueryDef.sql("dedup_exact_norm", dedupExactNorm _, dedupExactNormSql),
     QueryDef.sql("dedup_incremental", dedupIncremental _, dedupIncrementalSql),

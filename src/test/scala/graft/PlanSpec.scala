@@ -561,4 +561,26 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"golden record: quadratic operator crept in:\n$p")
   }
+
+  test("substring dedup: window-hash count + doc fold, never a pair join") {
+    // the ExactSubstr plan is count-over-hash then doc-keyed interval
+    // union — any cartesian/nested-loop here would mean the windows
+    // joined all-pairs instead of grouping
+    val p = plan(graft.queries.DedupQ.dedupSubstring(spark, sf001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"quadratic operator in substring-dedup plan:\n$p")
+  }
+
+  test("sq8 scan: bounds and queries broadcast, corpus never reshuffles for scoring") {
+    val emb = Tables(spark, sf001).embeddings
+    val p = plan(graft.operators.Similarity.sq8TopK(
+      emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10),
+      "vec_id", "embedding", 10))
+    // the d-length bounds row and the 10-query side both arrive by
+    // broadcast (1-row and k-row nested loops are the degenerate,
+    // correct broadcast forms); the corpus side must not sort-merge
+    assert(p.contains("BroadcastExchange"), s"bounds/queries not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus reshuffled for the code scan:\n$p")
+  }
 }
