@@ -6,7 +6,9 @@
 #   FRESH=1 tools/run_scale_r13.sh out.fresh    # growing-cardinality lake
 #
 # r13 gate list = the r12 list plus ann_ivf_pq_trained_rerank_scaled (the
-# count-derived IVF coarse tier next to its fixed-c=10 sibling). The FRESH
+# count-derived IVF coarse tier next to its fixed-c=10 sibling) plus the
+# two late-r13 coverage gates with corpus-sized inputs (dedup_substring,
+# ann_sq8_rerank). The FRESH
 # campaign re-runs ONLY the two gates whose x100 superlinearity was
 # diagnosed as the replicated lake's fixed-cardinality artifact
 # (q_golden_record, dedup_clusters) — on a lake whose cents/letters
@@ -20,7 +22,7 @@ FRESH=${FRESH:-0}
 if [ "$FRESH" = "1" ]; then
   DEFGATES="q_golden_record dedup_clusters"
 else
-  DEFGATES="dedup_minhash_clusters dedup_clusters dedup_minhash_lsh dedup_minhash_eval q_golden_record q21_waiting_orders dedup_prefix_filter ann_ivf_pq_trained_rerank ann_ivf_pq_trained_rerank_scaled emb_knn_components ann_knn_join_scaled emb_knn_components_scaled"
+  DEFGATES="dedup_minhash_clusters dedup_clusters dedup_minhash_lsh dedup_minhash_eval q_golden_record q21_waiting_orders dedup_prefix_filter ann_ivf_pq_trained_rerank ann_ivf_pq_trained_rerank_scaled emb_knn_components ann_knn_join_scaled emb_knn_components_scaled dedup_substring ann_sq8_rerank"
 fi
 GATES=${GATES:-$DEFGATES}
 for g in $GATES; do
