@@ -88,6 +88,152 @@ object SequenceQ {
       |FROM cnt c JOIN tot t USING (src)
       |ORDER BY c.src, c.dst""".stripMargin
 
+  /** Markov removal-effect attribution (Anderl et al. 2014) — the
+    * data-driven model that closes the attribution family (last-touch
+    * `q_attribution`, Shapley `q_shapley_attribution`, transitions
+    * `q_markov_transitions`): build the first-order journey chain
+    * (START → channel⋯ → CONV on the first purchase / NULL if none),
+    * then credit each channel by how much the chain's conversion
+    * probability DROPS when that channel's edges are removed (mass
+    * redirected to NULL — totals unrenormalized, the standard removal
+    * semantics).
+    *
+    * Exactness: conversion probability is defined as K-STEP (K=24)
+    * absorption — a Jacobi iteration in e12-scaled integers with
+    * per-term `(cnt·x) div tot` division, identical in both engines
+    * (integer sums are order-free; the only doubles are final exact
+    * divisions, emitted UNROUNDED). The channel set is the pinned
+    * event-type alphabet. Journey construction (the data-scale part —
+    * one first-purchase aggregate + one lag window + one terminal
+    * row per non-converting user) is fully distributed; the chain
+    * solve collects the ≤42-row transition table as bounded driver
+    * state (the centroid-fold precedent) — a 6-state matrix is
+    * metadata whatever the corpus size.
+    */
+  def qMarkovAttribution(spark: SparkSession, dir: String): DataFrame =
+    markovRemoval(
+      Tables(spark, dir).events.select(
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("event_type")),
+      Seq("click", "error", "signup", "view"))
+
+  /** The removal-effect core over any (user_id, event_id, event_type)
+    * stream and channel alphabet — split out so fixtures exercise the
+    * REAL journey build and Jacobi solve (the chunkDedup convention).
+    */
+  def markovRemoval(events: DataFrame, channels: Seq[String]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val E12 = 1000000000000L
+    val K = 24
+    val e = events.select($"user_id", $"event_id", $"event_type")
+    val fp = e.filter($"event_type" === "purchase")
+      .groupBy($"user_id").agg(min($"event_id").as("pid"))
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+    val j = e.join(fp, Seq("user_id"), "left")
+      .filter($"pid".isNull || $"event_id" <= $"pid")
+      .withColumn("dst",
+        when($"event_type" === "purchase", "conv").otherwise($"event_type"))
+      .withColumn("prev", lag($"dst", 1).over(w))
+    val tr0 = j.select(coalesce($"prev", lit("start")).as("src"), $"dst")
+    val term = j
+      .withColumn("mx", max($"event_id").over(Window.partitionBy($"user_id")))
+      .filter($"pid".isNull && $"event_id" === $"mx")
+      .select($"dst".as("src"), lit("null").as("dst"))
+    val cnts = tr0.unionByName(term)
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val states = "start" +: channels
+    val dsts = channels ++ Seq("conv", "null")
+    val tots = states.map(i => i -> dsts.map(d => cnts.getOrElse((i, d), 0L)).sum).toMap
+    def absorb(removed: Option[String]): Long = {
+      def cnt2(i: String, d: String): Long =
+        if (removed.contains(i) || removed.contains(d)) 0L
+        else cnts.getOrElse((i, d), 0L)
+      var x = states.map(_ -> 0L).toMap
+      for (_ <- 1 to K) {
+        val prev = x
+        x = states.map { i =>
+          val t = tots(i)
+          val v = if (removed.contains(i) || t == 0L) 0L
+            else channels.map(d => cnt2(i, d) * prev(d) / t).sum +
+              cnt2(i, "conv") * E12 / t
+          i -> v
+        }.toMap
+      }
+      x("start")
+    }
+    val base = absorb(None)
+    val rows = channels.map(c => (c, absorb(Some(c))))
+    val totEff = rows.map { case (_, r) => base - r }.sum
+    spark.createDataFrame(rows.map { case (c, r) =>
+        (c, base.toDouble / 1e12, r.toDouble / 1e12, base - r,
+          if (totEff == 0L) 0.0 else (base - r).toDouble / totEff.toDouble)
+      })
+      .toDF("channel", "conv_base", "conv_removed", "effect_e12", "share")
+      .orderBy($"channel")
+  }
+
+  /** The oracle replays the identical journey build, count pivot, and
+    * 24 Jacobi iterations (`SELECT * REPLACE` per step — each CTE
+    * references its predecessor once, so evaluation is linear).
+    */
+  private val qMarkovAttributionSql: String = {
+    val channels = Seq("click", "error", "signup", "view")
+    val states = "start" +: channels
+    val dsts = channels :+ "conv"
+    def cCol(i: String, d: String) = s"c_${i}_$d"
+    val pivotCols = (states.flatMap(i => (dsts :+ "null").map(d =>
+      s"MAX(CASE WHEN src = '$i' AND dst = '$d' THEN cnt ELSE 0 END) AS ${cCol(i, d)}"))).mkString(",\n        ")
+    val totCols = states.map(i =>
+      s"${(dsts :+ "null").map(d => cCol(i, d)).mkString(" + ")} AS tot_$i").mkString(",\n        ")
+    val c2Cols = states.flatMap(i => dsts.map(d =>
+      s"CASE WHEN chain IN ('$i', '$d') THEN 0 ELSE ${cCol(i, d)} END AS c2_${i}_$d")).mkString(",\n        ")
+    def stepExpr(i: String) =
+      s"""CASE WHEN chain = '$i' OR tot_$i = 0 THEN 0 ELSE ${channels.map(d =>
+        s"(c2_${i}_$d * x_$d) // tot_$i").mkString(" + ")} + (c2_${i}_conv * 1000000000000) // tot_$i END AS x_$i"""
+    val iters = (1 to 24).map(k =>
+      s"it$k AS (SELECT * REPLACE (${states.map(stepExpr).mkString(", ")}) FROM it${k - 1})").mkString(",\n")
+    s"""WITH e AS (SELECT user_id, event_id, event_type FROM events),
+      |fp AS (SELECT user_id, min(CASE WHEN event_type = 'purchase' THEN event_id END) AS pid
+      |       FROM e GROUP BY 1),
+      |jn AS (SELECT e.user_id, e.event_id, fp.pid,
+      |        CASE WHEN e.event_type = 'purchase' THEN 'conv' ELSE e.event_type END AS dst,
+      |        lag(CASE WHEN e.event_type = 'purchase' THEN 'conv' ELSE e.event_type END)
+      |          OVER (PARTITION BY e.user_id ORDER BY e.event_id) AS prev
+      |       FROM e JOIN fp ON fp.user_id = e.user_id
+      |       WHERE fp.pid IS NULL OR e.event_id <= fp.pid),
+      |term AS (SELECT jj.dst AS src, 'null' AS dst, count(*) AS cnt
+      |         FROM (SELECT *, max(event_id) OVER (PARTITION BY user_id) AS mx FROM jn) jj
+      |         WHERE jj.pid IS NULL AND jj.event_id = jj.mx GROUP BY 1),
+      |tr AS (SELECT src, dst, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+      |         SELECT coalesce(prev, 'start') AS src, dst, count(*) AS cnt FROM jn GROUP BY 1, 2
+      |         UNION ALL SELECT * FROM term) GROUP BY 1, 2),
+      |pv AS (SELECT
+      |        $pivotCols
+      |       FROM tr),
+      |pt AS (SELECT *,
+      |        $totCols
+      |       FROM pv),
+      |ch AS (SELECT *,
+      |        $c2Cols
+      |       FROM pt, (SELECT unnest(['none', ${channels.map(c => s"'$c'").mkString(", ")}]) AS chain)),
+      |it0 AS (SELECT *, ${states.map(i => s"CAST(0 AS BIGINT) AS x_$i").mkString(", ")} FROM ch),
+      |$iters,
+      |res AS (SELECT chain, x_start AS conv_e12 FROM it24),
+      |b AS (SELECT conv_e12 AS bval FROM res WHERE chain = 'none'),
+      |s AS (SELECT CAST(sum(b2.bval - r2.conv_e12) AS BIGINT) AS teff
+      |      FROM res r2, b b2 WHERE r2.chain <> 'none')
+      |SELECT r.chain AS channel,
+      |  CAST(b.bval AS DOUBLE) / 1000000000000.0 AS conv_base,
+      |  CAST(r.conv_e12 AS DOUBLE) / 1000000000000.0 AS conv_removed,
+      |  b.bval - r.conv_e12 AS effect_e12,
+      |  CASE WHEN s.teff = 0 THEN 0.0
+      |       ELSE CAST(b.bval - r.conv_e12 AS DOUBLE) / CAST(s.teff AS DOUBLE) END AS share
+      |FROM res r, b, s WHERE r.chain <> 'none' ORDER BY channel""".stripMargin
+  }
+
   /** Last-touch attribution: every purchase credits the user's most
     * recent preceding non-purchase event type, and channels roll up
     * to conversions + attributed revenue. The credit assignment is
@@ -416,5 +562,6 @@ object SequenceQ {
     QueryDef.sql("q_conversion_lag", qConversionLag _, qConversionLagSql),
     QueryDef.sql("q_markov_transitions", qMarkovTransitions _, qMarkovTransitionsSql),
     QueryDef.sql("q_attribution", qAttribution _, qAttributionSql),
+    QueryDef.sql("q_markov_attribution", qMarkovAttribution _, qMarkovAttributionSql),
     QueryDef.sql("q_winsorize", qWinsorize _, qWinsorizeSql))
 }

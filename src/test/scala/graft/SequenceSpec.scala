@@ -267,4 +267,35 @@ class SequenceSpec extends GraftSuite {
       assert(out.filter($"clamped" && $"w_value" === round($"value", 4)).count() === 0)
     } finally out.unpersist()
   }
+
+  test("markov removal effects: hand-computed 2-channel chain") {
+    import spark.implicits._
+    // u1: click -> purchase; u2: view -> (no purchase)
+    // chain: START->click, START->view, click->CONV, view->NULL
+    // base absorption from START = 1/2; removing click drops it to 0
+    // (all credit), removing view changes nothing (zero credit)
+    val ev = Seq(
+      (1L, 10L, "click"), (1L, 11L, "purchase"),
+      (2L, 20L, "view")).toDF("user_id", "event_id", "event_type")
+    val out = SequenceQ.markovRemoval(ev, Seq("click", "view"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(4))).toMap
+    assert(out("click") == ((0.5, 0.0, 1.0)), s"click got ${out("click")}")
+    assert(out("view") == ((0.5, 0.5, 0.0)), s"view got ${out("view")}")
+  }
+
+  test("markov removal: journey truncates at the FIRST purchase") {
+    import spark.implicits._
+    // events after u1's first purchase (the second click) must not
+    // create transitions — with truncation the chain is the same
+    // 2-user fixture as above, so the shares must be identical
+    val ev = Seq(
+      (1L, 10L, "click"), (1L, 11L, "purchase"), (1L, 12L, "click"),
+      (1L, 13L, "purchase"),
+      (2L, 20L, "view")).toDF("user_id", "event_id", "event_type")
+    val out = SequenceQ.markovRemoval(ev, Seq("click", "view"))
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(out("click") == 1.0 && out("view") == 0.0,
+      s"post-conversion events leaked into the chain: $out")
+  }
 }
