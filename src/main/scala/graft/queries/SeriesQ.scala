@@ -37,6 +37,113 @@ object SeriesQ {
       .groupBy($"day").agg(expr("sum(c) div 100").as("y"))
   }
 
+  // ------------------------------------------------------------ ts_granger
+  /** Granger causality (p=1) between the two daily event series —
+    * purchase revenue (cents) and click count: does yesterday's x
+    * predict today's y beyond yesterday's y? Both directions tested.
+    * F = ((RSS_r − RSS_u)/p) / (RSS_u/(n − 2p − 1)) with the
+    * unrestricted 2-feature fit solved by the exact-integer Cramer
+    * recipe of `q_ols_multi`: every co-moment is an exact LONG
+    * (integer cents × counts — headroom ~10³× at gate SFs, the
+    * ols_multi long-range contract), cast once to double, and every
+    * downstream expression is mirrored operation-for-operation in the
+    * oracle — final doubles emitted UNROUNDED. Lag is observed-order
+    * (previous observed day). Facts fold to the day series first;
+    * everything after is bounded-metadata (the ts_ serial-pass shape).
+    */
+  def tsGranger(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    granger(Tables(spark, dir).events
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(when($"event_type" === "purchase",
+          round($"value" * 100).cast("long")).otherwise(0L)).as("y"),
+        sum(when($"event_type" === "click", 1L).otherwise(0L)).as("x")))
+  }
+
+  /** The Granger core over any (day, y, x) integer series frame —
+    * split out so fixtures exercise the REAL lag/co-moment/F
+    * arithmetic (the chunkDedup convention).
+    */
+  def granger(d: DataFrame): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    val w = Window.orderBy($"day")
+    val lagged = d
+      .withColumn("ly", lag($"y", 1).over(w))
+      .withColumn("lx", lag($"x", 1).over(w))
+      .filter($"ly".isNotNull)
+    def dirStats(zc: org.apache.spark.sql.Column, x1c: org.apache.spark.sql.Column,
+                 x2c: org.apache.spark.sql.Column, name: String) =
+      lagged.agg(
+          count(lit(1)).as("n"),
+          sum(x1c).as("sx1"), sum(x2c).as("sx2"), sum(zc).as("sz"),
+          sum(x1c * x1c).as("s11"), sum(x2c * x2c).as("s22"),
+          sum(x1c * x2c).as("s12"),
+          sum(x1c * zc).as("s1z"), sum(x2c * zc).as("s2z"),
+          sum(zc * zc).as("szz"))
+        .select(lit(name).as("direction"), $"n".as("n_obs"),
+          ($"n" * $"s11" - $"sx1" * $"sx1").cast("double").as("c11"),
+          ($"n" * $"s22" - $"sx2" * $"sx2").cast("double").as("c22"),
+          ($"n" * $"s12" - $"sx1" * $"sx2").cast("double").as("c12"),
+          ($"n" * $"s1z" - $"sx1" * $"sz").cast("double").as("c1z"),
+          ($"n" * $"s2z" - $"sx2" * $"sz").cast("double").as("c2z"),
+          ($"n" * $"szz" - $"sz" * $"sz").cast("double").as("czz"))
+        .select($"direction", $"n_obs",
+          (($"c22" * $"c1z" - $"c12" * $"c2z") / ($"c11" * $"c22" - $"c12" * $"c12")).as("b_self"),
+          (($"c11" * $"c2z" - $"c12" * $"c1z") / ($"c11" * $"c22" - $"c12" * $"c12")).as("b_cross"),
+          $"c11", $"c1z", $"c2z", $"czz")
+        .select($"direction", $"n_obs", $"b_self", $"b_cross",
+          ($"czz" - $"b_self" * $"c1z" - $"b_cross" * $"c2z").as("rss_u"),
+          ($"czz" - $"c1z" * $"c1z" / $"c11").as("rss_r"))
+        .select($"direction", $"n_obs", $"b_self", $"b_cross",
+          // a saturated unrestricted fit (rss_u = 0, exact — the
+          // co-moments are integers) has no finite F: emit NULL, both
+          // engines (Spark ANSI would throw, DuckDB would read inf)
+          when($"rss_u" === 0.0, lit(null).cast("double"))
+            .otherwise((($"rss_r" - $"rss_u") / lit(1.0)) /
+              ($"rss_u" / ($"n_obs" - lit(3)).cast("double"))).as("f_stat"))
+    // x1 = lag of the TARGET (self), x2 = lag of the other series
+    dirStats($"y", $"ly", $"lx", "x_to_y")
+      .unionByName(dirStats($"x", $"lx", $"ly", "y_to_x"))
+      .orderBy($"direction")
+  }
+
+  private val tsGrangerSql = {
+    def dirSql(z: String, x1: String, x2: String, name: String) =
+      s"""SELECT '$name' AS direction, n AS n_obs,
+        |  (c22 * c1z - c12 * c2z) / (c11 * c22 - c12 * c12) AS b_self,
+        |  (c11 * c2z - c12 * c1z) / (c11 * c22 - c12 * c12) AS b_cross,
+        |  CASE WHEN (czz - ((c22 * c1z - c12 * c2z) / (c11 * c22 - c12 * c12)) * c1z - ((c11 * c2z - c12 * c1z) / (c11 * c22 - c12 * c12)) * c2z) = 0.0 THEN NULL ELSE
+        |  (((czz - c1z * c1z / c11) - (czz - ((c22 * c1z - c12 * c2z) / (c11 * c22 - c12 * c12)) * c1z - ((c11 * c2z - c12 * c1z) / (c11 * c22 - c12 * c12)) * c2z)) / 1.0)
+        |    / ((czz - ((c22 * c1z - c12 * c2z) / (c11 * c22 - c12 * c12)) * c1z - ((c11 * c2z - c12 * c1z) / (c11 * c22 - c12 * c12)) * c2z) / CAST(n - 3 AS DOUBLE)) END AS f_stat
+        |FROM (SELECT n,
+        |    CAST(n * s11 - sx1 * sx1 AS DOUBLE) AS c11,
+        |    CAST(n * s22 - sx2 * sx2 AS DOUBLE) AS c22,
+        |    CAST(n * s12 - sx1 * sx2 AS DOUBLE) AS c12,
+        |    CAST(n * s1z - sx1 * sz AS DOUBLE) AS c1z,
+        |    CAST(n * s2z - sx2 * sz AS DOUBLE) AS c2z,
+        |    CAST(n * szz - sz * sz AS DOUBLE) AS czz
+        |  FROM (SELECT count(*) AS n,
+        |      CAST(sum($x1) AS BIGINT) AS sx1, CAST(sum($x2) AS BIGINT) AS sx2,
+        |      CAST(sum($z) AS BIGINT) AS sz,
+        |      CAST(sum($x1 * $x1) AS BIGINT) AS s11, CAST(sum($x2 * $x2) AS BIGINT) AS s22,
+        |      CAST(sum($x1 * $x2) AS BIGINT) AS s12,
+        |      CAST(sum($x1 * $z) AS BIGINT) AS s1z, CAST(sum($x2 * $z) AS BIGINT) AS s2z,
+        |      CAST(sum($z * $z) AS BIGINT) AS szz
+        |    FROM lagged WHERE ly IS NOT NULL))""".stripMargin
+    s"""WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x
+      |  FROM events GROUP BY 1),
+      |lagged AS (SELECT y, x,
+      |    lag(y) OVER (ORDER BY day) AS ly, lag(x) OVER (ORDER BY day) AS lx
+      |  FROM d)
+      |${dirSql("y", "ly", "lx", "x_to_y")}
+      |UNION ALL
+      |${dirSql("x", "lx", "ly", "y_to_x")}
+      |ORDER BY direction""".stripMargin
+  }
+
   // ----------------------------------------------------- ts_matrix_profile
   /** Matrix profile (Yeh et al., ICDM'16): for every 7-day window of
     * each event-type's daily-count series, the nearest z-normalized
@@ -413,5 +520,6 @@ object SeriesQ {
     QueryDef.sql("ts_rolling_corr", tsRollingCorr _, tsRollingCorrSql),
     QueryDef.sql("ts_haar", tsHaar _, tsHaarSql),
     QueryDef.sql("ts_kalman", tsKalman _, tsKalmanSql),
-    QueryDef.sql("ts_matrix_profile", tsMatrixProfile _, tsMatrixProfileSql))
+    QueryDef.sql("ts_matrix_profile", tsMatrixProfile _, tsMatrixProfileSql),
+    QueryDef.sql("ts_granger", tsGranger _, tsGrangerSql))
 }

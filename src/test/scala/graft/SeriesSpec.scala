@@ -153,6 +153,30 @@ class SeriesSpec extends GraftSuite {
     }
   }
 
+  test("granger: a planted lag-1 causal link shows up in exactly one direction") {
+    // y_t = 3*x_{t-1} (pure lagged dependence), x_t = a deterministic
+    // pseudo-noise series => F(x->y) huge, F(y->x) small
+    val xs = Seq(5L, 9L, 2L, 8L, 3L, 7L, 4L, 6L, 1L, 9L, 2L, 8L, 5L, 3L, 7L,
+      1L, 6L, 4L, 9L, 2L, 7L, 5L, 8L, 3L, 6L)
+    val rows = xs.indices.drop(1).map { t =>
+      (t.toLong, 3L * xs(t - 1) + (t % 2), xs(t))
+    }
+    val df = rows.toDF("day", "y", "x")
+    val out = SeriesQ.granger(df).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("f_stat")).toMap
+    assert(out("x_to_y") > 100.0, s"planted direction must dominate: $out")
+    assert(out("y_to_x") < out("x_to_y") / 10.0, s"reverse direction must be weak: $out")
+  }
+
+  test("granger: a saturated (zero-residual) fit reports NULL F, not a crash") {
+    import org.apache.spark.sql.Row
+    val xs = Seq(5L, 9L, 2L, 8L, 3L, 7L, 4L, 6L, 1L, 9L)
+    val rows = xs.indices.drop(1).map(t => (t.toLong, 3L * xs(t - 1), xs(t)))
+    val out = SeriesQ.granger(rows.toDF("day", "y", "x")).collect()
+      .map(r => r.getString(0) -> r.isNullAt(4)).toMap
+    assert(out("x_to_y"), "perfect lagged fit must yield NULL f_stat")
+  }
+
   test("matrix profile: zero-variance windows are excluded from both sides") {
     // constant series: every window has sigma 0 => no output rows
     val flat = (1 to 30).map(d => ("c", d.toLong, 5L)).toDF("event_type", "day", "cnt")
