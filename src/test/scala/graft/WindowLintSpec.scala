@@ -99,6 +99,7 @@ object WindowLintSpec {
     "ts_bollinger" -> "daily aggregated series (calendar days)",
     "ts_changepoint" -> "daily aggregated series (calendar days)",
     "ts_cusum" -> "PrefixSum chunk totals over calendar days",
+    "ts_granger" -> "daily (y, x) aggregated series (calendar days)",
     "ts_hampel" -> "daily aggregated series (calendar days)",
     "ts_periodogram" -> "daily aggregated series (calendar days)",
     "ts_rolling_corr" -> "daily aggregated series (calendar days)",
