@@ -59,7 +59,7 @@ object CurateQ {
       .orderBy($"o_orderstatus")
   }
 
-  private val etlCdcApplySql =
+  private[queries] val etlCdcApplySql =
     """WITH o AS (
       |  SELECT o_orderkey, o_orderstatus,
       |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents

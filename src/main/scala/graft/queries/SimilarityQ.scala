@@ -1431,6 +1431,76 @@ object SimilarityQ {
       |FROM events WHERE event_type = 'purchase'
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** TRUE micro-batch replay of streaming CDC upsert
+    * ([[EventStream.cdcApplyStream]], `transformWithState`, RocksDB
+    * store): the SAME four CDC waves the batch `etl_cdc_apply` gate
+    * derives from orders (base / insert / update / delete, versioned)
+    * arrive as four version-ordered micro-batches — the natural CDC
+    * arrival order — and fold through per-key last-writer-wins state
+    * (one row per live key forever: the MERGE contract as a stream).
+    * `version` is monotone per key, so the final table equals the
+    * max-version update-mode emission per key whatever the batch
+    * split, and the rolled-up result is hash-checked against the
+    * IDENTICAL oracle SQL as `etl_cdc_apply` — the
+    * dedup_incremental_bloom convention: one oracle, two plans, the
+    * hash match proving the streaming plan preserved batch MERGE
+    * semantics. Driver-side collect is the replay harness only
+    * (capped by [[collectReplay]]); the stateful plan is the same
+    * distributed operator a cluster runs against a Kafka CDC feed.
+    */
+  def streamCdcReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ss = replaySession(spark)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val o = Tables(spark, dir).orders
+      .select($"o_orderkey", $"o_orderstatus",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+    def tier(v: Long, filt: org.apache.spark.sql.Column,
+             cents: org.apache.spark.sql.Column, op: String): Array[EventStream.CdcEv] =
+      collectReplay(o.filter(filt)
+          .select($"o_orderkey", $"o_orderstatus", cents.as("c"))
+          .as[(Long, String, Long)])
+        .sortBy(_._1).map(t => EventStream.CdcEv(t._1, t._2, t._3, v, op))
+    val batches = Seq(
+      tier(0L, $"o_orderkey" % 10 < 8, $"cents", "B"),
+      tier(1L, $"o_orderkey" % 10 >= 8, $"cents", "I"),
+      tier(2L, $"o_orderkey" % 7 === 0, expr("(cents * 11) div 10"), "U"),
+      tier(3L, $"o_orderkey" % 13 === 0, lit(0L), "D"))
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val name = "stream_cdc_replay_" + java.util.UUID.randomUUID().toString.take(8)
+    val input = MemoryStream[EventStream.CdcEv]
+    val q = EventStream.cdcApplyStream(input.toDS())
+      .writeStream.outputMode("update").format("memory").queryName(name).start()
+    try batches.foreach { b => if (b.nonEmpty) input.addData(b.toSeq); q.processAllAvailable() }
+    finally q.stop()
+    val out = ss.table(name)
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"key").orderBy($"version".desc)))
+      .filter($"rk" === 1 && $"op" =!= "D")
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n_orders"), sum($"cents").as("total_cents"),
+        sum(when($"op" === "B", 1L).otherwise(0L)).as("n_base"),
+        sum(when($"op" === "I", 1L).otherwise(0L)).as("n_inserted"),
+        sum(when($"op" === "U", 1L).otherwise(0L)).as("n_updated"))
+      .select($"status".as("o_orderstatus"), $"n_orders", $"total_cents",
+        $"n_base", $"n_inserted", $"n_updated")
+      .orderBy($"o_orderstatus")
+      .collect()
+    ss.catalog.dropTempView(name)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderstatus", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_orders", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("total_cents", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_base", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_inserted", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_updated", org.apache.spark.sql.types.LongType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(out.toIndexedSeq, 1), schema)
+      .orderBy($"o_orderstatus")
+  }
+
   /** TRUE micro-batch replay of the streaming dedup
     * ([[EventStream.dedupStream]], `dropDuplicatesWithinWatermark`)
     * under an at-least-once transport: events split into 4
@@ -1847,6 +1917,7 @@ object SimilarityQ {
     QueryDef.sql("stream_interval_replay", streamIntervalReplay _, streamIntervalReplaySql),
     QueryDef.sql("stream_dedup_replay", streamDedupReplay _, streamDedupReplaySql),
     QueryDef.sql("stream_spend_replay", streamSpendReplay _, streamSpendReplaySql),
+    QueryDef.sql("stream_cdc_replay", streamCdcReplay _, CurateQ.etlCdcApplySql),
     QueryDef.sql("stream_session_replay", streamSessionReplay _, streamSessionReplaySql),
     QueryDef.sql("stream_session_state", streamSessionState _, streamSessionStateSql))
 }

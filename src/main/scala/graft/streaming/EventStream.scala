@@ -305,4 +305,49 @@ object EventStream {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
   }
+
+  final case class CdcEv(key: Long, status: String, cents: Long,
+                         version: Long, op: String)
+
+  /** Streaming CDC upsert through `transformWithState`: per-key state
+    * is the single latest-version row (LAST-WRITER-WINS on version,
+    * ties impossible by construction — each key appears at most once
+    * per version tier), so state is one row per live key forever —
+    * the Delta/Iceberg MERGE contract as a stream. Update-mode
+    * emissions are the key's current materialized row; because
+    * `version` is monotone per key, the final table equals the
+    * max-version emission per key whatever the batch split — which is
+    * exactly what the batch `etl_cdc_apply` oracle computes (the
+    * replay gate is hash-checked against the IDENTICAL oracle SQL —
+    * the dedup_incremental_bloom convention: one oracle, two plans).
+    */
+  class CdcProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, CdcEv, CdcEv] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[CdcEv] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[CdcEv]("cdc",
+        org.apache.spark.sql.Encoders.product[CdcEv],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[CdcEv],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[CdcEv] = {
+      var cur = st.get()
+      rows.foreach { r =>
+        if (cur == null || r.version > cur.version) cur = r
+      }
+      st.update(cur)
+      Iterator.single(cur)
+    }
+  }
+
+  def cdcApplyStream(ds: Dataset[CdcEv]): Dataset[CdcEv] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .transformWithState(new CdcProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
 }

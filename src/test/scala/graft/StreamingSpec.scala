@@ -529,4 +529,39 @@ class StreamingSpec extends GraftSuite {
     assert(stream === batch)
     assert(stream.nonEmpty)
   }
+
+  test("CDC upsert stream: last-writer-wins survives out-of-order batch delivery") {
+    implicit val sqlCtx = spark.sqlContext
+    withSQLConf("spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+    val input = MemoryStream[EventStream.CdcEv]
+    val name = "cdc_ooo_" + java.util.UUID.randomUUID().toString.take(8)
+    val q = EventStream.cdcApplyStream(input.toDS())
+      .writeStream.outputMode("update").format("memory").queryName(name).start()
+    try {
+      // batch 1: key 1 at v2 arrives BEFORE its v1; key 2 base
+      input.addData(
+        EventStream.CdcEv(1L, "O", 500L, 2L, "U"),
+        EventStream.CdcEv(2L, "F", 100L, 0L, "B"))
+      q.processAllAvailable()
+      // batch 2: the LATE v1 for key 1 must NOT overwrite v2; key 2
+      // gets deleted; key 3 inserted
+      input.addData(
+        EventStream.CdcEv(1L, "O", 400L, 1L, "I"),
+        EventStream.CdcEv(2L, "F", 0L, 3L, "D"),
+        EventStream.CdcEv(3L, "P", 250L, 1L, "I"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val fin = spark.table(name)
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"key").orderBy($"version".desc)))
+      .filter($"rk" === 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    spark.catalog.dropTempView(name)
+    assert(fin(1L) == ((500L, 2L, "U")), s"late v1 must lose to v2: ${fin(1L)}")
+    assert(fin(2L)._3 == "D", "delete must be the final state for key 2")
+    assert(fin(3L) == ((250L, 1L, "I")))
+    }
+  }
 }
