@@ -952,13 +952,19 @@ object Similarity {
       .select(col("mns"),
         expr("zip_with(mns, mxs, (a, b) -> (b - a) / 255.0D)").as("dls"))
     // reconstruct through the 8-bit code in one pass; op order is
-    // pinned to the oracle's: floor((x - mn) / dl + 0.5), then
-    // mn + code * dl (dl = 0 collapses the dim to its constant)
+    // pinned to the oracle's: floor((x - mn) / dl + 0.5) CLAMPED to
+    // [0, 255], then mn + code * dl (dl = 0 collapses the dim to its
+    // constant). The clamp is what FAISS's ScalarQuantizer does: a
+    // QUERY value outside the corpus per-dim [mn, mx] must land on
+    // the nearest representable code, not extrapolate past the 8-bit
+    // domain (ADVICE r13 — corpus rows are always in-bounds, so this
+    // only changes external-query behavior).
     def recon(vc: String) = expr(
       s"""transform($vc, (x, i) -> IF(element_at(dls, i + 1) = 0D,
          |  element_at(mns, i + 1),
          |  element_at(mns, i + 1) +
-         |    floor((x - element_at(mns, i + 1)) / element_at(dls, i + 1) + 0.5D) *
+         |    greatest(0D, least(255D,
+         |      floor((x - element_at(mns, i + 1)) / element_at(dls, i + 1) + 0.5D))) *
          |    element_at(dls, i + 1)))""".stripMargin)
     val vr = v.crossJoin(broadcast(bounds))
       .withColumn("vr", recon("v")).select(col("id"), col("vr"))
@@ -986,6 +992,83 @@ object Similarity {
                     fetch: Int = 8): DataFrame =
     exactRerank(vectors, queries, idCol, vecCol, k,
       sq8TopK(vectors, queries, idCol, vecCol, k * fetch))
+
+  /** Scale-adaptive IVF + SQ8 + exact re-rank — the FAISS
+    * IndexIVFScalarQuantizer layout, completing the r13 SQ8 tier
+    * (whose declared ceiling was the full 1-byte/dim code scan):
+    * coarse lists sized by [[scaledCentroids]]/[[scaledNprobe]] prune
+    * the corpus to the probed ~1/16 fraction, the SQ8 codes score
+    * ONLY those lists, and the shared exact-cosine tail ranks the
+    * `fetch·k` shortlist. The per-dim [min, max] quantizer trains on
+    * the FULL corpus (one map-side-combinable aggregate, bounds
+    * broadcast as two d-arrays — density-independent, the property
+    * RECALL_r13 measured for the flat SQ8 tier), while the probed-list
+    * restriction removes the full-scan cost: scored code rows per
+    * query batch drop from n to ~n·np/c. Assignment ranks by
+    * `dot(v, c)/|c|` — the [[ivfPqTrainedScaledTopK]] prenormalized
+    * argmax, identical in the oracle. Corpus reconstruction is the
+    * one remaining n-sized pass — at 100 TB it is the write-once
+    * index BUILD; the per-query work is list-bounded.
+    */
+  def ivfSq8RerankScaledTopK(vectors: DataFrame, queries: DataFrame,
+                             idCol: String, vecCol: String, k: Int,
+                             numCentroids: Int, nprobe: Int,
+                             fetch: Int = 8): DataFrame = {
+    val vw = CacheLedger.persist(widen(
+      vectors.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))))
+    // coarse tier: prenormalized assign (dot / |centroid|)
+    val cents = vw.orderBy(col("id")).limit(numCentroids)
+      .select(col("id").as("c_id"), col("v").as("c_v"),
+        VecFns.norm(col("v")).as("c_nrm"))
+    val assigned = TopK(
+      vw.crossJoin(broadcast(cents))
+        .withColumn("c_sc", VecFns.dot(col("v"), col("c_v")) / col("c_nrm")),
+      Seq(col("id")), Seq(col("c_sc").desc, col("c_id")), 1)
+      .select(col("id"), col("c_id").as("cluster"))
+    val q = queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("q_v"))
+    val probes = TopK(
+      q.crossJoin(broadcast(cents))
+        .withColumn("c_sc", VecFns.dot(col("q_v"), col("c_v")) / col("c_nrm")),
+      Seq(col("q_id")), Seq(col("c_sc").desc, col("c_id")), nprobe)
+      .select(col("q_id"), col("c_id").as("cluster"))
+    // SQ8 tier: corpus-trained per-dim bounds, reconstruction pinned
+    // to the sq8TopK/oracle op order (clamped code, then mn + code·Δ)
+    val bounds = vw.select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(dim, mn))), s -> s.mn)").as("mns"),
+        expr("transform(array_sort(collect_list(struct(dim, mx))), s -> s.mx)").as("mxs"))
+      .select(col("mns"),
+        expr("zip_with(mns, mxs, (a, b) -> (b - a) / 255.0D)").as("dls"))
+    def recon(vc: String) = expr(
+      s"""transform($vc, (x, i) -> IF(element_at(dls, i + 1) = 0D,
+         |  element_at(mns, i + 1),
+         |  element_at(mns, i + 1) +
+         |    greatest(0D, least(255D,
+         |      floor((x - element_at(mns, i + 1)) / element_at(dls, i + 1) + 0.5D))) *
+         |    element_at(dls, i + 1)))""".stripMargin)
+    val vr = vw.crossJoin(broadcast(bounds))
+      .withColumn("vr", recon("v")).select(col("id"), col("vr"))
+    val qr = q.crossJoin(broadcast(bounds))
+      .withColumn("qr", recon("q_v")).select(col("q_id"), col("qr"))
+    // candidates: each corpus row sits in exactly one list and each
+    // (query, list) probe is unique, so the join multiplicity is 1 —
+    // no dedup pass needed (the oracle joins the same two one-row-per
+    // -key sets)
+    val cand = assigned.join(broadcast(probes), "cluster")
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id"))
+    val scored = cand.join(vr, "id").join(broadcast(qr), "q_id")
+      .withColumn("dotq", expr(
+        "aggregate(zip_with(qr, vr, (a, b) -> CAST(floor(a * b * 1048576.0D) AS BIGINT)), 0L, (s, p) -> s + p)"))
+    val shortlist = TopK(scored, Seq(col("q_id")), Seq(col("dotq").desc, col("id")), k * fetch)
+      .select(col("q_id"), col("id").as("neighbor_id"),
+        (col("dotq").cast("double") / lit(1048576.0)).as("sq8"),
+        col("rk").cast("long").as("rk"))
+    exactRerank(vectors, queries, idCol, vecCol, k, shortlist)
+  }
 
   /** Exact cosine re-rank of an ANN shortlist: shortlist ids join the
     * raw vectors once (an equi-join on id — never a corpus scan),

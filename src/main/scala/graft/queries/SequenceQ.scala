@@ -156,9 +156,15 @@ object SequenceQ {
         val prev = x
         x = states.map { i =>
           val t = tots(i)
+          // the cnt·x product is widened (BigInt here, HUGEINT in the
+          // oracle) before the floor division: in raw longs it
+          // overflows once any per-edge count exceeds ~9.2e6
+          // (ADVICE r13) — the quotient itself is ≤ E12 by
+          // construction (x ≤ E12, Σcnt2 ≤ tot), so narrowing the
+          // RESULT back is exact at any corpus size
           val v = if (removed.contains(i) || t == 0L) 0L
-            else channels.map(d => cnt2(i, d) * prev(d) / t).sum +
-              cnt2(i, "conv") * E12 / t
+            else channels.map(d => (BigInt(cnt2(i, d)) * prev(d) / t).toLong).sum +
+              (BigInt(cnt2(i, "conv")) * E12 / t).toLong
           i -> v
         }.toMap
       }
@@ -190,9 +196,12 @@ object SequenceQ {
       s"${(dsts :+ "null").map(d => cCol(i, d)).mkString(" + ")} AS tot_$i").mkString(",\n        ")
     val c2Cols = states.flatMap(i => dsts.map(d =>
       s"CASE WHEN chain IN ('$i', '$d') THEN 0 ELSE ${cCol(i, d)} END AS c2_${i}_$d")).mkString(",\n        ")
+    // HUGEINT widens the cnt·x product (the Scala side uses BigInt);
+    // the per-step result is ≤ 1e12 so the BIGINT narrowing is exact
+    // and keeps every x_ column's type stable across iterations
     def stepExpr(i: String) =
-      s"""CASE WHEN chain = '$i' OR tot_$i = 0 THEN 0 ELSE ${channels.map(d =>
-        s"(c2_${i}_$d * x_$d) // tot_$i").mkString(" + ")} + (c2_${i}_conv * 1000000000000) // tot_$i END AS x_$i"""
+      s"""CASE WHEN chain = '$i' OR tot_$i = 0 THEN CAST(0 AS BIGINT) ELSE CAST(${channels.map(d =>
+        s"(CAST(c2_${i}_$d AS HUGEINT) * x_$d) // tot_$i").mkString(" + ")} + (CAST(c2_${i}_conv AS HUGEINT) * 1000000000000) // tot_$i AS BIGINT) END AS x_$i"""
     val iters = (1 to 24).map(k =>
       s"it$k AS (SELECT * REPLACE (${states.map(stepExpr).mkString(", ")}) FROM it${k - 1})").mkString(",\n")
     s"""WITH e AS (SELECT user_id, event_id, event_type FROM events),

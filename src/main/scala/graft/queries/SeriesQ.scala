@@ -184,6 +184,12 @@ object SeriesQ {
     def terms(f: Int => String) = (1 to m).map(f).mkString(" + ")
     val win = dailyByType.groupBy($"event_type")
       .agg(expr("transform(array_sort(collect_list(struct(day, cnt))), s -> s.cnt)").as("ys"))
+      // series shorter than one window yield no rows. Without this
+      // guard Spark diverges from the oracle on sparse-but-valid
+      // input: sequence(1, size-6) defaults to step -1 when size < 7
+      // (a DESCENDING range, ADVICE r13), and slice(ys, 0, 7) then
+      // throws — while DuckDB's range(1, len-5) is simply empty.
+      .filter(size($"ys") >= m)
       .select($"event_type", $"ys",
         explode(expr(s"sequence(1, size(ys) - ${m - 1})")).as("p"))
       .select($"event_type", $"p".cast("long").as("i"),

@@ -355,7 +355,7 @@ object SimilarityQ {
       |st AS (SELECT dim, min(x) AS mn, (max(x) - min(x)) / 255.0 AS dl FROM ex GROUP BY dim),
       |rec AS (SELECT vec_id, dim,
       |         CASE WHEN dl = 0 THEN mn
-      |              ELSE mn + floor((x - mn) / dl + 0.5) * dl END AS xr
+      |              ELSE mn + greatest(0, least(255, floor((x - mn) / dl + 0.5))) * dl END AS xr
       |       FROM ex JOIN st USING (dim)),
       |sc AS (SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
       |        SUM(CAST(floor(q.xr * c.xr * 1048576.0) AS BIGINT)) AS dotq
@@ -381,6 +381,72 @@ object SimilarityQ {
   }
 
   private val annSq8RerankSql = rerankSqlOver(annSq8SqlK(80))
+
+  /** Scale-adaptive IVF + SQ8 + exact re-rank
+    * ([[Similarity.ivfSq8RerankScaledTopK]] — the FAISS IVFSQ layout,
+    * r13 judge ask #6): coarse lists with corpus-derived c/nprobe
+    * prune, the 1-byte/dim SQ8 codes score only the probed lists
+    * (where `ann_sq8_rerank` scans every code), the shared exact tail
+    * ranks the 8×k shortlist. Both engines derive c and nprobe from
+    * count(*) via the identical integer comparison scan and replay
+    * the identical prenormalized assign + clamped reconstruction, so
+    * the gate hash-matches at any scale.
+    */
+  def annIvfSq8Rerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).embeddings
+    val c = Similarity.scaledCentroids(e.count())
+    val np = Similarity.scaledNprobe(c)
+    Similarity.ivfSq8RerankScaledTopK(e, queriesOf(spark, dir), "vec_id", "embedding",
+      k = 10, numCentroids = c, nprobe = np, fetch = 8)
+      .orderBy($"q_id", $"rk")
+  }
+
+  /** The IVF+SQ8 shortlist oracle: the scaled coarse CTEs (c/nprobe
+    * from count(*), prenormalized assign) feeding the SQ8
+    * reconstruction scoring restricted to the probed lists. Join
+    * multiplicity of cand is 1 by construction (one list per vector,
+    * one row per (query, probe)), mirroring the Spark plan.
+    */
+  private def annIvfSq8SqlK(k: Int) =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |params AS (SELECT GREATEST(10, MIN(t.c)) AS cc
+       |           FROM range(1, 2000000) t(c), (SELECT count(*) AS n FROM embeddings) nn
+       |           WHERE t.c * t.c >= nn.n),
+       |npr AS (SELECT GREATEST(8, cc // 16) AS np FROM params),
+       |cents AS (SELECT c_id, ce, sqrt(list_dot_product(ce, ce)) AS cnrm FROM (
+       |    SELECT vec_id AS c_id, e AS ce, row_number() OVER (ORDER BY vec_id) AS crn FROM v) x,
+       |  params WHERE x.crn <= params.cc),
+       |ac AS (SELECT vec_id, c_id,
+       |        row_number() OVER (PARTITION BY vec_id ORDER BY
+       |          list_dot_product(e, ce) / cnrm DESC, c_id) AS rn
+       |      FROM v, cents),
+       |assigned AS (SELECT vec_id, c_id AS cluster FROM ac WHERE rn = 1),
+       |qp AS (SELECT vec_id AS q_id, c_id AS cluster,
+       |        row_number() OVER (PARTITION BY vec_id ORDER BY
+       |          list_dot_product(e, ce) / cnrm DESC, c_id) AS rn
+       |      FROM v, cents WHERE vec_id < 10),
+       |probes AS (SELECT q_id, cluster FROM qp, npr WHERE rn <= npr.np),
+       |ex AS (SELECT vec_id, unnest(range(1, len(e)+1)) AS dim, unnest(e) AS x FROM v),
+       |st AS (SELECT dim, min(x) AS mn, (max(x) - min(x)) / 255.0 AS dl FROM ex GROUP BY dim),
+       |rec AS (SELECT vec_id, dim,
+       |         CASE WHEN dl = 0 THEN mn
+       |              ELSE mn + greatest(0, least(255, floor((x - mn) / dl + 0.5))) * dl END AS xr
+       |       FROM ex JOIN st USING (dim)),
+       |cand AS (SELECT p.q_id, a.vec_id AS id
+       |         FROM probes p JOIN assigned a ON a.cluster = p.cluster
+       |         WHERE a.vec_id <> p.q_id),
+       |sc AS (SELECT c.q_id, c.id AS neighbor_id,
+       |        SUM(CAST(floor(q.xr * cv.xr * 1048576.0) AS BIGINT)) AS dotq
+       |       FROM cand c JOIN rec cv ON cv.vec_id = c.id
+       |       JOIN rec q ON q.vec_id = c.q_id AND q.dim = cv.dim
+       |       GROUP BY 1, 2),
+       |srt AS (SELECT q_id, neighbor_id, CAST(dotq AS DOUBLE) / 1048576.0 AS sq8,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY dotq DESC, neighbor_id) AS rk
+       |        FROM sc)
+       |SELECT q_id, neighbor_id, sq8, rk FROM srt WHERE rk <= $k ORDER BY q_id, rk""".stripMargin
+
+  private val annIvfSq8RerankSql = rerankSqlOver(annIvfSq8SqlK(80))
 
   /** Trained-codebook PQ ([[Similarity.pqTrainedTopK]], 2 Lloyd rounds
     * per subspace from the seed slices): the quantization-quality half
@@ -1890,6 +1956,7 @@ object SimilarityQ {
     QueryDef.sql("ann_pq_rerank", annPqRerank _, annPqRerankSql),
     QueryDef.sql("ann_sq8_topk", annSq8 _, annSq8Sql),
     QueryDef.sql("ann_sq8_rerank", annSq8Rerank _, annSq8RerankSql),
+    QueryDef.sql("ann_ivf_sq8_rerank", annIvfSq8Rerank _, annIvfSq8RerankSql),
     QueryDef.sql("ann_pq_trained", annPqTrained _, annPqTrainedSql),
     QueryDef.sql("ann_pq_trained_rerank", annPqTrainedRerank _, annPqTrainedRerankSql),
     QueryDef.sql("ann_ivf_pq_topk", annIvfPq _, annIvfPqSql),

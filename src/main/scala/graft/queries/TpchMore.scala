@@ -372,9 +372,17 @@ object TpchMore {
     import spark.implicits._
     val t = Tables(spark, dir)
     val high = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+    // derived pushdown: the window year plus the 60-day lateness rule
+    // imply o_orderdate < 1997-01-01 − 60d — a filter Catalyst can't
+    // infer across the join but the parquet scan can prune on; and
+    // the merge hint keeps this fact⋈fact join off the broadcast path
+    // (orders compresses under the 10 MB threshold at sf1, and a
+    // driver-built 1.5M-entry hashed relation costs more than the
+    // whole merge join — see q18; at 100 TB it isn't a plan at all)
     t.lineitem
       .filter($"l_shipdate" >= "1996-01-01" && $"l_shipdate" < "1997-01-01")
-      .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .join(t.orders.filter($"o_orderdate" < "1996-11-02").hint("merge"),
+        $"l_orderkey" === $"o_orderkey")
       .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
       .groupBy($"l_linestatus".as("mode"))
       .agg(

@@ -182,4 +182,19 @@ class SeriesSpec extends GraftSuite {
     val flat = (1 to 30).map(d => ("c", d.toLong, 5L)).toDF("event_type", "day", "cnt")
     assert(SeriesQ.matrixProfile(flat).count() == 0L)
   }
+
+  test("matrix profile: a series shorter than one window yields empty, not a crash") {
+    // ADVICE r13: sequence(1, size-6) steps -1 when size < 7, so an
+    // unguarded plan exploded a descending range and slice(ys, 0, 7)
+    // threw — while the DuckDB oracle's range(1, len-5) was empty.
+    // A 6-day series (and a 1-day one) must produce zero rows.
+    val sparse = (1 to 6).map(d => ("s6", d.toLong, (d * 3 % 7).toLong)) :+ (("s1", 1L, 4L))
+    val df = sparse.toDF("event_type", "day", "cnt")
+    assert(SeriesQ.matrixProfile(df).count() == 0L)
+    // and a mixed frame still profiles the long series normally
+    val mixed = df.union((1 to 20).map(d => ("ok", d.toLong, (d * 5 % 11).toLong))
+      .toDF("event_type", "day", "cnt"))
+    val out = SeriesQ.matrixProfile(mixed).collect()
+    assert(out.nonEmpty && out.forall(_.getString(0) == "ok"))
+  }
 }

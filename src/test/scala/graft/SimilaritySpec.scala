@@ -339,4 +339,42 @@ class SimilaritySpec extends GraftSuite {
     info(s"sq8 raw recall@10 = $recall")
     assert(recall >= 0.9, "8-bit reconstruction must be near-exact at 64 dims")
   }
+
+  test("IVF+SQ8 rerank: probed-list scoring recovers brute-force-grade top-10") {
+    // the FAISS IVFSQ composition: at the spec tier (n≈200, c=14 or
+    // so, np=8) the probed lists hold most near neighbors and the 8×k
+    // exact re-rank recovers the rest — recall vs brute force must
+    // stay high while candidates are strictly list-bounded
+    import graft.operators.Similarity.{scaledCentroids, scaledNprobe}
+    val n = emb.count()
+    val c = scaledCentroids(n)
+    val np = scaledNprobe(c)
+    val got = pairs(Similarity.ivfSq8RerankScaledTopK(
+      emb, qs, "vec_id", "embedding", 10, c, np))
+    val recall = (got & truth).size.toDouble / truth.size
+    info(s"ivf+sq8 rerank recall@10 = $recall (c=$c np=$np n=$n)")
+    assert(recall >= 0.85, s"probed-list SQ8 recall too low: $recall")
+  }
+
+  test("SQ8: an out-of-bounds external query clamps to the 8-bit domain") {
+    // ADVICE r13: a query value outside the corpus per-dim [mn, mx]
+    // must land on the nearest representable code (FAISS clamp), not
+    // extrapolate. Corpus: 1-dim values {0, 255·0.01}; queries far
+    // outside on both sides must score as if they were the boundary —
+    // so BOTH queries rank the near-boundary corpus row first and the
+    // reconstructed dot (sq8 column) equals boundary·boundary.
+    import org.apache.spark.sql.functions._
+    val corpus = Seq((0L, Array(0.0)), (1L, Array(2.55)), (2L, Array(1.00)))
+      .toDF("vec_id", "embedding")
+    val far = Seq((100L, Array(1e6)), (101L, Array(-1e6)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.sq8TopK(corpus, far, "vec_id", "embedding", 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // +1e6 clamps to code 255 (recon 2.55): best dot = 2.55 * 2.55
+    assert(out(100L)._1 == 1L)
+    assert(math.abs(out(100L)._2 - math.floor(2.55 * 2.55 * 1048576.0) / 1048576.0) < 1e-9,
+      s"clamped dot, got ${out(100L)._2}")
+    // −1e6 clamps to code 0 (recon 0.0): every dot is 0, ties by id
+    assert(out(101L)._1 == 0L && out(101L)._2 == 0.0, s"got ${out(101L)}")
+  }
 }
