@@ -35,6 +35,12 @@ object Recall {
     //  KNN_PLANES: hyperplane count for the kNN edge build's buckets
     val shapesEnv = sys.env.get("SPARK_GRAFT_RECALL_SHAPES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // point-level subset (r14 re-tier, judge ask #10): the big-fixture
+    // campaigns measure the SCALED operating points only — e.g.
+    // SPARK_GRAFT_RECALL_POINTS=scaled keeps just the scaled:... rows
+    // of a shape's curve (substring match, any-of)
+    val pointsEnv = sys.env.get("SPARK_GRAFT_RECALL_POINTS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val ivfC = sys.env.getOrElse("SPARK_GRAFT_RECALL_IVF_C", "10").toInt
     val knnPlanes = sys.env.getOrElse("SPARK_GRAFT_RECALL_KNN_PLANES", "4").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -181,6 +187,22 @@ object Recall {
           pairs(Similarity.sq8TopK(emb, qs, "vec_id", "embedding", k)), cosTruth)),
         "rerank=8x" -> (() => recallOf(
           pairs(Similarity.sq8RerankTopK(emb, qs, "vec_id", "embedding", k, 8)), cosTruth))),
+      // IVF+SQ8 (r14): the FAISS IVFSQ composition — coarse lists
+      // prune to the scaled ~1/16 scan fraction, SQ8 codes score only
+      // the probed lists; recall should track flat SQ8 (the per-dim
+      // reconstruction error is density-independent) minus only the
+      // true neighbors outside the probed lists
+      "ivf_sq8" -> Seq(
+        "scaled:c=isqrt(n),np=c/16,rerank=4x" -> (() => {
+          val c = Similarity.scaledCentroids(nVec)
+          recallOf(pairs(Similarity.ivfSq8RerankScaledTopK(
+            emb, qs, "vec_id", "embedding", k, c, Similarity.scaledNprobe(c), 4)), cosTruth)
+        }),
+        "scaled:c=isqrt(n),np=c/16,rerank=8x" -> (() => {
+          val c = Similarity.scaledCentroids(nVec)
+          recallOf(pairs(Similarity.ivfSq8RerankScaledTopK(
+            emb, qs, "vec_id", "embedding", k, c, Similarity.scaledNprobe(c), 8)), cosTruth)
+        })),
       "mips" -> Seq(
         "planes=4" -> (() => recallOf(
           pairs(Similarity.mipsTopK(emb, qs, "vec_id", "embedding", k, planes = 4)), mipsTruth)),
@@ -203,6 +225,7 @@ object Recall {
       "pq" -> "sub=16,cb=32,trained=2it,rerank=4x",
       "ivf_pq" -> s"c=$ivfC,np=8,sub=16,cb=32,trained=2it,rerank=4x",
       "sq8" -> "rerank=8x",
+      "ivf_sq8" -> "scaled:c=isqrt(n),np=c/16,rerank=8x",
       "mips" -> "planes=2", "graph" -> "edges=10,beam=32,hops=6")
 
     // cost at the default operating point: scored candidates (the rows
@@ -223,6 +246,12 @@ object Recall {
         Similarity.ivfCandidateCount(emb, qs, "vec_id", "embedding", c,
           Similarity.scaledNprobe(c))
       }),
+      // IVF+SQ8 scores every probed-list row once (1 byte/dim codes)
+      "ivf_sq8" -> (() => {
+        val c = Similarity.scaledCentroids(nVec)
+        Similarity.ivfCandidateCount(emb, qs, "vec_id", "embedding", c,
+          Similarity.scaledNprobe(c))
+      }),
       "mips" -> (() => Similarity.mipsCandidateCount(emb, qs, "vec_id", "embedding", planes = 2)),
       "graph" -> (() => Similarity.graphVisited(emb, qs, edges10, "vec_id", "embedding", 32, 6).count()))
     val costs: Map[String, Long] = costThunks
@@ -233,10 +262,15 @@ object Recall {
     val evaluated = curve
       .filter { case (shape, _) => shapesEnv.forall(_.contains(shape)) }
       .map { case (shape, pts) =>
-        shape -> pts.map { case (p, f) => p -> f() }
+        shape -> pts.filter { case (p, _) => pointsEnv.forall(_.exists(p.contains)) }
+          .map { case (p, f) => p -> f() }
       }
-    val flat = evaluated.map { case (shape, pts) =>
-      s""""$shape":${pts.toMap.apply(defaults(shape))}"""
+      .filter(_._2.nonEmpty)
+    // a shape whose default point was filtered out has no flat key —
+    // its measured points still ride the curve map
+    val flat = evaluated.collect {
+      case (shape, pts) if pts.exists(_._1 == defaults(shape)) =>
+        s""""$shape":${pts.toMap.apply(defaults(shape))}"""
     }.mkString(",")
     val curveJson = evaluated.map { case (shape, pts) =>
       s""""$shape":{${pts.map { case (p, r) => s""""$p":$r""" }.mkString(",")}}"""
@@ -262,7 +296,8 @@ object Recall {
       "measured curves; ivf's coarse-centroid count scales via " +
       "SPARK_GRAFT_RECALL_IVF_C (~sqrt-to-const-fraction of n)."
     println(s"""{"metric":"recall_at_10","sf":"${sfDir.split('/').last}",""" +
-      flat + s""","defaults":{$defJson},"cost_candidates_at_default":{$costJson},""" +
+      (if (flat.nonEmpty) flat + "," else "") +
+      s""""defaults":{$defJson},"cost_candidates_at_default":{$costJson},""" +
       s""""curve":{$curveJson},"note":"$note",""" +
       s""""params":{"k":10,"n_queries":$nQueries,"n_vectors":$nVec,"ivf_c":$ivfC,"knn_planes":$knnPlanes}}""")
     spark.stop()

