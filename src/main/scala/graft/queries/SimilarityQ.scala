@@ -1520,6 +1520,116 @@ object SimilarityQ {
       |  ON c.user_id = p.user_id AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
       |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
 
+  /** TRUE micro-batch replay of the stream-static join (r14 — the
+    * second-to-last spec-only streaming shape promoted to a gate):
+    * the event stream enriches row-for-row against the STATIC
+    * customer dimension through an explicit broadcast — the 100 TB
+    * deploy shape (the dim re-broadcasts per micro-batch; no state,
+    * no watermark, append mode). 4 event_id-ordered chunks; every
+    * enriched row must equal the batch inner join the oracle runs —
+    * row-for-row, which is stronger than an aggregate check.
+    */
+  def streamStaticReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ss = replaySession(spark)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val evs = collectReplay(Tables(spark, dir).events
+      .select($"user_id", $"event_id", $"value".cast("double"))
+      .as[(Long, Long, Double)]).sortBy(_._2)
+    val sz = math.max(1, (evs.length + 3) / 4)
+    val batches = evs.grouped(sz).toSeq
+    val dim = Tables(ss, dir).customer.select($"c_custkey", $"c_mktsegment")
+    val input = MemoryStream[(Long, Long, Double)]
+    val enriched = input.toDS().toDF("user_id", "event_id", "value")
+      .join(broadcast(dim), $"user_id" === $"c_custkey")
+      .select($"user_id", $"event_id", $"c_mktsegment",
+        round($"value", 4).as("value"))
+    val name = "stream_static_replay_" + java.util.UUID.randomUUID().toString.take(8)
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try batches.foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+    finally q.stop()
+    val out = ss.table(name).collect()
+    ss.catalog.dropTempView(name)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("c_mktsegment", StringType), StructField("value", DoubleType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(out.toIndexedSeq, 4), schema)
+      .orderBy($"event_id")
+  }
+
+  private val streamStaticReplaySql =
+    """SELECT e.user_id, e.event_id, c.c_mktsegment, round(e.value, 4) AS value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |ORDER BY e.event_id""".stripMargin
+
+  /** TRUE micro-batch replay of streaming OHLC bars (r14 — the LAST
+    * spec-only streaming shape promoted to a gate): watermarked
+    * 1-hour-window bars over the event stream, every aggregate in
+    * exact integer cents ([[EventStream.ohlcBarsCents]] — a streaming
+    * fold and a batch scan sum doubles in different orders, so the
+    * cents quantization is what makes the hash match possible). 4
+    * event-time-ordered chunks; append mode emits only
+    * watermark-finalized windows, so two far-future sentinel waves
+    * drain the tail (the stream_outer_replay recipe — wave 2 promotes
+    * wave 1's max into the effective watermark), sentinel rows
+    * filtered. Hash-matched against the batch bars the oracle
+    * recomputes with arg_min/arg_max.
+    */
+  def streamOhlcReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ss = replaySession(spark)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val evs = collectReplay(Tables(spark, dir).events
+      .select(unix_micros($"ts").as("ts_us"), $"event_id",
+        $"value".cast("double"), $"event_type")
+      .as[(Long, Long, Double, String)]).sortBy(r => (r._1, r._2))
+    val sz = math.max(1, (evs.length + 3) / 4)
+    val batches = evs.grouped(sz).toSeq.padTo(4, Array.empty[(Long, Long, Double, String)])
+    val maxUs = evs.map(_._1).max
+    val input = MemoryStream[(Long, Long, Double, String)]
+    val bars = EventStream.ohlcBarsCents(
+      input.toDS().toDF("ts_us", "event_id", "value", "event_type")
+        .withColumn("ts", expr("timestamp_micros(ts_us)"))
+        .withWatermark("ts", "2 hours"))
+    val name = "stream_ohlc_replay_" + java.util.UUID.randomUUID().toString.take(8)
+    val q = bars.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      batches.foreach { b =>
+        if (b.nonEmpty) input.addData(b.toSeq)
+        q.processAllAvailable()
+      }
+      val hour = 3600000000L
+      (1 to 2).foreach { w =>
+        input.addData((maxUs + w * 10 * hour, -w.toLong, 0.0, "zz_sentinel"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val out = ss.table(name).filter(col("event_type") =!= "zz_sentinel").collect()
+    ss.catalog.dropTempView(name)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("window_start_us", LongType), StructField("event_type", StringType),
+      StructField("open_cents", LongType), StructField("high_cents", LongType),
+      StructField("low_cents", LongType), StructField("close_cents", LongType),
+      StructField("volume_cents", LongType), StructField("n_events", LongType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(out.toIndexedSeq, 4), schema)
+      .orderBy($"window_start_us", $"event_type")
+  }
+
+  private val streamOhlcReplaySql =
+    """WITH e AS (SELECT event_type, epoch_us(ts) AS us, event_id,
+      |             CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
+      |SELECT (us // 3600000000) * 3600000000 AS window_start_us, event_type,
+      |  arg_min(cents, event_id) AS open_cents, max(cents) AS high_cents,
+      |  min(cents) AS low_cents, arg_max(cents, event_id) AS close_cents,
+      |  CAST(sum(cents) AS BIGINT) AS volume_cents, count(*) AS n_events
+      |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** TRUE micro-batch replay of the `transformWithState` spend
     * tracker ([[EventStream.spendTracker]], RocksDB state store):
     * purchase events split into 4 deterministic `event_id`-ordered
@@ -2063,6 +2173,8 @@ object SimilarityQ {
     QueryDef.sql("q_interval_join", qIntervalJoin _, qIntervalJoinSql),
     QueryDef.sql("stream_interval_replay", streamIntervalReplay _, streamIntervalReplaySql),
     QueryDef.sql("stream_outer_replay", streamOuterReplay _, streamOuterReplaySql),
+    QueryDef.sql("stream_static_replay", streamStaticReplay _, streamStaticReplaySql),
+    QueryDef.sql("stream_ohlc_replay", streamOhlcReplay _, streamOhlcReplaySql),
     QueryDef.sql("stream_dedup_replay", streamDedupReplay _, streamDedupReplaySql),
     QueryDef.sql("stream_spend_replay", streamSpendReplay _, streamSpendReplaySql),
     QueryDef.sql("stream_cdc_replay", streamCdcReplay _, CurateQ.etlCdcApplySql),

@@ -58,6 +58,35 @@ object EventStream {
         col("event_type"), col("open"), col("high"), col("low"),
         col("close"), col("volume"), col("n_events"))
 
+  /** OHLC bars in EXACT integer cents — the replay-gate face of
+    * [[ohlcBars]]: a streaming aggregation folds each window's rows in
+    * arrival order while the batch plan folds in scan order, so a
+    * double `sum(value)` can differ in final ulps between the two and
+    * flip a `round(..., 4)` at a boundary. Quantizing to cents BEFORE
+    * the sum (the spendTracker discipline — values are nonnegative,
+    * where Spark's HALF_UP and DuckDB's half-away-from-zero agree)
+    * makes every aggregate an exact long whatever the fold order,
+    * which is what lets the streamed bars hash-match the batch oracle.
+    * open/close ride (cents, event_id) min_by/max_by — exact, ids
+    * unique.
+    */
+  def ohlcBarsCents(events: DataFrame): DataFrame =
+    events
+      .withColumn("cents", expr("CAST(round(value * 100, 0) AS BIGINT)"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        min_by(col("cents"), col("event_id")).as("open_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        max_by(col("cents"), col("event_id")).as("close_cents"),
+        sum(col("cents")).as("volume_cents"),
+        count(lit(1)).as("n_events"))
+      .select(
+        unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("open_cents"), col("high_cents"),
+        col("low_cents"), col("close_cents"), col("volume_cents"),
+        col("n_events"))
+
   /** Top event type per finalized window — the rank-over-windowed-
     * counts shape. Rank functions don't run inside a streaming
     * aggregation, so in production this is the `foreachBatch` step
