@@ -145,10 +145,12 @@ object Bench {
     // JVM that has executed the whole suite (heap/codegen/GC debris
     // inflates post-suite re-times ~1.7× — the round-3 memory gotcha),
     // so each of the slowest queries is also re-timed in a CHILD JVM
-    // that has run nothing else. Same classpath + JVM flags as this
-    // process; child warms up at sf0.001 then times sfDir, so the
-    // number is steady-state, not cold-start. SPARK_GRAFT_BENCH_FRESH=0
-    // disables (e.g. under a tight driver time budget).
+    // that has run nothing else. Same classpath; HEAP IS PINNED (the
+    // parent's -Xmx/-Xms are stripped, see freshRun) so fresh cells
+    // are comparable whatever JVM the parent ran under. Child warms up
+    // at sf0.001 then times sfDir, so the number is steady-state, not
+    // cold-start. SPARK_GRAFT_BENCH_FRESH=0 disables (e.g. under a
+    // tight driver time budget).
     val freshOn = only.isEmpty && sys.env.getOrElse("SPARK_GRAFT_BENCH_FRESH", "1") != "0"
     // fresh children run under a PINNED standard heap, not the parent's
     // flags: the r13 postmortem showed children INHERITING a 96 GiB
@@ -236,26 +238,12 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_SF1", "1") != "0"
     val sf1 = if (!sf1On) Seq.empty else {
       try {
-        import org.apache.spark.sql.functions._
         val out = "/tmp/graft_bench_sf1"
-        val t = graft.Tables(spark, sfDir)
-        val maxOrder = t.orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1
-        def replicate(df: org.apache.spark.sql.DataFrame, shifts: Map[String, Long]) = {
-          val rep = spark.range(10).toDF("__r")
-          df.crossJoin(rep).select(df.columns.map { c =>
-            shifts.get(c) match {
-              case Some(step) => (col(c) + col("__r") * step).as(c)
-              case None => col(c)
-            }
-          }: _*)
-        }
-        replicate(t.orders, Map("o_orderkey" -> maxOrder))
-          .write.mode("overwrite").parquet(s"$out/orders.parquet")
-        replicate(t.lineitem, Map("l_orderkey" -> maxOrder))
-          .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
-        for (n <- Seq("region", "nation", "customer", "supplier", "part", "events",
-          "documents", "embeddings"))
-          t.byName(n).write.mode("overwrite").parquet(s"$out/$n.parquet")
+        // ONE shared construction with the standalone perf-iteration
+        // tool — the lake the artifact measures IS the lake a perf
+        // session drives (review r14: the inline copy was a drift
+        // channel)
+        graft.tools.Sf1Lakes.buildFlat(spark, sfDir, out)
         val headliners = Seq("q1_pricing_summary", "q3_top_orders",
           "q5_region_revenue", "q6_forecast_revenue", "q12_ship_mode",
           "q18_large_orders", "q21_waiting_orders")
@@ -306,10 +294,19 @@ object Bench {
       prewarm(dir)
       gates.map { name =>
         val runs = (1 to sf1Children).map(_ => freshRun(name, dir, sf1ChildIters))
-        val pooled = runs.flatMap(_._2).filter(_ > 0)
-        val mins = runs.map(_._1).filter(_ > 0)
-        val mn = if (pooled.nonEmpty) pooled.min else if (mins.nonEmpty) mins.min else -1.0
-        (name, mn, median(pooled))
+        // failure sentinels must not shrink (or silently vanish from)
+        // the headline: a child whose min is -1.0 had a failed
+        // iteration, and the gate's cell must read -1.0 — not the min
+        // of whichever iterations happened to succeed
+        if (runs.exists(_._1 < 0)) {
+          System.err.println(s"[bench] fresh-tier $name had a failed child iteration — cell = -1.0")
+          (name, -1.0, -1.0)
+        } else {
+          val pooled = runs.flatMap(_._2).filter(_ > 0)
+          val mins = runs.map(_._1).filter(_ > 0)
+          val mn = if (pooled.nonEmpty) pooled.min else if (mins.nonEmpty) mins.min else -1.0
+          (name, mn, median(pooled))
+        }
       }
     }
     val sf1FreshT = if (sf1.isEmpty || !freshOn) Seq.empty
@@ -415,15 +412,7 @@ object Bench {
     var sf1BucketBuild = -1.0
     val sf1Bucketed: Seq[(String, Double)] = if (sf1.isEmpty) Seq.empty else try {
       val tb0 = System.nanoTime()
-      val src = graft.Tables(spark, "/tmp/graft_bench_sf1")
-      graft.sources.BucketedLake.write(src.orders, s"$sf1BDir/orders.parquet",
-        cpus.toInt, Seq("o_orderkey"), Seq("o_orderkey"))
-      graft.sources.BucketedLake.write(src.lineitem, s"$sf1BDir/lineitem.parquet",
-        cpus.toInt, Seq("l_orderkey"), Seq("l_orderkey"))
-      for (n <- Seq("region", "nation", "customer", "supplier", "part", "events",
-        "documents", "embeddings"))
-        spark.read.parquet(s"/tmp/graft_bench_sf1/$n.parquet")
-          .write.mode("overwrite").parquet(s"$sf1BDir/$n.parquet")
+      graft.tools.Sf1Lakes.buildBucketed(spark, "/tmp/graft_bench_sf1", sf1BDir, cpus.toInt)
       sf1BucketBuild = (System.nanoTime() - tb0) / 1e9
       bucketGates.map { name =>
         val fn = SparkEntry.queries(name)

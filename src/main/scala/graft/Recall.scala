@@ -254,11 +254,6 @@ object Recall {
       }),
       "mips" -> (() => Similarity.mipsCandidateCount(emb, qs, "vec_id", "embedding", planes = 2)),
       "graph" -> (() => Similarity.graphVisited(emb, qs, edges10, "vec_id", "embedding", 32, 6).count()))
-    val costs: Map[String, Long] = costThunks
-      .filter { case (s0, _) =>
-        s0 == "brute" || shapesEnv.forall(_.exists(s0.startsWith)) }
-      .map { case (s0, f) => s0 -> f() }
-
     val evaluated = curve
       .filter { case (shape, _) => shapesEnv.forall(_.contains(shape)) }
       .map { case (shape, pts) =>
@@ -276,6 +271,15 @@ object Recall {
       s""""$shape":{${pts.map { case (p, r) => s""""$p":$r""" }.mkString(",")}}"""
     }.mkString(",")
     val shapesRun = evaluated.map(_._1).toSet
+    // cost jobs run only for shapes that actually measured points this
+    // campaign (a POINTS filter that empties a shape must also skip
+    // its cost thunk — graphVisited's 6-hop traversal is exactly the
+    // wall-time a filtered campaign exists to save); brute stays, it
+    // is the denominator every published cost reads against
+    val costs: Map[String, Long] = costThunks
+      .filter { case (s0, _) =>
+        s0 == "brute" || shapesRun.exists(s0.startsWith) }
+      .map { case (s0, f) => s0 -> f() }
     val defJson = defaults.filter { case (s, _) => shapesRun.contains(s) }
       .map { case (s, p) => s""""$s":"$p"""" }.mkString(",")
     val costJson = costs.map { case (s, c) => s""""$s":$c""" }.mkString(",")

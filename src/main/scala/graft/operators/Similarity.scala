@@ -817,14 +817,16 @@ object Similarity {
     * oracle replays the identical `dot/|c|` expression, so the
     * cheaper scoring stays hash-matched.
     */
-  def ivfPqTrainedScaledTopK(vectors: DataFrame, queries: DataFrame,
-                             idCol: String, vecCol: String, k: Int,
-                             numCentroids: Int, nprobe: Int,
-                             numSub: Int = 16, codebook: Int = 64,
-                             iters: Int = 2): DataFrame = {
-    val vw = CacheLedger.persist(widen(
-      vectors.select(col(idCol).as("id"), col(vecCol).as("v"))))
-    // coarse tier: prenormalized assign (dot / |centroid|)
+  /** The scale-adaptive coarse tier shared by the IVF compositions
+    * (trained-PQ and SQ8): first-c-by-id seed centroids, prenormalized
+    * dot/|c| assignment (the argmax equals cosine since |v| is
+    * constant within each vector's ranking group — two of the three
+    * dots saved on the one n·√n stage), nprobe nearest lists per
+    * query. Inputs: vw(id, v), q(q_id, q_v). Returns
+    * (assigned(id, cluster), probes(q_id, cluster)).
+    */
+  private def scaledCoarseTier(vw: DataFrame, q: DataFrame,
+                               numCentroids: Int, nprobe: Int): (DataFrame, DataFrame) = {
     val cents = vw.orderBy(col("id")).limit(numCentroids)
       .select(col("id").as("c_id"), col("v").as("c_v"),
         VecFns.norm(col("v")).as("c_nrm"))
@@ -834,11 +836,23 @@ object Similarity {
       Seq(col("id")), Seq(col("c_sc").desc, col("c_id")), 1)
       .select(col("id"), col("c_id").as("cluster"))
     val probes = TopK(
-      queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
-        .crossJoin(broadcast(cents))
+      q.crossJoin(broadcast(cents))
         .withColumn("c_sc", VecFns.dot(col("q_v"), col("c_v")) / col("c_nrm")),
       Seq(col("q_id")), Seq(col("c_sc").desc, col("c_id")), nprobe)
       .select(col("q_id"), col("c_id").as("cluster"))
+    (assigned, probes)
+  }
+
+  def ivfPqTrainedScaledTopK(vectors: DataFrame, queries: DataFrame,
+                             idCol: String, vecCol: String, k: Int,
+                             numCentroids: Int, nprobe: Int,
+                             numSub: Int = 16, codebook: Int = 64,
+                             iters: Int = 2): DataFrame = {
+    val vw = CacheLedger.persist(widen(
+      vectors.select(col(idCol).as("id"), col(vecCol).as("v"))))
+    val (assigned, probes) = scaledCoarseTier(vw,
+      queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v")),
+      numCentroids, nprobe)
     // fine tier — trained codebooks, min-L2 encode (as ivfPqTrainedTopK),
     // everything derived from the widened frame
     val subIdx = sequence(lit(0), lit(numSub - 1))
@@ -940,38 +954,49 @@ object Similarity {
     * min/max aggregate (map-side combinable) re-assembled into two
     * d-length arrays and broadcast — no driver collect.
     */
-  def sq8TopK(vectors: DataFrame, queries: DataFrame,
-              idCol: String, vecCol: String, k: Int): DataFrame = {
-    val v = vectors.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v"))
-    val bounds = v.select(posexplode(col("v")).as(Seq("dim", "x")))
+  /** Per-dim [min, max] SQ8 quantizer bounds over an (id, v:
+    * array<double>) frame — one exploded min/max aggregate re-assembled
+    * into two broadcast-able d-arrays (mns, dls). Shared by the flat
+    * SQ8 scan and the IVF+SQ8 composition so the quantizer can never
+    * drift between them (the r13 clamp fix had to land twice).
+    */
+  private def sq8Bounds(v: DataFrame): DataFrame =
+    v.select(posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy(col("dim")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
       .agg(
         expr("transform(array_sort(collect_list(struct(dim, mn))), s -> s.mn)").as("mns"),
         expr("transform(array_sort(collect_list(struct(dim, mx))), s -> s.mx)").as("mxs"))
       .select(col("mns"),
         expr("zip_with(mns, mxs, (a, b) -> (b - a) / 255.0D)").as("dls"))
-    // reconstruct through the 8-bit code in one pass; op order is
-    // pinned to the oracle's: floor((x - mn) / dl + 0.5) CLAMPED to
-    // [0, 255], then mn + code * dl (dl = 0 collapses the dim to its
-    // constant). The clamp is what FAISS's ScalarQuantizer does: a
-    // QUERY value outside the corpus per-dim [mn, mx] must land on
-    // the nearest representable code, not extrapolate past the 8-bit
-    // domain (ADVICE r13 — corpus rows are always in-bounds, so this
-    // only changes external-query behavior).
-    def recon(vc: String) = expr(
-      s"""transform($vc, (x, i) -> IF(element_at(dls, i + 1) = 0D,
-         |  element_at(mns, i + 1),
-         |  element_at(mns, i + 1) +
-         |    greatest(0D, least(255D,
-         |      floor((x - element_at(mns, i + 1)) / element_at(dls, i + 1) + 0.5D))) *
-         |    element_at(dls, i + 1)))""".stripMargin)
+
+  /** SQ8 reconstruction of column `vc` against in-scope mns/dls; op
+    * order pinned to the oracle's: floor((x - mn) / dl + 0.5) CLAMPED
+    * to [0, 255], then mn + code·dl (dl = 0 collapses the dim to its
+    * constant). The clamp is what FAISS's ScalarQuantizer does: a
+    * QUERY value outside the corpus per-dim [mn, mx] must land on the
+    * nearest representable code, not extrapolate past the 8-bit
+    * domain (ADVICE r13 — corpus rows are always in-bounds, so this
+    * only changes external-query behavior).
+    */
+  private def sq8Recon(vc: String) = expr(
+    s"""transform($vc, (x, i) -> IF(element_at(dls, i + 1) = 0D,
+       |  element_at(mns, i + 1),
+       |  element_at(mns, i + 1) +
+       |    greatest(0D, least(255D,
+       |      floor((x - element_at(mns, i + 1)) / element_at(dls, i + 1) + 0.5D))) *
+       |    element_at(dls, i + 1)))""".stripMargin)
+
+  def sq8TopK(vectors: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val bounds = sq8Bounds(v)
     val vr = v.crossJoin(broadcast(bounds))
-      .withColumn("vr", recon("v")).select(col("id"), col("vr"))
+      .withColumn("vr", sq8Recon("v")).select(col("id"), col("vr"))
     val qr = queries.select(col(idCol).as("q_id"),
         col(vecCol).cast("array<double>").as("q_v"))
       .crossJoin(broadcast(bounds))
-      .withColumn("qr", recon("q_v")).select(col("q_id"), col("qr"))
+      .withColumn("qr", sq8Recon("q_v")).select(col("q_id"), col("qr"))
     val scored = vr.crossJoin(broadcast(qr))
       .filter(col("id") =!= col("q_id"))
       .withColumn("dotq", expr(
@@ -1017,42 +1042,17 @@ object Similarity {
     val vw = CacheLedger.persist(widen(
       vectors.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"))))
-    // coarse tier: prenormalized assign (dot / |centroid|)
-    val cents = vw.orderBy(col("id")).limit(numCentroids)
-      .select(col("id").as("c_id"), col("v").as("c_v"),
-        VecFns.norm(col("v")).as("c_nrm"))
-    val assigned = TopK(
-      vw.crossJoin(broadcast(cents))
-        .withColumn("c_sc", VecFns.dot(col("v"), col("c_v")) / col("c_nrm")),
-      Seq(col("id")), Seq(col("c_sc").desc, col("c_id")), 1)
-      .select(col("id"), col("c_id").as("cluster"))
     val q = queries.select(col(idCol).as("q_id"),
       col(vecCol).cast("array<double>").as("q_v"))
-    val probes = TopK(
-      q.crossJoin(broadcast(cents))
-        .withColumn("c_sc", VecFns.dot(col("q_v"), col("c_v")) / col("c_nrm")),
-      Seq(col("q_id")), Seq(col("c_sc").desc, col("c_id")), nprobe)
-      .select(col("q_id"), col("c_id").as("cluster"))
-    // SQ8 tier: corpus-trained per-dim bounds, reconstruction pinned
-    // to the sq8TopK/oracle op order (clamped code, then mn + code·Δ)
-    val bounds = vw.select(posexplode(col("v")).as(Seq("dim", "x")))
-      .groupBy(col("dim")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-      .agg(
-        expr("transform(array_sort(collect_list(struct(dim, mn))), s -> s.mn)").as("mns"),
-        expr("transform(array_sort(collect_list(struct(dim, mx))), s -> s.mx)").as("mxs"))
-      .select(col("mns"),
-        expr("zip_with(mns, mxs, (a, b) -> (b - a) / 255.0D)").as("dls"))
-    def recon(vc: String) = expr(
-      s"""transform($vc, (x, i) -> IF(element_at(dls, i + 1) = 0D,
-         |  element_at(mns, i + 1),
-         |  element_at(mns, i + 1) +
-         |    greatest(0D, least(255D,
-         |      floor((x - element_at(mns, i + 1)) / element_at(dls, i + 1) + 0.5D))) *
-         |    element_at(dls, i + 1)))""".stripMargin)
+    // coarse tier: the shared prenormalized assign (dot / |centroid|)
+    val (assigned, probes) = scaledCoarseTier(vw, q, numCentroids, nprobe)
+    // SQ8 tier: the shared corpus-trained quantizer (bounds + clamped
+    // reconstruction — one definition with sq8TopK, no drift channel)
+    val bounds = sq8Bounds(vw)
     val vr = vw.crossJoin(broadcast(bounds))
-      .withColumn("vr", recon("v")).select(col("id"), col("vr"))
+      .withColumn("vr", sq8Recon("v")).select(col("id"), col("vr"))
     val qr = q.crossJoin(broadcast(bounds))
-      .withColumn("qr", recon("q_v")).select(col("q_id"), col("qr"))
+      .withColumn("qr", sq8Recon("q_v")).select(col("q_id"), col("qr"))
     // candidates: each corpus row sits in exactly one list and each
     // (query, list) probe is unique, so the join multiplicity is 1 —
     // no dedup pass needed (the oracle joins the same two one-row-per
