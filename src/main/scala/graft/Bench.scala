@@ -224,6 +224,10 @@ object Bench {
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] prewarm $dir failed: ${e.getMessage}")
     }
+    // same controlled cache state for the watchlist/slow fresh re-times
+    // as for the sf1 tiers (r14 advice): the parent battery read sfDir
+    // moments ago, but a long watchlist run can evict it — re-touch
+    if (freshOn && slow.nonEmpty) prewarm(sfDir)
     val fresh = if (!freshOn) Seq.empty else slow.map(n => n -> freshTime(n, sfDir))
     val fr = jmap(fresh)
     // failure sentinels must not shrink the headline number
@@ -322,7 +326,11 @@ object Bench {
     // Empty (and noted) when python3/duckdb is unavailable; this is
     // bench harness plumbing only — the library itself never touches
     // DuckDB.
-    val oracleIters = iters.max(5) // same ≥5-iteration discipline as the Spark fresh tier
+    // same TOTAL sample count as the Spark fresh tier pools
+    // (sf1Children × sf1ChildIters — r14 advice: min-of-10 vs
+    // min-of-5 statistically favored Spark; both mins now pool over
+    // equal samples)
+    val oracleIters = iters.max(5).max(sf1Children * sf1ChildIters)
     val sf1Oracle: Seq[(String, Double)] = if (sf1.isEmpty) Seq.empty else try {
       val lake = "/tmp/graft_bench_sf1"
       val py =
@@ -412,7 +420,8 @@ object Bench {
     var sf1BucketBuild = -1.0
     val sf1Bucketed: Seq[(String, Double)] = if (sf1.isEmpty) Seq.empty else try {
       val tb0 = System.nanoTime()
-      graft.tools.Sf1Lakes.buildBucketed(spark, "/tmp/graft_bench_sf1", sf1BDir, cpus.toInt)
+      graft.tools.Sf1Lakes.buildBucketed(spark, "/tmp/graft_bench_sf1", sf1BDir,
+        graft.tools.Sf1Lakes.defaultBuckets)
       sf1BucketBuild = (System.nanoTime() - tb0) / 1e9
       bucketGates.map { name =>
         val fn = SparkEntry.queries(name)
@@ -445,9 +454,9 @@ object Bench {
         case _ => None
       }
     }
-    def tierRatio(spark: Seq[(String, Double)], expectSize: Int): String = {
+    def tierRatio(times: Seq[(String, Double)], expectSize: Int): String = {
       val oracleMap = sf1Oracle.toMap
-      val pairs = spark.collect {
+      val pairs = times.collect {
         case (n, v) if v > 0 && oracleMap.getOrElse(n, -1.0) > 0 => (v, oracleMap(n))
       }
       if (pairs.nonEmpty && pairs.size == expectSize)

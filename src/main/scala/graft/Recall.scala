@@ -276,9 +276,12 @@ object Recall {
     // its cost thunk — graphVisited's 6-hop traversal is exactly the
     // wall-time a filtered campaign exists to save); brute stays, it
     // is the denominator every published cost reads against
+    // EXACT shape match (r14 advice): cost-thunk keys equal shape
+    // names, and prefix matching let a campaign that measured only
+    // 'ivf' publish cost entries for 'ivf_pq'/'ivf_sq8' — shapes
+    // absent from that artifact's curve and defaults
     val costs: Map[String, Long] = costThunks
-      .filter { case (s0, _) =>
-        s0 == "brute" || shapesRun.exists(s0.startsWith) }
+      .filter { case (s0, _) => s0 == "brute" || shapesRun.contains(s0) }
       .map { case (s0, f) => s0 -> f() }
     val defJson = defaults.filter { case (s, _) => shapesRun.contains(s) }
       .map { case (s, p) => s""""$s":"$p"""" }.mkString(",")

@@ -59,9 +59,13 @@ object ClusterDedup {
     // surviving cross-label edges, re-normalized to id_a < id_b — for a
     // near-clique family this is empty or tiny; for a path it shrinks
     // by a constant factor and phase 2's jumping does the log work
+    // shuffle_hash on the label side (r15): the edge list is the big
+    // relation here (53M rows on the golden-record ×100 graph vs 3M
+    // labels) and a sort-merge join would SORT it twice; hash-building
+    // the node-sized label table keeps the edge stream unsorted
     val contracted = edges
-      .join(l.select(col("id").as("u"), col("lbl").as("lu")), "u")
-      .join(l.select(col("id").as("v"), col("lbl").as("lv")), "v")
+      .join(l.select(col("id").as("u"), col("lbl").as("lu")).hint("shuffle_hash"), "u")
+      .join(l.select(col("id").as("v"), col("lbl").as("lv")).hint("shuffle_hash"), "v")
       .filter(col("lu") =!= col("lv"))
       .select(least(col("lu"), col("lv")).as("id_a"),
         greatest(col("lu"), col("lv")).as("id_b"))
@@ -98,7 +102,8 @@ object ClusterDedup {
     var converged = false
     while (!converged && iter < maxIter) {
       val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "v2"), col("v") === col("v2"))
+        .join(labels.withColumnRenamed("id", "v2").hint("shuffle_hash"),
+          col("v") === col("v2"))
         .groupBy(col("u").as("id")).agg(min(col("lbl")).as("nmin"))
       val propagated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),

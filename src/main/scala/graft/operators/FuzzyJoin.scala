@@ -46,9 +46,12 @@ object FuzzyJoin {
       .select(col("a.id").as("id_a"), col("a.s").as("s_a"),
         col("b.id").as("id_b"), col("b.s").as("s_b"))
       .distinct()
+    // threshold form (r15): banded O(len·maxDist) DP with early
+    // abandon, -1 past the bound — surviving rows carry the exact
+    // distance, so `>= 0` is bit-identical to `lev <= maxDist`
     candidates
-      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 

@@ -258,9 +258,12 @@ object Extra {
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = Dedup.ngramJaccardPairs(
+    // star + rep-pair edges (r15): identical components as the full
+    // verified pair graph, but linear — not quadratic — in
+    // exact-duplicate family size (see ngramJaccardClusterEdges)
+    val edges = Dedup.ngramJaccardClusterEdges(
       Tables(spark, dir).documents, "doc_id", "text", n = 3, tau = 0.6)
-    ClusterDedup.connectedComponents(pairs)
+    ClusterDedup.connectedComponents(edges)
       .groupBy($"cluster").agg(count(lit(1)).as("n_members"))
       .orderBy($"cluster")
   }

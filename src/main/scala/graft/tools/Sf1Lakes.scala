@@ -18,6 +18,15 @@ object Sf1Lakes {
   val Dims: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "events", "documents", "embeddings")
 
+  /** PINNED bucket count (r14 advice): deriving it from the local CPU
+    * count made a perf session on a different box build a
+    * differently-bucketed lake than the bench artifact measured —
+    * re-opening the drift channel this shared builder exists to close.
+    * 32 matches the build container's local[32]; override via
+    * SPARK_GRAFT_BUCKETS only when deliberately studying layout.
+    */
+  def defaultBuckets: Int = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "32").toInt
+
   /** 10×-replicated flat lake: orders/lineitem replicated with shifted
     * order keys, every other table copied as-is.
     */
@@ -65,7 +74,7 @@ object Sf1Lakes {
     val spark = graft.GraftSession.builder("sf1lakes", s"local[$cpus]").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     buildFlat(spark, sfDir, flat)
-    buildBucketed(spark, flat, bucketed, cpus.toInt)
+    buildBucketed(spark, flat, bucketed, defaultBuckets)
     println(s"[sf1lakes] flat=$flat bucketed=$bucketed")
     spark.stop()
   }

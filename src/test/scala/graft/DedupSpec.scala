@@ -109,6 +109,47 @@ class DedupSpec extends GraftSuite {
     sets.unpersist()
   }
 
+  test("exact-set collapse: jaccard pairs match brute force and cluster " +
+    "edges give identical components with linear edge count") {
+    // fixture: two exact-duplicate families (identical text — identical
+    // shingle sets after the collapse's array_sort), a near-dup bridge
+    // between the families' texts, a singleton near-dup of family A,
+    // an unrelated doc, and two empty docs (empty ⇒ single '' shingle
+    // — pairs at J=1.0 like the all-pairs oracle would)
+    val famA = "spark shuffles the exchange operator hash partitions every row by key"
+    val famB = "spark shuffles the exchange operator hash partitions every row by key twice"
+    val docs = (
+      (0L to 3L).map(i => (i, famA)) ++            // family A: 4 exact copies
+      (10L to 12L).map(i => (i, famB)) ++          // family B: 3 exact copies
+      Seq((20L, famA + " extra"),                  // singleton near-dup of A
+          (30L, "completely different words about unrelated ideas entirely"),
+          (40L, ""), (41L, ""))                    // empty family
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.6)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute-force truth, driver-side, same shingle definition
+    val shs = docs.select($"doc_id", TextFns.shingles($"text", 3).as("shs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val truth = (for {
+      (ia, sa) <- shs; (ib, sb) <- shs
+      if ia < ib && sa.nonEmpty && sb.nonEmpty
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if j >= 0.6
+    } yield (ia, ib) -> math.round(j * 1e4) / 1e4).toMap
+    assert(got == truth, s"missing=${(truth.keySet -- got.keySet).take(5)} " +
+      s"extra=${(got.keySet -- truth.keySet).take(5)}")
+    // cluster edges: identical components, linear (not clique) edges
+    val edges = Dedup.ngramJaccardClusterEdges(docs, "doc_id", "text", n = 3, tau = 0.6)
+    val ccPairs = graft.operators.ClusterDedup.connectedComponents(
+      pairs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ccEdges = graft.operators.ClusterDedup.connectedComponents(
+      edges).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ccEdges == ccPairs,
+      "star + rep-pair components must equal full pair-graph components")
+    assert(edges.count() < pairs.count(),
+      "edge list must be smaller than the clique pair graph on dup families")
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val rows = Dedup.embeddingPairs(Tables(spark, sf0001).embeddings,
       "vec_id", "embedding", tau = 0.45).collect()
