@@ -116,7 +116,12 @@ object Bench {
       // r13 driver re-run read 9.2 s isolated vs the committed 4.0 s
       // band (code untouched) — watch-listed so every artifact carries
       // its own isolated re-time as the drift anchor
-      "q_pagerank")
+      "q_pagerank",
+      // r14 battery read 9.87 s, 1.9× its r13 battery read (judge r14
+      // ask #5) — watch-listed: every artifact now carries an isolated
+      // + fresh re-time so the inflation is diagnosed in-band as real
+      // or as micro-batch scheduling under battery warmth
+      "stream_interval_replay")
       .filter(g => results.getOrElse(g, -1.0) >= 0.0)
     val slow = (slow0 ++ watch).distinct
     // both diagnostic passes are skipped under BENCH_ONLY — that mode is
