@@ -408,16 +408,22 @@ object Extra {
     val big = t.lineitem.groupBy($"l_orderkey")
       .agg(sum($"l_quantity").as("qty"))
       .filter($"qty" > 300.0)
-    // merge hint: orders is a FACT table that compresses under the
-    // 10 MB broadcast threshold at the sf1 tier, so the static planner
-    // otherwise builds a 1.5M-entry hashed relation on the driver
-    // (single-threaded, ~4× the whole query's merge-join cost — r14
-    // measured 2.40 s broadcast vs 1.2 s merged on the flat lake) —
-    // and at 100 TB a fact broadcast is not a plan at all. The hint
-    // declares the scale-correct strategy; on the orderkey-bucketed
-    // layout the same merge join runs exchange-free, and `big` arrives
-    // already hash-partitioned on the key from its aggregate.
-    t.orders.hint("merge").join(big, $"o_orderkey" === $"l_orderkey")
+    // shuffle_hash on the aggregated side (r15; replaces r14's merge
+    // hint — both kill the same wrong plan: orders is a FACT table
+    // that compresses under the 10 MB broadcast threshold at sf1, so
+    // the static planner otherwise builds a 1.5M-entry hashed relation
+    // on the driver, and at 100 TB a fact broadcast is not a plan at
+    // all). `big` post-HAVING is a small partitioned fact derivative —
+    // per-partition hash builds, no driver memory, no sort on either
+    // side; on the orderkey-bucketed layout both sides arrive
+    // co-partitioned and the join is exchange-free. Q18Probe A/B
+    // (5 iters, both lakes): SHJ 2.15/0.43 s min (flat/bucketed) vs
+    // merge 2.20/0.52 — and the FLAT tier's whole gap vs the oracle is
+    // the 6M-row PRE-AGGREGATE, not the join (pre-agg alone 2.35 s ≈
+    // the 2.2 s full gate; bucketed pre-agg 0.25 s, exchange-free):
+    // the flat cell is the exchange floor the layout exists to remove
+    // (BASELINE.md "measured layout is the shipped layout").
+    t.orders.join(big.hint("shuffle_hash"), $"o_orderkey" === $"l_orderkey")
       .join(t.customer, $"o_custkey" === $"c_custkey")
       .select($"c_name", $"c_custkey", $"o_orderkey",
         date_format($"o_orderdate", "yyyy-MM-dd").as("orderdate"),

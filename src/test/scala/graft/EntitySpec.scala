@@ -26,6 +26,57 @@ class EntitySpec extends GraftSuite {
     assert(rows.count(_.getAs[Long]("n_members") > 2L) <= (nCust * 0.02).toInt)
   }
 
+  test("BlockedMatch.levWithin agrees with Spark's levenshtein at every threshold") {
+    import graft.operators.BlockedMatch.levWithin
+    import org.apache.spark.sql.functions.{col, levenshtein, lit}
+    val strs = Seq("", "a", "ab", "Customer#000000123", "Customer#000015124",
+      "Custmer#000000123", "kitten", "sitting", "flaw", "lawn",
+      "μüαβ", "μüβ", "αβγδ", "identical", "identical")
+    val pairs = for (a <- strs; b <- strs) yield (a, b)
+    val df = pairs.toDF("a", "b")
+    for (k <- Seq(0, 1, 2, 3)) {
+      val sparkSide = df.withColumn("lv", levenshtein(col("a"), col("b")))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getInt(2) <= k)).toMap
+      pairs.foreach { case (a, b) =>
+        assert(levWithin(a, b, k) == sparkSide((a, b)),
+          s"levWithin('$a','$b',$k) disagrees with Spark")
+      }
+    }
+  }
+
+  test("BlockedMatch spanning edges: components equal the full verified pair " +
+    "graph, including transitive chains the block-min star would miss") {
+    import graft.operators.{BlockedMatch, ClusterDedup}
+    import org.apache.spark.sql.functions.{col, levenshtein}
+    // block X: a chain — lev(aaaa, aacc)=2, lev(aacc, cccc)=2, but
+    // lev(aaaa, cccc)=4: the min member does NOT match the far member
+    // directly, so a (member, block-min) star verify would split the
+    // chain; the union-find must keep it whole. Block Y: a clique of
+    // near-identicals plus an unmatchable outlier. A pair spanning
+    // two blocks dedupes.
+    val rows = Seq(
+      (1L, "aaaa", "X"), (2L, "aacc", "X"), (3L, "cccc", "X"),
+      (10L, "zzzz", "Y"), (11L, "zzzy", "Y"), (12L, "zzyy", "Y"),
+      (13L, "qqqqqqqq", "Y"),
+      (1L, "aaaa", "Z"), (2L, "aacc", "Z")).toDF("id", "s", "blk")
+    val edges = BlockedMatch.levSpanningEdges(rows, Seq("blk"), "id", "s", maxDist = 2)
+      .distinct()
+    val got = ClusterDedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // truth: full verified pair graph per block
+    val full = rows.as("a").join(rows.as("b"), "blk")
+      .filter(col("a.id") < col("b.id"))
+      .filter(levenshtein(col("a.s"), col("b.s")) <= 2)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val want = ClusterDedup.connectedComponents(full)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"got $got want $want")
+    assert(got(3L) == 1L, "transitive chain must stay one component")
+    assert(!got.contains(13L), "unmatched outlier must be absent")
+    // spanning output is smaller than the clique graph on the clique block
+    assert(edges.count() < full.count())
+  }
+
   test("fellegi-sunter: true copies outscore chance collisions") {
     import org.apache.spark.sql.functions._
     val rows = EntityQ.qFellegiSunter(spark, sf0001).collect()
