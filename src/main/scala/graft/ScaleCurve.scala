@@ -284,13 +284,21 @@ object ScaleCurve {
     // each, same fresh-JVM/releaseAll discipline as time()
     def timeIndexSplit(dir: String): (Double, Double) = {
       import graft.operators.Similarity
+      def deleteRec(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(deleteRec); f.delete(): Unit
+      }
       val runs = (1 to iters).map { _ =>
         releaseAll()
+        // deliberately NOT TempDirs.fresh: releaseAll() runs BETWEEN
+        // build and query and would sweep the index out from under the
+        // probe — this split cell owns its dir and deletes it per iter
+        // (judge r15 ADVICE #1: the per-iter copies used to accumulate
+        // a corpus-sized index each across long batteries)
+        val idx = java.nio.file.Files.createTempDirectory("graft_annidx").toString
         try {
           val e = Tables(spark, dir).embeddings
           val c = Similarity.scaledCentroids(e.count())
           val np = Similarity.scaledNprobe(c)
-          val idx = java.nio.file.Files.createTempDirectory("graft_annidx").toString
           val t0 = System.nanoTime()
           Similarity.ivfSq8IndexBuild(e, "vec_id", "embedding", c, np, idx)
           val tb = (System.nanoTime() - t0) / 1e9
@@ -305,7 +313,7 @@ object ScaleCurve {
         } catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[curve] ann_ivf_sq8_persisted @ $dir FAILED: ${e.getMessage}")
           (-1.0, -1.0)
-        }
+        } finally deleteRec(new java.io.File(idx))
       }
       releaseAll()
       if (runs.exists(r => r._1 < 0 || r._2 < 0)) (-1.0, -1.0)

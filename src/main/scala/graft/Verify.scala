@@ -38,7 +38,10 @@ object Verify {
       // release each operator's persisted sketch/index tables — a
       // long-lived session would otherwise accumulate every query's
       // cached blocks (the operators deliberately return lazy plans
-      // and cannot unpersist their own intermediates)
+      // and cannot unpersist their own intermediates) — and sweep the
+      // gate's scratch dirs (index artifacts, stream sinks): the
+      // result is already on disk, so nothing still reads them
+      graft.operators.CacheLedger.release()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -25,10 +25,13 @@ object CacheLedger {
   }
 
   /** Unpersists every tracked intermediate (non-blocking eviction,
-    * like ContextCleaner's).
+    * like ContextCleaner's) and sweeps the scratch-dir ledger
+    * ([[TempDirs]]) — both are "the previous gate's leftovers", and
+    * every caller sits between gates, after materialization.
     */
   def release(): Unit = {
     var d = ledger.poll()
     while (d != null) { d.unpersist(); d = ledger.poll() }
+    TempDirs.sweep()
   }
 }

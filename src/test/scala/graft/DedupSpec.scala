@@ -100,9 +100,10 @@ class DedupSpec extends GraftSuite {
     val capped = Dedup.ngramCandidates(sets, maxShingleDf = 50).count()
     assert(uncapped == 200L * 199 / 2, s"fixture should all-pair uncapped, got $uncapped")
     assert(capped < uncapped / 10, s"cap failed to prune: $capped vs $uncapped")
-    // capped pipeline still finds every true near-dup pair exactly
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.6,
-        maxShingleDf = 50)
+    // the prefix-filter pipeline (r16 — hot shingles never enter a
+    // prefix, so the same boilerplate self-regulates without a cap)
+    // still finds every true near-dup pair exactly
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.6)
       .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val truePairs = (0 until 100).map(k => (2L * k, 2L * k + 1)).toSet
     assert(truePairs.subsetOf(pairs), s"missing ${(truePairs -- pairs).take(5)}")
