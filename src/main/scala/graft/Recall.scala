@@ -202,6 +202,27 @@ object Recall {
           val c = Similarity.scaledCentroids(nVec)
           recallOf(pairs(Similarity.ivfSq8RerankScaledTopK(
             emb, qs, "vec_id", "embedding", k, c, Similarity.scaledNprobe(c), 8)), cosTruth)
+        }),
+        // persisted-index A/B (r16, judge r15 ask #3): seeded
+        // (first-N-by-id, the gate recipe) vs trained (2 Lloyd rounds
+        // of the shared kmeansFit) coarse centroids at MATCHED nprobe
+        // — does training the coarse quantizer buy recall at the same
+        // probe budget?
+        "persisted:seeded,rerank=8x" -> (() => {
+          val c = Similarity.scaledCentroids(nVec)
+          val idx = graft.operators.TempDirs.fresh("graft_annidx_recall")
+          Similarity.ivfSq8IndexBuild(emb, "vec_id", "embedding", c,
+            Similarity.scaledNprobe(c), idx)
+          recallOf(pairs(Similarity.ivfSq8IndexQuery(
+            idx, emb, qs, "vec_id", "embedding", k, fetch = 8)), cosTruth)
+        }),
+        "persisted:trained=2it,rerank=8x" -> (() => {
+          val c = Similarity.scaledCentroids(nVec)
+          val idx = graft.operators.TempDirs.fresh("graft_annidx_recall")
+          Similarity.ivfSq8IndexBuild(emb, "vec_id", "embedding", c,
+            Similarity.scaledNprobe(c), idx, trainRounds = 2)
+          recallOf(pairs(Similarity.ivfSq8IndexQuery(
+            idx, emb, qs, "vec_id", "embedding", k, fetch = 8)), cosTruth)
         })),
       "mips" -> Seq(
         "planes=4" -> (() => recallOf(

@@ -377,4 +377,59 @@ class SimilaritySpec extends GraftSuite {
     // −1e6 clamps to code 0 (recon 0.0): every dot is 0, ties by id
     assert(out(101L)._1 == 0L && out(101L)._2 == 0.0, s"got ${out(101L)}")
   }
+
+  test("persisted index append(base,delta) == build(base ∪ delta) when the quantizer agrees") {
+    // the ivfSq8IndexAppend exactness contract: when (a) the delta
+    // extends no per-dim [mn, mx] bound and (b) the first c ids of
+    // base ∪ delta lie in base, a full rebuild derives the identical
+    // quantizer, so the grown index must answer bit-identically.
+    // Build the fixture to satisfy both: delta = high-id rows that
+    // attain no per-dim extreme.
+    import graft.operators.Similarity.{scaledCentroids, scaledNprobe}
+    val b = emb.select($"vec_id", posexplode(expr("cast(embedding as array<double>)")).as(Seq("dim", "x")))
+    val mm = b.groupBy($"dim").agg(min($"x").as("mn"), max($"x").as("mx"))
+    val extremeIds = b.join(mm, "dim").filter($"x" === $"mn" || $"x" === $"mx")
+      .select($"vec_id").distinct().collect().map(_.getLong(0)).toSet
+    val isDelta = udf((id: Long) => id >= 64 && id % 7 == 3 && !extremeIds.contains(id))
+    val delta = emb.filter(isDelta($"vec_id"))
+    val base = emb.filter(!isDelta($"vec_id"))
+    assert(delta.count() > 0, "fixture must have a non-empty delta")
+    val c = scaledCentroids(emb.count())
+    val np = scaledNprobe(c)
+    val idxGrown = graft.operators.TempDirs.fresh("graft_annidx_spec")
+    Similarity.ivfSq8IndexBuild(base, "vec_id", "embedding", c, np, idxGrown)
+    Similarity.ivfSq8IndexAppend(idxGrown, delta, "vec_id", "embedding")
+    val idxFull = graft.operators.TempDirs.fresh("graft_annidx_spec")
+    Similarity.ivfSq8IndexBuild(emb, "vec_id", "embedding", c, np, idxFull)
+    def ans(p: String) = Similarity.ivfSq8IndexQuery(p, emb, qs, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4))
+    assert(ans(idxGrown).sameElements(ans(idxFull)),
+      "append must be indistinguishable from a rebuild under the contract")
+    // and the marker self-description tracked the growth
+    val txt = scala.io.Source.fromFile(s"$idxGrown/_graft_ann_index.json").mkString
+    val n = """"n"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
+    assert(n == emb.count(), s"marker n must cover base+delta, got $n")
+  }
+
+  test("persisted index trained centroids: deterministic build, k rows per query") {
+    // trainRounds > 0 swaps first-N seeds for the shared deterministic
+    // kmeansFit means; the build must stay replayable (two builds,
+    // identical answers) and serve the full contract
+    import graft.operators.Similarity.{scaledCentroids, scaledNprobe}
+    val c = scaledCentroids(emb.count())
+    val np = scaledNprobe(c)
+    def build(): Array[(Long, Long, Double, Long)] = {
+      val idx = graft.operators.TempDirs.fresh("graft_annidx_spec")
+      Similarity.ivfSq8IndexBuild(emb, "vec_id", "embedding", c, np, idx, trainRounds = 2)
+      Similarity.ivfSq8IndexQuery(idx, emb, qs, "vec_id", "embedding", 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._4))
+    }
+    val a1 = build(); val a2 = build()
+    assert(a1.sameElements(a2), "trained build must be deterministic")
+    val perQ = a1.groupBy(_._1)
+    assert(perQ.size == 10 && perQ.values.forall(_.length == 10),
+      "10 neighbors for each of the 10 queries")
+  }
 }
