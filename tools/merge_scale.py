@@ -25,6 +25,17 @@ for line in open(src):
         merged["gates"].update(rec["gates"])
 assert merged, f"no scale_curve lines in {src}"
 merged["isolation"] = "one fresh JVM per gate; full unpersist (incl. localCheckpoint blocks) between tiers"
+# machine-drift calibration (judge r15 ask #8): quote one fixed
+# reference cell so cross-round second comparisons self-normalize —
+# q21_waiting_orders x10 is a plan untouched for several rounds.
+cal = merged["gates"].get("q21_waiting_orders", {})
+if "x10" in cal:
+    merged["calibration"] = {
+        "gate": "q21_waiting_orders", "tier": "x10",
+        "seconds": cal["x10"],
+        "note": "fixed reference cell; divide cross-round seconds by the "
+                "round-over-round ratio of this cell before comparing",
+    }
 with open(dst, "w") as f:
     json.dump(merged, f, indent=1, sort_keys=True)
 print("wrote", dst, "gates:", sorted(merged["gates"]))
