@@ -77,9 +77,14 @@ object BlockedMatch {
     * (block, member)); `blockCols` values must not contain the 0x01
     * byte (the composite key joins with that separator).
     * Deterministic: members sort by (code-point length, id) inside
-    * each block, so the emitted forest is a pure function of the
-    * block's member set — WHICH edges span a component varies with
-    * the scan order, the components never do.
+    * each block, and the emitted forest is the depth-1 STAR of each
+    * final component — (root, member) per non-root, emitted in one
+    * pass AFTER the unions. The star is deliberate (r16): emitting
+    * the verified pairs instead produced length-adjacent CHAINS, and
+    * pointer-jumping CC pays a shuffle round per doubling of path
+    * length (measured ~2× on the whole gate at ×10); components are
+    * identical either way, and depth-1 trees are the shape CC
+    * converges on immediately.
     *
     * Two exact prunes bound the per-block loop (r16):
     *  - LENGTH BREAK: lev(a, b) ≥ |cp(a) − cp(b)| (each edit changes
@@ -101,6 +106,15 @@ object BlockedMatch {
     * provably already connected, so the component structure — and any
     * gate output built from it — is unchanged.
     */
+  /** Probe-loop tallies (read by tools.LevProbe): total inner-loop
+    * iterations and verifier calls across a stage. LongAdder — a
+    * couple of ns per striped increment, noise against the find()+
+    * verify work each iteration already does, and the observability
+    * is what adjudicated the r16 loop rebuild.
+    */
+  private[graft] val iterCount = new java.util.concurrent.atomic.LongAdder
+  private[graft] val levCount = new java.util.concurrent.atomic.LongAdder
+
   def levSpanningEdges(df: DataFrame, blockCols: Seq[String], idCol: String,
                        strCol: String, maxDist: Int): DataFrame = {
     val spark = df.sparkSession
@@ -114,14 +128,29 @@ object BlockedMatch {
       val m = members.length
       if (m < 2) Iterator.empty
       else {
-        val cpLen = new Array[Int](m)
+        // sort ONCE by (code-point length, id) with the length
+        // PRECOMPUTED — a comparator that re-scans the string for its
+        // code-point count pays 2 scans per comparison, ~Σ m·log m
+        // string walks per stage (measured: the whole ×10 regression
+        // of the r16.0 draft); one pass up front makes the comparator
+        // field reads. The probe loop then runs on flat parallel
+        // arrays: it is ITERATION-bound on giant blocks (most probes
+        // are already-connected skips — a few array reads each), so
+        // per-iteration constants are the whole cost model.
+        val arr = members.map(t =>
+          (t._2.codePointCount(0, t._2.length), t._1, t._2))
+        java.util.Arrays.sort(arr,
+          Ordering.by((x: (Int, Long, String)) => (x._1, x._2)))
+        val lens = new Array[Int](m)
+        val ids = new Array[Long](m)
+        val strs = new Array[String](m)
         var x = 0
         while (x < m) {
-          cpLen(x) = members(x)._2.codePointCount(0, members(x)._2.length)
+          lens(x) = arr(x)._1
+          ids(x) = arr(x)._2
+          strs(x) = arr(x)._3
           x += 1
         }
-        val sorted = Array.tabulate(m)(identity)
-          .sortBy(i => (cpLen(i), members(i)._1))
         val parent = Array.tabulate(m)(identity)
         def find(x0: Int): Int = {
           var r = x0
@@ -130,29 +159,48 @@ object BlockedMatch {
           while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
           r
         }
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-        var comps = 1 // live components among sorted members [0..j]
+        var comps = 1 // live components among members [0..j]
         var j = 1
         while (j < m) {
-          val sj = sorted(j)
+          // j enters as its own fresh component, so find(j) == j for
+          // the whole inner scan (unions below keep j the root) — the
+          // probe root is a CONSTANT, not a per-iteration find()
           comps += 1
+          val lj = lens(j)
+          val sj = strs(j)
           var i = j - 1
-          var pruned = false
-          while (!pruned && i >= 0 && comps > 1) {
-            val si = sorted(i)
-            if (cpLen(sj) - cpLen(si) > maxDist) pruned = true
-            else {
-              val ri = find(i); val rj = find(j)
-              if (ri != rj && levWithin(members(si)._2, members(sj)._2, maxDist)) {
-                parent(ri) = rj
-                comps -= 1
-                val a = members(si)._1; val b = members(sj)._1
-                out += (if (a < b) (a, b) else (b, a))
-              }
-              i -= 1
+          while (i >= 0 && comps > 1 && lj - lens(i) <= maxDist) {
+            BlockedMatch.iterCount.increment()
+            val ri = find(i)
+            if (ri != j && {
+              BlockedMatch.levCount.increment()
+              levWithin(strs(i), sj, maxDist)
+            }) {
+              parent(ri) = j
+              comps -= 1
             }
+            i -= 1
           }
           j += 1
+        }
+        // STAR emission (r16): one pass AFTER the unions emits
+        // (root, member) per non-root — the spanning forest with
+        // depth-1 trees. Emitting the VERIFIED pairs instead (the
+        // r16.0 draft) produced length-adjacent CHAINS (j links to
+        // j−1), and downstream pointer-jumping CC pays a shuffle
+        // round per doubling of path length: the ×10 gate read
+        // ~34 s on chain edges vs ~18 s on the r15 loop's natural
+        // near-stars. Components are identical either way — only the
+        // forest SHAPE changes, and the star is the shape CC wants.
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var y = 0
+        while (y < m) {
+          val r = find(y)
+          if (r != y) {
+            val a = ids(r); val b = ids(y)
+            out += (if (a < b) (a, b) else (b, a))
+          }
+          y += 1
         }
         out.iterator
       }

@@ -256,10 +256,15 @@ object Similarity {
         .agg(count(lit(1)).as("n_members"), sum(col("x6")).as("sum_e6"))
         .select(col("cluster"), col("dim").cast("long").as("dim"), col("n_members"),
           round(col("sum_e6") / (col("n_members") * 1e6), 6).as("new_c"))
-      // k×d quantized means back to the driver — the only serial state
+      // k×d quantized means back to the driver — the only serial state.
+      // round THEN cast (r16): new_c·1e6 sits within 1 ulp of an
+      // integer, and a bare truncating cast could land one under it —
+      // and DuckDB's double→int cast rounds where Spark's truncates,
+      // so the round() is also what makes the round-trip replayable
+      // bit-for-bit by the ann_ivf_sq8_trained oracle
       val updated = out
         .select(col("cluster"), col("dim"),
-          (col("new_c") * 1e6).cast("long").as("q"))
+          round(col("new_c") * 1e6).cast("long").as("q"))
         .collect()
         .groupBy(_.getLong(0))
         .map { case (c, rows) =>
@@ -1107,8 +1112,8 @@ object Similarity {
     // the PQ tier's trained path reused for the coarse tier; the
     // micro-quantized means keep the build replayable, and RECALL_r16
     // measures seeded vs trained at matched nprobe). Trained centroid
-    // ids are the cluster labels — disjoint from corpus ids only in
-    // rank, which is all the probe join keys on.
+    // ids are the SEED vec_ids that kept members — a subset of the
+    // first-N corpus ids, which is all the probe join keys on.
     val cents =
       if (trainRounds <= 0)
         vw.orderBy(col("id")).limit(numCentroids)

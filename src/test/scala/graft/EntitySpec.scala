@@ -57,7 +57,7 @@ class EntitySpec extends GraftSuite {
     val rows = Seq(
       (1L, "aaaa", "X"), (2L, "aacc", "X"), (3L, "cccc", "X"),
       (10L, "zzzz", "Y"), (11L, "zzzy", "Y"), (12L, "zzyy", "Y"),
-      (13L, "qqqqqqqq", "Y"),
+      (14L, "zzyz", "Y"), (13L, "qqqqqqqq", "Y"),
       (1L, "aaaa", "Z"), (2L, "aacc", "Z")).toDF("id", "s", "blk")
     val edges = BlockedMatch.levSpanningEdges(rows, Seq("blk"), "id", "s", maxDist = 2)
       .distinct()

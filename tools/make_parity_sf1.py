@@ -37,7 +37,10 @@ out = {
     "gates": dict(sorted(gates.items())),
     "n_gates": len(gates), "n_ok": n_ok, "n_skip": n_skip, "n_fail": n_fail,
     "sf_dir": "/tmp/graft_curve_x10 (sf0.1 replicated 10x by ScaleCurve.buildLake = sf1: 6M lineitem, 50k docs)",
-    "scope": "7 TPC-H headliners + the scale-probe gates (VERDICT r9 ask 6 / r10 ask 2)",
+    "scope": ("7 TPC-H headliners + the scale-probe gates (VERDICT r9 ask 6 / r10 ask 2); "
+              "r16 adds the text-battery reach (text_quality, text_bigram_lm, corpus_url_parse, "
+              "corpus_url_dedup, text_rolling_fp - judge r15 ask #7) and the two heaviest "
+              "file-sink-ported replays (stream_interval_replay, stream_session_replay)"),
     "skip_policy": ["dedup_clusters"],
     "notes": ("q1_pricing_summary initially FAILED here in r10 - Spark and DuckDB double-product "
               "sums diverged in the 4th decimal at 6M rows; fixed by exact-integer-cent sums "
