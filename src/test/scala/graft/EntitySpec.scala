@@ -75,6 +75,16 @@ class EntitySpec extends GraftSuite {
     assert(!got.contains(13L), "unmatched outlier must be absent")
     // spanning output is smaller than the clique graph on the clique block
     assert(edges.count() < full.count())
+    // giant-block route (r16, ADVICE #3): forcing every block over the
+    // big-block threshold sends them through the chunk-parallel
+    // distributed verify — components must be IDENTICAL to the
+    // sequential loop's (the pair list may differ from the star
+    // forest; components may not)
+    val gotBig = ClusterDedup.connectedComponents(
+        BlockedMatch.levSpanningEdges(rows, Seq("blk"), "id", "s",
+          maxDist = 2, bigBlock = 1).distinct())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotBig == want, s"big-block route diverged: $gotBig want $want")
   }
 
   test("fellegi-sunter: true copies outscore chance collisions") {
