@@ -16,9 +16,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale: the edge list + degrees persist once and re-serve every
   * iteration; the rank vector (one double per node) is the only
-  * thing that updates. A fixed iteration count keeps the lineage
-  * linear; for 100s of iterations compose with localCheckpoint the
-  * way ClusterDedup does.
+  * thing that updates, and each round lazily localCheckpoints it
+  * (the ClusterDedup lineage rule) so planning cost stays linear in
+  * the iteration count instead of the tree doubling per round.
   *
   * Cache contract: [[run]] returns a LAZY plan over two persisted
   * tables (edges+degrees, nodes) so repeated materializations hit
@@ -80,6 +80,13 @@ object PageRank {
           (lit(1.0 - damping) / col("n") +
             lit(damping) * coalesce(col("contrib"), lit(0.0))).as("r"),
           col("n"))
+        // lazy checkpoint per round (the ClusterDedup lineage rule):
+        // without it the logical tree doubles per iteration — the
+        // 5-round gate planned a 251-Exchange tree (r16 PlanDump) and
+        // the driver paid optimizer time quadratic in rounds. toRdd
+        // compiles each round once; blocks persist on first compute,
+        // so the min-of-2 steady state reads the final round's blocks.
+        .localCheckpoint(eager = false)
     }
     (ranks, Seq(e, nodes))
   }

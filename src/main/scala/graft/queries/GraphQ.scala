@@ -243,16 +243,27 @@ object GraphQ {
   def qHits(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val t = Tables(spark, dir)
-    val e = t.orders.select($"o_orderkey", $"o_custkey")
-      .join(t.lineitem.select($"l_orderkey", $"l_partkey"),
-        $"o_orderkey" === $"l_orderkey")
-      .select($"o_custkey".as("c"), $"l_partkey".as("p"))
-      .distinct()
+    // persisted: each of the four half-rounds joins this edge list —
+    // without the cache every normed() stage re-derived the
+    // orders⋈lineitem distinct from scan, and the nested lazy plan
+    // reached 268 Exchanges (r16 PlanDump). With the cache + the
+    // per-stage lazy checkpoint below, planning is linear in rounds
+    // and the edge list computes once (guide §2.4).
+    val e = graft.operators.CacheLedger.persist(
+      t.orders.select($"o_orderkey", $"o_custkey")
+        .join(t.lineitem.select($"l_orderkey", $"l_partkey"),
+          $"o_orderkey" === $"l_orderkey")
+        .select($"o_custkey".as("c"), $"l_partkey".as("p"))
+        .distinct())
     def normed(df: DataFrame, col0: String): DataFrame = {
       val m = df.agg(max(expr(col0)).as("mx"))
       df.crossJoin(broadcast(m))
         .withColumn(col0 + "n", expr(s"($col0 * 1000000) div mx"))
         .drop("mx", col0)
+        // lazy checkpoint per half-round (the ClusterDedup lineage
+        // rule): truncates the doubling logical tree at each score
+        // update; blocks persist on first compute
+        .localCheckpoint(eager = false)
     }
     val h1 = normed(e.groupBy($"c")
       .agg((count(lit(1)) * lit(1000000L)).as("h")), "h")
