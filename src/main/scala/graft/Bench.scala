@@ -16,6 +16,12 @@ object Bench {
       // pushdown on date columns instead of a plan-side NTZ cast
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // A/B'd r16 (guide §2.2): parallelismFirst=false + 64m advisory
+      // (Spark's documented production recommendation) measured 96.2 s
+      // -> 113.3 s on a 30-gate subset — byte-based coalescing
+      // serializes CPU-dense small-byte stages on local[32]
+      // (ts_theil_sen 4.6 -> 8.0 s). Default (parallelism-first)
+      // retained; see OPTIMIZATION_r16.md.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -101,21 +101,27 @@ object ClusterDedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val neighborMin = edges
+      // FUSED propagate + pointer jump (r16): the label table itself
+      // joins in as extra edges (id → lbl), so one edge-scale join +
+      // one aggregate computes min(labels of graph-neighbors ∪
+      // {labels(lbl(id))}) — the jump rides the same shuffle instead
+      // of two extra node-scale self-joins per round (the r16 probe
+      // measured the old 3-join round at 2.4-3.3 s of fixed cost on a
+      // 5k-edge remnant; at 100 TB each avoided join is a node-scale
+      // shuffle per round). The node's own label is dominated:
+      // labels(lbl(id)) ≤ lbl(id) because a min-label table only ever
+      // decreases and lbl(id) is a node of the same component — so no
+      // least/coalesce re-attach is needed, and every labeled id
+      // appears in the output because its label edge feeds the group.
+      // Fixpoint and min-id labels are unchanged (every candidate is
+      // a same-component node's label; convergence is still checked
+      // per round).
+      val labelEdges = labels.select(col("id").as("u"), col("lbl").as("v"))
+      val next = edges.select(col("u"), col("v")).unionByName(labelEdges)
         .join(labels.withColumnRenamed("id", "v2").hint("shuffle_hash"),
           col("v") === col("v2"))
-        .groupBy(col("u").as("id")).agg(min(col("lbl")).as("nmin"))
-      val propagated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
-      // pointer jumping: follow the label's own label (always a node
-      // of the same component, so correctness is preserved)
-      val jumped = propagated.as("x")
-        .join(propagated.select(col("id").as("p_id"), col("lbl").as("p_lbl")).as("y"),
-          col("x.lbl") === col("y.p_id"), "left")
-        .select(col("x.id").as("id"),
-          least(col("x.lbl"), coalesce(col("p_lbl"), col("x.lbl"))).as("lbl"))
-      val next = jumped.localCheckpoint() // eager: materialize + truncate
+        .groupBy(col("u").as("id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint() // eager: materialize + truncate
       val changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
         .filter(col("lbl") =!= col("old")).limit(1).count()
       labels = next // previous checkpoint blocks freed by ContextCleaner
