@@ -1593,6 +1593,15 @@ object SimilarityQ {
   private def replaySession(spark: SparkSession): SparkSession = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
+    // r16: every processAllAvailable otherwise appends a trailing
+    // NO-DATA micro-batch to publish the new watermark — doubling the
+    // per-replay batch count, each a full commit cycle. The replays
+    // never rely on no-data flushes: every gate that needs the tail
+    // drained feeds explicit sentinel DATA batches (wave 2 exists
+    // precisely because a watermark takes effect one batch late), so
+    // the emitted row set is identical — re-proved by the oracle
+    // hash-compare on all nine replay gates at sf0.01 + sf0.1.
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     ss
   }
 
@@ -1613,8 +1622,14 @@ object SimilarityQ {
     */
   private def fileSinkReplay(spark: SparkSession, out: DataFrame)(
       feed: org.apache.spark.sql.streaming.StreamingQuery => Unit): DataFrame = {
-    val sinkDir = graft.operators.TempDirs.fresh("graft_stream_sink")
-    val ckpt = graft.operators.TempDirs.fresh("graft_stream_ck")
+    // fast (RAM-backed when available) scratch: the replay's cost is
+    // per-micro-batch commit latency, ~0.5-0.7 s of which was
+    // checkpoint/sink fsync to the disk tmpdir (r16 StreamProbe) —
+    // exactly what a production deployment's fast checkpoint volume
+    // removes. Both dirs are bounded (offsets/state deltas + the
+    // gate's own output) and swept by the scratch ledger.
+    val sinkDir = graft.operators.TempDirs.freshFast("graft_stream_sink")
+    val ckpt = graft.operators.TempDirs.freshFast("graft_stream_ck")
     val q = out.writeStream.outputMode("append").format("parquet")
       .option("path", sinkDir).option("checkpointLocation", ckpt).start()
     try feed(q) finally q.stop()
@@ -1633,8 +1648,8 @@ object SimilarityQ {
     */
   private def foreachBatchReplay(spark: SparkSession, out: DataFrame)(
       feed: org.apache.spark.sql.streaming.StreamingQuery => Unit): DataFrame = {
-    val sinkDir = graft.operators.TempDirs.fresh("graft_stream_sink")
-    val ckpt = graft.operators.TempDirs.fresh("graft_stream_ck")
+    val sinkDir = graft.operators.TempDirs.freshFast("graft_stream_sink")
+    val ckpt = graft.operators.TempDirs.freshFast("graft_stream_ck")
     val q = out.writeStream.outputMode("update")
       .foreachBatch { (b: DataFrame, id: Long) =>
         b.write.mode("overwrite").parquet(s"$sinkDir/b$id")
@@ -1988,7 +2003,12 @@ object SimilarityQ {
     val name = "stream_dedup_replay_" + java.util.UUID.randomUUID().toString.take(8)
     val q = EventStream.dedupStream(src)
       .select($"user_id", $"event_id", $"ts_us", $"event_type")
-      .writeStream.outputMode("append").format("memory").queryName(name).start()
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      // explicit fast-scratch checkpoint: without it Spark allocates
+      // one in the disk tmpdir and every micro-batch pays commit
+      // fsync there (r16 StreamProbe: ~0.5-0.7 s/batch)
+      .option("checkpointLocation", graft.operators.TempDirs.freshFast("graft_stream_ck"))
+      .start()
     try {
       (0 until 4).foreach { i =>
         val replayTail =
@@ -2057,7 +2077,10 @@ object SimilarityQ {
         unix_micros($"session_window.end").as("end_us"),
         $"n_events", $"total_cents")
     val name = "stream_session_replay_" + java.util.UUID.randomUUID().toString.take(8)
-    val q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    val q = agg.writeStream.outputMode("append").format("memory").queryName(name)
+      // explicit fast-scratch checkpoint (the stream_dedup_replay note)
+      .option("checkpointLocation", graft.operators.TempDirs.freshFast("graft_stream_ck"))
+      .start()
     try {
       (0 until 4).foreach { i =>
         if (batches(i).nonEmpty) in.addData(batches(i).toSeq)
@@ -2140,7 +2163,10 @@ object SimilarityQ {
       .as[EventStream.Ev]
     val name = "stream_session_state_" + java.util.UUID.randomUUID().toString.take(8)
     val q = EventStream.sessionize(src, gapUs = 1800000000L)
-      .writeStream.outputMode("append").format("memory").queryName(name).start()
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      // explicit fast-scratch checkpoint (the stream_dedup_replay note)
+      .option("checkpointLocation", graft.operators.TempDirs.freshFast("graft_stream_ck"))
+      .start()
     try {
       (0 until 4).foreach { i =>
         if (batches(i).nonEmpty) in.addData(batches(i).toSeq)
