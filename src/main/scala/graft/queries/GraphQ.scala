@@ -255,21 +255,25 @@ object GraphQ {
           $"o_orderkey" === $"l_orderkey")
         .select($"o_custkey".as("c"), $"l_partkey".as("p"))
         .distinct())
-    def normed(df: DataFrame, col0: String): DataFrame = {
+    def normed(df: DataFrame, col0: String, ckpt: Boolean = true): DataFrame = {
       val m = df.agg(max(expr(col0)).as("mx"))
-      df.crossJoin(broadcast(m))
+      val n = df.crossJoin(broadcast(m))
         .withColumn(col0 + "n", expr(s"($col0 * 1000000) div mx"))
         .drop("mx", col0)
-        // lazy checkpoint per half-round (the ClusterDedup lineage
-        // rule): truncates the doubling logical tree at each score
-        // update; blocks persist on first compute
-        .localCheckpoint(eager = false)
+      // lazy checkpoint per half-round (the ClusterDedup lineage
+      // rule): truncates the doubling logical tree at each score
+      // update; blocks persist on first compute. The LAST half-round
+      // skips it: its output flows straight into the top-20 take, so
+      // a checkpoint would only add a block write — and leaving the
+      // final join+aggregate in the plan keeps the round shape
+      // inspectable (PlanSpec pins it).
+      if (ckpt) n.localCheckpoint(eager = false) else n
     }
     val h1 = normed(e.groupBy($"c")
       .agg((count(lit(1)) * lit(1000000L)).as("h")), "h")
     val a1 = normed(e.join(h1, "c").groupBy($"p").agg(sum($"hn").as("a")), "a")
     val h2 = normed(e.join(a1, "p").groupBy($"c").agg(sum($"an").as("h")), "h")
-    val a2 = normed(e.join(h2, "c").groupBy($"p").agg(sum($"hn").as("a")), "a")
+    val a2 = normed(e.join(h2, "c").groupBy($"p").agg(sum($"hn").as("a")), "a", ckpt = false)
     a2.select($"p".as("p_partkey"), $"an".as("auth_e6"),
         expr("round(an / 1e6, 6)").as("auth"))
       .orderBy($"auth_e6".desc, $"p_partkey").limit(20)
